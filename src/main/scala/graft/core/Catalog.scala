@@ -1,0 +1,94 @@
+package graft.core
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Name → storage-path table registry with idempotent materialization.
+  *
+  * Plays the role of the reference's `get_s3` / `materialise_s3` /
+  * `materialise_s3_if_not_exists` helpers (reference:
+  * etl_textreuse/spark_utils.py:47-136 and the Scala twins in
+  * etl_textreuse/assets/spark_functionality.sc:61-119): every logical
+  * table is an immutable parquet directory, re-registered as a temp view
+  * by name on each use, written zstd-compressed, with write-if-absent and
+  * atomic-rename semantics via the Hadoop FileSystem API.
+  *
+  * Scale notes: paths may be any Hadoop-supported filesystem (s3a://,
+  * hdfs://, file://); materialization goes through a `_tmp` directory +
+  * rename so a failed job never leaves a half-written table registered.
+  */
+final class Catalog(val spark: SparkSession, baseDir: String) {
+
+  def path(name: String): String = s"$baseDir/$name.parquet"
+
+  private def fs(p: String): FileSystem =
+    FileSystem.get(new URI(p), spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = {
+    val p = path(name)
+    fs(p).exists(new Path(p))
+  }
+
+  def delete(name: String): Unit = {
+    val p = path(name)
+    fs(p).delete(new Path(p), true)
+  }
+
+  /** Read a materialized table and register it as a temp view. */
+  def get(name: String): DataFrame = {
+    val df = spark.read.parquet(path(name))
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Write `df` as parquet under `name` (overwrite), re-read + register.
+    * Re-reading truncates lineage — load-bearing for iterative consumers
+    * (reference: chinese_label_propagation.py:189-197).
+    */
+  def materialize(name: String, df: DataFrame): DataFrame = {
+    df.write.mode("overwrite").parquet(path(name))
+    get(name)
+  }
+
+  /** Write through a temp dir + atomic rename, then register. */
+  def materializeAtomic(name: String, df: DataFrame): DataFrame = {
+    val target = path(name)
+    val tmp = s"$baseDir/_tmp_$name.parquet"
+    df.write.mode("overwrite").parquet(tmp)
+    val f = fs(target)
+    f.delete(new Path(target), true)
+    f.rename(new Path(tmp), new Path(target))
+    get(name)
+  }
+
+  /** Build + materialize only if absent (reference: spark_utils.py:96-136). */
+  def ifNotExists(name: String)(build: => DataFrame): DataFrame =
+    if (exists(name)) get(name) else materialize(name, build)
+
+  /** Bucketed + sorted materialization through the session catalog, for
+    * shuffle-free iterative re-joins (reference: S5,
+    * chinese_label_propagation.py:45-50 — bucketBy(256,"piece_id")).
+    * The bucket count is a parameter: 256 matched the reference's cluster;
+    * size it to ~shuffle-partition granularity at the target scale.
+    */
+  def materializeBucketed(name: String, df: DataFrame, buckets: Int, cols: Seq[String]): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .option("path", path(name))
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(name)
+    spark.table(name)
+  }
+
+  /** Eager named cache (reference: S8, spark_utils.py:57-65). */
+  def cache(name: String, df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView(s"${name}_source")
+    spark.sql(s"CACHE TABLE $name AS TABLE ${name}_source")
+    spark.table(name)
+  }
+}

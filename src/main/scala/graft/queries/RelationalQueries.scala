@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ids.Ids
+
+/** Relational operator families from SURVEY.md §2.2-§2.8 over the driver
+  * testdata, each paired with a DuckDB oracle.
+  *
+  * Determinism conventions (so Spark and DuckDB hash-match):
+  *  - double SUM/AVG use the fixed-point trick (Ids.fixedPointSum);
+  *    MIN/MAX of doubles are exact order statistics and stay native;
+  *  - integer-ish derived columns are cast to BIGINT on both sides;
+  *  - "FIRST"-style aggregates are expressed as min_by/arg_min with a
+  *    unique tie-break key.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fps(c: Column, scale: Int = 2): Column = Ids.fixedPointSum(c, scale)
+
+  val queries: Map[String, Q] = Map(
+
+    // A1+A2+A3: hash aggregate with min/max/sum/count per group
+    "q_agg_sum_group" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        fps(col("l_quantity")).as("sum_qty"),
+        fps(col("l_extendedprice")).as("sum_base_price"),
+        fps(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // A4: MIN(date) per group (reference: publication_date.py:101-106)
+    "q_agg_min_date" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy(col("o_custkey")).agg(min("o_orderdate").as("first_order_date"))
+    }),
+
+    // A5: MAX(string) collapse (reference: titles.py:26-28)
+    "q_agg_max_string" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      p.groupBy(col("p_brand")).agg(max("p_name").as("max_name"),
+        count(lit(1)).as("n_parts"))
+    }),
+
+    // A6: FIRST-style aggregate, deterministic via unique tie-break key
+    // (reference: source_piece_statistics.py:27-28)
+    "q_agg_first" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy(col("o_custkey")).agg(
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        min_by(col("o_orderdate"), col("o_orderkey")).as("first_date"))
+    }),
+
+    // A7: COUNT(DISTINCT CASE WHEN ...) conditional distinct count
+    // (reference: source_piece_statistics.py:30-48)
+    "q_agg_conditional_distinct" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy(col("o_orderpriority")).agg(
+        countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).as("n_f_custs"),
+        countDistinct(when(col("o_totalprice") > 100000.0, col("o_custkey"))).as("n_big_custs"),
+        count(lit(1)).as("n_orders"))
+    }),
+
+    // A8: collect_list into array (reference:
+    // chinese_label_propagation.py:43), made order-deterministic by
+    // sorting; serialized to string so the oracle can reproduce it
+    "q_agg_collect_sorted" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      c.groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // A11: global distinct count
+    "q_agg_distinct_count" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // A12: GROUP BY over a date function (reference: publication_date.py:74-79)
+    "q_agg_group_year" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_orders"), fps(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // J1: inner equi-join USING, aggregated
+    "q_join_inner" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      li.join(o, Seq("l_orderkey"), "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), fps(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // J2: left outer join, null-producing side aggregated with coalesce
+    "q_join_left" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // J3: anti-join (reference: reception.py:21-25 uses right join +
+    // IS NULL; idiomatic Spark is left_anti — parity-tested in AntiJoinSpec)
+    "q_join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // left_semi (EXISTS) — complement of J3
+    "q_join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // J4: composite multi-column equi-join (reference: orig_textreuses.py:61-62)
+    "q_join_composite" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val pairs = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_uses"))
+        .where(col("n_uses") >= 2)
+      li.join(pairs, Seq("l_partkey", "l_suppkey"), "inner")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), fps(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // J5: join with extra constant predicate (reference: actors_and_authors.py:47-51)
+    "q_join_mixed_pred" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_returnflag") === "R", "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(col("l_orderkey")).as("n_r_lines"), count(lit(1)).as("n_rows"))
+    }),
+
+    // J6+J8: broadcast-hinted N-way star join (reference: coverages.py:22,
+    // source_piece_statistics.py:49-59) — dims broadcast, fact shuffles once
+    "q_join_star" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(fps(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // J9: self-join via two aliases (reference: raw_textreuses.py:202-203)
+    "q_join_self" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val a = li.as("a")
+      val b = li.as("b")
+      a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber"))
+        .groupBy(col("a.l_returnflag").as("flag_a"), col("b.l_returnflag").as("flag_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // J7: many-to-many key expansion (reference: reception.py:56-60)
+    "q_join_m2m" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
+      val a = li.select(col("l_partkey"), col("l_orderkey").as("o1"))
+      val b = li.select(col("l_partkey"), col("l_orderkey").as("o2"))
+      a.join(b, Seq("l_partkey"))
+        .where(col("o1") < col("o2"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // U1: UNION (distinct) of two projections (reference: raw_textreuses.py:150-170)
+    "q_union_distinct" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      o.union(c).distinct()
+    }),
+
+    // U2: UNION ALL then re-aggregate (reference: ids_and_mappings.py:28-35)
+    "q_union_all" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), lit("order").as("src"))
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), lit("customer").as("src"))
+      o.unionAll(c).groupBy(col("src")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("custkey")).as("n_keys"))
+    }),
+
+    // O2: ORDER BY ... LIMIT top-k with unique tie-break (reference:
+    // publication_date.py:74-79)
+    "q_topk" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // S10+S11+O1: dictionary encoding — global sort then contiguous ids
+    "q_dict_encode" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      Ids.dictionary(c, "c_mktsegment", "segment_id")
+    }),
+
+    // §2.8 string scalar functions (split/locate/substr/length/concat/case)
+    "q_scalar_string" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      p.select(
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          expr("locate(' ', p_type)").cast("long").as("first_space"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("#"), upper(substring(col("p_type"), 1, 3))).as("brand_tag"),
+          when(col("p_size") >= 25, lit("L")).when(col("p_size") >= 10, lit("M"))
+            .otherwise(lit("S")).as("size_class"))
+        .groupBy(col("type_head"), col("size_class"))
+        .agg(count(lit(1)).as("n"), max("brand_tag").as("max_tag"),
+          sum("name_len").as("sum_name_len"), max("first_space").as("max_first_space"))
+    }),
+
+    // §2.8 date scalar functions
+    "q_scalar_date" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.select(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"))
+        .groupBy(col("y"), col("m"))
+        .agg(count(lit(1)).as("n_orders"), max(col("d")).as("max_day"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_sum_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+        |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT)) / 100.0 AS sum_disc_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_min_date" ->
+      "SELECT o_custkey, min(o_orderdate) AS first_order_date FROM orders GROUP BY o_custkey",
+
+    "q_agg_max_string" ->
+      "SELECT p_brand, max(p_name) AS max_name, count(*) AS n_parts FROM part GROUP BY p_brand",
+
+    "q_agg_first" ->
+      """SELECT o_custkey, arg_min(o_orderstatus, o_orderkey) AS first_status,
+        |  arg_min(o_orderdate, o_orderkey) AS first_date
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q_agg_conditional_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_f_custs,
+        |  count(DISTINCT CASE WHEN o_totalprice > 100000.0 THEN o_custkey END) AS n_big_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_agg_collect_sorted" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q_agg_distinct_count" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_group_year" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT coalesce(c_mktsegment, 'NONE') AS segment, count(*) AS n_orders
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_composite" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS n_uses
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) >= 2)
+        |SELECT l_returnflag, count(*) AS n_lines,
+        |  sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM lineitem JOIN pairs USING (l_partkey, l_suppkey)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_join_mixed_pred" ->
+      """SELECT o_orderstatus, count(l_orderkey) AS n_r_lines, count(*) AS n_rows
+        |FROM orders LEFT JOIN lineitem
+        |  ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0) AS BIGINT)) / 100.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_join_self" ->
+      """SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b, count(*) AS n_pairs
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_m2m" ->
+      """WITH big AS (SELECT l_partkey, l_orderkey FROM lineitem WHERE l_quantity >= 45.0)
+        |SELECT a.l_partkey, count(*) AS n_pairs
+        |FROM big a JOIN big b ON a.l_partkey = b.l_partkey AND a.l_orderkey < b.l_orderkey
+        |GROUP BY a.l_partkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT src, count(*) AS n_rows, count(DISTINCT custkey) AS n_keys FROM (
+        |  SELECT o_custkey AS custkey, 'order' AS src FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey, 'customer' AS src FROM customer)
+        |GROUP BY src""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_dict_encode" ->
+      """SELECT row_number() OVER (ORDER BY c_mktsegment) AS segment_id, c_mktsegment
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)""".stripMargin,
+
+    "q_scalar_string" ->
+      """SELECT split_part(p_type, ' ', 1) AS type_head,
+        |  CASE WHEN p_size >= 25 THEN 'L' WHEN p_size >= 10 THEN 'M' ELSE 'S' END AS size_class,
+        |  count(*) AS n,
+        |  max(concat(p_brand, '#', upper(substring(p_type, 1, 3)))) AS max_tag,
+        |  sum(CAST(length(p_name) AS BIGINT)) AS sum_name_len,
+        |  max(CAST(strpos(p_type, ' ') AS BIGINT)) AS max_first_space
+        |FROM part GROUP BY 1, 2""".stripMargin,
+
+    "q_scalar_date" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders, max(CAST(day(o_orderdate) AS BIGINT)) AS max_day
+        |FROM orders GROUP BY 1, 2""".stripMargin
+  )
+}
