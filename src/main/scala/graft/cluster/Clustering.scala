@@ -1,0 +1,169 @@
+package graft.cluster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Chinese Whispers label propagation over the defragmented piece graph
+  * (SURVEY.md §2.10; reference: chinese_label_propagation.py:58-200,
+  * algorithm doc assets/README.md:225-258).
+  *
+  * The graph is relational: `adjacency_list(piece_id, other_piece_ids)`.
+  * Each node keeps a vote multiset `cluster_counts: map<cluster,votes>`
+  * over its neighbours' current clusters; every iteration each *active*
+  * node adopts the argmax-vote cluster (uniform random tie-break, applied
+  * with probability `updateProbability`), and only the *delta* of changed
+  * votes is propagated to neighbours — nodes whose vote map did not
+  * change are never touched. This delta formulation is what makes the
+  * loop feasible at 10⁸+ nodes (reference scales knobs for >5×10⁸
+  * active rows).
+  *
+  * Deliberate deviations from the reference (SURVEY.md §7.3):
+  *  - `rand(seed+iteration)` instead of unseeded `rand()` so tests are
+  *    reproducible; pass a different seed per run for production parity.
+  *  - lineage truncation is pluggable (`checkpoint`): parquet round-trip
+  *    in production (equivalent to the reference's alternating Hive
+  *    checkpoint tables), `localCheckpoint` by default for tests.
+  *  - vote deltas are built with explode + sum instead of a nested
+  *    map_concat fold — same result, but the aggregation stays in
+  *    whole-stage codegen instead of a per-row O(k²) map rebuild.
+  *
+  * Scale notes: the static adjacency side should be bucketed by piece_id
+  * (reference: bucketBy(256), S5) so the per-iteration join does not
+  * reshuffle it; pass `adjacency` read from a bucketed table to get that
+  * for free. State joins hash-partition on piece_id every iteration —
+  * with AQE on, partition counts adapt to the shrinking active set.
+  */
+object Clustering {
+
+  /** Symmetrized adjacency list from defrag edges (reference:
+    * chinese_label_propagation.py:32-50). Output:
+    * (piece_id, other_piece_ids array<long>).
+    */
+  def adjacencyList(defragTextreuses: DataFrame): DataFrame =
+    defragTextreuses
+      .select(col("piece1_id").as("piece_id"), col("piece2_id").as("other_piece_id"))
+      .unionAll(defragTextreuses
+        .select(col("piece2_id").as("piece_id"), col("piece1_id").as("other_piece_id")))
+      .groupBy("piece_id")
+      .agg(collect_list("other_piece_id").as("other_piece_ids"))
+
+  /** Iteration-0 state: every node votes its neighbours, clusters itself
+    * (reference: chinese_label_propagation.py:81-87).
+    */
+  def initialState(adjacency: DataFrame): DataFrame =
+    adjacency.select(
+      col("piece_id"),
+      col("piece_id").as("cluster_id"),
+      map_from_entries(transform(col("other_piece_ids"),
+        n => struct(n.as("key"), lit(1L).as("value")))).as("cluster_counts"),
+      lit(true).as("active"))
+
+  /** Argmax vote with reservoir-sampled uniform tie-break: fold over the
+    * vote map keeping (best cluster, best votes, number of ties seen).
+    * Returns struct(cluster_id, tied) — `tied` keeps the node active.
+    */
+  private def pickCluster(votes: Column, rnd: Column): Column =
+    aggregate(
+      map_entries(votes),
+      struct(lit(-1L).as("c"), lit(-1L).as("n"), lit(0L).as("ties")),
+      (acc, e) => {
+        val k = e.getField("key")
+        val v = e.getField("value")
+        when(v > acc.getField("n"),
+            struct(k.as("c"), v.as("n"), lit(1L).as("ties")))
+          .when(v === acc.getField("n"),
+            when(rnd < lit(1.0) / (acc.getField("ties") + lit(1L)).cast("double"),
+                struct(k.as("c"), acc.getField("n").as("n"),
+                  (acc.getField("ties") + lit(1L)).as("ties")))
+              .otherwise(struct(acc.getField("c").as("c"), acc.getField("n").as("n"),
+                (acc.getField("ties") + lit(1L)).as("ties"))))
+          .otherwise(acc)
+      },
+      acc => struct(acc.getField("c").as("cluster_id"),
+        (acc.getField("ties") > 1L).as("tied")))
+
+  /** One propagation step: (state, adjacency, iteration) → new state. */
+  def step(state: DataFrame, adjacency: DataFrame, seed: Long, iteration: Int,
+      updateProbability: Double = 0.9): DataFrame = {
+    val rnd = rand(seed + iteration)
+    val picked = state
+      .filter(col("active"))
+      .select(col("piece_id"), col("cluster_id").as("old_cluster_id"),
+        pickCluster(col("cluster_counts"), rnd).as("pick"))
+      .select(col("piece_id"), col("old_cluster_id"),
+        col("pick.cluster_id").as("new_cluster_id"), col("pick.tied").as("tied"))
+      .withColumn("do_update",
+        (col("old_cluster_id") =!= col("new_cluster_id")) && (rnd <= updateProbability))
+      .filter(col("tied") || col("do_update"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Vote deltas at each neighbour of a changed node: -1 for the old
+    // cluster, +1 for the new, summed over all changed neighbours.
+    val deltas = picked
+      .filter(col("do_update"))
+      .join(adjacency, "piece_id")
+      .select(explode(col("other_piece_ids")).as("piece_id"),
+        col("old_cluster_id"), col("new_cluster_id"))
+      .select(col("piece_id"), explode(array(
+        struct(col("old_cluster_id").as("cluster"), lit(-1L).as("d")),
+        struct(col("new_cluster_id").as("cluster"), lit(1L).as("d")))).as("e"))
+      .groupBy(col("piece_id"), col("e.cluster").as("cluster"))
+      .agg(sum("e.d").as("d"))
+      .groupBy("piece_id")
+      .agg(map_from_entries(collect_list(struct(col("cluster"), col("d"))))
+        .as("count_updates"))
+
+    val changed = picked.select("piece_id", "do_update", "new_cluster_id", "tied")
+    state
+      .join(changed, Seq("piece_id"), "left")
+      .join(deltas, Seq("piece_id"), "left")
+      .select(
+        col("piece_id"),
+        when(coalesce(col("do_update"), lit(false)), col("new_cluster_id"))
+          .otherwise(col("cluster_id")).as("cluster_id"),
+        when(col("count_updates").isNull, col("cluster_counts"))
+          .otherwise(map_filter(
+            map_zip_with(col("cluster_counts"), col("count_updates"),
+              (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L))),
+            (_, v) => v =!= 0L)).as("cluster_counts"),
+        (coalesce(col("tied"), lit(false)) || col("count_updates").isNotNull)
+          .as("active"))
+  }
+
+  /** Pluggable lineage truncation between iterations. */
+  type Checkpointer = (DataFrame, Int) => DataFrame
+
+  /** Default for tests/small runs: localCheckpoint. Production should
+    * pass a durable parquet round-trip (see parquetCheckpointer).
+    */
+  val localCheckpointer: Checkpointer = (df, _) => df.localCheckpoint()
+
+  /** Durable alternating checkpoint, the reference's scheme (reference:
+    * chinese_label_propagation.py:189-197): write parquet, read back.
+    */
+  def parquetCheckpointer(dir: String): Checkpointer = (df, i) => {
+    val path = s"$dir/clusters_counts_${i % 2}"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Run label propagation to convergence (no active nodes) or maxIter.
+    * Returns clustered_defrag_pieces(piece_id, cluster_id) (reference:
+    * downstream_clusters.py:13-29).
+    */
+  def propagate(adjacency: DataFrame, seed: Long = 42L, maxIter: Int = 100,
+      updateProbability: Double = 0.9,
+      checkpoint: Checkpointer = localCheckpointer): DataFrame = {
+    var state = checkpoint(initialState(adjacency), 0)
+    var active = state.filter(col("active")).count()
+    var iter = 0
+    while (active > 0 && iter < maxIter) {
+      val next = step(state, adjacency, seed, iter, updateProbability)
+      iter += 1
+      state = checkpoint(next, iter)
+      active = state.filter(col("active")).count()
+    }
+    state.select("piece_id", "cluster_id")
+  }
+}
