@@ -28,9 +28,21 @@ def main(sf_dir, out_dir):
     failures = 0
     import glob
     import os
-    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
-                   if os.path.isdir(p))
+    dumped = set(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
+                 if os.path.isdir(p))
+    try:
+        declared = set(json.load(open(f"{out_dir}/queries.json")))
+    except FileNotFoundError:
+        declared = set()
+    # union of dumped dirs, declared queries, and oracle keys: a query that
+    # crashed in Verify (no dir) or an orphan oracle entry is a failure,
+    # never silently skipped
+    names = sorted(dumped | declared | set(oracle))
     for name in names:
+        if name not in dumped:
+            print(f"{name:40s} MISSING OUTPUT (crashed in Verify or orphan oracle)")
+            failures += 1
+            continue
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracle:
             print(f"{name:40s} rows-only: {len(got)} rows "
@@ -57,7 +69,16 @@ def main(sf_dir, out_dir):
             import pandas as pd
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
-            print(f"{name:40s} OK ({len(g)} rows)")
+            # the driver's hash compare is dtype-sensitive (e.g. DuckDB
+            # HUGEINT sums surface as float64 vs Spark int64) — treat a
+            # kind mismatch as a failure even when values compare equal
+            kinds_g = [g[c].dtype.kind for c in g.columns]
+            kinds_e = [e[c].dtype.kind for c in e.columns]
+            if kinds_g != kinds_e:
+                print(f"{name:40s} DTYPE MISMATCH spark={kinds_g} duckdb={kinds_e}")
+                failures += 1
+            else:
+                print(f"{name:40s} OK ({len(g)} rows)")
         except AssertionError as ex:
             print(f"{name:40s} VALUE MISMATCH: {str(ex)[:300]}")
             failures += 1

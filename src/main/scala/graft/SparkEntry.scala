@@ -28,7 +28,9 @@ object SparkEntry {
       DomainQueries.queries ++
       DedupQueries.queries ++
       TextQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      MultimodalQueries.queries ++
+      EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -43,5 +45,7 @@ object SparkEntry {
       DomainQueries.oracles ++
       DedupQueries.oracles ++
       TextQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++
+      MultimodalQueries.oracles ++
+      EventQueries.oracles
 }

@@ -70,9 +70,12 @@ object Coverages {
       keys, "trs2_start", "trs2_end", "t2_reuses", "reuse_t2_t1")
     val len1 = lengths.select(col("trs_id").as("trs1_id"), col("text_length").as("t1_length"))
     val len2 = lengths.select(col("trs_id").as("trs2_id"), col("text_length").as("t2_length"))
+    // lengths joins are LEFT (reference: coverages.py:158-160 LEFT JOINs
+    // textreuse_source_lengths): a trs missing a length row yields null
+    // coverage rather than silently dropping the pair
     t1.join(t2, keys)
-      .join(broadcast(len1), Seq("trs1_id"))
-      .join(broadcast(len2), Seq("trs2_id"))
+      .join(broadcast(len1), Seq("trs1_id"), "left")
+      .join(broadcast(len2), Seq("trs2_id"), "left")
       .select(col("trs1_id"), col("trs2_id"),
         col("t1_reuses"), col("t2_reuses"),
         col("reuse_t1_t2"), col("reuse_t2_t1"),

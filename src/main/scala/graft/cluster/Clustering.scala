@@ -45,6 +45,11 @@ object Clustering {
       .select(col("piece1_id").as("piece_id"), col("piece2_id").as("other_piece_id"))
       .unionAll(defragTextreuses
         .select(col("piece2_id").as("piece_id"), col("piece1_id").as("other_piece_id")))
+      // canonicalize: drop self-edges and duplicate orientations so the
+      // initial vote map (map_from_entries) never sees a duplicate key —
+      // spark.sql.mapKeyDedupPolicy=EXCEPTION would throw at runtime
+      .where(col("piece_id") =!= col("other_piece_id"))
+      .distinct()
       .groupBy("piece_id")
       .agg(collect_list("other_piece_id").as("other_piece_ids"))
 
@@ -83,9 +88,15 @@ object Clustering {
       acc => struct(acc.getField("c").as("cluster_id"),
         (acc.getField("ties") > 1L).as("tied")))
 
-  /** One propagation step: (state, adjacency, iteration) → new state. */
+  /** One propagation step: (state, adjacency, iteration) → (new state,
+    * persisted intermediate). The intermediate (`picked`) is persisted
+    * MEMORY_AND_DISK because the new state references it twice; the
+    * caller MUST unpersist it once the new state has been checkpointed
+    * (the reference unpersists per-iteration,
+    * chinese_label_propagation.py:193).
+    */
   def step(state: DataFrame, adjacency: DataFrame, seed: Long, iteration: Int,
-      updateProbability: Double = 0.9): DataFrame = {
+      updateProbability: Double = 0.9): (DataFrame, DataFrame) = {
     val rnd = rand(seed + iteration)
     val picked = state
       .filter(col("active"))
@@ -115,7 +126,7 @@ object Clustering {
         .as("count_updates"))
 
     val changed = picked.select("piece_id", "do_update", "new_cluster_id", "tied")
-    state
+    val next = state
       .join(changed, Seq("piece_id"), "left")
       .join(deltas, Seq("piece_id"), "left")
       .select(
@@ -129,6 +140,7 @@ object Clustering {
             (_, v) => v =!= 0L)).as("cluster_counts"),
         (coalesce(col("tied"), lit(false)) || col("count_updates").isNotNull)
           .as("active"))
+    (next, picked)
   }
 
   /** Pluggable lineage truncation between iterations. */
@@ -159,10 +171,12 @@ object Clustering {
     var active = state.filter(col("active")).count()
     var iter = 0
     while (active > 0 && iter < maxIter) {
-      val next = step(state, adjacency, seed, iter, updateProbability)
+      val (next, persisted) = step(state, adjacency, seed, iter, updateProbability)
       iter += 1
       state = checkpoint(next, iter)
+      // state is now durably materialized; release the per-iteration cache
       active = state.filter(col("active")).count()
+      persisted.unpersist()
     }
     state.select("piece_id", "cluster_id")
   }

@@ -52,14 +52,31 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     get(name)
   }
 
-  /** Write through a temp dir + atomic rename, then register. */
+  /** Write through a temp dir + rename, then register.
+    *
+    * Crash-safety: the previous table is renamed aside first and deleted
+    * only after the new data has been renamed into place, so a crash at
+    * any point leaves either the old or the new table recoverable (never
+    * neither). True atomicity holds only on rename-capable filesystems
+    * (HDFS, file://); on object stores like s3a, rename is a non-atomic
+    * copy — prefer `materialize` + a table-format layer there.
+    */
   def materializeAtomic(name: String, df: DataFrame): DataFrame = {
     val target = path(name)
     val tmp = s"$baseDir/_tmp_$name.parquet"
+    val old = s"$baseDir/_old_$name.parquet"
     df.write.mode("overwrite").parquet(tmp)
     val f = fs(target)
-    f.delete(new Path(target), true)
-    f.rename(new Path(tmp), new Path(target))
+    f.delete(new Path(old), true)
+    val hadPrevious = f.exists(new Path(target))
+    if (hadPrevious && !f.rename(new Path(target), new Path(old)))
+      throw new java.io.IOException(s"rename $target -> $old failed")
+    if (!f.rename(new Path(tmp), new Path(target))) {
+      // restore the previous table before failing
+      if (hadPrevious) f.rename(new Path(old), new Path(target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    }
+    f.delete(new Path(old), true)
     get(name)
   }
 

@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      // driver testdata stores TIMESTAMP(NANOS); read as nanos longs
+      // (Tables.events converts to micros timestamps)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

@@ -103,8 +103,8 @@ object CoverageQueries {
          |  reuse_t1_t2 / l1.text_length * 100.0 AS coverage_t1_t2,
          |  reuse_t2_t1 / l2.text_length * 100.0 AS coverage_t2_t1
          |FROM t1 JOIN t2 USING (trs1_id, trs2_id)
-         |JOIN lengths l1 ON l1.trs_id = trs1_id
-         |JOIN lengths l2 ON l2.trs_id = trs2_id""".stripMargin,
+         |LEFT JOIN lengths l1 ON l1.trs_id = trs1_id
+         |LEFT JOIN lengths l2 ON l2.trs_id = trs2_id""".stripMargin,
 
     "q_islands" ->
       s"""WITH $trCte,

@@ -1,8 +1,184 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Deduplication operator queries over `documents`, with DuckDB oracles
+  * that re-derive the identical polynomial hashes / LSH bands /
+  * fixed-point cosines, so even the MinHash pipeline is hash-checked
+  * end-to-end (not just rows-only).
+  */
 object DedupQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val P = TextAnalysis.HashMod
+
+  // ---------- shared DuckDB fragments (must mirror TextAnalysis/Dedup) ----
+  private def charHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $P)"
+
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Distinct word-3-gram shingles, as in TextAnalysis.shingles. */
+  private val shingleSql =
+    s"""CASE WHEN len($toks) >= 3
+       |  THEN list_distinct(list_transform(range(len($toks) - 2),
+       |    i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))
+       |  ELSE [] END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: canonicalize → hash → group (SURVEY: the LLM-pipeline
+    // extension; same shape as the reference's DISTINCT piece dedup)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"))),
+
+    // candidate pairs from a doc_id window block + exact 3-gram Jaccard
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("doc_id_a"))
+        .join(ids.select(col("doc_id").as("doc_id_b")),
+          col("doc_id_b") > col("doc_id_a") && col("doc_id_b") <= col("doc_id_a") + 25)
+      Dedup.ngramJaccard(docs, cands).where(col("jaccard") > 0.0)
+    }),
+
+    // full MinHash+LSH near-dup pipeline (threshold 0.1 so the synthetic
+    // corpus yields a non-trivial result set)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables(s, dir, "documents"), threshold = 0.1)),
+
+    // SimHash near-dups: 32-bit fingerprints, 8-bit blocks, hamming <= 6
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables(s, dir, "documents"), bits = 32,
+        blockBits = 8, maxHamming = 6)),
+
+    // embedding-cosine near-dups blocked by the coarse label column
+    "q_dedup_embedding" -> ((s, dir) =>
+      graft.similarity.Similarity.nearDupPairs(
+        Tables(s, dir, "embeddings"), "label", threshold = 0.5))
+  )
+
+  // MinHash signature as SQL: k salted minima over shingle hashes, with
+  // the exact (a_i, b_i) constants from TextAnalysis.hashA/hashB
+  private def sigSql(k: Int): String =
+    (0 until k).map { i =>
+      s"list_min(list_transform(hh, h -> (h * ${TextAnalysis.hashA(i)} + ${TextAnalysis.hashB(i)}) % $P))"
+    }.mkString("[\n       ", ",\n       ", "]")
+
+  private def simhashMaskSql(bits: Int): String =
+    (0 until bits).map(j => 1L << j).mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${charHash("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS canon_hash
+         |  FROM documents)
+         |SELECT doc_id, canon_hash,
+         |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
+         |FROM h""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM (SELECT doc_id FROM documents) a
+         |  JOIN (SELECT doc_id FROM documents) b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
+         |j AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_id_a
+         |  JOIN sh sb ON sb.doc_id = doc_id_b)
+         |SELECT doc_id_a, doc_id_b, n_common, n_union,
+         |  CASE WHEN n_union > 0
+         |    THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END AS jaccard
+         |FROM j
+         |WHERE (CASE WHEN n_union > 0
+         |  THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END) > 0.0""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |hh AS (
+         |  SELECT doc_id, sh, list_transform(sh, s0 -> ${charHash("s0")}) AS hh
+         |  FROM sh WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, ${sigSql(16)} AS sig FROM hh),
+         |bands0 AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS band_key
+         |  FROM sig, unnest(range(4)) AS t(b)),
+         |bands AS (
+         |  SELECT doc_id, b, band_key FROM (
+         |    SELECT doc_id, b, band_key,
+         |      count(*) OVER (PARTITION BY b, band_key) AS bucket_n
+         |    FROM bands0) WHERE bucket_n <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_id_a
+         |  JOIN sh sb ON sb.doc_id = doc_id_b)
+         |SELECT doc_id_a, doc_id_b,
+         |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+         |FROM j
+         |WHERE n_union > 0
+         |  AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.1""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform($toks, tk -> ${charHash("tk")}) AS th
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(${simhashMaskSql(32)},
+         |      m -> CASE WHEN CAST(list_sum(list_transform(th,
+         |             h -> CASE WHEN (h & m) != 0 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |           THEN m ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM th),
+         |blocked0 AS (
+         |  SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS block_key
+         |  FROM sig, unnest(range(4)) AS t(b)),
+         |blocked AS (
+         |  SELECT doc_id, sig, b, block_key FROM (
+         |    SELECT doc_id, sig, b, block_key,
+         |      count(*) OVER (PARTITION BY b, block_key) AS bucket_n
+         |    FROM blocked0) WHERE bucket_n <= 64),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM blocked a JOIN blocked b
+         |    ON a.b = b.b AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 6""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH v AS (
+         |  SELECT label AS block, vec_id, embedding,
+         |    CAST(list_sum(list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+         |      AS BIGINT) AS norm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+         |    AS BIGINT) AS DOUBLE)
+         |    / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS cosine
+         |FROM v a JOIN v b ON a.block = b.block AND a.vec_id < b.vec_id
+         |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+         |    AS BIGINT) AS DOUBLE)
+         |    / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) >= 0.5""".stripMargin
+  )
 }

@@ -1,8 +1,327 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.cluster.Clustering
+import graft.defrag.Defrag
+import graft.textreuse.TextReuse
+
+/** Domain-pipeline queries: the reference's textreuse chain (SURVEY.md
+  * §1.4) run end-to-end over deterministic hits synthesized from
+  * lineitem, so every stage that is ANSI-expressible gets a DuckDB
+  * oracle CTE chain mirroring the Spark lineage exactly. The two
+  * genuinely non-SQL stages (window-UDAF defrag §2.9, iterative
+  * clustering §2.10) are exposed rows-only and covered by
+  * DefragSpec/ClusteringSpec.
+  */
 object DomainQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Raw BLAST-hit-shaped rows from lineitem. text names follow the
+    * reference id grammar `manifestation[.structure]`
+    * (raw_textreuses.py:149-171): one side always has a structure
+    * suffix, the other only when suppkey % 3 != 0. Distinct on the full
+    * name+offset tuple so downstream sort keys are total orders.
+    */
+  def synthRaw(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(
+        concat(lit("m"), (col("l_orderkey") % 97).cast("string"),
+          lit(".s"), (col("l_linenumber") % 5).cast("string")).as("text1_id"),
+        when(col("l_suppkey") % 3 === 0,
+            concat(lit("m"), ((col("l_partkey") % 89) + 100).cast("string")))
+          .otherwise(concat(lit("m"), ((col("l_partkey") % 89) + 100).cast("string"),
+            lit(".s"), (col("l_suppkey") % 4).cast("string"))).as("text2_id"),
+        ((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 1000).cast("int")
+          .as("text1_text_start"),
+        ((col("l_partkey") * 11 + col("l_suppkey") * 17) % 1200).cast("int")
+          .as("text2_text_start"),
+        floor(col("l_quantity")).cast("int").as("qty"))
+      .select(col("text1_id"), col("text2_id"),
+        col("text1_text_start"),
+        (col("text1_text_start") + 5 + col("qty") * 3).cast("int").as("text1_text_end"),
+        col("text2_text_start"),
+        (col("text2_text_start") + 4 + col("qty") * 2).cast("int").as("text2_text_end"),
+        (col("qty") * 3 + 5).cast("int").as("align_length"),
+        ((col("qty") * 7) % 100).cast("double").as("positives_percent"))
+      .distinct()
+
+  /** The same synthesis as DuckDB CTEs (must mirror synthRaw +
+    * TextReuse.{textreuseIds,textreuses,origPieces}). Sort-key notes:
+    * Spark sorts NULLS FIRST ascending by default, DuckDB NULLS LAST —
+    * every ORDER BY on a nullable column says NULLS FIRST explicitly.
+    */
+  private val rawCte: String =
+    """raw AS (
+      |  SELECT DISTINCT
+      |    'm' || CAST(l_orderkey % 97 AS VARCHAR) || '.s' ||
+      |      CAST(l_linenumber % 5 AS VARCHAR) AS text1_id,
+      |    CASE WHEN l_suppkey % 3 = 0
+      |      THEN 'm' || CAST((l_partkey % 89) + 100 AS VARCHAR)
+      |      ELSE 'm' || CAST((l_partkey % 89) + 100 AS VARCHAR) || '.s' ||
+      |        CAST(l_suppkey % 4 AS VARCHAR) END AS text2_id,
+      |    CAST((l_orderkey * 7 + l_linenumber * 13) % 1000 AS INT) AS text1_text_start,
+      |    CAST((l_orderkey * 7 + l_linenumber * 13) % 1000
+      |      + 5 + CAST(floor(l_quantity) AS INT) * 3 AS INT) AS text1_text_end,
+      |    CAST((l_partkey * 11 + l_suppkey * 17) % 1200 AS INT) AS text2_text_start,
+      |    CAST((l_partkey * 11 + l_suppkey * 17) % 1200
+      |      + 4 + CAST(floor(l_quantity) AS INT) * 2 AS INT) AS text2_text_end,
+      |    CAST(CAST(floor(l_quantity) AS INT) * 3 + 5 AS INT) AS align_length,
+      |    CAST((CAST(floor(l_quantity) AS INT) * 7) % 100 AS DOUBLE) AS positives_percent
+      |  FROM lineitem)""".stripMargin
+
+  private val trsIdsCte: String =
+    """names AS (
+      |  SELECT text1_id AS text_name FROM raw
+      |  UNION
+      |  SELECT text2_id FROM raw),
+      |trs AS (
+      |  SELECT
+      |    CAST(row_number() OVER (ORDER BY manifestation_id, structure_name NULLS FIRST,
+      |      text_name) AS BIGINT) AS trs_id,
+      |    text_name, manifestation_id, structure_name
+      |  FROM (
+      |    SELECT text_name,
+      |      split_part(text_name, '.', 1) AS manifestation_id,
+      |      CASE WHEN strpos(text_name, '.') > 0
+      |        THEN split_part(text_name, '.', 2) END AS structure_name
+      |    FROM names))""".stripMargin
+
+  private val textreusesCte: String =
+    """tr AS (
+      |  SELECT
+      |    CAST(row_number() OVER (ORDER BY trs1_id, trs2_id, trs1_start, trs1_end,
+      |      trs2_start, trs2_end) AS BIGINT) AS textreuse_id,
+      |    trs1_id, trs1_start, trs1_end, trs2_id, trs2_start, trs2_end,
+      |    align_length, positives_percent
+      |  FROM (
+      |    SELECT t1.trs_id AS trs1_id, raw.text1_text_start AS trs1_start,
+      |      raw.text1_text_end AS trs1_end,
+      |      t2.trs_id AS trs2_id, raw.text2_text_start AS trs2_start,
+      |      raw.text2_text_end AS trs2_end, raw.align_length, raw.positives_percent
+      |    FROM raw
+      |    LEFT JOIN trs t1 ON t1.text_name = raw.text1_id
+      |    LEFT JOIN trs t2 ON t2.text_name = raw.text2_id))""".stripMargin
+
+  private val piecesCte: String =
+    """pieces AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY trs_id, trs_start, trs_end) AS BIGINT)
+      |    AS piece_id, trs_id, trs_start, trs_end
+      |  FROM (
+      |    SELECT DISTINCT trs1_id AS trs_id, trs1_start AS trs_start, trs1_end AS trs_end FROM tr
+      |    UNION
+      |    SELECT DISTINCT trs2_id, trs2_start, trs2_end FROM tr))""".stripMargin
+
+  /** Synthetic cluster/date attributes over pieces (cluster = coarse
+    * hash bucket; "publication date" derived from trs_id).
+    */
+  private val clusteredCte: String =
+    """clustered AS (
+      |  SELECT piece_id, trs_id, trs_start, trs_end,
+      |    piece_id % 500 AS cluster_id,
+      |    DATE '1700-01-01' + CAST((trs_id * 13) % 5000 AS INT) AS publication_date
+      |  FROM pieces)""".stripMargin
+
+  private val earliestCte: String =
+    """earliest AS (
+      |  SELECT piece_id, trs_id, cluster_id, publication_date FROM (
+      |    SELECT piece_id, trs_id, cluster_id, publication_date,
+      |      min(publication_date) OVER (PARTITION BY cluster_id) AS min_date
+      |    FROM clustered)
+      |  WHERE publication_date = min_date)""".stripMargin
+
+  // Spark twins of the synthetic attribute CTEs
+  private def spClustered(pieces: DataFrame): DataFrame =
+    pieces.select(col("piece_id"), col("trs_id"), col("trs_start"), col("trs_end"),
+      (col("piece_id") % 500).as("cluster_id"),
+      date_add(lit(java.sql.Date.valueOf("1700-01-01")),
+        ((col("trs_id") * 13) % 5000).cast("int")).as("publication_date"))
+
+  private def spEarliest(clustered: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+    clustered
+      .withColumn("min_date", min("publication_date").over(w))
+      .where(col("publication_date") === col("min_date"))
+      .select("piece_id", "trs_id", "cluster_id", "publication_date")
+  }
+
+  private def pieces(s: SparkSession, dir: String): DataFrame = {
+    val raw = synthRaw(s, dir)
+    val ids = TextReuse.textreuseIds(raw)
+    TextReuse.origPieces(TextReuse.textreuses(raw, ids))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.8 id-split grammar + O1/S10 deterministic dense ids
+    "q_domain_trs_ids" -> ((s, dir) =>
+      TextReuse.textreuseIds(synthRaw(s, dir))),
+
+    // U1+J2+S10: name→id mapping join over both sides
+    "q_domain_textreuses" -> ((s, dir) => {
+      val raw = synthRaw(s, dir)
+      TextReuse.textreuses(raw, TextReuse.textreuseIds(raw))
+    }),
+
+    // U1-distinct piece extraction + dense ids
+    "q_domain_orig_pieces" -> ((s, dir) => pieces(s, dir)),
+
+    // J4 composite-key piece lookup on both sides
+    "q_domain_orig_textreuses" -> ((s, dir) => {
+      val raw = synthRaw(s, dir)
+      val tr = TextReuse.textreuses(raw, TextReuse.textreuseIds(raw))
+      TextReuse.origTextreuses(tr, TextReuse.origPieces(tr))
+    }),
+
+    // W5 window-UDAF defrag chain → defrag_pieces (rows-only: the scan
+    // rule is inherently sequential per document; DefragSpec owns
+    // correctness vs the straight-line oracle)
+    "q_domain_defrag_pieces" -> ((s, dir) => {
+      val p = pieces(s, dir)
+      Defrag.defragPieces(p, Defrag.pieceIdMappings(p))
+    }),
+
+    // §2.10 Chinese Whispers on the defrag piece graph (rows-only:
+    // seeded-random iterative fixpoint; ClusteringSpec owns semantics).
+    // Subset keeps the graph small enough for a bounded bench iteration.
+    "q_domain_cluster" -> ((s, dir) => {
+      val p = pieces(s, dir).where(col("piece_id") % 7 === 0)
+      val edges = p.as("a").join(p.as("b"),
+          col("a.trs_id") === col("b.trs_id") && col("a.piece_id") < col("b.piece_id"))
+        .select(col("a.piece_id").as("piece1_id"), col("b.piece_id").as("piece2_id"))
+      Clustering.propagate(Clustering.adjacencyList(edges), seed = 42L, maxIter = 5)
+    }),
+
+    // W4+P5 earliest-manifestation-per-cluster
+    "q_domain_earliest_by_cluster" -> ((s, dir) =>
+      spEarliest(spClustered(pieces(s, dir)))),
+
+    // J3 anti-join: cluster members minus earliest pieces
+    "q_domain_non_source_pieces" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val earliest = spEarliest(clustered)
+      clustered.join(earliest.select("piece_id"), Seq("piece_id"), "left_anti")
+        .select("cluster_id", "piece_id")
+    }),
+
+    // J7 m2m reception edges: source × non-source within cluster
+    "q_domain_reception_edges" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val earliest = spEarliest(clustered)
+      val nonSource = clustered.join(earliest.select("piece_id"), Seq("piece_id"), "left_anti")
+      earliest.select(col("cluster_id"), col("piece_id").as("src_piece_id"),
+          col("trs_id").as("src_trs_id"))
+        .join(nonSource.select(col("cluster_id"), col("piece_id").as("dst_piece_id"),
+          col("trs_id").as("dst_trs_id")), Seq("cluster_id"))
+    }),
+
+    // A6+A7: per-source-piece statistics with conditional distinct counts
+    "q_domain_source_piece_stats" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val earliest = spEarliest(clustered)
+      val nonSource = clustered.join(earliest.select("piece_id"), Seq("piece_id"), "left_anti")
+      val edges = earliest.select(col("cluster_id"), col("piece_id").as("src_piece_id"),
+          col("trs_id").as("src_trs_id"))
+        .join(nonSource.select(col("cluster_id"), col("piece_id").as("dst_piece_id"),
+          col("trs_id").as("dst_trs_id")), Seq("cluster_id"))
+      edges.groupBy(col("src_piece_id"))
+        .agg(
+          min_by(col("cluster_id"), col("dst_piece_id")).as("cluster_id"),
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("dst_trs_id")).as("n_dst_trs"),
+          countDistinct(when(col("dst_trs_id") % 11 =!= col("src_trs_id") % 11,
+            col("dst_trs_id"))).as("n_other_author_trs"))
+    }),
+
+    // §2.8 multi-format date parsing (publication_date.py:30-56): 3
+    // string formats round-tripped through try-parse + coalesce
+    "q_domain_pub_date_parse" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val str = when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "LLLL d, yyyy"))
+      o.select(col("o_orderkey"), str.as("date_str"))
+        .select(col("o_orderkey"), col("date_str"),
+          coalesce(
+            try_to_timestamp(col("date_str"), lit("yyyy-MM-dd")),
+            try_to_timestamp(col("date_str"), lit("LLLL d, yyyy")),
+            try_to_timestamp(col("date_str"), lit("yyyy"))).cast("date").as("parsed_date"))
+    })
+  )
+
+  private def chain(ctes: String*): String = ctes.mkString("WITH ", ",\n", "\n")
+
+  val oracles: Map[String, String] = Map(
+    "q_domain_trs_ids" ->
+      (chain(rawCte, trsIdsCte) +
+        "SELECT trs_id, text_name, manifestation_id, structure_name FROM trs"),
+
+    "q_domain_textreuses" ->
+      (chain(rawCte, trsIdsCte, textreusesCte) +
+        """SELECT textreuse_id, trs1_id, trs1_start, trs1_end,
+          |  trs2_id, trs2_start, trs2_end, align_length, positives_percent FROM tr""".stripMargin),
+
+    "q_domain_orig_pieces" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte) +
+        "SELECT piece_id, trs_id, trs_start, trs_end FROM pieces"),
+
+    "q_domain_orig_textreuses" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte) +
+        """SELECT tr.textreuse_id, p1.piece_id AS piece1_id, p2.piece_id AS piece2_id,
+          |  tr.align_length, tr.positives_percent
+          |FROM tr
+          |LEFT JOIN pieces p1 ON p1.trs_id = tr.trs1_id
+          |  AND p1.trs_start = tr.trs1_start AND p1.trs_end = tr.trs1_end
+          |LEFT JOIN pieces p2 ON p2.trs_id = tr.trs2_id
+          |  AND p2.trs_start = tr.trs2_start AND p2.trs_end = tr.trs2_end""".stripMargin),
+
+    "q_domain_earliest_by_cluster" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte, earliestCte) +
+        "SELECT piece_id, trs_id, cluster_id, publication_date FROM earliest"),
+
+    "q_domain_non_source_pieces" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte, earliestCte) +
+        """SELECT cluster_id, piece_id FROM clustered c
+          |WHERE NOT EXISTS (SELECT 1 FROM earliest e WHERE e.piece_id = c.piece_id)""".stripMargin),
+
+    "q_domain_reception_edges" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte, earliestCte) +
+        """SELECT e.cluster_id, e.piece_id AS src_piece_id, e.trs_id AS src_trs_id,
+          |  n.piece_id AS dst_piece_id, n.trs_id AS dst_trs_id
+          |FROM earliest e
+          |JOIN (SELECT cluster_id, piece_id, trs_id FROM clustered c
+          |      WHERE NOT EXISTS (SELECT 1 FROM earliest x WHERE x.piece_id = c.piece_id)) n
+          |  ON n.cluster_id = e.cluster_id""".stripMargin),
+
+    "q_domain_source_piece_stats" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte, earliestCte) +
+        """, edges AS (
+          |  SELECT e.cluster_id, e.piece_id AS src_piece_id, e.trs_id AS src_trs_id,
+          |    n.piece_id AS dst_piece_id, n.trs_id AS dst_trs_id
+          |  FROM earliest e
+          |  JOIN (SELECT cluster_id, piece_id, trs_id FROM clustered c
+          |        WHERE NOT EXISTS (SELECT 1 FROM earliest x WHERE x.piece_id = c.piece_id)) n
+          |    ON n.cluster_id = e.cluster_id)
+          |SELECT src_piece_id,
+          |  arg_min(cluster_id, dst_piece_id) AS cluster_id,
+          |  count(*) AS n_edges,
+          |  count(DISTINCT dst_trs_id) AS n_dst_trs,
+          |  count(DISTINCT CASE WHEN dst_trs_id % 11 != src_trs_id % 11
+          |    THEN dst_trs_id END) AS n_other_author_trs
+          |FROM edges GROUP BY src_piece_id""".stripMargin),
+
+    "q_domain_pub_date_parse" ->
+      """SELECT o_orderkey, date_str,
+        |  CAST(coalesce(
+        |    try_strptime(date_str, '%Y-%m-%d'),
+        |    try_strptime(date_str, '%B %-d, %Y'),
+        |    try_strptime(date_str, '%Y')) AS DATE) AS parsed_date
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y')
+        |         ELSE strftime(o_orderdate, '%B %-d, %Y') END AS date_str
+        |  FROM orders)""".stripMargin
+  )
 }

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.Events
+
+/** Batch faces of the event-stream operators (graft.streaming.Events),
+  * oracle-checked; the streaming faces run the same transforms under
+  * watermarks and are exercised in StreamingSpec.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_events_tumbling" -> ((s, dir) =>
+      Events.tumblingCounts(Tables.events(s, dir))),
+
+    "q_events_sessionize" -> ((s, dir) =>
+      Events.sessionizeBatch(Tables.events(s, dir)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+        |  event_type, count(*) AS n_events,
+        |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq,
+        |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_s,
+        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_s,
+        |  count(*) AS n_events,
+        |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing queries: binary payload columns + typed metadata,
+  * batched feature extraction (mapPartitions — the JVM mapInPandas), and
+  * frame sampling. The decode stage is a deterministic stub
+  * (Multimodal.decodeStub), which makes even the mapPartitions path
+  * hash-checkable against a DuckDB oracle that recomputes the stripe
+  * hashes from the same bytes.
+  */
+object MultimodalQueries {
+
+  private val P = 1000000007L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // binary payloads → mapPartitions feature extraction → per-stripe
+    // fingerprint columns
+    "q_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(Tables(s, dir, "documents"))
+      Multimodal.extractFeatures(assets).toDF()
+        .select((Seq(col("asset_id"), col("modality"), col("n_bytes")) ++
+          (0 until 8).map(d => element_at(col("features"), d + 1).as(s"f$d"))): _*)
+    }),
+
+    // frame sampling shape over video-modality assets
+    "q_multimodal_frames" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromDocuments(Tables(s, dir, "documents"))
+      Multimodal.sampleFrames(assets)
+        .select("asset_id", "frame_idx", "frame_bytes")
+        .withColumn("frame_idx", col("frame_idx").cast("long"))
+    })
+  )
+
+  // stripe-d hash over characters at positions i ≡ d (mod 8), 0-based
+  private def stripeSql(d: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(greatest(0, CAST(floor((length(text) - $d + 7) / 8.0) AS BIGINT))),
+       |    k -> CAST(ascii(string_split(text, '')[$d + 8*k + 1]) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % $P) AS f$d""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      s"""SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${(0 until 8).map(stripeSql).mkString(",\n         |  ")}
+         |FROM documents""".stripMargin,
+
+    // video assets (doc_id % 3 == 2): frames of 64 bytes at stride 4;
+    // n_frames = max(floor(n_bytes / 256), 1) frames (sequence 0..max(n-1,0))
+    "q_multimodal_frames" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS asset_id, CAST(length(text) AS BIGINT) AS n_bytes
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT asset_id, n_bytes,
+         |    CAST(i AS BIGINT) AS frame_idx,
+         |    CAST(length(substring(t.text, CAST(i * 256 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes
+         |  FROM v JOIN documents t ON t.doc_id = v.asset_id,
+         |    unnest(range(greatest(CAST(n_bytes // 256 AS BIGINT), 1))) AS u(i))
+         |SELECT asset_id, frame_idx, frame_bytes FROM f""".stripMargin
+  )
+}

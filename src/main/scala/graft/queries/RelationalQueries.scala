@@ -377,7 +377,7 @@ object RelationalQueries {
         |  CASE WHEN p_size >= 25 THEN 'L' WHEN p_size >= 10 THEN 'M' ELSE 'S' END AS size_class,
         |  count(*) AS n,
         |  max(concat(p_brand, '#', upper(substring(p_type, 1, 3)))) AS max_tag,
-        |  sum(CAST(length(p_name) AS BIGINT)) AS sum_name_len,
+        |  CAST(sum(CAST(length(p_name) AS BIGINT)) AS BIGINT) AS sum_name_len,
         |  max(CAST(strpos(p_type, ' ') AS BIGINT)) AS max_first_space
         |FROM part GROUP BY 1, 2""".stripMargin,
 

@@ -2,7 +2,97 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.text.TextAnalysis
+
+/** Text-analysis operator queries over the `documents` table, each with a
+  * DuckDB oracle that mirrors the Catalyst expression exactly (same
+  * polynomial hashes, same integer/fixed-point math — see TextAnalysis).
+  */
 object TextQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val P = TextAnalysis.HashMod // 1000000007
+
+  // DuckDB fragments mirroring TextAnalysis builders
+  private val toks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def charHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $P)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables(s, dir, "documents"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables(s, dir, "documents"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables(s, dir, "documents")))
+  )
+
+  private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
+    val inList = ms.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter($toks, t -> t IN ($inList))) AS BIGINT) AS votes_$lang"
+  }.mkString(",\n        |  ")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subwords,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter($toks,
+         |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
+         |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stopword_ratio,
+         |  (CAST(n_chars AS DOUBLE) - CAST(n_tokens AS DOUBLE) + 1.0)
+         |    / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mean_token_len,
+         |  least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+         |    * (1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS quality_score
+         |FROM base""".stripMargin,
+
+    "q_text_langid" -> {
+      val langs = TextAnalysis.markerSets.map(_._1)
+      val best = s"greatest(${langs.map(l => s"votes_$l").mkString(", ")})"
+      val pred = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN votes_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |  $langVotes
+         |  FROM documents)
+         |SELECT doc_id, ${langs.map(l => s"votes_$l").mkString(", ")},
+         |  $pred AS pred_lang
+         |FROM v""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${charHash("text")} AS char_fingerprint,
+         |    list_transform(toks, tk -> ${charHash("tk")}) AS th,
+         |    len(toks) AS n
+         |  FROM t)
+         |SELECT doc_id, char_fingerprint,
+         |  CASE WHEN n > 0 THEN CAST(CAST(list_sum(
+         |      list_transform(range(n), i -> (th[i+1] * (i+1)) % $P)) AS BIGINT) % $P AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS token_fingerprint
+         |FROM h""".stripMargin
+  )
 }

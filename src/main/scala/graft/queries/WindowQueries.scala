@@ -104,13 +104,13 @@ object WindowQueries {
 
     "q_window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
-        |  sum(CAST(floor(l_quantity) AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
         |FROM lineitem""".stripMargin,
 
     "q_window_lag_gap" ->
-      """SELECT l_suppkey, sum(gap_days) AS sum_gap_days, max(gap_days) AS max_gap_days,
+      """SELECT l_suppkey, CAST(sum(gap_days) AS BIGINT) AS sum_gap_days, max(gap_days) AS max_gap_days,
         |  count(gap_days) AS n_gaps FROM (
         |  SELECT l_suppkey, CAST(date_diff('day',
         |    lag(l_shipdate, 1) OVER (PARTITION BY l_suppkey

@@ -1,0 +1,142 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric determinism: dot products and norms are computed in
+  * *fixed-point*: each element product is floored to 1e-6 precision and
+  * summed as BIGINT. Element-wise floor-then-sum is order-independent
+  * and bit-exact across engines (float→double cast is exact, double
+  * multiply is IEEE-defined), so cosine scores — and therefore top-k
+  * membership and thresholds — reproduce exactly in the DuckDB oracle.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query set and computes
+  *    scores map-side; ranking shuffles only (query, candidate, score)
+  *    triples, never embeddings;
+  *  - the LSH path buckets vectors by random-hyperplane sign bits
+  *    (deterministic integer pseudo-hyperplanes), so query-time work is
+  *    an equi-join on bucket keys — at 100 TB the full-scan path is gone
+  *    and each probe touches |bucket| vectors.
+  */
+object Similarity {
+
+  /** Fixed-point (1e-6) dot product of two float-array columns. */
+  def dotFp(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1000000.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Fixed-point squared norm. */
+  def normFp(a: Column): Column = dotFp(a, a)
+
+  /** Cosine from fixed-point parts — deterministic double. */
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
+
+  /** Brute-force cosine top-k: for every query vector, the k most
+    * similar non-identical vectors. Queries are broadcast; candidates
+    * stream. Returns (query_id, vec_id, cosine, rank).
+    */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      normFp(col("embedding")).as("q_norm"))
+    val c = candidates.select(col("vec_id"), col("embedding").as("c_emb"),
+      normFp(col("embedding")).as("c_norm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(dotFp(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * Knuth multiplicative hash centered on zero. Pure integer math —
+    * identical in any engine.
+    */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    ((lit(plane.toLong * 64L + 1L) + dim) * 2654435761L) % 1000003L - 501001L
+
+  /** Sign-bit bucket key from `nPlanes` hyperplanes. */
+  def lshBucket(emb: Column, nPlanes: Int): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, dims, (x, d) =>
+          floor(x.cast("double") * planeWeight(p, d).cast("double")).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0L, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via hyperplane LSH: candidates are restricted to vectors
+    * sharing the query's bucket in any of the `tables` independent
+    * hash tables (standard multi-table LSH to boost recall). Same output
+    * shape as bruteTopK; recall < 1 by construction.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idCol: String): DataFrame = {
+      val tableExprs = (0 until tables).map(t =>
+        struct(lit(t).as("table"), lshBucket(shuffleForTable(col("embedding"), t), nPlanes).as("bucket")))
+      df.select(col("vec_id").as(idCol), col("embedding").as(s"${idCol}_emb"),
+          explode(array(tableExprs: _*)).as("tb"))
+        .select(col(idCol), col(s"${idCol}_emb"), col("tb.table").as("table"),
+          col("tb.bucket").as("bucket"))
+    }
+    val qb = bucketed(queries, "query_id")
+    val cb = bucketed(candidates, "vec_id")
+    // dedup candidate id pairs BEFORE touching embeddings: distinct on two
+    // longs, not on wide float arrays, then join embeddings back once
+    val pairs = cb.drop("vec_id_emb").join(broadcast(qb.drop("query_id_emb")),
+        Seq("table", "bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      normFp(col("embedding")).as("q_norm"))
+    val c = candidates.select(col("vec_id"), col("embedding").as("c_emb"),
+      normFp(col("embedding")).as("c_norm"))
+    val scored = pairs
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(dotFp(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Distinct per-table view of the embedding: rotate elements by t so
+    * each LSH table sees effectively independent hyperplanes.
+    */
+  private def shuffleForTable(emb: Column, t: Int): Column =
+    if (t == 0) emb
+    else concat(slice(emb, lit(t * 7 + 1), lit(1000000)), slice(emb, lit(1), lit(t * 7)))
+
+  /** Near-duplicate pairs by embedding cosine within `blockCol` blocks
+    * (e.g. a coarse cluster/label/IVF-centroid assignment): self-join on
+    * the block key, threshold on exact fixed-point cosine. The block key
+    * bounds the quadratic term exactly like LSH bands do for MinHash.
+    */
+  def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val v = vectors.select(col(blockCol).as("block"), col("vec_id"),
+      col("embedding"), normFp(col("embedding")).as("norm"))
+    v.as("a").join(v.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        cosine(dotFp(col("a.embedding"), col("b.embedding")),
+          col("a.norm"), col("b.norm")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ids.Ids
+
+/** Event-stream operators over `events(event_id, ts, user_id,
+  * event_type, value, props)`.
+  *
+  * Each operator has two faces sharing one transform definition:
+  * a batch DataFrame face (oracle-checkable) and a Structured Streaming
+  * face (`readStream` → watermark → same aggregation → `writeStream`).
+  * The reference pipeline is batch-only (SURVEY.md §2.11) — this module
+  * is the forward-looking streaming surface a 100 TB ingest needs.
+  *
+  * Scale notes: tumbling windows aggregate map-side per (window, type)
+  * before the shuffle; sessionization shuffles once on user_id and the
+  * streaming face keeps per-user state bounded by the gap timeout.
+  */
+object Events {
+
+  /** Tumbling-window counts + value sums per event_type. Deterministic
+    * fixed-point value sums so DuckDB reproduces them exactly.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").cast("long").as("window_start_s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming face of tumblingCounts: identical aggregation with a
+    * watermark for state eviction. Append-mode compatible.
+    */
+  def streamingTumblingCounts(stream: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Batch sessionization: per user, a new session starts when the gap
+    * to the previous event exceeds `gapMinutes` (gaps-and-islands on
+    * time — the same W2/W3 shape as the coverage pipeline).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts").cast("long")).as("session_start_s"),
+        max(col("ts").cast("long")).as("session_end_s"),
+        count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization: custom per-key state via
+    * flatMapGroupsWithState with event-time timeout — emits a session
+    * when the watermark passes its gap horizon.
+    */
+  def streamingSessionize(stream: Dataset[Event], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    stream
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

