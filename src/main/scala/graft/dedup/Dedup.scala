@@ -45,32 +45,60 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
-  /** Exact word-n-gram Jaccard similarity for candidate pairs.
+  /** Word-n-gram Jaccard similarity for candidate pairs, over HASHED
+    * shingle sets: shingles are rolling-hashed to longs per doc before
+    * the pair join, so the per-pair set intersection works on bigint
+    * arrays (cheap, codegen'd comparisons) instead of re-shipping and
+    * comparing hundreds of strings per pair; the union size is derived
+    * arithmetically (|A| + |B| − |A∩B|) instead of building a second
+    * set. Hash collisions (p ≈ |sh|²/2·10⁻⁹ per doc) can merge two
+    * distinct shingles — the standard, deterministic approximation.
     * `candidates` must have (doc_id_a, doc_id_b); texts are joined in.
     */
   def ngramJaccard(docs: DataFrame, candidates: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), TextAnalysis.shingles(col("text"), n).as("sh"))
+    val sh = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingleHashes(col("th"), n)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
     candidates
-      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
-      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), Seq("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+        col("n_a"), col("n_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_common"),
+        (col("n_a") + col("n_b") - col("n_common")).as("n_union"))
       .withColumn("jaccard",
         when(col("n_union") > 0, col("n_common").cast("double") / col("n_union").cast("double"))
           .otherwise(lit(0.0)))
   }
 
-  /** MinHash signature column: k salted-hash minima over the shingle set.
-    * Docs with no shingles get an empty signature (excluded from LSH).
+  /** MinHash signatures via explode + grouped minima: one row per
+    * (doc, shingle), the rolling hash computed ONCE per shingle, then k
+    * codegen'd `min` aggregates build the signature.
+    *
+    * Why not an array expression (`array_min(transform(...))` × k)?
+    * Catalyst's CollapseProject inlines the shared shingle-hash array
+    * into every one of the k lambda copies, and higher-order lambdas run
+    * interpreted — measured 20×+ slower. The explode shape keeps the
+    * per-element work in one projection and the reduction in codegen'd
+    * hash aggregation; it is also the shape that scales (rows shuffle by
+    * doc_id, no wide arrays).
+    *
+    * Output: (doc_id, sig array<bigint> of length k); docs with no
+    * shingles are absent.
     */
-  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
-    val hashes = transform(TextAnalysis.shingles(text, shingleN),
-      s => TextAnalysis.rollingHash(s))
-    val minhashes = (0 until k).map(i =>
-      array_min(transform(hashes, h => TextAnalysis.saltedHash(h, i))))
-    when(size(hashes) > 0, array(minhashes: _*))
-      .otherwise(array().cast("array<bigint>"))
+  def minhashSignatures(docs: DataFrame, k: Int, shingleN: Int = 3): DataFrame = {
+    val perShingle = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingleHashes(col("th"), shingleN))).as("h"))
+    perShingle
+      .groupBy("doc_id")
+      .agg(min(TextAnalysis.saltedHash(col("h"), 0)).as("m0"),
+        (1 until k).map(i => min(TextAnalysis.saltedHash(col("h"), i)).as(s"m$i")): _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: split the k-wide signature into `bands` bands
@@ -87,9 +115,7 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), k, shingleN).as("sig"))
-      .where(size(col("sig")) > 0)
+    val sig = minhashSignatures(docs, k, shingleN)
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + 1, lit(rows)))))
@@ -115,20 +141,25 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
 
-  /** 64-bit SimHash over token rolling hashes: bit j of the fingerprint
-    * is the sign of sum over tokens of (bit j present ? +1 : -1).
-    * Computed as 64 per-bit vote sums via higher-order folds — stays in
-    * codegen, no UDF.
+  /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j
+    * of the fingerprint is the sign of sum over tokens of (bit j set in
+    * the token hash ? +1 : -1). The token hash is computed once per
+    * (doc, token) row and the `bits` vote sums are codegen'd aggregates
+    * (see minhashSignatures for why not nested array lambdas).
+    *
+    * Output: (doc_id, sig bigint).
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => TextAnalysis.rollingHash(t))
-    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
-    val votes = transform(masks, m =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  def simhashes(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val perToken = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"), explode(col("th")).as("h"))
+    def vote(j: Int): Column =
+      sum(when(col("h").bitwiseAND(1L << j) =!= 0L, 1L).otherwise(-1L)).as(s"v$j")
+    perToken
+      .groupBy("doc_id")
+      .agg(vote(0), (1 until bits).map(vote): _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
   /** SimHash near-dup candidates: docs whose fingerprints share a
@@ -137,7 +168,7 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, bits: Int = 32, blockBits: Int = 8,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val withSig = docs.select(col("doc_id"), simhash(col("text"), bits).as("sig"))
+    val withSig = simhashes(docs, bits)
     val nBlocks = bits / blockBits
     val blockExprs = (0 until nBlocks).map(b =>
       shiftright(col("sig"), b * blockBits).bitwiseAND((1L << blockBits) - 1L))

@@ -23,11 +23,16 @@ object DedupQueries {
 
   private val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
-  /** Distinct word-3-gram shingles, as in TextAnalysis.shingles. */
-  private val shingleSql =
-    s"""CASE WHEN len($toks) >= 3
-       |  THEN list_distinct(list_transform(range(len($toks) - 2),
-       |    i -> $toks[i+1] || ' ' || $toks[i+2] || ' ' || $toks[i+3]))
+  /** Per-token rolling hashes (TextAnalysis.tokenHashTable's `th`). */
+  private val thSql = s"list_transform($toks, tk -> ${charHash("tk")})"
+
+  /** 3-gram shingle hashes by polynomial combination of token hashes
+    * (TextAnalysis.shingleHashes): fold(h*131 + th_j) mod p.
+    */
+  private val shingleHashSql =
+    s"""CASE WHEN len(th) >= 3
+       |  THEN list_transform(range(len(th) - 2),
+       |    i -> (((th[i+1] * 131 + th[i+2]) % $P) * 131 + th[i+3]) % $P)
        |  ELSE [] END""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -37,13 +42,16 @@ object DedupQueries {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"))),
 
-    // candidate pairs from a doc_id window block + exact 3-gram Jaccard
+    // candidate pairs from a doc_id window block + exact 3-gram Jaccard.
+    // Targets are GENERATED with sequence+explode then equi-joined — a
+    // range predicate (b BETWEEN a+1 AND a+25) would plan as a nested-
+    // loop join, quadratic in |docs|.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val ids = docs.select(col("doc_id"))
-      val cands = ids.select(col("doc_id").as("doc_id_a"))
-        .join(ids.select(col("doc_id").as("doc_id_b")),
-          col("doc_id_b") > col("doc_id_a") && col("doc_id_b") <= col("doc_id_a") + 25)
+      val cands = ids.select(col("doc_id").as("doc_id_a"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 25)).as("doc_id_b"))
+        .join(ids.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_semi")
       Dedup.ngramJaccard(docs, cands).where(col("jaccard") > 0.0)
     }),
 
@@ -85,7 +93,11 @@ object DedupQueries {
          |FROM h""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+         |  FROM tht),
+         |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
          |cand AS (
          |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          |  FROM (SELECT doc_id FROM documents) a
@@ -93,24 +105,26 @@ object DedupQueries {
          |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
          |j AS (
          |  SELECT doc_id_a, doc_id_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
-         |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh + sb.n_sh AS n_a_b
          |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = doc_id_a
-         |  JOIN sh sb ON sb.doc_id = doc_id_b)
-         |SELECT doc_id_a, doc_id_b, n_common, n_union,
-         |  CASE WHEN n_union > 0
-         |    THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END AS jaccard
+         |  JOIN hn sa ON sa.doc_id = doc_id_a
+         |  JOIN hn sb ON sb.doc_id = doc_id_b)
+         |SELECT doc_id_a, doc_id_b, n_common, n_a_b - n_common AS n_union,
+         |  CASE WHEN n_a_b - n_common > 0
+         |    THEN CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE)
+         |    ELSE 0.0 END AS jaccard
          |FROM j
-         |WHERE (CASE WHEN n_union > 0
-         |  THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) ELSE 0.0 END) > 0.0""".stripMargin,
+         |WHERE (CASE WHEN n_a_b - n_common > 0
+         |  THEN CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE)
+         |  ELSE 0.0 END) > 0.0""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH sh AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
          |hh AS (
-         |  SELECT doc_id, sh, list_transform(sh, s0 -> ${charHash("s0")}) AS hh
-         |  FROM sh WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, sh, ${sigSql(16)} AS sig FROM hh),
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hh
+         |  FROM tht WHERE len(th) >= 3),
+         |sig AS (SELECT doc_id, ${sigSql(16)} AS sig FROM hh),
          |bands0 AS (
          |  SELECT doc_id, b,
          |    array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS band_key
@@ -124,18 +138,22 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          |  FROM bands a JOIN bands b
          |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |hs2 AS (
+         |  SELECT doc_id, list_distinct(hh) AS hs,
+         |    CAST(len(list_distinct(hh)) AS BIGINT) AS n_sh
+         |  FROM hh),
          |j AS (
          |  SELECT doc_id_a, doc_id_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
-         |    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh + sb.n_sh AS n_a_b
          |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = doc_id_a
-         |  JOIN sh sb ON sb.doc_id = doc_id_b)
+         |  JOIN hs2 sa ON sa.doc_id = doc_id_a
+         |  JOIN hs2 sb ON sb.doc_id = doc_id_b)
          |SELECT doc_id_a, doc_id_b,
-         |  CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+         |  CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) AS jaccard
          |FROM j
-         |WHERE n_union > 0
-         |  AND CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.1""".stripMargin,
+         |WHERE n_a_b - n_common > 0
+         |  AND CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) >= 0.1""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH th AS (

@@ -146,11 +146,21 @@ object DomainQueries {
       .select("piece_id", "trs_id", "cluster_id", "publication_date")
   }
 
-  private def pieces(s: SparkSession, dir: String): DataFrame = {
-    val raw = synthRaw(s, dir)
-    val ids = TextReuse.textreuseIds(raw)
-    TextReuse.origPieces(TextReuse.textreuses(raw, ids))
-  }
+  /** The pieces chain, memoized per (session, dir) and persisted: eight
+    * domain queries all start from it, and within one query it feeds
+    * multiple branches — the same role the reference's CACHE TABLE plays
+    * for shared upstream assets (spark_utils.py:57-65).
+    */
+  private val piecesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def pieces(s: SparkSession, dir: String): DataFrame =
+    piecesCache.computeIfAbsent((s, dir), { case (s, dir) =>
+      val raw = synthRaw(s, dir)
+      val ids = TextReuse.textreuseIds(raw)
+      TextReuse.origPieces(TextReuse.textreuses(raw, ids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -184,13 +194,15 @@ object DomainQueries {
 
     // §2.10 Chinese Whispers on the defrag piece graph (rows-only:
     // seeded-random iterative fixpoint; ClusteringSpec owns semantics).
-    // Subset keeps the graph small enough for a bounded bench iteration.
+    // The %29 subset + bounded degree keep edge count ~linear in pieces
+    // so the bench iteration cost stays bounded as SF grows.
     "q_domain_cluster" -> ((s, dir) => {
-      val p = pieces(s, dir).where(col("piece_id") % 7 === 0)
+      val p = pieces(s, dir).where(col("piece_id") % 29 === 0)
       val edges = p.as("a").join(p.as("b"),
-          col("a.trs_id") === col("b.trs_id") && col("a.piece_id") < col("b.piece_id"))
+          col("a.trs_id") === col("b.trs_id") && col("a.piece_id") < col("b.piece_id") &&
+            col("b.piece_id") <= col("a.piece_id") + 600)
         .select(col("a.piece_id").as("piece1_id"), col("b.piece_id").as("piece2_id"))
-      Clustering.propagate(Clustering.adjacencyList(edges), seed = 42L, maxIter = 5)
+      Clustering.propagate(Clustering.adjacencyList(edges), seed = 42L, maxIter = 3)
     }),
 
     // W4+P5 earliest-manifestation-per-cluster

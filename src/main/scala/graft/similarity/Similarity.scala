@@ -83,7 +83,7 @@ object Similarity {
     * shape as bruteTopK; recall < 1 by construction.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+      nPlanes: Int = 4, tables: Int = 8): DataFrame = {
     def bucketed(df: DataFrame, idCol: String): DataFrame = {
       val tableExprs = (0 until tables).map(t =>
         struct(lit(t).as("table"), lshBucket(shuffleForTable(col("embedding"), t), nPlanes).as("bucket")))

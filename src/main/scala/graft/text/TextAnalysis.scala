@@ -141,4 +141,35 @@ object TextAnalysis {
     */
   private def rollingHashInline(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31L + ascii(c)) % HashMod)
+
+  /** (doc_id, toks, th): whitespace tokens and their rolling hashes,
+    * materialized ACROSS AN EXCHANGE BARRIER (repartition by doc_id).
+    *
+    * The barrier is load-bearing: higher-order lambdas are interpreted
+    * with no common-subexpression elimination, and CollapseProject will
+    * inline a `split(text)` alias into every per-element lambda that
+    * references it — turning each element access into a full re-split of
+    * the document (measured 25×+ slowdown on shingling). Splitting the
+    * pipeline at an exchange keeps `toks`/`th` as computed attributes.
+    * The same repartition also spreads a small single-split input across
+    * the cluster, which a one-row-group parquet file would not be.
+    */
+  def tokenHashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        tokens(col("text")).as("toks"),
+        transform(tokens(col("text")), t => rollingHashInline(t)).as("th"))
+      .repartition(col("doc_id"))
+
+  /** Hashes of word n-gram shingles, derived from per-token hashes by
+    * polynomial combination: h = fold(h*131 + th_j) mod p — an
+    * engine-defined shingle hash that avoids re-hashing overlapping
+    * token text n times. `th` must be a computed attribute (see
+    * tokenHashTable). Empty when the document has fewer than n tokens.
+    */
+  def shingleHashes(th: Column, n: Int = 3): Column = {
+    val grams = transform(sequence(lit(0), size(th) - n),
+      i => (0 until n).map(j => element_at(th, i + j + 1))
+        .reduce((a, b) => (a * 131L + b) % HashMod))
+    when(size(th) >= n, grams).otherwise(array().cast("array<bigint>"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dedup operator semantics on crafted corpora (the oracle checks the
+  * hash math; these check the *semantics*: dups found, non-dups not).
+  */
+class DedupSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups canonicalized duplicates, keeps min doc_id") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "  HELLO WORLD  ",
+      4L -> "something else")
+    val out = Dedup.exact(d).collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    assert(out === Seq((1L, 3L, true), (2L, 3L, false), (3L, 3L, false), (4L, 1L, true)))
+  }
+
+  test("ngram jaccard: identical docs 1.0, disjoint docs 0.0") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",
+      3L -> "q r s t u v w x")
+    val cands = docs(0L -> "").sparkSession.createDataFrame(
+      java.util.List.of(Row(1L, 2L), Row(1L, 3L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id_b", org.apache.spark.sql.types.LongType))))
+    val m = Dedup.ngramJaccard(d, cands).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(m((1L, 2L)) === 1.0)
+    assert(m((1L, 3L)) === 0.0)
+  }
+
+  test("minhash LSH finds true near-dups and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashNearDups(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups small hamming") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra1 extra2"))
+    val out = Dedup.simhashNearDups(d, maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) === 0L)
+    out.get((1L, 3L)).foreach(h => assert(h <= 16L))
+  }
+
+  test("minhash hot-bucket cap drops degenerate bands") {
+    // 100 identical one-shingle docs: every band bucket has 100 members,
+    // all above the cap → no candidates (the bucket is non-discriminative)
+    val d = docs((1L to 100L).map(i => i -> "a b c"): _*)
+    val n = Dedup.minhashCandidates(d, maxBucket = 64).count()
+    assert(n === 0L)
+  }
+}

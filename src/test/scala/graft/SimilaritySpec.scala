@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteTopK ranks by exact cosine with vec_id tie-break") {
+    val d = vecs(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.01f),   // nearly parallel to 0
+      2L -> Seq(0f, 1f),      // orthogonal to 0
+      3L -> Seq(-1f, 0f))     // opposite to 0
+    val out = Similarity.bruteTopK(d.where(col("vec_id") === 0), d, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("cosine of identical vectors is ~1") {
+    val d = vecs(0L -> Seq(0.5f, 0.25f, 1f), 1L -> Seq(0.5f, 0.25f, 1f))
+    val c = Similarity.bruteTopK(d.where(col("vec_id") === 0), d, k = 1)
+      .collect().head.getDouble(2)
+    assert(math.abs(c - 1.0) < 1e-4)
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall too low (found ${ann.size} pairs)")
+  }
+
+  test("nearDupPairs finds duplicates within a block, none across") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1f, 2f, 3f), 0),
+      (1L, Seq(1f, 2f, 3f), 0),   // dup of 0, same block
+      (2L, Seq(1f, 2f, 3f), 1),   // dup but different block → unseen
+      (3L, Seq(-3f, 1f, -2f), 0)) // non-dup, same block
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.nearDupPairs(d, "label", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

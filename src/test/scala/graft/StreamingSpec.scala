@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Events
+import graft.streaming.Events.Event
+
+/** Streaming faces: the same transforms as the batch oracles, executed
+  * through Structured Streaming (MemoryStream → watermark → stateful op
+  * → memory sink).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streamingTumblingCounts matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(10), 2, "view", 3.0))
+    input.addData(events: _*)
+
+    val q = Events.streamingTumblingCounts(input.toDF(), width = "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val exp = Events.tumblingCounts(events.toDF(), width = "1 hour")
+        .select("event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === exp)
+      assert(got === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streamingSessionize closes sessions on gap timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Events.streamingSessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 5 min apart; then a 40-min gap; the late
+      // event advances the watermark past session 1's horizon
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(45), 7, "click", 4.0))
+      q.processAllAvailable()
+      // far-future events so the watermark passes session 2's horizon
+      // (timeouts fire on the batch AFTER the watermark advances)
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(5, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "view", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.contains((7L, 2L, 3.0)), s"first session missing: $got")
+      assert(got.contains((7L, 1L, 4.0)), s"second session missing: $got")
+    } finally q.stop()
+  }
+
+  test("batch sessionize splits on gap > 30min, aggregates per session") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(0), 7L, "c", 1.0), (2L, ts(10), 7L, "c", 2.0),
+      (3L, ts(50), 7L, "c", 4.0),
+      (4L, ts(0), 8L, "v", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionizeBatch(df, gapMinutes = 30)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (8L, 1L, 1L, 8.0)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("rollingHash matches a straight-line scala fold") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % TextAnalysis.HashMod)
+    val texts = Seq("", "a", "hello world", "The quick brown fox!")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val got = d.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) => assert(got(i.toLong) === ref(t), s"text '$t'") }
+  }
+
+  test("tokenStats counts whitespace tokens and distinct tokens") {
+    val d = docs(1L -> "a b  b c", 2L -> "")
+    val out = TextAnalysis.tokenStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((4L, 3L)))
+    assert(out(2L)._1 === 1L) // split("") yields [""] — documented edge
+  }
+
+  test("shingles produces n-token windows, distinct, empty when short") {
+    val d = docs(1L -> "a b c d", 2L -> "a b")
+    val out = d.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).toSet === Set("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("langId votes marker tokens, und when none") {
+    val d = docs(
+      1L -> "the cat and the dog is a pet",
+      2L -> "der hund und die katze ist das",
+      3L -> "zzz qqq www")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und")
+  }
+
+  test("qualityScore ratios are in range and quality in [0,1]") {
+    val d = docs(1L -> "Clean simple text with several plain words here",
+      2L -> "!!! ??? ### $$$ %%%")
+    val rows = TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(6))).toMap
+    val (punct1, q1) = rows(1L)
+    val (punct2, q2) = rows(2L)
+    assert(punct1 === 0.0)
+    assert(punct2 > 0.5)
+    assert(q1 > q2)
+    rows.values.foreach { case (p, q) =>
+      assert(p >= 0.0 && p <= 1.0); assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+}
