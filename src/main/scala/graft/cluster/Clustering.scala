@@ -146,8 +146,13 @@ object Clustering {
   /** Pluggable lineage truncation between iterations. */
   type Checkpointer = (DataFrame, Int) => DataFrame
 
-  /** Default for tests/small runs: localCheckpoint. Production should
-    * pass a durable parquet round-trip (see parquetCheckpointer).
+  /** localCheckpoint-based truncation. CAUTION: localCheckpoint cuts the
+    * execution lineage but the resulting LogicalRDD carries the ORIGIN
+    * plan's statistics forward, so sizeInBytes estimates compound
+    * multiplicatively across iterations — enough iterations overflow
+    * Catalyst's BigInt stats ("BigInteger would overflow supported
+    * range"). Prefer the parquet round-trip (the reference's scheme),
+    * which resets stats to real file sizes every iteration.
     */
   val localCheckpointer: Checkpointer = (df, _) => df.localCheckpoint()
 
@@ -166,7 +171,12 @@ object Clustering {
     */
   def propagate(adjacency: DataFrame, seed: Long = 42L, maxIter: Int = 100,
       updateProbability: Double = 0.9,
-      checkpoint: Checkpointer = localCheckpointer): DataFrame = {
+      checkpointer: Option[Checkpointer] = None): DataFrame = {
+    // default: durable alternating parquet checkpoint in a temp dir —
+    // resets both lineage AND plan statistics each iteration (see
+    // localCheckpointer caution)
+    val checkpoint = checkpointer.getOrElse(parquetCheckpointer(
+      java.nio.file.Files.createTempDirectory("graft-cluster-ckpt").toString))
     var state = checkpoint(initialState(adjacency), 0)
     var active = state.filter(col("active")).count()
     var iter = 0

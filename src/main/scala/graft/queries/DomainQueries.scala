@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.analytics.Reception
 import graft.cluster.Clustering
 import graft.defrag.Defrag
 import graft.textreuse.TextReuse
@@ -138,13 +139,9 @@ object DomainQueries {
       date_add(lit(java.sql.Date.valueOf("1700-01-01")),
         ((col("trs_id") * 13) % 5000).cast("int")).as("publication_date"))
 
-  private def spEarliest(clustered: DataFrame): DataFrame = {
-    val w = Window.partitionBy("cluster_id")
-    clustered
-      .withColumn("min_date", min("publication_date").over(w))
-      .where(col("publication_date") === col("min_date"))
+  private def spEarliest(clustered: DataFrame): DataFrame =
+    graft.analytics.Reception.earliestPieces(clustered)
       .select("piece_id", "trs_id", "cluster_id", "publication_date")
-  }
 
   /** The pieces chain, memoized per (session, dir) and persisted: eight
     * domain queries all start from it, and within one query it feeds
@@ -212,8 +209,7 @@ object DomainQueries {
     // J3 anti-join: cluster members minus earliest pieces
     "q_domain_non_source_pieces" -> ((s, dir) => {
       val clustered = spClustered(pieces(s, dir))
-      val earliest = spEarliest(clustered)
-      clustered.join(earliest.select("piece_id"), Seq("piece_id"), "left_anti")
+      Reception.nonSourcePieces(clustered, spEarliest(clustered))
         .select("cluster_id", "piece_id")
     }),
 
@@ -221,29 +217,17 @@ object DomainQueries {
     "q_domain_reception_edges" -> ((s, dir) => {
       val clustered = spClustered(pieces(s, dir))
       val earliest = spEarliest(clustered)
-      val nonSource = clustered.join(earliest.select("piece_id"), Seq("piece_id"), "left_anti")
-      earliest.select(col("cluster_id"), col("piece_id").as("src_piece_id"),
-          col("trs_id").as("src_trs_id"))
-        .join(nonSource.select(col("cluster_id"), col("piece_id").as("dst_piece_id"),
-          col("trs_id").as("dst_trs_id")), Seq("cluster_id"))
+      Reception.receptionEdges(earliest, Reception.nonSourcePieces(clustered, earliest))
     }),
 
     // A6+A7: per-source-piece statistics with conditional distinct counts
+    // (synthetic authorship: author id = trs_id % 11)
     "q_domain_source_piece_stats" -> ((s, dir) => {
       val clustered = spClustered(pieces(s, dir))
       val earliest = spEarliest(clustered)
-      val nonSource = clustered.join(earliest.select("piece_id"), Seq("piece_id"), "left_anti")
-      val edges = earliest.select(col("cluster_id"), col("piece_id").as("src_piece_id"),
-          col("trs_id").as("src_trs_id"))
-        .join(nonSource.select(col("cluster_id"), col("piece_id").as("dst_piece_id"),
-          col("trs_id").as("dst_trs_id")), Seq("cluster_id"))
-      edges.groupBy(col("src_piece_id"))
-        .agg(
-          min_by(col("cluster_id"), col("dst_piece_id")).as("cluster_id"),
-          count(lit(1)).as("n_edges"),
-          countDistinct(col("dst_trs_id")).as("n_dst_trs"),
-          countDistinct(when(col("dst_trs_id") % 11 =!= col("src_trs_id") % 11,
-            col("dst_trs_id"))).as("n_other_author_trs"))
+      val edges = Reception.receptionEdges(earliest,
+        Reception.nonSourcePieces(clustered, earliest))
+      Reception.sourcePieceStatistics(edges, trs => trs % 11)
     }),
 
     // §2.8 multi-format date parsing (publication_date.py:30-56): 3

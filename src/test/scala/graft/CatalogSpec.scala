@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Catalog
+
+class CatalogSpec extends SparkTestBase {
+
+  private def newCatalog(): Catalog =
+    new Catalog(spark, Files.createTempDirectory("graft-catalog").toString)
+
+  test("materialize + get round-trips and registers a view") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materialize("t1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(cat.exists("t1"))
+    assert(spark.sql("SELECT count(*) FROM t1").head.getLong(0) === 2L)
+  }
+
+  test("ifNotExists builds once, then reuses") {
+    val cat = newCatalog()
+    import spark.implicits._
+    var builds = 0
+    def build = { builds += 1; Seq(1L).toDF("id") }
+    cat.ifNotExists("t2")(build)
+    cat.ifNotExists("t2")(build)
+    assert(builds === 1)
+  }
+
+  test("materializeAtomic replaces content and survives repeat calls") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materializeAtomic("t3", Seq(1L, 2L).toDF("id"))
+    assert(cat.get("t3").count() === 2L)
+    cat.materializeAtomic("t3", Seq(3L).toDF("id"))
+    assert(cat.get("t3").count() === 1L)
+    // no leftover tmp/old dirs
+    val base = new java.io.File(cat.path("t3")).getParentFile
+    assert(!base.listFiles().exists(f => f.getName.startsWith("_tmp_")
+      || f.getName.startsWith("_old_")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val cat = newCatalog()
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i * 2)).toDF("piece_id", "v")
+    cat.materializeBucketed("ba", df, buckets = 4, cols = Seq("piece_id"))
+    cat.materializeBucketed("bb", df, buckets = 4, cols = Seq("piece_id"))
+    // force a sort-merge join so the assertion sees the bucketed-scan
+    // path (a broadcast join would sidestep bucketing on small data)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ba").join(spark.table("bb"), "piece_id")
+      assert(joined.count() === 1000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle, got:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS ba")
+    spark.sql("DROP TABLE IF EXISTS bb")
+  }
+}

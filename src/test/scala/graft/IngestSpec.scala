@@ -1,0 +1,64 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.Ingest
+
+class IngestSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def writeZip(entries: (String, Seq[String])*): String = {
+    val f = File.createTempFile("graft-ingest", ".zip")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    entries.foreach { case (name, lines) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(lines.mkString("\n").getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  test("readZippedJsonl: driver lists entries, tasks re-read and parse") {
+    val zip = writeZip(
+      "a.jsonl" -> Seq("""{"id":1,"name":"x","score":1.5}""",
+        """{"id":2,"name":"y","score":2.5}"""),
+      "b.jsonl" -> Seq("""{"id":3,"name":"z","score":3.5}"""),
+      "dir/c.jsonl" -> Seq("""{"id":4,"name":"w","score":4.5}"""))
+    assert(Ingest.listZipEntries(spark, zip).toSet ===
+      Set("a.jsonl", "b.jsonl", "dir/c.jsonl"))
+    val df = Ingest.readZippedJsonl(spark, zip, schema, numPartitions = 2)
+    assert(df.schema === schema)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5), (4L, "w", 4.5)))
+  }
+
+  test("normalizeDate parses the reference's three formats") {
+    import spark.implicits._
+    val df = Seq("1745-03-02", "1745", "March 2, 1745", "garbage").toDF("s")
+      .select(col("s"), Ingest.normalizeDate(col("s")).as("d"))
+    val m = df.collect().map(r => r.getString(0) -> Option(r.getDate(1)).map(_.toString)).toMap
+    assert(m("1745-03-02") === Some("1745-03-02"))
+    assert(m("1745") === Some("1745-01-01"))
+    assert(m("March 2, 1745") === Some("1745-03-02"))
+    assert(m("garbage") === None)
+  }
+
+  test("readCsv reads header'd csv as all-string columns") {
+    val f = File.createTempFile("graft-csv", ".csv")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, "a,b\n1,x\n2,y\n")
+    val df = Ingest.readCsv(spark, f.getAbsolutePath)
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() === 2)
+  }
+}
