@@ -12,8 +12,21 @@ import graft.analytics.Coverages
   */
 object CoverageQueries {
 
+  /** The synthesized interval table feeds four branches of the coverage
+    * plan (two island sides, two length builds) — persist it per
+    * (session, dir) so the distinct-shuffle runs once, the same role the
+    * reference's CACHE TABLE plays (spark_utils.py:57-65).
+    */
+  private val trCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Deterministic textreuses-shaped intervals from lineitem. */
   def synthTextreuses(s: SparkSession, dir: String): DataFrame =
+    trCache.computeIfAbsent((s, dir), _ =>
+      buildSynthTextreuses(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def buildSynthTextreuses(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .select(
         (col("l_orderkey") % 97).cast("long").as("trs1_id"),

@@ -143,21 +143,32 @@ object DomainQueries {
     graft.analytics.Reception.earliestPieces(clustered)
       .select("piece_id", "trs_id", "cluster_id", "publication_date")
 
-  /** The pieces chain, memoized per (session, dir) and persisted: eight
-    * domain queries all start from it, and within one query it feeds
-    * multiple branches — the same role the reference's CACHE TABLE plays
-    * for shared upstream assets (spark_utils.py:57-65).
+  /** Shared upstream stages, memoized per (session, dir) and persisted:
+    * eight domain queries start from the same chain, and within one
+    * query it feeds multiple branches — the same role the reference's
+    * CACHE TABLE plays for shared upstream assets (spark_utils.py:57-65).
     */
-  private val piecesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def pieces(s: SparkSession, dir: String): DataFrame =
-    piecesCache.computeIfAbsent((s, dir), { case (s, dir) =>
+  private def memo(s: SparkSession, dir: String, stage: String)(
+      build: => DataFrame): DataFrame =
+    stageCache.computeIfAbsent((s, dir, stage), _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def textreuses(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "textreuses") {
       val raw = synthRaw(s, dir)
-      val ids = TextReuse.textreuseIds(raw)
-      TextReuse.origPieces(TextReuse.textreuses(raw, ids))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+      TextReuse.textreuses(raw, TextReuse.textreuseIds(raw))
+    }
+
+  private def pieces(s: SparkSession, dir: String): DataFrame = {
+    // resolve the upstream memo BEFORE entering this key's computeIfAbsent
+    // — nested computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update"
+    val tr = textreuses(s, dir)
+    memo(s, dir, "pieces")(TextReuse.origPieces(tr))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -166,20 +177,14 @@ object DomainQueries {
       TextReuse.textreuseIds(synthRaw(s, dir))),
 
     // U1+J2+S10: name→id mapping join over both sides
-    "q_domain_textreuses" -> ((s, dir) => {
-      val raw = synthRaw(s, dir)
-      TextReuse.textreuses(raw, TextReuse.textreuseIds(raw))
-    }),
+    "q_domain_textreuses" -> ((s, dir) => textreuses(s, dir)),
 
     // U1-distinct piece extraction + dense ids
     "q_domain_orig_pieces" -> ((s, dir) => pieces(s, dir)),
 
     // J4 composite-key piece lookup on both sides
-    "q_domain_orig_textreuses" -> ((s, dir) => {
-      val raw = synthRaw(s, dir)
-      val tr = TextReuse.textreuses(raw, TextReuse.textreuseIds(raw))
-      TextReuse.origTextreuses(tr, TextReuse.origPieces(tr))
-    }),
+    "q_domain_orig_textreuses" -> ((s, dir) =>
+      TextReuse.origTextreuses(textreuses(s, dir), pieces(s, dir))),
 
     // W5 window-UDAF defrag chain → defrag_pieces (rows-only: the scan
     // rule is inherently sequential per document; DefragSpec owns

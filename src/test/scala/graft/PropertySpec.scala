@@ -1,0 +1,89 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Coverages
+import graft.defrag.Defrag
+
+/** Seeded randomized properties (SURVEY.md §5.2). All cases for one
+  * property run as ONE Spark job (union'd input) so the suite stays
+  * fast; seeds are fixed so failures reproduce.
+  */
+class PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("islands: covered length == brute-force union, bounded by span") {
+    val rnd = new Random(7)
+    // 200 groups of up to 12 random intervals
+    val rows = for {
+      g <- 1 to 200
+      _ <- 1 to (1 + rnd.nextInt(12))
+      s = rnd.nextInt(1000)
+      len = 1 + rnd.nextInt(120)
+    } yield (g.toLong, s, s + len)
+    val df = rows.toDF("g", "s", "e")
+    val got = Coverages.islandStats(df, Seq("g"), "s", "e", "n_islands", "covered")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def brute(iv: Seq[(Int, Int)]): (Long, Long) = {
+      // merge sorted intervals with the reference's prev_end+1 rule
+      val sorted = iv.sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, (s, e)) => List((s, e))
+        case ((cs, ce) :: rest, (s, e)) =>
+          if (ce + 1 >= s) (cs, math.max(ce, e)) :: rest
+          else (s, e) :: (cs, ce) :: rest
+      }
+      (merged.size.toLong, merged.map { case (s, e) => (e - s).toLong }.sum)
+    }
+    rows.groupBy(_._1).foreach { case (g, iv) =>
+      val expected = brute(iv.map { case (_, s, e) => (s, e) })
+      assert(got(g) === expected, s"group $g: intervals ${iv.sortBy(_._2)}")
+      val span = iv.map(_._3).max - iv.map(_._2).min
+      assert(got(g)._2 <= span)
+    }
+  }
+
+  test("defrag: UDAF == straight-line oracle on random documents") {
+    val rnd = new Random(13)
+    val pieces = (1L to 400L).map { id =>
+      val doc = 1 + rnd.nextInt(8)
+      val s = rnd.nextInt(2000)
+      (id, doc.toLong, s, s + 5 + rnd.nextInt(400))
+    }
+    val got = Defrag.rawMappings(pieces.toDF("piece_id", "trs_id", "trs_start", "trs_end"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = pieces.groupBy(_._2).flatMap { case (_, doc) =>
+      Defrag.scanDocument(doc.map { case (id, _, s, e) => (s, e, id) }
+        .sortBy { case (s, _, id) => (s, id) })
+    }
+    assert(got === want)
+    // structural properties: same-document mapping, start within 180
+    val byId = pieces.map(p => p._1 -> p).toMap
+    got.foreach { case (orig, rep) =>
+      assert(byId(orig)._2 === byId(rep)._2, s"$orig mapped across documents")
+      assert(math.abs(byId(orig)._3 - byId(rep)._3) <= 180)
+    }
+  }
+
+  test("coverage percentages stay in [0,100] when lengths cover offsets") {
+    val rnd = new Random(29)
+    val tr = (1 to 300).map { _ =>
+      val (t1, t2) = (rnd.nextInt(20).toLong, (100 + rnd.nextInt(20)).toLong)
+      val (s1, s2) = (rnd.nextInt(900), rnd.nextInt(900))
+      (t1, t2, s1, s1 + 1 + rnd.nextInt(100), s2, s2 + 1 + rnd.nextInt(100))
+    }.toDF("trs1_id", "trs2_id", "trs1_start", "trs1_end", "trs2_start", "trs2_end")
+    val lengths = ((0L until 20L) ++ (100L until 120L)).toDF("trs_id")
+      .select(col("trs_id"), lit(1000).as("text_length"))
+    val rows = Coverages.coverages(tr, lengths).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c1, c2) = (r.getDouble(6), r.getDouble(7))
+      assert(c1 >= 0.0 && c1 <= 100.0, r.toString)
+      assert(c2 >= 0.0 && c2 <= 100.0, r.toString)
+    }
+  }
+}
