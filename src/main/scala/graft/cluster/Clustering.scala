@@ -177,17 +177,25 @@ object Clustering {
     // localCheckpointer caution)
     val checkpoint = checkpointer.getOrElse(parquetCheckpointer(
       java.nio.file.Files.createTempDirectory("graft-cluster-ckpt").toString))
-    var state = checkpoint(initialState(adjacency), 0)
+    // the static adjacency side is joined every iteration: pre-partition
+    // on the join key and persist so iterations reuse both the
+    // computation and the partitioning (the in-session equivalent of the
+    // reference's bucketBy(256,"piece_id") table, S5). Callers passing a
+    // bucketed-table read get the same effect without this persist.
+    val adj = adjacency.repartition(col("piece_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = checkpoint(initialState(adj), 0)
     var active = state.filter(col("active")).count()
     var iter = 0
     while (active > 0 && iter < maxIter) {
-      val (next, persisted) = step(state, adjacency, seed, iter, updateProbability)
+      val (next, persisted) = step(state, adj, seed, iter, updateProbability)
       iter += 1
       state = checkpoint(next, iter)
       // state is now durably materialized; release the per-iteration cache
       active = state.filter(col("active")).count()
       persisted.unpersist()
     }
+    adj.unpersist()
     state.select("piece_id", "cluster_id")
   }
 }
