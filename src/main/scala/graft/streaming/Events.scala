@@ -67,6 +67,15 @@ object Events {
         count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon — state stays bounded by the watermark, the
+    * streaming face of the batch exact-dedup operator (graft.dedup).
+    */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
