@@ -32,6 +32,13 @@ object SimilarityQueries {
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, k = 5)
+    }),
+
+    // IVF ANN: nearest-centroid cells, nProbe-cell query scan
+    // (rows-only; recall + exact-equivalence asserted in SimilaritySpec)
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5)
     })
   )
 

@@ -124,6 +124,50 @@ object Similarity {
     if (t == 0) emb
     else concat(slice(emb, lit(t * 7 + 1), lit(1000000)), slice(emb, lit(1), lit(t * 7)))
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their
+    * nearest-centroid cell once; a query scans only its `nProbe`
+    * nearest cells. Centroids are taken deterministically as the
+    * `nCells` lowest-id vectors (a real deployment would k-means them —
+    * the partitioning/probe shape, which is what matters at scale, is
+    * identical). Cells are broadcast to both assignment passes; the
+    * scan is an equi-join on cell id, so query cost is |cell|·nProbe
+    * instead of |candidates|.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cells = candidates.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"),
+        normFp(col("embedding")).as("cell_norm"))
+    // rank of each (vector, cell) pair by cosine; assignment = rank 1
+    def cellRanks(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_cos").desc, col("cell_id"))
+      df.select(col(idCol), col("embedding"), normFp(col("embedding")).as("_norm"))
+        .join(broadcast(cells))
+        .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
+          col("_norm"), col("cell_norm")))
+        .withColumn("_rank", row_number().over(w))
+        .select(col(idCol), col("embedding"), col("_norm"), col("cell_id"), col("_rank"))
+    }
+    val assigned = cellRanks(candidates, "vec_id").where(col("_rank") === 1)
+      .select(col("vec_id"), col("embedding").as("c_emb"), col("_norm").as("c_norm"),
+        col("cell_id"))
+    val probed = cellRanks(
+        queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .where(col("_rank") <= nProbe)
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("_norm").as("q_norm"), col("cell_id"))
+    val scored = probed.join(assigned, Seq("cell_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(dotFp(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Near-duplicate pairs by embedding cosine within `blockCol` blocks
     * (e.g. a coarse cluster/label/IVF-centroid assignment): self-join on
     * the block key, threshold on exact fixed-point cosine. The block key

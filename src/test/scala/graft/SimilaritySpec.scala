@@ -40,6 +40,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"LSH recall $recall too low (found ${ann.size} pairs)")
   }
 
+  test("IVF ANN achieves reasonable recall vs brute force on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 5, nCells = 8, nProbe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall too low (found ${ivf.size} pairs)")
+  }
+
+  test("IVF with nProbe == nCells equals brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60).cache()
+    val q = emb.where(col("vec_id") < 3)
+    val brute = Similarity.bruteTopK(q, emb, k = 4)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 4, nCells = 4, nProbe = 4)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf === brute)
+  }
+
   test("nearDupPairs finds duplicates within a block, none across") {
     import spark.implicits._
     val d = Seq(
