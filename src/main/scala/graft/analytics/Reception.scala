@@ -55,6 +55,39 @@ object Reception {
       .join(nonSource.select(col("cluster_id"), col("piece_id").as("dst_piece_id"),
         col("trs_id").as("dst_trs_id")), Seq("cluster_id"))
 
+  /** Denormalized reception edges carrying both sides' intervals — the
+    * reference's reception_edges_denorm (reception.py:73-102), the input
+    * to inception-coverage analytics and index-backed point queries.
+    */
+  def receptionEdgesDenorm(earliest: DataFrame, nonSource: DataFrame): DataFrame =
+    earliest.select(col("cluster_id"),
+        col("trs_id").as("src_trs_id"), col("trs_start").as("src_trs_start"),
+        col("trs_end").as("src_trs_end"))
+      .join(nonSource.select(col("cluster_id"),
+        col("trs_id").as("dst_trs_id"), col("trs_start").as("dst_trs_start"),
+        col("trs_end").as("dst_trs_end")), Seq("cluster_id"))
+
+  /** Inception coverage (reference: coverages.py:173-308): for each
+    * (source trs, destination trs) pair, how much of the destination
+    * text is covered by pieces received from that source — gaps-and-
+    * islands over the destination intervals of the denormalized edges,
+    * normalized by destination text length (LEFT join, like coverages).
+    */
+  def inceptionCoverages(edgesDenorm: DataFrame, lengths: DataFrame): DataFrame = {
+    val stats = Coverages.islandStats(
+      edgesDenorm.select("src_trs_id", "dst_trs_id", "dst_trs_start", "dst_trs_end")
+        .distinct(),
+      Seq("src_trs_id", "dst_trs_id"), "dst_trs_start", "dst_trs_end",
+      "n_islands", "covered_len")
+    stats
+      .join(broadcast(lengths.select(col("trs_id").as("dst_trs_id"),
+        col("text_length"))), Seq("dst_trs_id"), "left")
+      .select(col("src_trs_id"), col("dst_trs_id"), col("n_islands"),
+        col("covered_len"),
+        (col("covered_len").cast("double") / col("text_length") * 100.0)
+          .as("coverage_dst"))
+  }
+
   /** Per-source-piece statistics over reception edges, with the
     * author-distinct conditional count driven by `authorOf` — a column
     * builder mapping a trs_id column to its author id (in the reference

@@ -143,6 +143,10 @@ object DomainQueries {
     graft.analytics.Reception.earliestPieces(clustered)
       .select("piece_id", "trs_id", "cluster_id", "publication_date")
 
+  /** earliest pieces KEEPING intervals (for denormalized edges). */
+  private def spEarliest2(clustered: DataFrame): DataFrame =
+    graft.analytics.Reception.earliestPieces(clustered)
+
   /** Shared upstream stages, memoized per (session, dir) and persisted:
     * eight domain queries start from the same chain, and within one
     * query it feeds multiple branches — the same role the reference's
@@ -235,6 +239,19 @@ object DomainQueries {
       Reception.sourcePieceStatistics(edges, trs => trs % 11)
     }),
 
+    // reception_inception_coverages (coverages.py:173-308): denormalized
+    // reception edges → gaps-and-islands over destination intervals →
+    // coverage of the destination text per (src, dst) pair
+    "q_domain_inception_coverage" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val earliest = spEarliest2(clustered)
+      val nonSource = Reception.nonSourcePieces(clustered, earliest)
+      val lengths = clustered.select(col("trs_id")).distinct()
+        .select(col("trs_id"), lit(2000).as("text_length"))
+      Reception.inceptionCoverages(
+        Reception.receptionEdgesDenorm(earliest, nonSource), lengths)
+    }),
+
     // §2.8 multi-format date parsing (publication_date.py:30-56): 3
     // string formats round-tripped through try-parse + coalesce
     "q_domain_pub_date_parse" -> ((s, dir) => {
@@ -311,6 +328,44 @@ object DomainQueries {
           |  count(DISTINCT CASE WHEN dst_trs_id % 11 != src_trs_id % 11
           |    THEN dst_trs_id END) AS n_other_author_trs
           |FROM edges GROUP BY src_piece_id""".stripMargin),
+
+    "q_domain_inception_coverage" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
+        """, earliest2 AS (
+          |  SELECT piece_id, trs_id, trs_start, trs_end, cluster_id FROM (
+          |    SELECT piece_id, trs_id, trs_start, trs_end, cluster_id, publication_date,
+          |      min(publication_date) OVER (PARTITION BY cluster_id) AS min_date
+          |    FROM clustered) WHERE publication_date = min_date),
+          |eden AS (
+          |  SELECT DISTINCT e.trs_id AS src_trs_id, n.trs_id AS dst_trs_id,
+          |    n.trs_start AS dst_trs_start, n.trs_end AS dst_trs_end
+          |  FROM earliest2 e
+          |  JOIN (SELECT c.* FROM clustered c WHERE NOT EXISTS
+          |        (SELECT 1 FROM earliest2 x WHERE x.piece_id = c.piece_id)) n
+          |    ON n.cluster_id = e.cluster_id),
+          |g AS (
+          |  SELECT src_trs_id, dst_trs_id, dst_trs_start, dst_trs_end,
+          |    CASE WHEN max(dst_trs_end) OVER (PARTITION BY src_trs_id, dst_trs_id
+          |        ORDER BY dst_trs_start, dst_trs_end
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 >= dst_trs_start
+          |      THEN 0 ELSE 1 END AS ni
+          |  FROM eden),
+          |i AS (
+          |  SELECT src_trs_id, dst_trs_id, dst_trs_start, dst_trs_end,
+          |    sum(ni) OVER (PARTITION BY src_trs_id, dst_trs_id
+          |      ORDER BY dst_trs_start, dst_trs_end) AS island
+          |  FROM g),
+          |a AS (
+          |  SELECT src_trs_id, dst_trs_id, island,
+          |    CAST(max(dst_trs_end) - min(dst_trs_start) AS BIGINT) AS len
+          |  FROM i GROUP BY 1, 2, 3),
+          |t AS (
+          |  SELECT src_trs_id, dst_trs_id, count(*) AS n_islands,
+          |    CAST(sum(len) AS BIGINT) AS covered_len
+          |  FROM a GROUP BY 1, 2)
+          |SELECT src_trs_id, dst_trs_id, n_islands, covered_len,
+          |  CAST(covered_len AS DOUBLE) / 2000 * 100.0 AS coverage_dst
+          |FROM t""".stripMargin),
 
     "q_domain_pub_date_parse" ->
       """SELECT o_orderkey, date_str,
