@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.streaming.Events
 
@@ -16,7 +17,22 @@ object EventQueries {
       Events.tumblingCounts(Tables.events(s, dir))),
 
     "q_events_sessionize" -> ((s, dir) =>
-      Events.sessionizeBatch(Tables.events(s, dir)))
+      Events.sessionizeBatch(Tables.events(s, dir))),
+
+    // as-of join: each click attached to the user's most recent prior
+    // purchase value (graft.operators.AsOf — union+window composition)
+    "q_events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("value").as("purchase_value"))
+      graft.operators.AsOf.asOfJoin(clicks, purchases,
+          keys = Seq("user_id"), timeCol = "ts", valueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_s"), col("purchase_value"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -44,6 +60,19 @@ object EventQueries {
         |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_s,
         |  count(*) AS n_events,
         |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
-        |FROM s GROUP BY user_id, session_seq""".stripMargin
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the composed operator
+    "q_events_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+        |  p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
   )
 }
