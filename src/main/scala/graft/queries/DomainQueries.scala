@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Reception
 import graft.cluster.Clustering
 import graft.defrag.Defrag
+import graft.ids.Ids
 import graft.textreuse.TextReuse
 
 /** Domain-pipeline queries: the reference's textreuse chain (SURVEY.md
@@ -239,6 +240,38 @@ object DomainQueries {
       Reception.sourcePieceStatistics(edges, trs => trs % 11)
     }),
 
+    // metadata id chain (ids_and_mappings.py:17-225): trs → manifestation
+    // → edition → work with dictionary-encoded ids at each level and
+    // PLACEHOLDER ids where the upstream id is missing (the reference's
+    // 1,143 EEBO docs without ESTC ids, ids_and_mappings.py:47-49)
+    "q_domain_id_chain" -> ((s, dir) => {
+      val ids = TextReuse.textreuseIds(synthRaw(s, dir))
+      val mani = ids.select(col("manifestation_id")).distinct()
+      // deterministic "missing upstream id" condition + placeholder
+      val editions = mani.select(col("manifestation_id"),
+        coalesce(
+          when(length(col("manifestation_id")) % 3 =!= 0,
+            concat(lit("e_"), col("manifestation_id"))),
+          concat(lit("ph_"), col("manifestation_id"))).as("edition_label"))
+      val works = editions.select(col("edition_label"),
+        coalesce(
+          when(length(col("edition_label")) % 2 === 0,
+            concat(lit("w_"), col("edition_label"))),
+          concat(lit("phw_"), col("edition_label"))).as("work_label"))
+      val maniDict = Ids.dictionary(mani, "manifestation_id", "manifestation_id_i")
+      val edDict = Ids.dictionary(editions, "edition_label", "edition_id_i")
+      val workDict = Ids.dictionary(works, "work_label", "work_id_i")
+      ids.select(col("trs_id"), col("manifestation_id"))
+        .join(maniDict, Seq("manifestation_id"))
+        .join(editions, Seq("manifestation_id"))
+        .join(edDict, Seq("edition_label"))
+        .join(works, Seq("edition_label"))
+        .join(workDict, Seq("work_label"))
+        .select(col("trs_id"), col("manifestation_id"), col("manifestation_id_i"),
+          col("edition_label"), col("edition_id_i"),
+          col("work_label"), col("work_id_i"))
+    }),
+
     // reception_inception_coverages (coverages.py:173-308): denormalized
     // reception edges → gaps-and-islands over destination intervals →
     // coverage of the destination text per (src, dst) pair
@@ -328,6 +361,38 @@ object DomainQueries {
           |  count(DISTINCT CASE WHEN dst_trs_id % 11 != src_trs_id % 11
           |    THEN dst_trs_id END) AS n_other_author_trs
           |FROM edges GROUP BY src_piece_id""".stripMargin),
+
+    "q_domain_id_chain" ->
+      (chain(rawCte, trsIdsCte) +
+        """, mani AS (SELECT DISTINCT manifestation_id FROM trs),
+          |ed AS (
+          |  SELECT manifestation_id,
+          |    coalesce(CASE WHEN length(manifestation_id) % 3 != 0
+          |        THEN 'e_' || manifestation_id END,
+          |      'ph_' || manifestation_id) AS edition_label
+          |  FROM mani),
+          |wk AS (
+          |  SELECT edition_label,
+          |    coalesce(CASE WHEN length(edition_label) % 2 = 0
+          |        THEN 'w_' || edition_label END,
+          |      'phw_' || edition_label) AS work_label
+          |  FROM ed),
+          |md AS (SELECT CAST(row_number() OVER (ORDER BY manifestation_id) AS BIGINT)
+          |         AS manifestation_id_i, manifestation_id FROM mani),
+          |edd AS (SELECT CAST(row_number() OVER (ORDER BY edition_label) AS BIGINT)
+          |         AS edition_id_i, edition_label
+          |        FROM (SELECT DISTINCT edition_label FROM ed)),
+          |wkd AS (SELECT CAST(row_number() OVER (ORDER BY work_label) AS BIGINT)
+          |         AS work_id_i, work_label
+          |        FROM (SELECT DISTINCT work_label FROM wk))
+          |SELECT trs.trs_id, trs.manifestation_id, md.manifestation_id_i,
+          |  ed.edition_label, edd.edition_id_i, wk.work_label, wkd.work_id_i
+          |FROM trs
+          |JOIN md ON md.manifestation_id = trs.manifestation_id
+          |JOIN ed ON ed.manifestation_id = trs.manifestation_id
+          |JOIN edd ON edd.edition_label = ed.edition_label
+          |JOIN wk ON wk.edition_label = ed.edition_label
+          |JOIN wkd ON wkd.work_label = wk.work_label""".stripMargin),
 
     "q_domain_inception_coverage" ->
       (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
