@@ -24,10 +24,19 @@ object TextAnalysis {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Rolling polynomial hash of a string column: fold acc*31+ascii(c)
+  /** Rolling polynomial hash of a string column: fold acc*31+codepoint
     * over characters, mod [[HashMod]] (the classic Rabin-Karp form).
+    * Backed by the native codegen'd expression
+    * (graft.expressions.RollingHash) — the HOF formulation
+    * ([[rollingHashHof]]) computes the same values but runs interpreted
+    * per character; parity is spec-tested.
     */
-  def rollingHash(text: Column): Column =
+  def rollingHash(text: Column): Column = graft.expressions.RollingHash(text)
+
+  /** The higher-order-function formulation of [[rollingHash]] (kept for
+    * the parity spec and as executable documentation of the semantics).
+    */
+  def rollingHashHof(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % HashMod)
 
@@ -136,11 +145,8 @@ object TextAnalysis {
       when(size(toks) > 0, posWeighted).otherwise(lit(0L)).as("token_fingerprint"))
   }
 
-  /** rollingHash usable inside another lambda (avoids capture issues by
-    * being a plain expression builder).
-    */
   private def rollingHashInline(s: Column): Column =
-    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31L + ascii(c)) % HashMod)
+    graft.expressions.RollingHash(s)
 
   /** (doc_id, toks, th): whitespace tokens and their rolling hashes,
     * materialized ACROSS AN EXCHANGE BARRIER (repartition by doc_id).

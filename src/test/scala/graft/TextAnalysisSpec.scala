@@ -21,6 +21,21 @@ class TextAnalysisSpec extends SparkTestBase {
     texts.zipWithIndex.foreach { case (t, i) => assert(got(i.toLong) === ref(t), s"text '$t'") }
   }
 
+  test("native RollingHash expression == HOF formulation, incl. in lambdas") {
+    val d = docs(1L -> "hello world split test", 2L -> "", 3L -> "Ünïcödé bmp")
+    val flat = d.select(
+        TextAnalysis.rollingHash(col("text")).as("native"),
+        TextAnalysis.rollingHashHof(col("text")).as("hof"))
+      .collect()
+    flat.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // inside a transform lambda (the hot path in tokenHashTable)
+    val lam = d.select(
+        transform(split(col("text"), " "), t => TextAnalysis.rollingHash(t)).as("n"),
+        transform(split(col("text"), " "), t => TextAnalysis.rollingHashHof(t)).as("h"))
+      .collect()
+    lam.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("tokenStats counts whitespace tokens and distinct tokens") {
     val d = docs(1L -> "a b  b c", 2L -> "")
     val out = TextAnalysis.tokenStats(d).collect()
