@@ -49,6 +49,7 @@ object Verify {
     // crashed before producing an output dir (ADVICE r1 item 2)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    graft.queries.QueryCaches.clearAll()
     spark.stop()
   }
 }

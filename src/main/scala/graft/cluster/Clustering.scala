@@ -184,15 +184,27 @@ object Clustering {
     // bucketed-table read get the same effect without this persist.
     val adj = adjacency.repartition(col("piece_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var state = checkpoint(initialState(adj), 0)
-    var active = state.filter(col("active")).count()
+    // The convergence count piggybacks on the checkpoint write via the
+    // Observation API: the active-row count is collected DURING the
+    // materializing action, so each iteration runs exactly one job
+    // instead of write + a second count scan over the fresh checkpoint.
+    // (Requires the checkpointer to run an action on the df it is given —
+    // both built-in checkpointers do: parquet write / eager localCheckpoint.)
+    def checkpointCounting(df: DataFrame, i: Int): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"graft_cw_active_$i")
+      val out = checkpoint(
+        df.observe(obs, sum(when(col("active"), 1L).otherwise(0L)).as("active")), i)
+      (out, Option(obs.get("active")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    var (state, active) = checkpointCounting(initialState(adj), 0)
     var iter = 0
     while (active > 0 && iter < maxIter) {
       val (next, persisted) = step(state, adj, seed, iter, updateProbability)
       iter += 1
-      state = checkpoint(next, iter)
+      val (st, act) = checkpointCounting(next, iter)
+      state = st
+      active = act
       // state is now durably materialized; release the per-iteration cache
-      active = state.filter(col("active")).count()
       persisted.unpersist()
     }
     adj.unpersist()

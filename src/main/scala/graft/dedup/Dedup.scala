@@ -31,17 +31,21 @@ object Dedup {
   /** Exact duplicates by canonicalized content hash: lowercase +
     * whitespace-collapse, rolling hash, keep the smallest doc_id per
     * group. Returns (doc_id, canon_hash, group_size, is_kept).
+    *
+    * Shape: groupBy(canon_hash) + join back, NOT whole-partition windows
+    * over canon_hash — the aggregate is partial (map-side combined)
+    * before the shuffle, whereas a window must sort every duplicate of a
+    * hot hash (a boilerplate page duplicated millions of times) on one
+    * reducer. Both sides of the join hash-partition on canon_hash, so
+    * the aggregate's exchange is reused and the plan stays one shuffle.
     */
   def exact(docs: DataFrame): DataFrame = {
     val canon = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    docs
-      .select(col("doc_id"), TextAnalysis.rollingHash(canon).as("canon_hash"))
-      .withColumn("keep_id", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("canon_hash")))
-      .withColumn("group_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("canon_hash")))
-      .select(col("doc_id"), col("canon_hash"),
-        col("group_size").cast("long").as("group_size"),
+    val hashed = docs.select(col("doc_id"), TextAnalysis.rollingHash(canon).as("canon_hash"))
+    val groups = hashed.groupBy("canon_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("group_size"))
+    hashed.join(groups, Seq("canon_hash"))
+      .select(col("doc_id"), col("canon_hash"), col("group_size"),
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
@@ -114,6 +118,11 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, maxBucket: Int = 64): DataFrame = {
+    // the standard banding constraint: every minhash participates in
+    // exactly one band. k % bands != 0 would silently drop the trailing
+    // k - bands*(k/bands) hashes and change the similarity threshold the
+    // band width encodes.
+    require(k % bands == 0, s"signature width k=$k must be divisible by bands=$bands")
     val rows = k / bands
     val sig = minhashSignatures(docs, k, shingleN)
     val banded = sig.select(col("doc_id"),

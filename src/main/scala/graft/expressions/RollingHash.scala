@@ -46,17 +46,20 @@ object RollingHash {
   val Mod: Long = 1000000007L
 
   /** The fold, shared by interpreted eval and generated code. Iterates
-    * UTF-16 chars (== codepoints for BMP text), matching the `ascii()`
-    * semantics of the HOF formulation and the DuckDB oracle for the
-    * corpora this engine targets.
+    * Unicode CODE POINTS (not UTF-16 code units), matching the `ascii()`
+    * per-codepoint semantics of the HOF formulation and the DuckDB
+    * oracle's `string_split + ascii` fold — including for non-BMP text
+    * (emoji etc., common in LLM training corpora), where a charAt-based
+    * fold would hash the two surrogate halves separately.
     */
   def hash(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
-      h = (h * 31L + str.charAt(i)) % Mod
-      i += 1
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }

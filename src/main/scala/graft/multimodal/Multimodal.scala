@@ -38,6 +38,11 @@ object Multimodal {
 
   /** Wrap a documents-like table into assets: the text bytes stand in
     * for an opaque media payload (deterministic test fixture).
+    *
+    * n_bytes is the OCTET length of the payload (UTF-8 bytes), not the
+    * character count of the source text — frame math in [[sampleFrames]]
+    * slices the payload in bytes, so the two must share units or any
+    * non-ASCII document silently misaligns frame boundaries.
     */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -46,7 +51,7 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video")).as("modality"),
       col("text").cast("binary").as("payload"),
       lit("application/octet-stream").as("media_type"),
-      length(col("text")).cast("long").as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
       when(col("doc_id") % 3 === 0, (col("doc_id") % 640 + 64).cast("int")).as("width"),
       when(col("doc_id") % 3 === 0, (col("doc_id") % 480 + 48).cast("int")).as("height"),
       when(col("doc_id") % 3 =!= 0, (col("doc_id") * 40 % 90000).cast("long")).as("duration_ms"))

@@ -26,6 +26,12 @@ object CoverageQueries {
       buildSynthTextreuses(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every memoized entry (see QueryCaches.clearAll). */
+  def clearCache(): Unit = {
+    trCache.values().forEach(df => df.unpersist())
+    trCache.clear()
+  }
+
   private def buildSynthTextreuses(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .select(

@@ -161,6 +161,15 @@ object DomainQueries {
     stageCache.computeIfAbsent((s, dir, stage), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every memoized stage (see QueryCaches.clearAll): without
+    * this, re-dumping parquet under a live dir would serve stale cached
+    * stages, and dead-session entries would pin DataFrames JVM-long.
+    */
+  def clearCache(): Unit = {
+    stageCache.values().forEach(df => df.unpersist())
+    stageCache.clear()
+  }
+
   private def textreuses(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "textreuses") {
       val raw = synthRaw(s, dir)

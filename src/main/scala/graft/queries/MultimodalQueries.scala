@@ -36,33 +36,50 @@ object MultimodalQueries {
     })
   )
 
-  // stripe-d hash over characters at positions i ≡ d (mod 8), 0-based
+  // value of 0-based BYTE `i` of the UTF-8 payload, recovered from the
+  // hex dump of the blob (DuckDB has no direct blob-byte indexing):
+  // byte i = hex pair at string positions 2i+1, 2i+2
+  private def byteVal(i: String): String =
+    s"""((strpos('0123456789ABCDEF', substring(hx, 2*($i) + 1, 1)) - 1) * 16
+       |      + strpos('0123456789ABCDEF', substring(hx, 2*($i) + 2, 1)) - 1)""".stripMargin
+
+  // stripe-d hash over payload BYTES at positions i ≡ d (mod 8), 0-based
+  // (the stub hashes UTF-8 bytes, so the oracle must fold bytes too —
+  // char-based folding diverges on any non-ASCII document)
   private def stripeSql(d: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(range(greatest(0, CAST(floor((length(text) - $d + 7) / 8.0) AS BIGINT))),
-       |    k -> CAST(ascii(string_split(text, '')[$d + 8*k + 1]) AS BIGINT))),
+       |  list_transform(range(greatest(0, CAST(floor((nb - $d + 7) / 8.0) AS BIGINT))),
+       |    k -> CAST(${byteVal(s"$d + 8*k")} AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % $P) AS f$d""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" ->
-      s"""SELECT doc_id AS asset_id,
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |  FROM documents)
+         |SELECT doc_id AS asset_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  nb AS n_bytes,
          |  ${(0 until 8).map(stripeSql).mkString(",\n         |  ")}
-         |FROM documents""".stripMargin,
+         |FROM b""".stripMargin,
 
-    // video assets (doc_id % 3 == 2): frames of 64 bytes at stride 4;
-    // n_frames = max(floor(n_bytes / 256), 1) frames (sequence 0..max(n-1,0))
+    // video assets (doc_id % 3 == 2): frames of 64 BYTES at stride 4;
+    // n_frames = max(floor(n_bytes / 256), 1) frames (sequence 0..max(n-1,0)).
+    // Frame lengths are derived arithmetically: every full frame is 64
+    // bytes (frame i starts at i*256 and i*256+64 <= n_bytes whenever
+    // i < floor(n_bytes/256)); only the forced single frame of a short
+    // payload is clipped to n_bytes.
     "q_multimodal_frames" ->
       s"""WITH v AS (
-         |  SELECT doc_id AS asset_id, CAST(length(text) AS BIGINT) AS n_bytes
+         |  SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          |  FROM documents WHERE doc_id % 3 = 2),
          |f AS (
          |  SELECT asset_id, n_bytes,
          |    CAST(i AS BIGINT) AS frame_idx,
-         |    CAST(length(substring(t.text, CAST(i * 256 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes
-         |  FROM v JOIN documents t ON t.doc_id = v.asset_id,
+         |    CAST(least(64, greatest(n_bytes - i * 256, 0)) AS BIGINT) AS frame_bytes
+         |  FROM v,
          |    unnest(range(greatest(CAST(n_bytes // 256 AS BIGINT), 1))) AS u(i))
          |SELECT asset_id, frame_idx, frame_bytes FROM f""".stripMargin
   )

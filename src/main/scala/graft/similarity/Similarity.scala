@@ -138,22 +138,31 @@ object Similarity {
     val cells = candidates.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"),
         normFp(col("embedding")).as("cell_norm"))
-    // rank of each (vector, cell) pair by cosine; assignment = rank 1
-    def cellRanks(df: DataFrame, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("_cos").desc, col("cell_id"))
+    def withCellCos(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol), col("embedding"), normFp(col("embedding")).as("_norm"))
         .join(broadcast(cells))
         .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
           col("_norm"), col("cell_norm")))
-        .withColumn("_rank", row_number().over(w))
-        .select(col(idCol), col("embedding"), col("_norm"), col("cell_id"), col("_rank"))
-    }
-    val assigned = cellRanks(candidates, "vec_id").where(col("_rank") === 1)
-      .select(col("vec_id"), col("embedding").as("c_emb"), col("_norm").as("c_norm"),
-        col("cell_id"))
-    val probed = cellRanks(
+    // Rank-1 cell assignment as a max_by AGGREGATION, not a row_number
+    // window: partial aggregation collapses the |vectors|·nCells scored
+    // rows map-side to one row per vector, so the shuffle carries
+    // |vectors| rows and nothing is sorted — the window form would
+    // shuffle and sort all nCells copies of every vector. Tie-break
+    // (highest cosine, then lowest cell_id) via lexicographic struct max.
+    val assigned = withCellCos(candidates, "vec_id")
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding").as("c_emb"), col("_norm").as("c_norm"), col("cell_id")),
+        struct(col("_cos").as("c"), (-col("cell_id")).as("nid"))).as("_a"))
+      .select(col("vec_id"), col("_a.c_emb").as("c_emb"),
+        col("_a.c_norm").as("c_norm"), col("_a.cell_id").as("cell_id"))
+    // the query side genuinely needs the top-nProbe cells per query →
+    // keep the window there (query sets are small by construction)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("cell_id"))
+    val probed = withCellCos(
         queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .withColumn("_rank", row_number().over(probeW))
       .where(col("_rank") <= nProbe)
       .select(col("query_id"), col("embedding").as("q_emb"),
         col("_norm").as("q_norm"), col("cell_id"))

@@ -43,27 +43,40 @@ object Jdbc {
   /** Drop/create `table` with `ddl`, bulk-insert `df`, assert row-count
     * parity, then apply `indexDdl` statements. Returns row count and
     * phase timings.
+    *
+    * Parity is checked against the SAME materialization that was
+    * written: `df` is persisted before the write and the Spark-side
+    * count reads the persisted rows, so a nondeterministic input (rand,
+    * unseeded sampling, LIMIT without ORDER) cannot produce a different
+    * row count on recomputation and mask (or fake) load loss.
+    *
+    * `table` / `ddl` / `indexDdl` are trusted identifiers/DDL from the
+    * pipeline author (interpolated into SQL verbatim, like the
+    * reference's schema strings) — never pass user input here.
     */
   def loadTable(df: DataFrame, url: String, table: String, ddl: String,
       indexDdl: Seq[String] = Seq.empty, batchSize: Int = 100000,
       numPartitions: Int = 8): LoadResult = {
     execute(url, s"DROP TABLE $table", ignoreErrors = true)
     execute(url, ddl)
-    val t0 = System.nanoTime()
-    df.coalesce(numPartitions).write
-      .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("batchsize", batchSize.toString)
-      .mode("append")
-      .save()
-    val loadSeconds = (System.nanoTime() - t0) / 1e9
-    val dbCount = countRows(url, table)
-    val sparkCount = df.count()
-    require(dbCount == sparkCount,
-      s"JDBC load parity failure for $table: db=$dbCount spark=$sparkCount")
-    val t1 = System.nanoTime()
-    indexDdl.foreach(execute(url, _))
-    LoadResult(dbCount, loadSeconds, (System.nanoTime() - t1) / 1e9)
+    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t0 = System.nanoTime()
+      persisted.coalesce(numPartitions).write
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+        .mode("append")
+        .save()
+      val loadSeconds = (System.nanoTime() - t0) / 1e9
+      val dbCount = countRows(url, table)
+      val sparkCount = persisted.count()
+      require(dbCount == sparkCount,
+        s"JDBC load parity failure for $table: db=$dbCount spark=$sparkCount")
+      val t1 = System.nanoTime()
+      indexDdl.foreach(execute(url, _))
+      LoadResult(dbCount, loadSeconds, (System.nanoTime() - t1) / 1e9)
+    } finally persisted.unpersist()
   }
 }

@@ -47,6 +47,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_._3 == 64L))
   }
 
+  test("n_bytes and frame math are BYTE-based for non-ASCII text") {
+    // 'é' is 2 UTF-8 bytes: 150 chars of "é" = 300 bytes → n_bytes=300,
+    // and the video frame count follows bytes (300 < 512 → 1 frame of 64)
+    val text = "é" * 150
+    val a = Multimodal.assetsFromDocuments(docs(2L -> text))
+    val row = a.collect().head
+    assert(row.getAs[Long]("n_bytes") === 300L)
+    assert(row.getAs[Array[Byte]]("payload").length === 300)
+    val frames = Multimodal.sampleFrames(a).collect()
+      .map(r => (r.getInt(1), r.getLong(3)))
+    assert(frames.toSeq === Seq((0, 64L)))
+  }
+
   test("repartitionByBytes sizes partitions by byte budget") {
     val a = Multimodal.assetsFromDocuments(docs((0L to 9L).map(i => i -> ("x" * 100)): _*))
     val parts = Multimodal.repartitionByBytes(a, bytesPerPartition = 300)

@@ -11,10 +11,12 @@ class TextAnalysisSpec extends SparkTestBase {
     rows.toDF("doc_id", "text")
   }
 
-  test("rollingHash matches a straight-line scala fold") {
+  test("rollingHash matches a straight-line scala fold (per codepoint)") {
     def ref(s: String): Long =
-      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % TextAnalysis.HashMod)
-    val texts = Seq("", "a", "hello world", "The quick brown fox!")
+      s.codePoints().toArray
+        .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % TextAnalysis.HashMod)
+    val texts = Seq("", "a", "hello world", "The quick brown fox!",
+      "héllo wörld", "emoji 💩 pair 😀 end")
     val d = docs(texts.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
     val got = d.select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -22,7 +24,11 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 
   test("native RollingHash expression == HOF formulation, incl. in lambdas") {
-    val d = docs(1L -> "hello world split test", 2L -> "", 3L -> "Ünïcödé bmp")
+    // includes non-BMP text: codePointAt iteration in the native
+    // expression must agree with the HOF's split("")+ascii per-codepoint
+    // fold even when a character is a surrogate pair
+    val d = docs(1L -> "hello world split test", 2L -> "", 3L -> "Ünïcödé bmp",
+      4L -> "non-bmp 💩😀 𝄞 clef")
     val flat = d.select(
         TextAnalysis.rollingHash(col("text")).as("native"),
         TextAnalysis.rollingHashHof(col("text")).as("hof"))
