@@ -184,6 +184,82 @@ object DomainQueries {
     memo(s, dir, "pieces")(TextReuse.origPieces(tr))
   }
 
+  private def trsIds(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "trs_ids")(TextReuse.textreuseIds(synthRaw(s, dir)))
+
+  // ---- synthetic book-corpus metadata (reference upstream assets
+  // manifestation_ids / manifestation_publication_date / ecco_core /
+  // eebo_core, synthesized deterministically from the trs id grammar so
+  // the DuckDB oracle reproduces them) ----
+
+  /** numeric part of a manifestation id ("m42" → 42) */
+  private def mnum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(c, 2, 10).cast("int")
+
+  private def spMids(s: SparkSession, dir: String): DataFrame = {
+    val ids = trsIds(s, dir)
+    memo(s, dir, "mids")(
+      Ids.dictionary(ids, "manifestation_id", "manifestation_id_i"))
+  }
+
+  /** ECCO corpus: manifestations with numeric part ≡ 0 (mod 3). */
+  private def spEcco(mids: DataFrame): DataFrame =
+    mids.where(mnum(col("manifestation_id")) % 3 === 0)
+      .select(col("manifestation_id").as("ecco_id"))
+
+  /** EEBO-TCP corpus: numeric part ≡ 1 (mod 4) — overlaps ECCO on
+    * ≡ 0 (mod 3) ∧ ≡ 1 (mod 4) ids, like the reference's corpora can;
+    * roughly half of all manifestations are in neither (newspapers).
+    */
+  private def spEebo(mids: DataFrame): DataFrame =
+    mids.where(mnum(col("manifestation_id")) % 4 === 1)
+      .select(col("manifestation_id").as("eebo_tcp_id"))
+
+  /** Manifestation publication date: earliest trs-derived date over the
+    * manifestation's textreuse sources.
+    */
+  private def spMpd(s: SparkSession, dir: String): DataFrame =
+    trsIds(s, dir)
+      .join(spMids(s, dir), Seq("manifestation_id"))
+      .groupBy("manifestation_id_i")
+      .agg(min(date_add(lit(java.sql.Date.valueOf("1700-01-01")),
+        ((col("trs_id") * 13) % 5000).cast("int"))).as("publication_date"))
+
+  /** Deterministic per-trs text lengths for the book coverage asset. */
+  private def spBookLengths(s: SparkSession, dir: String): DataFrame =
+    trsIds(s, dir).select(col("trs_id"),
+      (lit(1500) + (col("trs_id") % 7) * 250).cast("int").as("text_length"))
+
+  private def spBookEarliest(s: SparkSession, dir: String): DataFrame = {
+    val ids = trsIds(s, dir)
+    val mids = spMids(s, dir)
+    val mpd = spMpd(s, dir)
+    val clustered = spClustered(pieces(s, dir)).select("cluster_id", "piece_id", "trs_id")
+    memo(s, dir, "book_earliest")(
+      graft.analytics.BookBased.earliestBookAndPiecesByCluster(
+        clustered,
+        ids.join(mids, Seq("manifestation_id")).select("trs_id", "manifestation_id_i"),
+        mids.select("manifestation_id_i", "manifestation_id"),
+        mpd, spEcco(mids), spEebo(mids)))
+  }
+
+  private def spBookEdges(s: SparkSession, dir: String): DataFrame = {
+    val earliest = spBookEarliest(s, dir)
+    val mids = spMids(s, dir)
+    val clustered = spClustered(pieces(s, dir)).select("cluster_id", "piece_id", "trs_id")
+    graft.analytics.BookBased.receptionEdgesBetweenBooks(
+      clustered, earliest,
+      trsIds(s, dir).select("trs_id", "manifestation_id"),
+      spEcco(mids), spEebo(mids))
+  }
+
+  private def spBookDenorm(s: SparkSession, dir: String): DataFrame = {
+    val edges = spBookEdges(s, dir)
+    val p = pieces(s, dir)
+    memo(s, dir, "book_denorm")(
+      graft.analytics.BookBased.receptionEdgesBetweenBooksDenorm(edges, p))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.8 id-split grammar + O1/S10 deterministic dense ids
@@ -294,6 +370,20 @@ object DomainQueries {
         Reception.receptionEdgesDenorm(earliest, nonSource), lengths)
     }),
 
+    // book-restricted analytics (additional_assets/book_based.py:20-287):
+    // the earliest/reception/coverage chain re-run over ECCO/EEBO-TCP
+    // corpus members only — J6 multi-broadcast + the LEFT-join corpus
+    // membership filter
+    "q_domain_book_earliest" -> ((s, dir) => spBookEarliest(s, dir)),
+
+    "q_domain_book_reception_edges" -> ((s, dir) => spBookEdges(s, dir)),
+
+    "q_domain_book_reception_edges_denorm" -> ((s, dir) => spBookDenorm(s, dir)),
+
+    "q_domain_book_coverage" -> ((s, dir) =>
+      graft.analytics.BookBased.receptionInceptionBetweenBookCoverages(
+        spBookDenorm(s, dir), spBookLengths(s, dir))),
+
     // §2.8 multi-format date parsing (publication_date.py:30-56): 3
     // string formats round-tripped through try-parse + coalesce
     "q_domain_pub_date_parse" -> ((s, dir) => {
@@ -311,6 +401,102 @@ object DomainQueries {
   )
 
   private def chain(ctes: String*): String = ctes.mkString("WITH ", ",\n", "\n")
+
+  // ---- book-corpus CTE twins (must mirror spMids/spEcco/spEebo/spMpd
+  // and the BookBased chain exactly) ----
+
+  private val midsCte: String =
+    """mids AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY manifestation_id) AS BIGINT)
+      |    AS manifestation_id_i, manifestation_id
+      |  FROM (SELECT DISTINCT manifestation_id FROM trs))""".stripMargin
+
+  private val corpusCte: String =
+    """ecco AS (
+      |  SELECT manifestation_id AS ecco_id FROM mids
+      |  WHERE CAST(substring(manifestation_id, 2) AS INT) % 3 = 0),
+      |eebo AS (
+      |  SELECT manifestation_id AS eebo_tcp_id FROM mids
+      |  WHERE CAST(substring(manifestation_id, 2) AS INT) % 4 = 1)""".stripMargin
+
+  private val mpdCte: String =
+    """mpd AS (
+      |  SELECT manifestation_id_i,
+      |    min(DATE '1700-01-01' + CAST((trs_id * 13) % 5000 AS INT)) AS publication_date
+      |  FROM trs JOIN mids USING (manifestation_id)
+      |  GROUP BY manifestation_id_i)""".stripMargin
+
+  private val bookEarliestCte: String =
+    """book_earliest AS (
+      |  SELECT cluster_id, manifestation_id_i, piece_id FROM (
+      |    SELECT c.cluster_id, mi.manifestation_id_i, c.piece_id,
+      |      mpd.publication_date,
+      |      min(mpd.publication_date) OVER (PARTITION BY c.cluster_id) AS min_pub
+      |    FROM clustered c
+      |    JOIN trs t ON t.trs_id = c.trs_id
+      |    JOIN mids mi ON mi.manifestation_id = t.manifestation_id
+      |    LEFT JOIN ecco ec ON ec.ecco_id = mi.manifestation_id
+      |    LEFT JOIN eebo eb ON eb.eebo_tcp_id = mi.manifestation_id
+      |    JOIN mpd ON mpd.manifestation_id_i = mi.manifestation_id_i
+      |    WHERE NOT (ec.ecco_id IS NULL AND eb.eebo_tcp_id IS NULL))
+      |  WHERE publication_date = min_pub)""".stripMargin
+
+  private val bookEdgesCte: String =
+    """book_dest AS (
+      |  SELECT c.cluster_id, c.piece_id
+      |  FROM clustered c
+      |  JOIN trs t ON t.trs_id = c.trs_id
+      |  LEFT JOIN ecco ec ON ec.ecco_id = t.manifestation_id
+      |  LEFT JOIN eebo eb ON eb.eebo_tcp_id = t.manifestation_id
+      |  WHERE NOT (ec.ecco_id IS NULL AND eb.eebo_tcp_id IS NULL)
+      |    AND NOT EXISTS (SELECT 1 FROM book_earliest e
+      |      WHERE e.cluster_id = c.cluster_id AND e.piece_id = c.piece_id)),
+      |book_edges AS (
+      |  SELECT e.piece_id AS src_piece_id, d.piece_id AS dst_piece_id
+      |  FROM book_earliest e JOIN book_dest d ON d.cluster_id = e.cluster_id)""".stripMargin
+
+  private val bookDenormCte: String =
+    """book_denorm AS (
+      |  SELECT p1.trs_id AS src_trs_id, p1.trs_start AS src_trs_start,
+      |    p1.trs_end AS src_trs_end,
+      |    p2.trs_id AS dst_trs_id, p2.trs_start AS dst_trs_start,
+      |    p2.trs_end AS dst_trs_end
+      |  FROM book_edges be
+      |  JOIN pieces p1 ON p1.piece_id = be.src_piece_id
+      |  JOIN pieces p2 ON p2.piece_id = be.dst_piece_id)""".stripMargin
+
+  /** one gaps-and-islands side of the book coverage (bt1 = src intervals,
+    * bt2 = dst intervals), mirroring Coverages.islandStats semantics
+    */
+  private def bookIslandsCte(side: Int): String = {
+    val (st, en) = if (side == 1) ("src_trs_start", "src_trs_end")
+      else ("dst_trs_start", "dst_trs_end")
+    val (n, len) = if (side == 1) ("num_reuses_src", "reuses_src_in_dst")
+      else ("num_reuses_dst", "reuses_dst_in_src")
+    s"""bg$side AS (
+       |  SELECT src_trs_id, dst_trs_id, $st, $en,
+       |    CASE WHEN max($en) OVER (PARTITION BY src_trs_id, dst_trs_id
+       |        ORDER BY $st, $en
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 >= $st
+       |      THEN 0 ELSE 1 END AS new_island
+       |  FROM book_denorm),
+       |bi$side AS (
+       |  SELECT src_trs_id, dst_trs_id, $st, $en,
+       |    sum(new_island) OVER (PARTITION BY src_trs_id, dst_trs_id
+       |      ORDER BY $st, $en) AS island_id
+       |  FROM bg$side),
+       |ba$side AS (
+       |  SELECT src_trs_id, dst_trs_id, island_id,
+       |    CAST(max($en) - min($st) AS BIGINT) AS island_len
+       |  FROM bi$side GROUP BY 1, 2, 3),
+       |bt$side AS (
+       |  SELECT src_trs_id, dst_trs_id, count(*) AS $n,
+       |    CAST(sum(island_len) AS BIGINT) AS $len
+       |  FROM ba$side GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val bookChain: Seq[String] = Seq(rawCte, trsIdsCte, textreusesCte,
+    piecesCte, clusteredCte, midsCte, corpusCte, mpdCte, bookEarliestCte)
 
   val oracles: Map[String, String] = Map(
     "q_domain_trs_ids" ->
@@ -440,6 +626,37 @@ object DomainQueries {
           |SELECT src_trs_id, dst_trs_id, n_islands, covered_len,
           |  CAST(covered_len AS DOUBLE) / 2000 * 100.0 AS coverage_dst
           |FROM t""".stripMargin),
+
+    "q_domain_book_earliest" ->
+      (chain(bookChain: _*) +
+        "SELECT cluster_id, manifestation_id_i, piece_id FROM book_earliest"),
+
+    "q_domain_book_reception_edges" ->
+      (chain((bookChain :+ bookEdgesCte): _*) +
+        "SELECT src_piece_id, dst_piece_id FROM book_edges"),
+
+    "q_domain_book_reception_edges_denorm" ->
+      (chain((bookChain :+ bookEdgesCte :+ bookDenormCte): _*) +
+        """SELECT src_trs_id, src_trs_start, src_trs_end,
+          |  dst_trs_id, dst_trs_start, dst_trs_end FROM book_denorm""".stripMargin),
+
+    "q_domain_book_coverage" ->
+      (chain((bookChain :+ bookEdgesCte :+ bookDenormCte
+          :+ bookIslandsCte(1) :+ bookIslandsCte(2)
+          :+ """blen AS (
+               |  SELECT trs_id, CAST(1500 + (trs_id % 7) * 250 AS INT) AS text_length
+               |  FROM trs)""".stripMargin): _*) +
+        """SELECT t1.src_trs_id, t1.num_reuses_src, t1.reuses_src_in_dst,
+          |  l1.text_length AS src_length,
+          |  t1.reuses_src_in_dst / l1.text_length * 100.0 AS coverage_src_in_dst,
+          |  t1.dst_trs_id, t2.num_reuses_dst, t2.reuses_dst_in_src,
+          |  l2.text_length AS dst_length,
+          |  t2.reuses_dst_in_src / l2.text_length * 100.0 AS coverage_dst_in_src
+          |FROM bt1 t1
+          |LEFT JOIN bt2 t2 ON t2.src_trs_id = t1.src_trs_id
+          |  AND t2.dst_trs_id = t1.dst_trs_id
+          |LEFT JOIN blen l1 ON l1.trs_id = t1.src_trs_id
+          |LEFT JOIN blen l2 ON l2.trs_id = t1.dst_trs_id""".stripMargin),
 
     "q_domain_pub_date_parse" ->
       """SELECT o_orderkey, date_str,
