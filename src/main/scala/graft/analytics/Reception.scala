@@ -102,4 +102,84 @@ object Reception {
         countDistinct(col("dst_trs_id")).as("n_dst_trs"),
         countDistinct(when(authorOf(col("dst_trs_id")) =!= authorOf(col("src_trs_id")),
           col("dst_trs_id"))).as("n_other_author_trs"))
+
+  /** The reference's FULL source_piece_statistics
+    * (source_piece_statistics.py:14-66): both edge sides joined through
+    * piece → edition mapping → edition_authors → work mapping, then per
+    * source piece: piece length, edge count, distinct other-work count,
+    * and the three-way author CASE (source authored + destination by a
+    * different-or-no author, or source unauthored → count the
+    * destination work).
+    *
+    * Exact reference semantics preserved:
+    *  - edition_authors is INNER-joined per side, so an edition with k
+    *    authors multiplies that side's rows k-fold and `COUNT(*)` counts
+    *    the multiplied edges — the reference's documented behavior, not
+    *    a bug to normalize away;
+    *  - editions with NO author are still present (one row, NULL
+    *    actor_id_i, produced by edition_authors' LEFT link join) and hit
+    *    the `source author IS NULL` branch;
+    *  - FIRST() on per-group constants (cluster, piece bounds) is
+    *    computed as `min` — identical on constants, deterministic under
+    *    retries.
+    *
+    * The metadata sides (tem, editionAuthors, twm) are broadcast: they
+    * are edition/trs-cardinality, orders of magnitude below the edge
+    * table at 100 TB.
+    *
+    * @param edges  (cluster_id, src_piece_id, dst_piece_id, ...)
+    * @param pieces (piece_id, trs_id, trs_start, trs_end)
+    * @param tem    (trs_id, edition_id_i) — textreuse_edition_mapping
+    * @param editionAuthors (edition_id_i, actor_id_i nullable)
+    * @param twm    (trs_id, work_id_i) — textreuse_work_mapping
+    */
+  def sourcePieceStatisticsFull(edges: DataFrame, pieces: DataFrame,
+      tem: DataFrame, editionAuthors: DataFrame, twm: DataFrame): DataFrame = {
+    def sided(side: String): (DataFrame, DataFrame, DataFrame, DataFrame) = (
+      pieces.select(col("piece_id").as(s"${side}_piece_id"),
+        col("trs_id").as(s"${side}_p_trs_id"),
+        col("trs_start").as(s"${side}_start"), col("trs_end").as(s"${side}_end")),
+      tem.select(col("trs_id").as(s"${side}_p_trs_id"),
+        col("edition_id_i").as(s"${side}_edition_id_i")),
+      editionAuthors.select(col("edition_id_i").as(s"${side}_edition_id_i"),
+        col("actor_id_i").as(s"${side}_actor_id_i")),
+      twm.select(col("trs_id").as(s"${side}_p_trs_id"),
+        col("work_id_i").as(s"${side}_work_id_i")))
+    val (srcP, srcTem, srcEa, srcTwm) = sided("src")
+    val (dstP, dstTem, dstEa, dstTwm) = sided("dst")
+    edges
+      .join(srcP, Seq("src_piece_id"))
+      .join(broadcast(srcTem), Seq("src_p_trs_id"))
+      .join(broadcast(srcEa), Seq("src_edition_id_i"))
+      .join(broadcast(srcTwm), Seq("src_p_trs_id"))
+      .join(dstP, Seq("dst_piece_id"))
+      .join(broadcast(dstTem), Seq("dst_p_trs_id"))
+      .join(broadcast(dstEa), Seq("dst_edition_id_i"))
+      .join(broadcast(dstTwm), Seq("dst_p_trs_id"))
+      .groupBy(col("src_piece_id"))
+      .agg(
+        min(col("cluster_id")).as("cluster_id"),
+        min(col("src_end") - col("src_start")).as("piece_length"),
+        count(lit(1)).as("num_reception_edges"),
+        countDistinct(when(col("src_work_id_i") =!= col("dst_work_id_i"),
+          col("dst_work_id_i"))).as("num_different_work_ids"),
+        countDistinct(
+          when(col("src_actor_id_i").isNotNull &&
+              (col("src_actor_id_i") =!= col("dst_actor_id_i") ||
+                col("dst_actor_id_i").isNull),
+            col("dst_work_id_i"))
+          .when(col("src_actor_id_i").isNull, col("dst_work_id_i")))
+          .as("num_work_ids_different_authors"))
+      .withColumnRenamed("src_piece_id", "piece_id")
+  }
+
+  /** Denormalised source piece statistics (reference:
+    * source_piece_statistics.py:70-85): the 3-way join consumed by the
+    * downstream DB — statistics + piece intervals + edition mapping.
+    */
+  def sourcePieceStatisticsDenorm(stats: DataFrame, pieces: DataFrame,
+      tem: DataFrame): DataFrame =
+    stats
+      .join(pieces, Seq("piece_id"))
+      .join(broadcast(tem), Seq("trs_id"))
 }

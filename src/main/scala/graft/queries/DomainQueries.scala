@@ -230,6 +230,96 @@ object DomainQueries {
     trsIds(s, dir).select(col("trs_id"),
       (lit(1500) + (col("trs_id") % 7) * 250).cast("int").as("text_length"))
 
+  // ---- synthetic author/edition/work metadata (reference upstream
+  // assets edition_ids / estc_actor_links / actor_ids / mappings,
+  // ids_and_mappings.py + actors_and_authors.py, synthesized
+  // deterministically from the id grammar) ----
+
+  /** manifestation → edition label, with PLACEHOLDER labels where the
+    * upstream id is "missing" (the reference's EEBO-without-ESTC case,
+    * ids_and_mappings.py:47-49) — same rule as q_domain_id_chain.
+    */
+  private def spEditionLabels(manis: DataFrame): DataFrame =
+    manis.select(col("manifestation_id"),
+      coalesce(
+        when(length(col("manifestation_id")) % 3 =!= 0,
+          concat(lit("e_"), col("manifestation_id"))),
+        concat(lit("ph_"), col("manifestation_id"))).as("edition_label"))
+
+  private def spWorkLabels(editions: DataFrame): DataFrame =
+    editions.select(col("edition_label"),
+      coalesce(
+        when(length(col("edition_label")) % 2 === 0,
+          concat(lit("w_"), col("edition_label"))),
+        concat(lit("phw_"), col("edition_label"))).as("work_label"))
+
+  /** (edition_id_i, edition_label) dictionary. */
+  private def spEditionIds(s: SparkSession, dir: String): DataFrame = {
+    val mids = spMids(s, dir)
+    memo(s, dir, "edition_ids")(
+      Ids.dictionary(spEditionLabels(mids.select("manifestation_id")),
+        "edition_label", "edition_id_i"))
+  }
+
+  /** Synthetic actor links: every edition gets a primary link whose
+    * author-role flag depends on the edition number (≡1 mod 3 → the
+    * link exists but is NOT an author — exercising the J5 role predicate
+    * in the edition_authors LEFT join); every 5th edition gets a second
+    * author link (co-authored editions → genuine m2m).
+    */
+  private def spActorLinks(editionIds: DataFrame): DataFrame = {
+    val e = regexp_extract(col("edition_label"), "([0-9]+)", 1).cast("int")
+    editionIds.select(col("edition_label").as("estc_id"),
+        concat(lit("a"), ((e * 7) % 13).cast("string")).as("actor_id"),
+        when(e % 3 =!= 1, 1).otherwise(0).as("actor_role_author"))
+      .unionAll(editionIds.where(e % 5 === 0)
+        .select(col("edition_label").as("estc_id"),
+          concat(lit("a"), ((e * 11) % 13).cast("string")).as("actor_id"),
+          lit(1).as("actor_role_author")))
+  }
+
+  private def spEditionAuthors(s: SparkSession, dir: String): DataFrame = {
+    val editionIds = spEditionIds(s, dir)
+    memo(s, dir, "edition_authors") {
+      val links = spActorLinks(editionIds)
+      graft.analytics.Metadata.editionAuthors(
+        editionIds.select(col("edition_label").as("edition_id"), col("edition_id_i")),
+        links, Ids.dictionary(links, "actor_id", "actor_id_i"))
+    }
+  }
+
+  /** textreuse_edition_mapping: trs → edition_id_i. (Upstream memos are
+    * resolved before entering this key's memo — see `pieces`.)
+    */
+  private def spTem(s: SparkSession, dir: String): DataFrame = {
+    val ids = trsIds(s, dir)
+    val mids = spMids(s, dir)
+    val editionIds = spEditionIds(s, dir)
+    memo(s, dir, "tem")(
+      ids.select("trs_id", "manifestation_id")
+        .join(spEditionLabels(mids.select("manifestation_id")),
+          Seq("manifestation_id"))
+        .join(editionIds, Seq("edition_label"))
+        .select("trs_id", "edition_id_i"))
+  }
+
+  /** textreuse_work_mapping: trs → work_id_i (via edition → work). */
+  private def spTwm(s: SparkSession, dir: String): DataFrame = {
+    val ids = trsIds(s, dir)
+    val mids = spMids(s, dir)
+    val editionIds = spEditionIds(s, dir)
+    memo(s, dir, "twm") {
+      val works = spWorkLabels(editionIds)
+      val workDict = Ids.dictionary(works, "work_label", "work_id_i")
+      ids.select("trs_id", "manifestation_id")
+        .join(spEditionLabels(mids.select("manifestation_id")),
+          Seq("manifestation_id"))
+        .join(works, Seq("edition_label"))
+        .join(workDict, Seq("work_label"))
+        .select("trs_id", "work_id_i")
+    }
+  }
+
   private def spBookEarliest(s: SparkSession, dir: String): DataFrame = {
     val ids = trsIds(s, dir)
     val mids = spMids(s, dir)
@@ -315,14 +405,32 @@ object DomainQueries {
       Reception.receptionEdges(earliest, Reception.nonSourcePieces(clustered, earliest))
     }),
 
-    // A6+A7: per-source-piece statistics with conditional distinct counts
-    // (synthetic authorship: author id = trs_id % 11)
+    // edition_authors (actors_and_authors.py:35-55): the J5 mixed
+    // equi+role predicate LEFT join at its real domain site
+    "q_domain_edition_authors" -> ((s, dir) => spEditionAuthors(s, dir)),
+
+    // A6+A7 at the reference's full shape
+    // (source_piece_statistics.py:14-66): both edge sides joined through
+    // edition mapping → edition_authors → work mapping, conditional
+    // distinct counts with the three-way author CASE
     "q_domain_source_piece_stats" -> ((s, dir) => {
       val clustered = spClustered(pieces(s, dir))
       val earliest = spEarliest(clustered)
       val edges = Reception.receptionEdges(earliest,
         Reception.nonSourcePieces(clustered, earliest))
-      Reception.sourcePieceStatistics(edges, trs => trs % 11)
+      Reception.sourcePieceStatisticsFull(edges, pieces(s, dir),
+        spTem(s, dir), spEditionAuthors(s, dir), spTwm(s, dir))
+    }),
+
+    // denormalised statistics (source_piece_statistics.py:70-85)
+    "q_domain_source_piece_stats_denorm" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val earliest = spEarliest(clustered)
+      val edges = Reception.receptionEdges(earliest,
+        Reception.nonSourcePieces(clustered, earliest))
+      val stats = Reception.sourcePieceStatisticsFull(edges, pieces(s, dir),
+        spTem(s, dir), spEditionAuthors(s, dir), spTwm(s, dir))
+      Reception.sourcePieceStatisticsDenorm(stats, pieces(s, dir), spTem(s, dir))
     }),
 
     // metadata id chain (ids_and_mappings.py:17-225): trs → manifestation
@@ -498,6 +606,107 @@ object DomainQueries {
   private val bookChain: Seq[String] = Seq(rawCte, trsIdsCte, textreusesCte,
     piecesCte, clusteredCte, midsCte, corpusCte, mpdCte, bookEarliestCte)
 
+  // ---- author/edition/work metadata CTE twins (must mirror
+  // spEditionLabels/spEditionIds/spActorLinks/spEditionAuthors/
+  // spTem/spTwm exactly) ----
+
+  private val editionCtes: String =
+    """ed AS (
+      |  SELECT manifestation_id,
+      |    coalesce(CASE WHEN length(manifestation_id) % 3 != 0
+      |        THEN 'e_' || manifestation_id END,
+      |      'ph_' || manifestation_id) AS edition_label
+      |  FROM (SELECT DISTINCT manifestation_id FROM trs)),
+      |edd AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY edition_label) AS BIGINT)
+      |    AS edition_id_i, edition_label
+      |  FROM (SELECT DISTINCT edition_label FROM ed)),
+      |wk AS (
+      |  SELECT edition_label,
+      |    coalesce(CASE WHEN length(edition_label) % 2 = 0
+      |        THEN 'w_' || edition_label END,
+      |      'phw_' || edition_label) AS work_label
+      |  FROM edd),
+      |wkd AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY work_label) AS BIGINT)
+      |    AS work_id_i, work_label
+      |  FROM (SELECT DISTINCT work_label FROM wk))""".stripMargin
+
+  private val authorCtes: String =
+    """links AS (
+      |  SELECT edition_label AS estc_id,
+      |    'a' || CAST((e * 7) % 13 AS VARCHAR) AS actor_id,
+      |    CASE WHEN e % 3 != 1 THEN 1 ELSE 0 END AS actor_role_author
+      |  FROM (SELECT edition_label,
+      |          CAST(regexp_extract(edition_label, '([0-9]+)', 1) AS INT) AS e
+      |        FROM edd)
+      |  UNION ALL
+      |  SELECT edition_label, 'a' || CAST((e * 11) % 13 AS VARCHAR), 1
+      |  FROM (SELECT edition_label,
+      |          CAST(regexp_extract(edition_label, '([0-9]+)', 1) AS INT) AS e
+      |        FROM edd)
+      |  WHERE e % 5 = 0),
+      |actor_ids AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY actor_id) AS BIGINT)
+      |    AS actor_id_i, actor_id
+      |  FROM (SELECT DISTINCT actor_id FROM links)),
+      |edition_authors AS (
+      |  SELECT ei.edition_id_i, ai.actor_id_i
+      |  FROM edd ei
+      |  LEFT JOIN links l ON l.estc_id = ei.edition_label
+      |    AND l.actor_role_author = 1
+      |  LEFT JOIN actor_ids ai ON l.actor_id = ai.actor_id)""".stripMargin
+
+  private val mappingCtes: String =
+    """tem AS (
+      |  SELECT t.trs_id, edd.edition_id_i
+      |  FROM trs t
+      |  JOIN ed ON ed.manifestation_id = t.manifestation_id
+      |  JOIN edd ON edd.edition_label = ed.edition_label),
+      |twm AS (
+      |  SELECT t.trs_id, wkd.work_id_i
+      |  FROM trs t
+      |  JOIN ed ON ed.manifestation_id = t.manifestation_id
+      |  JOIN wk ON wk.edition_label = ed.edition_label
+      |  JOIN wkd ON wkd.work_label = wk.work_label)""".stripMargin
+
+  private val statsEdgesCte: String =
+    """edges AS (
+      |  SELECT e.cluster_id, e.piece_id AS src_piece_id, n.piece_id AS dst_piece_id
+      |  FROM earliest e
+      |  JOIN (SELECT cluster_id, piece_id FROM clustered c
+      |        WHERE NOT EXISTS (SELECT 1 FROM earliest x WHERE x.piece_id = c.piece_id)) n
+      |    ON n.cluster_id = e.cluster_id)""".stripMargin
+
+  private val statsCte: String =
+    """stats AS (
+      |  SELECT src_piece_id AS piece_id,
+      |    min(e.cluster_id) AS cluster_id,
+      |    min(p_src.trs_end - p_src.trs_start) AS piece_length,
+      |    count(*) AS num_reception_edges,
+      |    count(DISTINCT CASE WHEN twm_src.work_id_i != twm_dst.work_id_i
+      |      THEN twm_dst.work_id_i END) AS num_different_work_ids,
+      |    count(DISTINCT CASE
+      |      WHEN ea_src.actor_id_i IS NOT NULL
+      |        AND (ea_src.actor_id_i != ea_dst.actor_id_i OR ea_dst.actor_id_i IS NULL)
+      |        THEN twm_dst.work_id_i
+      |      WHEN ea_src.actor_id_i IS NULL THEN twm_dst.work_id_i
+      |      END) AS num_work_ids_different_authors
+      |  FROM edges e
+      |  JOIN pieces p_src ON p_src.piece_id = e.src_piece_id
+      |  JOIN tem tem_src ON tem_src.trs_id = p_src.trs_id
+      |  JOIN edition_authors ea_src ON ea_src.edition_id_i = tem_src.edition_id_i
+      |  JOIN twm twm_src ON twm_src.trs_id = p_src.trs_id
+      |  JOIN pieces p_dst ON p_dst.piece_id = e.dst_piece_id
+      |  JOIN tem tem_dst ON tem_dst.trs_id = p_dst.trs_id
+      |  JOIN edition_authors ea_dst ON ea_dst.edition_id_i = tem_dst.edition_id_i
+      |  JOIN twm twm_dst ON twm_dst.trs_id = p_dst.trs_id
+      |  GROUP BY src_piece_id)""".stripMargin
+
+  private val statsChain: Seq[String] = Seq(rawCte, trsIdsCte, textreusesCte,
+    piecesCte, clusteredCte, earliestCte, editionCtes, authorCtes, mappingCtes,
+    statsEdgesCte, statsCte)
+
   val oracles: Map[String, String] = Map(
     "q_domain_trs_ids" ->
       (chain(rawCte, trsIdsCte) +
@@ -540,22 +749,23 @@ object DomainQueries {
           |      WHERE NOT EXISTS (SELECT 1 FROM earliest x WHERE x.piece_id = c.piece_id)) n
           |  ON n.cluster_id = e.cluster_id""".stripMargin),
 
+    "q_domain_edition_authors" ->
+      (chain(rawCte, trsIdsCte, editionCtes, authorCtes) +
+        "SELECT edition_id_i, actor_id_i FROM edition_authors"),
+
     "q_domain_source_piece_stats" ->
-      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte, earliestCte) +
-        """, edges AS (
-          |  SELECT e.cluster_id, e.piece_id AS src_piece_id, e.trs_id AS src_trs_id,
-          |    n.piece_id AS dst_piece_id, n.trs_id AS dst_trs_id
-          |  FROM earliest e
-          |  JOIN (SELECT cluster_id, piece_id, trs_id FROM clustered c
-          |        WHERE NOT EXISTS (SELECT 1 FROM earliest x WHERE x.piece_id = c.piece_id)) n
-          |    ON n.cluster_id = e.cluster_id)
-          |SELECT src_piece_id,
-          |  arg_min(cluster_id, dst_piece_id) AS cluster_id,
-          |  count(*) AS n_edges,
-          |  count(DISTINCT dst_trs_id) AS n_dst_trs,
-          |  count(DISTINCT CASE WHEN dst_trs_id % 11 != src_trs_id % 11
-          |    THEN dst_trs_id END) AS n_other_author_trs
-          |FROM edges GROUP BY src_piece_id""".stripMargin),
+      (chain(statsChain: _*) +
+        """SELECT piece_id, cluster_id, piece_length, num_reception_edges,
+          |  num_different_work_ids, num_work_ids_different_authors FROM stats""".stripMargin),
+
+    "q_domain_source_piece_stats_denorm" ->
+      (chain(statsChain: _*) +
+        """SELECT s.piece_id, s.cluster_id, s.piece_length, s.num_reception_edges,
+          |  s.num_different_work_ids, s.num_work_ids_different_authors,
+          |  p.trs_id, p.trs_start, p.trs_end, tem.edition_id_i
+          |FROM stats s
+          |JOIN pieces p ON p.piece_id = s.piece_id
+          |JOIN tem ON tem.trs_id = p.trs_id""".stripMargin),
 
     "q_domain_id_chain" ->
       (chain(rawCte, trsIdsCte) +
