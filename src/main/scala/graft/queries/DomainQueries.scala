@@ -320,6 +320,91 @@ object DomainQueries {
     }
   }
 
+  // ---- synthetic raw corpus core tables (reference upstream assets
+  // ecco_core / eebo_core / newspapers_core / estc_core with the messy
+  // date/title columns the metadata assets normalize) ----
+
+  private val monthNames = Seq("January", "February", "March", "April", "May",
+    "June", "July", "August", "September", "October", "November", "December")
+
+  /** EEBO rows: per-member a TLS date string in one of the reference's
+    * length shapes ("1697" / "-1697" / "1690-1697" / "April 24, 1649" /
+    * NULL), plus a SECOND row with a NULL title for every 8th member —
+    * the "one eebo_tcp id, several mappings, some NULL" case the title
+    * asset's MAX collapse exists for (titles.py:24-27).
+    */
+  private def spEeboCore(mids: DataFrame): DataFrame = {
+    val e = mnum(col("manifestation_id"))
+    val yearS = (lit(1600) + e % 200).cast("string")
+    val months = array(monthNames.map(lit): _*)
+    val dateStr = when(e % 5 === 0, yearS)
+      .when(e % 5 === 1, concat(lit("-"), yearS))
+      .when(e % 5 === 2, concat(yearS, lit("-"), (lit(1607) + e % 200).cast("string")))
+      .when(e % 5 === 3, concat(element_at(months, (e % 12) + 1), lit(" "),
+        ((e % 28) + 1).cast("string"), lit(", "), yearS))
+    val base = mids.where(e % 4 === 1)
+      .select(col("manifestation_id"), e.as("e"), dateStr.as("d"))
+    base.select(col("manifestation_id").as("eebo_tcp_id"),
+        col("d").as("eebo_tls_publication_date"),
+        concat(lit("EEBO: "), col("manifestation_id")).as("eebo_tls_title"))
+      .unionAll(base.where(col("e") % 8 === 1)
+        .select(col("manifestation_id"), col("d"), lit(null).cast("string")))
+  }
+
+  /** ECCO rows: numeric yyyymmdd start dates including the reference's
+    * pathological sentinels (0, the year-1000 value, a post-1839 date).
+    */
+  private def spEccoCore(mids: DataFrame): DataFrame = {
+    val e = mnum(col("manifestation_id"))
+    mids.where(e % 3 === 0).select(
+      col("manifestation_id").as("ecco_id"),
+      when(e % 6 === 0, 0).when(e % 6 === 1, 10000101).when(e % 6 === 2, 18500101)
+        .otherwise((lit(1600) + e % 200) * 10000 + 101).as("ecco_date_start"),
+      concat(lit("ECCO: "), col("manifestation_id")).as("ecco_full_title"))
+  }
+
+  /** Newspapers: everything in neither book corpus; clean dates. */
+  private def spNewsCore(mids: DataFrame): DataFrame = {
+    val e = mnum(col("manifestation_id"))
+    mids.where(e % 3 =!= 0 && e % 4 =!= 1).select(
+      col("manifestation_id").as("article_id"),
+      date_add(lit(java.sql.Date.valueOf("1700-01-01")), (e * 11) % 5000)
+        .as("issue_start_date"),
+      concat(lit("NEWS: "), col("manifestation_id")).as("newspaper_title"))
+  }
+
+  /** ESTC: edition-level publication years, absent for every 7th. */
+  private def spEstcCore(editionIds: DataFrame): DataFrame = {
+    val e = regexp_extract(col("edition_label"), "([0-9]+)", 1).cast("int")
+    editionIds.select(col("edition_label").as("estc_id"),
+      when(e % 7 =!= 0, lit(1600) + (e * 3) % 200).as("publication_year"))
+  }
+
+  /** edition_mapping: manifestation_id_i → edition_id_i. */
+  private def spEditionMapping(s: SparkSession, dir: String): DataFrame = {
+    val mids = spMids(s, dir)
+    val editionIds = spEditionIds(s, dir)
+    mids.join(spEditionLabels(mids.select("manifestation_id")), Seq("manifestation_id"))
+      .join(editionIds, Seq("edition_label"))
+      .select("manifestation_id_i", "edition_id_i")
+  }
+
+  /** The full manifestation_publication_date asset over the synthetic
+    * cores (distinct from spMpd, the simplified date used by the book
+    * chain).
+    */
+  private def spMpd2(s: SparkSession, dir: String): DataFrame = {
+    val mids = spMids(s, dir)
+    val editionIds = spEditionIds(s, dir)
+    val emap = spEditionMapping(s, dir)
+    memo(s, dir, "mpd2")(
+      graft.analytics.Metadata.manifestationPublicationDate(
+        mids, emap,
+        editionIds.select(col("edition_id_i"), col("edition_label").as("edition_id")),
+        spEstcCore(editionIds),
+        spEeboCore(mids), spEccoCore(mids), spNewsCore(mids)))
+  }
+
   private def spBookEarliest(s: SparkSession, dir: String): DataFrame = {
     val ids = trsIds(s, dir)
     val mids = spMids(s, dir)
@@ -491,6 +576,25 @@ object DomainQueries {
     "q_domain_book_coverage" -> ((s, dir) =>
       graft.analytics.BookBased.receptionInceptionBetweenBookCoverages(
         spBookDenorm(s, dir), spBookLengths(s, dir))),
+
+    // manifestation_publication_date (publication_date.py:136-197): the
+    // three-corpus UNION with the length-cased messy-date ladder
+    "q_domain_manifestation_pub_date" -> ((s, dir) => spMpd2(s, dir)),
+
+    // year histogram, first 20 years (publication_date.py:74-79)
+    "q_domain_pub_year_hist" -> ((s, dir) =>
+      graft.analytics.Metadata.yearHistogram(spMpd2(s, dir), 20)),
+
+    // twin latest-10 ∪ earliest-10 summary (publication_date.py:196-211)
+    "q_domain_pub_year_ends" -> ((s, dir) =>
+      graft.analytics.Metadata.yearHistogramEnds(spMpd2(s, dir), 10)),
+
+    // manifestation_title (titles.py:10-34) with the EEBO MAX collapse
+    "q_domain_manifestation_title" -> ((s, dir) => {
+      val mids = spMids(s, dir)
+      graft.analytics.Metadata.manifestationTitle(
+        mids, spEccoCore(mids), spEeboCore(mids), spNewsCore(mids))
+    }),
 
     // §2.8 multi-format date parsing (publication_date.py:30-56): 3
     // string formats round-tripped through try-parse + coalesce
@@ -707,6 +811,97 @@ object DomainQueries {
     piecesCte, clusteredCte, earliestCte, editionCtes, authorCtes, mappingCtes,
     statsEdgesCte, statsCte)
 
+  // ---- raw corpus core CTE twins (must mirror spEeboCore/spEccoCore/
+  // spNewsCore/spEstcCore/spEditionMapping/spMpd2 exactly) ----
+
+  private val monthListSql: String =
+    monthNames.map(m => s"'$m'").mkString("([", ",", "])")
+
+  private val coreCtes: String =
+    s"""mn AS (
+       |  SELECT manifestation_id, manifestation_id_i,
+       |    CAST(substring(manifestation_id, 2) AS INT) AS e
+       |  FROM mids),
+       |eebo_base AS (
+       |  SELECT manifestation_id, e,
+       |    CASE WHEN e % 5 = 0 THEN CAST(1600 + e % 200 AS VARCHAR)
+       |         WHEN e % 5 = 1 THEN '-' || CAST(1600 + e % 200 AS VARCHAR)
+       |         WHEN e % 5 = 2 THEN CAST(1600 + e % 200 AS VARCHAR) || '-' ||
+       |           CAST(1607 + e % 200 AS VARCHAR)
+       |         WHEN e % 5 = 3 THEN $monthListSql[(e % 12) + 1] || ' ' ||
+       |           CAST((e % 28) + 1 AS VARCHAR) || ', ' ||
+       |           CAST(1600 + e % 200 AS VARCHAR)
+       |    END AS d
+       |  FROM mn WHERE e % 4 = 1),
+       |eebo_core AS (
+       |  SELECT manifestation_id AS eebo_tcp_id, d AS eebo_tls_publication_date,
+       |    'EEBO: ' || manifestation_id AS eebo_tls_title
+       |  FROM eebo_base
+       |  UNION ALL
+       |  SELECT manifestation_id, d, NULL FROM eebo_base WHERE e % 8 = 1),
+       |ecco_core AS (
+       |  SELECT manifestation_id AS ecco_id,
+       |    CASE WHEN e % 6 = 0 THEN 0
+       |         WHEN e % 6 = 1 THEN 10000101
+       |         WHEN e % 6 = 2 THEN 18500101
+       |         ELSE (1600 + e % 200) * 10000 + 101 END AS ecco_date_start,
+       |    'ECCO: ' || manifestation_id AS ecco_full_title
+       |  FROM mn WHERE e % 3 = 0),
+       |news_core AS (
+       |  SELECT manifestation_id AS article_id,
+       |    DATE '1700-01-01' + CAST((e * 11) % 5000 AS INT) AS issue_start_date,
+       |    'NEWS: ' || manifestation_id AS newspaper_title
+       |  FROM mn WHERE e % 3 != 0 AND e % 4 != 1),
+       |estc_core AS (
+       |  SELECT edition_label AS estc_id,
+       |    CASE WHEN e % 7 != 0 THEN 1600 + (e * 3) % 200 END AS publication_year
+       |  FROM (SELECT edition_label,
+       |          CAST(regexp_extract(edition_label, '([0-9]+)', 1) AS INT) AS e
+       |        FROM edd)),
+       |emap AS (
+       |  SELECT mi.manifestation_id_i, edd.edition_id_i
+       |  FROM mids mi
+       |  JOIN ed ON ed.manifestation_id = mi.manifestation_id
+       |  JOIN edd ON edd.edition_label = ed.edition_label)""".stripMargin
+
+  private val mpd2Cte: String =
+    """mpd2 AS (
+      |  SELECT manifestation_id_i, min(pd) AS publication_date FROM (
+      |    SELECT em.manifestation_id_i,
+      |      CASE WHEN d IS NULL
+      |             THEN CAST(CAST(publication_year AS VARCHAR) || '-01-01' AS DATE)
+      |           WHEN length(d) = 4 THEN CAST(d || '-01-01' AS DATE)
+      |           WHEN length(d) = 5 THEN CAST(substring(d, -4) || '-01-01' AS DATE)
+      |           WHEN length(d) = 9 THEN CAST(substring(d, 1, 4) || '-01-01' AS DATE)
+      |           WHEN length(d) > 9 THEN CAST(strptime(d, '%B %-d, %Y') AS DATE)
+      |      END AS pd
+      |    FROM (SELECT eebo_tcp_id, eebo_tls_publication_date AS d FROM eebo_core) ec
+      |    JOIN mids mi ON ec.eebo_tcp_id = mi.manifestation_id
+      |    JOIN emap em ON em.manifestation_id_i = mi.manifestation_id_i
+      |    JOIN edd ON edd.edition_id_i = em.edition_id_i
+      |    LEFT JOIN estc_core estc ON edd.edition_label = estc.estc_id)
+      |  GROUP BY manifestation_id_i
+      |  UNION ALL
+      |  SELECT mi.manifestation_id_i,
+      |    CASE WHEN ecco_date_start != 0 AND ecco_date_start != 10000101
+      |           AND ecco_date_start <= 18390000
+      |         THEN CAST(substring(CAST(ecco_date_start AS VARCHAR), 1, 4)
+      |           || '-01-01' AS DATE)
+      |         ELSE CAST(CAST(publication_year AS VARCHAR) || '-01-01' AS DATE)
+      |    END
+      |  FROM ecco_core ec
+      |  JOIN mids mi ON ec.ecco_id = mi.manifestation_id
+      |  JOIN emap em ON em.manifestation_id_i = mi.manifestation_id_i
+      |  JOIN edd ON edd.edition_id_i = em.edition_id_i
+      |  LEFT JOIN estc_core estc ON edd.edition_label = estc.estc_id
+      |  UNION ALL
+      |  SELECT mi.manifestation_id_i, issue_start_date
+      |  FROM news_core nc
+      |  JOIN mids mi ON nc.article_id = mi.manifestation_id)""".stripMargin
+
+  private val metaChain: Seq[String] = Seq(rawCte, trsIdsCte, midsCte,
+    editionCtes, coreCtes, mpd2Cte)
+
   val oracles: Map[String, String] = Map(
     "q_domain_trs_ids" ->
       (chain(rawCte, trsIdsCte) +
@@ -867,6 +1062,40 @@ object DomainQueries {
           |  AND t2.dst_trs_id = t1.dst_trs_id
           |LEFT JOIN blen l1 ON l1.trs_id = t1.src_trs_id
           |LEFT JOIN blen l2 ON l2.trs_id = t1.dst_trs_id""".stripMargin),
+
+    "q_domain_manifestation_pub_date" ->
+      (chain(metaChain: _*) +
+        "SELECT manifestation_id_i, publication_date FROM mpd2"),
+
+    "q_domain_pub_year_hist" ->
+      (chain(metaChain: _*) +
+        """SELECT publication_year, cnt FROM (
+          |  SELECT year(publication_date) AS publication_year, count(*) AS cnt
+          |  FROM mpd2 GROUP BY 1
+          |  ORDER BY publication_year ASC NULLS FIRST LIMIT 20)""".stripMargin),
+
+    "q_domain_pub_year_ends" ->
+      (chain(metaChain: _*) +
+        """, yc AS (
+          |  SELECT year(publication_date) AS publication_year, count(*) AS cnt
+          |  FROM mpd2 GROUP BY 1)
+          |SELECT * FROM (SELECT * FROM yc
+          |  ORDER BY publication_year DESC NULLS LAST LIMIT 10)
+          |UNION ALL
+          |SELECT * FROM (SELECT * FROM yc
+          |  ORDER BY publication_year ASC NULLS FIRST LIMIT 10)""".stripMargin),
+
+    "q_domain_manifestation_title" ->
+      (chain((metaChain.init): _*) +
+        """SELECT mi.manifestation_id_i, ec.ecco_full_title AS title
+          |FROM mids mi JOIN ecco_core ec ON ec.ecco_id = mi.manifestation_id
+          |UNION ALL
+          |SELECT mi.manifestation_id_i, max(eb.eebo_tls_title) AS title
+          |FROM mids mi JOIN eebo_core eb ON eb.eebo_tcp_id = mi.manifestation_id
+          |GROUP BY mi.manifestation_id_i
+          |UNION ALL
+          |SELECT mi.manifestation_id_i, nc.newspaper_title AS title
+          |FROM mids mi JOIN news_core nc ON nc.article_id = mi.manifestation_id""".stripMargin),
 
     "q_domain_pub_date_parse" ->
       """SELECT o_orderkey, date_str,
