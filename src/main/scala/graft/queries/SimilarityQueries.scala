@@ -7,10 +7,12 @@ import graft.similarity.Similarity
 
 /** Similarity-search queries over `embeddings(vec_id, embedding, label)`.
   *
-  * The brute-force top-k ranking is fully hash-checked against DuckDB
-  * (fixed-point dots → bit-identical cosine doubles → identical ranking
-  * with vec_id tie-break). The LSH ANN variant is not ANSI-expressible
-  * (engine-specific bucketing) → rows-only check + recall ScalaTest.
+  * ALL THREE top-k variants are fully hash-checked against DuckDB: every
+  * numeric ingredient is deterministic by construction — fixed-point
+  * dots (element-wise floor to 1e-6 summed as BIGINT), integer
+  * pseudo-hyperplanes for the LSH buckets, lowest-id IVF centroids —
+  * so bucketing, cell assignment, cosine doubles and the final ranking
+  * reproduce bit-identically across engines.
   */
 object SimilarityQueries {
 
@@ -18,6 +20,37 @@ object SimilarityQueries {
     """CAST(list_sum(list_transform(list_zip(%s, %s),
       |  p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
       |  AS BIGINT)""".stripMargin
+
+  /** cosine from two embedding expressions, via fixed-point parts */
+  private def cosineSql(a: String, b: String): String = {
+    val dot = dotSql.format(a, b)
+    val na = dotSql.format(a, a)
+    val nb = dotSql.format(b, b)
+    s"""CAST($dot AS DOUBLE) /
+       |      sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))""".stripMargin
+  }
+
+  /** Rotated view of the embedding for LSH table `t` — the SQL twin of
+    * Similarity.shuffleForTable (element rotation by 7t).
+    */
+  private def rotSql(t: Int): String =
+    if (t == 0) "embedding"
+    else s"embedding[${t * 7 + 1}:] || embedding[1:${t * 7}]"
+
+  /** Sign-bit bucket of `nPlanes` integer pseudo-hyperplanes over a
+    * rotated embedding — the SQL twin of Similarity.lshBucket:
+    * plane weight w(p,d) = ((p*64+1+d) * 2654435761) % 1000003 − 501001,
+    * projection = Σ floor(x_d · w(p,d)), bit p set iff projection > 0.
+    */
+  private def bucketSql(rot: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val proj =
+        s"""CAST(list_sum(list_transform($rot, (x, i) ->
+           |  CAST(floor(CAST(x AS DOUBLE) *
+           |    CAST((((${p * 64 + 1} + (i - 1)) * 2654435761) % 1000003) - 501001 AS DOUBLE))
+           |    AS BIGINT))) AS BIGINT)""".stripMargin
+      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -27,15 +60,17 @@ object SimilarityQueries {
       Similarity.bruteTopK(emb.where(col("vec_id") < 8), emb, k = 5)
     }),
 
-    // multi-table hyperplane-LSH ANN (rows-only; recall vs brute force
-    // is asserted in SimilaritySpec)
+    // multi-table hyperplane-LSH ANN (hash-checked: integer
+    // pseudo-hyperplanes make bucketing deterministic; recall vs brute
+    // force additionally asserted in SimilaritySpec)
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, k = 5)
     }),
 
     // IVF ANN: nearest-centroid cells, nProbe-cell query scan
-    // (rows-only; recall + exact-equivalence asserted in SimilaritySpec)
+    // (hash-checked: lowest-id centroids + fixed-point cosines; recall +
+    // exact-equivalence additionally asserted in SimilaritySpec)
     "q_sim_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5)
@@ -53,6 +88,70 @@ object SimilarityQueries {
          |      sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS cosine
          |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
          |  JOIN embeddings c ON q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_lsh_topk" -> {
+      // one bucket branch per LSH table (8 tables, 4 planes each)
+      val branches = (0 until 8).map(t =>
+        s"""  SELECT vec_id, $t AS tbl,
+           |    ${bucketSql(rotSql(t), nPlanes = 4)} AS bucket
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH buckets AS (
+         |$branches),
+         |pairs AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM buckets q
+         |  JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |    AND c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 8),
+         |scored AS (
+         |  SELECT p.query_id, p.vec_id,
+         |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings c ON c.vec_id = p.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_ivf_topk" -> {
+      s"""WITH cells AS (
+         |  SELECT vec_id AS cell_id, embedding AS cell_emb
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |scored_cells AS (
+         |  SELECT v.vec_id, c.cell_id,
+         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+         |  FROM embeddings v CROSS JOIN cells c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM scored_cells) WHERE r = 1),
+         |probed AS (
+         |  SELECT vec_id AS query_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM scored_cells WHERE vec_id < 8) WHERE r <= 4),
+         |pairs AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probed p JOIN assigned a USING (cell_id)
+         |  WHERE p.query_id != a.vec_id),
+         |scored AS (
+         |  SELECT p.query_id, p.vec_id,
+         |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings c ON c.vec_id = p.vec_id),
          |ranked AS (
          |  SELECT query_id, vec_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id
