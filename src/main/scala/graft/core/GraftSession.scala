@@ -30,11 +30,30 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
-  def local(cores: Int = 32, shufflePartitions: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = configure(
+  /** @param hive enable a Hive metastore-backed external catalog
+    *   (reference: spark_utils.py:34 `enableHiveSupport()`), so bucketed
+    *   tables written by `Catalog.materializeBucketed` keep their bucket
+    *   spec ACROSS sessions — the way the reference's alternating
+    *   checkpoint tables survive job restarts. Without it the in-memory
+    *   session catalog forgets bucketing when the session ends.
+    * @param warehouse when set, pins both the table warehouse and the
+    *   embedded-Derby metastore under this directory — the knob that
+    *   makes cross-session persistence (and tests of it) deterministic.
+    *   A cluster deployment would point the metastore at a real
+    *   thrift/RDBMS URI instead.
+    */
+  def local(cores: Int = 32, shufflePartitions: Int = 32, appName: String = "graft",
+      hive: Boolean = false, warehouse: Option[String] = None): SparkSession = {
+    var b = configure(
       SparkSession.builder().master(s"local[$cores]").appName(appName),
-      shufflePartitions
-    ).getOrCreate()
+      shufflePartitions)
+    warehouse.foreach { dir =>
+      b = b.config("spark.sql.warehouse.dir", s"$dir/warehouse")
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+    }
+    if (hive) b = b.enableHiveSupport()
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
