@@ -96,6 +96,67 @@ object Metadata {
     eebo.unionAll(ecco).unionAll(news)
   }
 
+  /** Publication date of each EDITION (reference:
+    * publication_date.py:15-73). Differs from the manifestation asset in
+    * two reference-faithful ways: the ESTC year takes PRIORITY here (the
+    * corpus strings are only consulted when ESTC is silent — the
+    * manifestation asset prefers the corpus strings), and the branches
+    * combine with UNION (distinct) rather than UNION ALL.
+    *
+    * @return (edition_id_i, publication_date nullable), distinct
+    */
+  def editionPublicationDate(mids: DataFrame, editionMapping: DataFrame,
+      editionIds: DataFrame, estcCore: DataFrame, eeboCore: DataFrame,
+      eccoCore: DataFrame, newspapersCore: DataFrame): DataFrame = {
+    def withEstc(corpus: DataFrame, idCol: String): DataFrame =
+      corpus
+        .join(broadcast(mids), col(idCol) === col("manifestation_id"))
+        .join(broadcast(editionMapping), Seq("manifestation_id_i"))
+        .join(broadcast(editionIds), Seq("edition_id_i"))
+        .join(broadcast(estcCore), col("edition_id") === col("estc_id"), "left")
+    val estcYearDate =
+      to_date(col("publication_year").cast("int").cast("string"), "yyyy")
+    val d = col("eebo_tls_publication_date")
+    val eebo = withEstc(eeboCore, "eebo_tcp_id")
+      .select(col("edition_id_i"),
+        when(col("publication_year").isNull,
+            when(length(d) === 4, to_date(d, "yyyy"))
+              .when(length(d) === 5, to_date(substring(d, -4, 4), "yyyy"))
+              .when(length(d) === 9, to_date(substring(d, 1, 4), "yyyy"))
+              .when(length(d) > 9, to_date(d, "LLLL d, yyyy")))
+          .otherwise(estcYearDate)
+          .as("publication_date"))
+    val ds = col("ecco_date_start")
+    val ecco = withEstc(eccoCore, "ecco_id")
+      .select(col("edition_id_i"),
+        when(col("publication_year").isNull && ds =!= 0,
+            to_date(substring(ds.cast("int").cast("string"), 1, 4), "yyyy"))
+          .when(col("publication_year").isNull && ds === 0, lit(null).cast("date"))
+          .otherwise(estcYearDate)
+          .as("publication_date"))
+    val news = newspapersCore
+      .join(broadcast(mids), col("article_id") === col("manifestation_id"))
+      .join(broadcast(editionMapping), Seq("manifestation_id_i"))
+      .select(col("edition_id_i"), col("issue_start_date").as("publication_date"))
+    eebo.unionAll(ecco).unionAll(news).distinct()
+  }
+
+  /** Earliest publication date per WORK (reference:
+    * publication_date.py:90-106): edition dates rolled up through the
+    * edition → manifestation → work mappings with a MIN; the joins are
+    * LEFT like the reference, so editions outside the work mapping land
+    * in a NULL-work group instead of vanishing.
+    *
+    * @param workMapping (manifestation_id_i, work_id_i)
+    */
+  def workEarliestPublicationDate(editionPubDate: DataFrame,
+      editionMapping: DataFrame, workMapping: DataFrame): DataFrame =
+    editionPubDate
+      .join(broadcast(editionMapping), Seq("edition_id_i"), "left")
+      .join(broadcast(workMapping), Seq("manifestation_id_i"), "left")
+      .groupBy("work_id_i")
+      .agg(min("publication_date").as("publication_date"))
+
   /** Title of each manifestation (reference: titles.py:10-34): per-corpus
     * UNION ALL; the EEBO branch MAX-collapses titles per manifestation
     * (A5 max-string at its domain site) because one eebo_tcp id maps to

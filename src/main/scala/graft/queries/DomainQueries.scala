@@ -389,6 +389,30 @@ object DomainQueries {
       .select("manifestation_id_i", "edition_id_i")
   }
 
+  /** work_mapping: manifestation_id_i → work_id_i. */
+  private def spWorkMapping(s: SparkSession, dir: String): DataFrame = {
+    val mids = spMids(s, dir)
+    val editionIds = spEditionIds(s, dir)
+    val works = spWorkLabels(editionIds)
+    val workDict = Ids.dictionary(works, "work_label", "work_id_i")
+    mids.join(spEditionLabels(mids.select("manifestation_id")), Seq("manifestation_id"))
+      .join(works, Seq("edition_label"))
+      .join(workDict, Seq("work_label"))
+      .select("manifestation_id_i", "work_id_i")
+  }
+
+  private def spEpd(s: SparkSession, dir: String): DataFrame = {
+    val mids = spMids(s, dir)
+    val editionIds = spEditionIds(s, dir)
+    val emap = spEditionMapping(s, dir)
+    memo(s, dir, "epd")(
+      graft.analytics.Metadata.editionPublicationDate(
+        mids, emap,
+        editionIds.select(col("edition_id_i"), col("edition_label").as("edition_id")),
+        spEstcCore(editionIds),
+        spEeboCore(mids), spEccoCore(mids), spNewsCore(mids)))
+  }
+
   /** The full manifestation_publication_date asset over the synthetic
     * cores (distinct from spMpd, the simplified date used by the book
     * chain).
@@ -576,6 +600,15 @@ object DomainQueries {
     "q_domain_book_coverage" -> ((s, dir) =>
       graft.analytics.BookBased.receptionInceptionBetweenBookCoverages(
         spBookDenorm(s, dir), spBookLengths(s, dir))),
+
+    // edition_publication_date (publication_date.py:15-73): ESTC-first
+    // date resolution, UNION-distinct branches
+    "q_domain_edition_pub_date" -> ((s, dir) => spEpd(s, dir)),
+
+    // work_earliest_publication_date (publication_date.py:90-106)
+    "q_domain_work_earliest_pub_date" -> ((s, dir) =>
+      graft.analytics.Metadata.workEarliestPublicationDate(
+        spEpd(s, dir), spEditionMapping(s, dir), spWorkMapping(s, dir))),
 
     // manifestation_publication_date (publication_date.py:136-197): the
     // three-corpus UNION with the length-cased messy-date ladder
@@ -902,6 +935,50 @@ object DomainQueries {
   private val metaChain: Seq[String] = Seq(rawCte, trsIdsCte, midsCte,
     editionCtes, coreCtes, mpd2Cte)
 
+  private val epdCte: String =
+    """epd AS (
+      |  SELECT DISTINCT edition_id_i, publication_date FROM (
+      |    SELECT em.edition_id_i,
+      |      CASE WHEN publication_year IS NULL THEN
+      |        CASE WHEN length(d) = 4 THEN CAST(d || '-01-01' AS DATE)
+      |             WHEN length(d) = 5 THEN CAST(substring(d, -4) || '-01-01' AS DATE)
+      |             WHEN length(d) = 9 THEN CAST(substring(d, 1, 4) || '-01-01' AS DATE)
+      |             WHEN length(d) > 9 THEN CAST(strptime(d, '%B %-d, %Y') AS DATE)
+      |        END
+      |      ELSE CAST(CAST(publication_year AS VARCHAR) || '-01-01' AS DATE)
+      |      END AS publication_date
+      |    FROM (SELECT eebo_tcp_id, eebo_tls_publication_date AS d FROM eebo_core) ec
+      |    JOIN mids mi ON ec.eebo_tcp_id = mi.manifestation_id
+      |    JOIN emap em ON em.manifestation_id_i = mi.manifestation_id_i
+      |    JOIN edd ON edd.edition_id_i = em.edition_id_i
+      |    LEFT JOIN estc_core estc ON edd.edition_label = estc.estc_id
+      |    UNION ALL
+      |    SELECT em.edition_id_i,
+      |      CASE WHEN publication_year IS NULL AND ecco_date_start != 0
+      |             THEN CAST(substring(CAST(ecco_date_start AS VARCHAR), 1, 4)
+      |               || '-01-01' AS DATE)
+      |           WHEN publication_year IS NULL AND ecco_date_start = 0 THEN NULL
+      |           ELSE CAST(CAST(publication_year AS VARCHAR) || '-01-01' AS DATE)
+      |      END
+      |    FROM ecco_core ec
+      |    JOIN mids mi ON ec.ecco_id = mi.manifestation_id
+      |    JOIN emap em ON em.manifestation_id_i = mi.manifestation_id_i
+      |    JOIN edd ON edd.edition_id_i = em.edition_id_i
+      |    LEFT JOIN estc_core estc ON edd.edition_label = estc.estc_id
+      |    UNION ALL
+      |    SELECT em.edition_id_i, issue_start_date
+      |    FROM news_core nc
+      |    JOIN mids mi ON nc.article_id = mi.manifestation_id
+      |    JOIN emap em ON em.manifestation_id_i = mi.manifestation_id_i))""".stripMargin
+
+  private val wmapCte: String =
+    """wmap AS (
+      |  SELECT mi.manifestation_id_i, wkd.work_id_i
+      |  FROM mids mi
+      |  JOIN ed ON ed.manifestation_id = mi.manifestation_id
+      |  JOIN wk ON wk.edition_label = ed.edition_label
+      |  JOIN wkd ON wkd.work_label = wk.work_label)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_domain_trs_ids" ->
       (chain(rawCte, trsIdsCte) +
@@ -1062,6 +1139,18 @@ object DomainQueries {
           |  AND t2.dst_trs_id = t1.dst_trs_id
           |LEFT JOIN blen l1 ON l1.trs_id = t1.src_trs_id
           |LEFT JOIN blen l2 ON l2.trs_id = t1.dst_trs_id""".stripMargin),
+
+    "q_domain_edition_pub_date" ->
+      (chain(rawCte, trsIdsCte, midsCte, editionCtes, coreCtes, epdCte) +
+        "SELECT edition_id_i, publication_date FROM epd"),
+
+    "q_domain_work_earliest_pub_date" ->
+      (chain(rawCte, trsIdsCte, midsCte, editionCtes, coreCtes, epdCte, wmapCte) +
+        """SELECT work_id_i, min(publication_date) AS publication_date
+          |FROM epd
+          |LEFT JOIN emap USING (edition_id_i)
+          |LEFT JOIN wmap USING (manifestation_id_i)
+          |GROUP BY work_id_i""".stripMargin),
 
     "q_domain_manifestation_pub_date" ->
       (chain(metaChain: _*) +
