@@ -126,21 +126,24 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: vectors are assigned to their
     * nearest-centroid cell once; a query scans only its `nProbe`
-    * nearest cells. Centroids are taken deterministically as the
-    * `nCells` lowest-id vectors (a real deployment would k-means them —
-    * the partitioning/probe shape, which is what matters at scale, is
-    * identical). Cells are broadcast to both assignment passes; the
-    * scan is an equi-join on cell id, so query cost is |cell|·nProbe
-    * instead of |candidates|.
+    * nearest cells. Seed centroids are the `nCells` lowest-id vectors;
+    * `kmeansIters` Lloyd refinement passes move them to the
+    * (deterministic, fixed-point) element-wise means of their assigned
+    * vectors — cells that lose every member keep their previous
+    * centroid, the standard k-means convention. Cells are broadcast to
+    * both assignment passes; the scan is an equi-join on cell id, so
+    * query cost is |cell|·nProbe instead of |candidates|.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cells = candidates.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"),
-        normFp(col("embedding")).as("cell_norm"))
-    def withCellCos(df: DataFrame, idCol: String): DataFrame =
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val seeds = candidates.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cell_emb"))
+    var cells = seeds
+      .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
+    def withCellCos(df: DataFrame, idCol: String, cs: DataFrame): DataFrame =
       df.select(col(idCol), col("embedding"), normFp(col("embedding")).as("_norm"))
-        .join(broadcast(cells))
+        .join(broadcast(cs))
         .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
           col("_norm"), col("cell_norm")))
     // Rank-1 cell assignment as a max_by AGGREGATION, not a row_number
@@ -149,19 +152,40 @@ object Similarity {
     // |vectors| rows and nothing is sorted — the window form would
     // shuffle and sort all nCells copies of every vector. Tie-break
     // (highest cosine, then lowest cell_id) via lexicographic struct max.
-    val assigned = withCellCos(candidates, "vec_id")
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("embedding").as("c_emb"), col("_norm").as("c_norm"), col("cell_id")),
-        struct(col("_cos").as("c"), (-col("cell_id")).as("nid"))).as("_a"))
-      .select(col("vec_id"), col("_a.c_emb").as("c_emb"),
-        col("_a.c_norm").as("c_norm"), col("_a.cell_id").as("cell_id"))
+    def rank1(cs: DataFrame): DataFrame =
+      withCellCos(candidates, "vec_id", cs)
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(col("embedding").as("c_emb"), col("_norm").as("c_norm"), col("cell_id")),
+          struct(col("_cos").as("c"), (-col("cell_id")).as("nid"))).as("_a"))
+        .select(col("vec_id"), col("_a.c_emb").as("c_emb"),
+          col("_a.c_norm").as("c_norm"), col("_a.cell_id").as("cell_id"))
+    // Lloyd passes: per-dimension FIXED-POINT sums (floor to 1e-6 as
+    // BIGINT — order-independent, oracle-exact) divided by member count.
+    // The explode shuffles (cell, dim) keys only — nCells·dims groups,
+    // partial-aggregated map-side, regardless of candidate count.
+    for (_ <- 0 until kmeansIters) {
+      val refined = rank1(cells)
+        .select(col("cell_id"), posexplode(col("c_emb")))
+        .groupBy("cell_id", "pos")
+        .agg(sum(floor(col("col").cast("double") * lit(1000000.0)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cell_id"), col("pos"),
+          (col("s").cast("double") / (lit(1000000.0) * col("n").cast("double"))).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("new_emb"))
+      cells = seeds.join(refined, Seq("cell_id"), "left")
+        .select(col("cell_id"), coalesce(col("new_emb"), col("cell_emb")).as("cell_emb"))
+        .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
+    }
+    val assigned = rank1(cells)
     // the query side genuinely needs the top-nProbe cells per query →
     // keep the window there (query sets are small by construction)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_cos").desc, col("cell_id"))
     val probed = withCellCos(
-        queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+        queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id", cells)
       .withColumn("_rank", row_number().over(probeW))
       .where(col("_rank") <= nProbe)
       .select(col("query_id"), col("embedding").as("q_emb"),

@@ -64,6 +64,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf === brute)
   }
 
+  test("k-means refinement moves centroids to cluster means and keeps recall") {
+    // two tight, well-separated direction clusters; seeds (ids 0,1) are
+    // both in cluster A, so WITHOUT refinement every vector lands in the
+    // seed cells by raw cosine, but WITH one Lloyd pass cell 1's
+    // centroid migrates toward whichever cluster dominates its members
+    val a = Seq(1f, 0.1f, 0f)
+    val b = Seq(0f, 0.1f, 1f)
+    def jitter(base: Seq[Float], i: Int) = base.map(_ + i * 0.001f)
+    val d = vecs(
+      (0L to 4L).map(i => i -> jitter(a, i.toInt)) ++
+        (5L to 9L).map(i => i -> jitter(b, i.toInt)): _*)
+    val q = d.where(col("vec_id") === 7)
+    val refined = Similarity.ivfTopK(q, d, k = 3, nCells = 2, nProbe = 1,
+      kmeansIters = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // after refinement, probing ONE cell from a b-cluster query must
+    // return ONLY b-cluster neighbours (without refinement both seeds
+    // sit in cluster A and the single probed cell mixes clusters)
+    assert(refined.length === 3)
+    assert(refined.map(_._1).toSet.subsetOf(Set(5L, 6L, 8L, 9L)),
+      s"non-b-cluster neighbour in ${refined.toSeq}")
+    // determinism: a second run is bit-identical
+    val again = Similarity.ivfTopK(q, d, k = 3, nCells = 2, nProbe = 1,
+      kmeansIters = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(refined.toSeq === again.toSeq)
+  }
+
   test("nearDupPairs finds duplicates within a block, none across") {
     import spark.implicits._
     val d = Seq(
