@@ -483,6 +483,17 @@ object DomainQueries {
       Defrag.defragPieces(p, Defrag.pieceIdMappings(p))
     }),
 
+    // defrag edge merge (defragmentation.py:65-86): orig edges remapped
+    // through piece_id_mappings, grouped with merged-link counts, dense
+    // edge ids (rows-only: ids derive from the UDAF scan; DefragSpec +
+    // EndToEndSpec own semantics)
+    "q_domain_defrag_textreuses" -> ((s, dir) => {
+      val p = pieces(s, dir)
+      Defrag.defragTextreuses(
+        TextReuse.origTextreuses(textreuses(s, dir), p),
+        Defrag.pieceIdMappings(p))
+    }),
+
     // §2.10 Chinese Whispers on the defrag piece graph (rows-only:
     // seeded-random iterative fixpoint; ClusteringSpec owns semantics).
     // The %29 subset + bounded degree keep edge count ~linear in pieces
