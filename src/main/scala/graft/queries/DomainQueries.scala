@@ -483,6 +483,23 @@ object DomainQueries {
       Defrag.defragPieces(p, Defrag.pieceIdMappings(p))
     }),
 
+    // interval-overlap (range) join via the binned equi-join operator:
+    // overlapping piece pairs within each document (subset keyed off
+    // piece_id to keep the pair count bench-friendly)
+    "q_domain_piece_overlaps" -> ((s, dir) => {
+      val p = pieces(s, dir).where(col("piece_id") % 7 === 0)
+      val a = p.select(col("trs_id"), col("piece_id").as("piece_id_a"),
+        col("trs_start").as("a_start"), col("trs_end").as("a_end"))
+      val b = p.select(col("trs_id"), col("piece_id").as("piece_id_b"),
+        col("trs_start").as("b_start"), col("trs_end").as("b_end"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          a, b, Seq("trs_id"), "a_start", "a_end", "b_start", "b_end")
+        .where(col("piece_id_a") < col("piece_id_b"))
+        .select(col("trs_id"), col("piece_id_a"), col("piece_id_b"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("overlap_len"))
+    }),
+
     // defrag edge merge (defragmentation.py:65-86): orig edges remapped
     // through piece_id_mappings, grouped with merged-link counts, dense
     // edge ids (rows-only: ids derive from the UDAF scan; DefragSpec +
@@ -1119,6 +1136,16 @@ object DomainQueries {
           |SELECT src_trs_id, dst_trs_id, n_islands, covered_len,
           |  CAST(covered_len AS DOUBLE) / 2000 * 100.0 AS coverage_dst
           |FROM t""".stripMargin),
+
+    "q_domain_piece_overlaps" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte) +
+        """SELECT a.trs_id, a.piece_id AS piece_id_a, b.piece_id AS piece_id_b,
+          |  least(a.trs_end, b.trs_end) - greatest(a.trs_start, b.trs_start)
+          |    AS overlap_len
+          |FROM (SELECT * FROM pieces WHERE piece_id % 7 = 0) a
+          |JOIN (SELECT * FROM pieces WHERE piece_id % 7 = 0) b
+          |  ON a.trs_id = b.trs_id AND a.piece_id < b.piece_id
+          |  AND a.trs_start <= b.trs_end AND b.trs_start <= a.trs_end""".stripMargin),
 
     "q_domain_book_earliest" ->
       (chain(bookChain: _*) +
