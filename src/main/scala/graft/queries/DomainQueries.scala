@@ -187,6 +187,15 @@ object DomainQueries {
   private def trsIds(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "trs_ids")(TextReuse.textreuseIds(synthRaw(s, dir)))
 
+  /** defrag piece mappings — the UDAF scan output, shared by
+    * defrag_pieces and defrag_textreuses (the reference materializes
+    * piece_id_mappings once for the same reason, notebook cells 5-6).
+    */
+  private def defragMappings(s: SparkSession, dir: String): DataFrame = {
+    val p = pieces(s, dir)
+    memo(s, dir, "defrag_mappings")(Defrag.pieceIdMappings(p))
+  }
+
   // ---- synthetic book-corpus metadata (reference upstream assets
   // manifestation_ids / manifestation_publication_date / ecco_core /
   // eebo_core, synthesized deterministically from the trs id grammar so
@@ -478,10 +487,8 @@ object DomainQueries {
     // W5 window-UDAF defrag chain → defrag_pieces (rows-only: the scan
     // rule is inherently sequential per document; DefragSpec owns
     // correctness vs the straight-line oracle)
-    "q_domain_defrag_pieces" -> ((s, dir) => {
-      val p = pieces(s, dir)
-      Defrag.defragPieces(p, Defrag.pieceIdMappings(p))
-    }),
+    "q_domain_defrag_pieces" -> ((s, dir) =>
+      Defrag.defragPieces(pieces(s, dir), defragMappings(s, dir))),
 
     // interval-overlap (range) join via the binned equi-join operator:
     // overlapping piece pairs within each document (subset keyed off
@@ -504,12 +511,10 @@ object DomainQueries {
     // through piece_id_mappings, grouped with merged-link counts, dense
     // edge ids (rows-only: ids derive from the UDAF scan; DefragSpec +
     // EndToEndSpec own semantics)
-    "q_domain_defrag_textreuses" -> ((s, dir) => {
-      val p = pieces(s, dir)
+    "q_domain_defrag_textreuses" -> ((s, dir) =>
       Defrag.defragTextreuses(
-        TextReuse.origTextreuses(textreuses(s, dir), p),
-        Defrag.pieceIdMappings(p))
-    }),
+        TextReuse.origTextreuses(textreuses(s, dir), pieces(s, dir)),
+        defragMappings(s, dir))),
 
     // §2.10 Chinese Whispers on the defrag piece graph (rows-only:
     // seeded-random iterative fixpoint; ClusteringSpec owns semantics).
