@@ -30,6 +30,28 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.toSet === Set((10L, 30L), (10L, 31L), (11L, 30L), (12L, 32L)))
   }
 
+  test("seeded random intervals: binned == naive for several bin sizes") {
+    val rnd = new scala.util.Random(11)
+    val mk = (n: Int) => Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(2000)
+      (rnd.nextInt(6).toLong, i.toLong, s, s + rnd.nextInt(400))
+    }
+    val l = mk(300).toDF("k", "lid", "ls", "le")
+    val r = mk(300).map { case (k, id, s, e) => (k, id + 1000, s, e) }
+      .toDF("k", "rid", "rs", "re")
+    val naive = l.join(r, Seq("k"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(rr => (rr.getLong(0), rr.getLong(1)))
+      .sorted.toSeq
+    for (bin <- Seq(1, 7, 256, 4096)) {
+      val got = RangeJoin.intervalOverlapJoin(l, r, Seq("k"),
+          "ls", "le", "rs", "re", binSize = bin)
+        .select("lid", "rid").collect().map(rr => (rr.getLong(0), rr.getLong(1)))
+      assert(got.length === got.distinct.length, s"dup emits at bin=$bin")
+      assert(got.sorted.toSeq === naive, s"mismatch at bin=$bin")
+    }
+  }
+
   test("plan is an equi-join on (key, bin), not a nested loop") {
     val l = (1L to 100L).map(i => (i % 5, i, (i * 13 % 900).toInt))
       .map { case (k, id, s) => (k, id, s, s + 120) }
