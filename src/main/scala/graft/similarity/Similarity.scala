@@ -24,8 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fixed-point (1e-6) dot product of two float-array columns. */
+  /** Fixed-point (1e-6) dot product of two float/double-array columns.
+    * Backed by the native codegen'd expression
+    * (graft.expressions.FixedPointDot) — one fused JIT'd loop instead of
+    * interpreted zip_with+aggregate lambdas; [[dotFpHof]] keeps the HOF
+    * formulation for the parity spec.
+    */
   def dotFp(a: Column, b: Column): Column =
+    graft.expressions.FixedPointDot(a, b)
+
+  /** The higher-order-function formulation of [[dotFp]] (executable
+    * documentation of the semantics; spec-tested equal).
+    */
+  def dotFpHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         floor(x.cast("double") * y.cast("double") * lit(1000000.0)).cast("long")),

@@ -92,6 +92,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(refined.toSeq === again.toSeq)
   }
 
+  test("native FixedPointDot == HOF formulation, incl. mixed float/double") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.75f), Seq(2.0f, 4.0f, -0.5f)),
+      (2L, Seq(0f, 0f, 0f), Seq(1f, 1f, 1f)),
+      (3L, Seq(1e-7f, -1e-7f, 3.3f), Seq(1e-7f, 2.2f, -3.3f)))
+      .toDF("id", "a", "b")
+    val rows = d.select(
+        Similarity.dotFp(col("a"), col("b")).as("native"),
+        Similarity.dotFpHof(col("a"), col("b")).as("hof"),
+        // mixed element types: one side widened to double
+        Similarity.dotFp(transform(col("a"), x => x.cast("double")), col("b")).as("mixed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(1))
+    }
+    // length mismatch → null, matching zip_with's null padding semantics
+    val nulls = d.select(Similarity.dotFp(col("a"), slice(col("b"), 1, 2)).as("n"),
+        Similarity.dotFpHof(col("a"), slice(col("b"), 1, 2)).as("h"))
+      .collect()
+    nulls.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("nearDupPairs finds duplicates within a block, none across") {
     import spark.implicits._
     val d = Seq(
