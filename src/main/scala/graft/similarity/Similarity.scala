@@ -75,8 +75,18 @@ object Similarity {
   private def planeWeight(plane: Int, dim: Column): Column =
     ((lit(plane.toLong * 64L + 1L) + dim) * 2654435761L) % 1000003L - 501001L
 
-  /** Sign-bit bucket key from `nPlanes` hyperplanes. */
-  def lshBucket(emb: Column, nPlanes: Int): Column = {
+  /** Sign-bit bucket key from `nPlanes` hyperplanes. Backed by the
+    * native codegen'd expression (graft.expressions.LshBucket) — one
+    * fused pass over the array for all planes; [[lshBucketHof]] keeps
+    * the HOF formulation for the parity spec.
+    */
+  def lshBucket(emb: Column, nPlanes: Int): Column =
+    graft.expressions.LshBucket(emb, nPlanes)
+
+  /** The higher-order-function formulation of [[lshBucket]] (executable
+    * documentation of the semantics; spec-tested equal).
+    */
+  def lshBucketHof(emb: Column, nPlanes: Int): Column = {
     val dims = sequence(lit(0), size(emb) - 1)
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(

@@ -116,6 +116,17 @@ class SimilaritySpec extends SparkTestBase {
     nulls.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
+  test("native LshBucket == HOF formulation on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (planes <- Seq(1, 4, 7)) {
+      val mismatches = emb.select(
+          Similarity.lshBucket(col("embedding"), planes).as("n"),
+          Similarity.lshBucketHof(col("embedding"), planes).as("h"))
+        .where(col("n") =!= col("h")).count()
+      assert(mismatches === 0L, s"nPlanes=$planes")
+    }
+  }
+
   test("nearDupPairs finds duplicates within a block, none across") {
     import spark.implicits._
     val d = Seq(
