@@ -171,8 +171,18 @@ object TextAnalysis {
     * engine-defined shingle hash that avoids re-hashing overlapping
     * token text n times. `th` must be a computed attribute (see
     * tokenHashTable). Empty when the document has fewer than n tokens.
+    * Backed by the native codegen'd expression
+    * (graft.expressions.ShingleHashes) — one JIT'd sliding pass instead
+    * of one interpreted lambda (with n boxed lookups) per shingle;
+    * parity with [[shingleHashesHof]] is spec-tested.
     */
-  def shingleHashes(th: Column, n: Int = 3): Column = {
+  def shingleHashes(th: Column, n: Int = 3): Column =
+    graft.expressions.ShingleHashes(th, n)
+
+  /** The higher-order-function formulation of [[shingleHashes]] (kept
+    * for the parity spec and as executable documentation).
+    */
+  def shingleHashesHof(th: Column, n: Int = 3): Column = {
     val grams = transform(sequence(lit(0), size(th) - n),
       i => (0 until n).map(j => element_at(th, i + j + 1))
         .reduce((a, b) => (a * 131L + b) % HashMod))

@@ -42,6 +42,21 @@ class TextAnalysisSpec extends SparkTestBase {
     lam.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("native ShingleHashes == HOF formulation across widths") {
+    val d = docs(1L -> "a b c d e f g", 2L -> "one two", 3L -> "solo", 4L -> "")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = d.select(
+          TextAnalysis.shingleHashes(
+            transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.rollingHash(t)), n)
+            .as("native"),
+          TextAnalysis.shingleHashesHof(
+            transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.rollingHash(t)), n)
+            .as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n"))
+    }
+  }
+
   test("tokenStats counts whitespace tokens and distinct tokens") {
     val d = docs(1L -> "a b  b c", 2L -> "")
     val out = TextAnalysis.tokenStats(d).collect()
