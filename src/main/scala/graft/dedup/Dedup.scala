@@ -115,6 +115,14 @@ object Dedup {
     * signal, and without the cap a single hot bucket makes candidate
     * generation quadratic (the standard production guard; at 100 TB a
     * hot key would otherwise OOM one reducer).
+    *
+    * The cap itself is computed as groupBy(band, band_key) + join-back,
+    * NOT a whole-partition Window: the exact hot key the cap defends
+    * against is the key a Window would funnel onto one reducer *before*
+    * the cap applies. The aggregate partial-combines map-side, and both
+    * the aggregate and the join hash-partition on the same key, so the
+    * exchange is reused and the plan stays one shuffle (same shape as
+    * `exact()`).
     */
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, maxBucket: Int = 64): DataFrame = {
@@ -125,14 +133,16 @@ object Dedup {
     require(k % bands == 0, s"signature width k=$k must be divisible by bands=$bands")
     val rows = k / bands
     val sig = minhashSignatures(docs, k, shingleN)
-    val banded = sig.select(col("doc_id"),
+    val keyed = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rows + 1, lit(rows)))))
       .select(col("doc_id"), col("pos").as("band"),
         concat_ws("_", col("col")).as("band_key"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+    val smallBuckets = keyed.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val banded = keyed.join(smallBuckets, Seq("band", "band_key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -173,7 +183,10 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs whose fingerprints share a
     * bit-block (LSH over blocks) and differ in ≤ maxHamming bits.
-    * `maxBucket` is the same hot-bucket guard as in minhashCandidates.
+    * `maxBucket` is the same hot-bucket guard as in minhashCandidates —
+    * and the same groupBy+join-back shape, for the same reason: a hot
+    * block key must be counted by a partial aggregate, not sorted onto
+    * one reducer by a Window.
     */
   def simhashNearDups(docs: DataFrame, bits: Int = 32, blockBits: Int = 8,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
@@ -181,12 +194,14 @@ object Dedup {
     val nBlocks = bits / blockBits
     val blockExprs = (0 until nBlocks).map(b =>
       shiftright(col("sig"), b * blockBits).bitwiseAND((1L << blockBits) - 1L))
-    val blocked = withSig.select(col("doc_id"), col("sig"),
+    val keyed = withSig.select(col("doc_id"), col("sig"),
         posexplode(array(blockExprs: _*)))
       .select(col("doc_id"), col("sig"), col("pos").as("block"), col("col").as("block_key"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("block", "block_key")))
+    val smallBuckets = keyed.groupBy("block", "block_key")
+      .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val blocked = keyed.join(smallBuckets, Seq("block", "block_key"))
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.block_key") === col("b.block_key") &&
