@@ -1,6 +1,6 @@
 package graft.cluster
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -158,20 +158,54 @@ object Clustering {
 
   /** Durable alternating checkpoint, the reference's scheme (reference:
     * chinese_label_propagation.py:189-197): write parquet, read back.
+    * A `LATEST_ITER` marker is written AFTER the table is durable, so a
+    * crash mid-write leaves the previous marker intact and
+    * [[latestCheckpoint]] resumes from the last COMPLETE iteration —
+    * the alternating two-table scheme guarantees the marked table is
+    * never the one a crashed write half-overwrote.
     */
   def parquetCheckpointer(dir: String): Checkpointer = (df, i) => {
     val path = s"$dir/clusters_counts_${i % 2}"
     df.write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/LATEST_ITER"), i.toString)
     df.sparkSession.read.parquet(path)
+  }
+
+  /** Scan a [[parquetCheckpointer]] directory for the last completed
+    * iteration: (state at that iteration, iteration number), or None if
+    * no iteration ever completed. Feed the result to
+    * `propagate(resumeFrom = ...)` to restart a dead run where it
+    * stopped instead of from iteration 0 — the reference does the same
+    * manually by re-pointing its `iter` variable at the alternating
+    * checkpoint tables (chinese_label_propagation.py:75-77; restart
+    * guidance assets/README.md:250-251).
+    */
+  def latestCheckpoint(spark: SparkSession, dir: String): Option[(DataFrame, Int)] = {
+    val marker = java.nio.file.Paths.get(s"$dir/LATEST_ITER")
+    if (!java.nio.file.Files.exists(marker)) None
+    else {
+      val i = java.nio.file.Files.readString(marker).trim.toInt
+      Some((spark.read.parquet(s"$dir/clusters_counts_${i % 2}"), i))
+    }
   }
 
   /** Run label propagation to convergence (no active nodes) or maxIter.
     * Returns clustered_defrag_pieces(piece_id, cluster_id) (reference:
     * downstream_clusters.py:13-29).
+    *
+    * `resumeFrom = Some((state, k))` restarts a dead run from the
+    * checkpointed state of iteration k (see [[latestCheckpoint]]): the
+    * loop continues at iteration k with the SAME per-iteration
+    * `rand(seed + iteration)` draws, so a killed-then-resumed seeded run
+    * produces the same result as an unbroken one (ClusteringSpec). A
+    * multi-day production run that dies at iteration 60 of 100 resumes
+    * from 60 instead of starting over.
     */
   def propagate(adjacency: DataFrame, seed: Long = 42L, maxIter: Int = 100,
       updateProbability: Double = 0.9,
-      checkpointer: Option[Checkpointer] = None): DataFrame = {
+      checkpointer: Option[Checkpointer] = None,
+      resumeFrom: Option[(DataFrame, Int)] = None): DataFrame = {
     // default: durable alternating parquet checkpoint in a temp dir —
     // resets both lineage AND plan statistics each iteration (see
     // localCheckpointer caution)
@@ -196,8 +230,16 @@ object Clustering {
         df.observe(obs, sum(when(col("active"), 1L).otherwise(0L)).as("active")), i)
       (out, Option(obs.get("active")).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    var (state, active) = checkpointCounting(initialState(adj), 0)
-    var iter = 0
+    var (state, active, iter) = resumeFrom match {
+      case Some((st, k)) =>
+        // one count over the already-durable checkpoint — once per
+        // resume, not per iteration (the loop's own counts stay on the
+        // Observation API)
+        (st, st.filter(col("active")).count(), k)
+      case None =>
+        val (st, act) = checkpointCounting(initialState(adj), 0)
+        (st, act, 0)
+    }
     while (active > 0 && iter < maxIter) {
       val (next, persisted) = step(state, adj, seed, iter, updateProbability)
       iter += 1

@@ -239,6 +239,30 @@ object DomainQueries {
     trsIds(s, dir).select(col("trs_id"),
       (lit(1500) + (col("trs_id") % 7) * 250).cast("int").as("text_length"))
 
+  /** `textreuse_sources`-shaped view of the REAL documents table: each
+    * document is assigned one text name of the synthesis grammar
+    * (m0-m96 × .s0-.s4, then m100-m188 bare, then m100-m188 × .s0-.s3 —
+    * 930 names, matching the chain's trs universe), so
+    * TextReuse.sourceLengths joins ACTUAL text lengths into the
+    * coverage pipeline the way coverages.py:13-28 reads
+    * textreuse_sources. Documents beyond the name universe are sources
+    * outside the reuse network (dropped, like the reference's unmatched
+    * sources); at small SF some names have no document and surface as
+    * NULL coverage through the LEFT length joins.
+    */
+  private def spSources(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").where(col("doc_id") < 930)
+      .select(
+        when(col("doc_id") < 485,
+          concat(lit("m"), floor(col("doc_id") / 5).cast("int").cast("string"),
+            lit(".s"), (col("doc_id") % 5).cast("string")))
+          .when(col("doc_id") < 574,
+            concat(lit("m"), (col("doc_id") - 485 + 100).cast("string")))
+          .otherwise(concat(
+            lit("m"), (floor((col("doc_id") - 574) / 4).cast("int") + 100).cast("string"),
+            lit(".s"), ((col("doc_id") - 574) % 4).cast("string"))).as("doc_id"),
+        col("text"))
+
   // ---- synthetic author/edition/work metadata (reference upstream
   // assets edition_ids / estc_actor_links / actor_ids / mappings,
   // ids_and_mappings.py + actors_and_authors.py, synthesized
@@ -634,6 +658,15 @@ object DomainQueries {
       graft.analytics.BookBased.receptionInceptionBetweenBookCoverages(
         spBookDenorm(s, dir), spBookLengths(s, dir))),
 
+    // the flagship coverages asset END-TO-END over the domain chain with
+    // REAL text lengths: lengths-from-documents (coverages.py:13-28) →
+    // gaps-and-islands both orderings, reuse counts, broadcast LEFT
+    // length joins, ratio×100 (coverages.py:36-165)
+    "q_domain_coverages" -> ((s, dir) =>
+      graft.analytics.Coverages.coverages(
+        textreuses(s, dir),
+        TextReuse.sourceLengths(spSources(s, dir), trsIds(s, dir)))),
+
     // edition_publication_date (publication_date.py:15-73): ESTC-first
     // date resolution, UNION-distinct branches
     "q_domain_edition_pub_date" -> ((s, dir) => spEpd(s, dir)),
@@ -775,6 +808,52 @@ object DomainQueries {
 
   private val bookChain: Seq[String] = Seq(rawCte, trsIdsCte, textreusesCte,
     piecesCte, clusteredCte, midsCte, corpusCte, mpdCte, bookEarliestCte)
+
+  /** documents → text-name grammar + real lengths (must mirror
+    * spSources + TextReuse.sourceLengths exactly)
+    */
+  private val sourceLengthsCte: String =
+    """sources AS (
+      |  SELECT CASE
+      |      WHEN doc_id < 485 THEN 'm' || CAST(CAST(floor(doc_id / 5) AS INT) AS VARCHAR)
+      |        || '.s' || CAST(doc_id % 5 AS VARCHAR)
+      |      WHEN doc_id < 574 THEN 'm' || CAST(doc_id - 485 + 100 AS VARCHAR)
+      |      ELSE 'm' || CAST(CAST(floor((doc_id - 574) / 4) AS INT) + 100 AS VARCHAR)
+      |        || '.s' || CAST((doc_id - 574) % 4 AS VARCHAR) END AS text_name,
+      |    text
+      |  FROM documents WHERE doc_id < 930),
+      |lengths AS (
+      |  SELECT trs_id, CAST(length(text) AS INT) AS text_length
+      |  FROM sources src JOIN trs ON trs.text_name = src.text_name)""".stripMargin
+
+  /** one gaps-and-islands side of the domain coverages over the full
+    * textreuses CTE (mirrors Coverages.islandStats; c-prefixed CTE names
+    * avoid the t1/t2 aliases inside textreusesCte)
+    */
+  private def covIslandsCte(side: Int): String = {
+    val (st, en) = (s"trs${side}_start", s"trs${side}_end")
+    val (n, len) = if (side == 1) ("t1_reuses", "reuse_t1_t2") else ("t2_reuses", "reuse_t2_t1")
+    s"""cg$side AS (
+       |  SELECT trs1_id, trs2_id, $st, $en,
+       |    CASE WHEN max($en) OVER (PARTITION BY trs1_id, trs2_id
+       |        ORDER BY $st, $en
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 >= $st
+       |      THEN 0 ELSE 1 END AS new_island
+       |  FROM tr),
+       |ci$side AS (
+       |  SELECT trs1_id, trs2_id, $st, $en,
+       |    sum(new_island) OVER (PARTITION BY trs1_id, trs2_id
+       |      ORDER BY $st, $en) AS island_id
+       |  FROM cg$side),
+       |ca$side AS (
+       |  SELECT trs1_id, trs2_id, island_id,
+       |    CAST(max($en) - min($st) AS BIGINT) AS island_len
+       |  FROM ci$side GROUP BY 1, 2, 3),
+       |ct$side AS (
+       |  SELECT trs1_id, trs2_id, count(*) AS $n,
+       |    CAST(sum(island_len) AS BIGINT) AS $len
+       |  FROM ca$side GROUP BY 1, 2)""".stripMargin
+  }
 
   // ---- author/edition/work metadata CTE twins (must mirror
   // spEditionLabels/spEditionIds/spActorLinks/spEditionAuthors/
@@ -1182,6 +1261,16 @@ object DomainQueries {
           |  AND t2.dst_trs_id = t1.dst_trs_id
           |LEFT JOIN blen l1 ON l1.trs_id = t1.src_trs_id
           |LEFT JOIN blen l2 ON l2.trs_id = t1.dst_trs_id""".stripMargin),
+
+    "q_domain_coverages" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, sourceLengthsCte,
+          covIslandsCte(1), covIslandsCte(2)) +
+        """SELECT trs1_id, trs2_id, t1_reuses, t2_reuses, reuse_t1_t2, reuse_t2_t1,
+          |  reuse_t1_t2 / l1.text_length * 100.0 AS coverage_t1_t2,
+          |  reuse_t2_t1 / l2.text_length * 100.0 AS coverage_t2_t1
+          |FROM ct1 JOIN ct2 USING (trs1_id, trs2_id)
+          |LEFT JOIN lengths l1 ON l1.trs_id = trs1_id
+          |LEFT JOIN lengths l2 ON l2.trs_id = trs2_id""".stripMargin),
 
     "q_domain_edition_pub_date" ->
       (chain(rawCte, trsIdsCte, midsCte, editionCtes, coreCtes, epdCte) +

@@ -52,6 +52,77 @@ object SimilarityQueries {
       s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB twin of Similarity.ivfTopK with `iters` Lloyd refinement
+    * passes: a chain of CTE blocks, one per pass — score vs current
+    * centroids (sc_i), rank-1 assign (a_i), per-dimension fixed-point
+    * sums (sums_i), refined means (refined_i) — each feeding
+    * cells_{i+1}; a cell with no members keeps its PREVIOUS centroid
+    * (LEFT JOIN against cells_i, exactly like the Spark loop).
+    */
+  private def kmeansSql(iters: Int): String = {
+    val iterBlocks = (0 until iters).map { it =>
+      s"""sc_$it AS (
+         |  SELECT v.vec_id, v.embedding, c.cell_id,
+         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+         |  FROM embeddings v CROSS JOIN cells_$it c),
+         |a_$it AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT vec_id, embedding, cell_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM sc_$it) WHERE r = 1),
+         |sums_$it AS (
+         |  SELECT cell_id, i AS pos,
+         |    CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM a_$it, unnest(range(len(embedding))) AS u(i)
+         |  GROUP BY cell_id, i),
+         |refined_$it AS (
+         |  SELECT cell_id,
+         |    list(CAST(s AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) ORDER BY pos)
+         |      AS new_emb
+         |  FROM sums_$it GROUP BY cell_id),
+         |cells_${it + 1} AS (
+         |  SELECT c.cell_id, coalesce(r.new_emb, c.cell_emb) AS cell_emb
+         |  FROM cells_$it c LEFT JOIN refined_$it r USING (cell_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells_0 AS (
+       |  SELECT vec_id AS cell_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |$iterBlocks,
+       |scored_cells AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+       |  FROM embeddings v CROSS JOIN cells_$iters c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell_id) AS r
+       |    FROM scored_cells) WHERE r = 1),
+       |probed AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell_id) AS r
+       |    FROM scored_cells WHERE vec_id < 8) WHERE r <= 4),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probed p JOIN assigned a USING (cell_id)
+       |  WHERE p.query_id != a.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM pairs p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings c ON c.vec_id = p.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-5 for 8 query vectors over all candidates
@@ -82,6 +153,14 @@ object SimilarityQueries {
     "q_sim_ivf_kmeans" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5, kmeansIters = 1)
+    }),
+
+    // two Lloyd passes — proves the fixed-point-mean loop stays
+    // oracle-exact under COMPOSITION (iteration 2 consumes iteration 1's
+    // refined centroids, incl. the keep-previous-centroid empty-cell rule)
+    "q_sim_ivf_kmeans2" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5, kmeansIters = 2)
     })
   )
 
@@ -132,66 +211,9 @@ object SimilarityQueries {
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
 
-    "q_sim_ivf_kmeans" -> {
-      s"""WITH cells0 AS (
-         |  SELECT vec_id AS cell_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
-         |sc0 AS (
-         |  SELECT v.vec_id, v.embedding, c.cell_id,
-         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
-         |  FROM embeddings v CROSS JOIN cells0 c),
-         |a0 AS (
-         |  SELECT vec_id, embedding, cell_id FROM (
-         |    SELECT vec_id, embedding, cell_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell_id) AS r
-         |    FROM sc0) WHERE r = 1),
-         |sums AS (
-         |  SELECT cell_id, i AS pos,
-         |    CAST(sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
-         |      AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM a0, unnest(range(len(embedding))) AS u(i)
-         |  GROUP BY cell_id, i),
-         |refined AS (
-         |  SELECT cell_id,
-         |    list(CAST(s AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) ORDER BY pos)
-         |      AS new_emb
-         |  FROM sums GROUP BY cell_id),
-         |cells AS (
-         |  SELECT c.cell_id, coalesce(r.new_emb, c.cell_emb) AS cell_emb
-         |  FROM cells0 c LEFT JOIN refined r USING (cell_id)),
-         |scored_cells AS (
-         |  SELECT v.vec_id, c.cell_id,
-         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
-         |  FROM embeddings v CROSS JOIN cells c),
-         |assigned AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell_id) AS r
-         |    FROM scored_cells) WHERE r = 1),
-         |probed AS (
-         |  SELECT vec_id AS query_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell_id) AS r
-         |    FROM scored_cells WHERE vec_id < 8) WHERE r <= 4),
-         |pairs AS (
-         |  SELECT p.query_id, a.vec_id
-         |  FROM probed p JOIN assigned a USING (cell_id)
-         |  WHERE p.query_id != a.vec_id),
-         |scored AS (
-         |  SELECT p.query_id, p.vec_id,
-         |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
-         |  FROM pairs p
-         |  JOIN embeddings q ON q.vec_id = p.query_id
-         |  JOIN embeddings c ON c.vec_id = p.vec_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    "q_sim_ivf_kmeans" -> kmeansSql(1),
+
+    "q_sim_ivf_kmeans2" -> kmeansSql(2),
 
     "q_sim_ivf_topk" -> {
       s"""WITH cells AS (

@@ -139,11 +139,16 @@ object Similarity {
   }
 
   /** Distinct per-table view of the embedding: rotate elements by t so
-    * each LSH table sees effectively independent hyperplanes.
+    * each LSH table sees effectively independent hyperplanes. The tail
+    * slice length is derived from size(emb) (to-end semantics, matching
+    * the DuckDB twin `embedding[7t+1:]`) — never a literal cap that
+    * would silently break rotation independence for very wide vectors.
     */
   private def shuffleForTable(emb: Column, t: Int): Column =
     if (t == 0) emb
-    else concat(slice(emb, lit(t * 7 + 1), lit(1000000)), slice(emb, lit(1), lit(t * 7)))
+    else concat(
+      slice(emb, lit(t * 7 + 1), greatest(size(emb) - lit(t * 7), lit(0))),
+      slice(emb, lit(1), lit(t * 7)))
 
   /** IVF (inverted-file) ANN: vectors are assigned to their
     * nearest-centroid cell once; a query scans only its `nProbe`
@@ -196,7 +201,11 @@ object Similarity {
         .groupBy("cell_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("new_emb"))
-      cells = seeds.join(refined, Seq("cell_id"), "left")
+      // a cell that lost every member keeps its PREVIOUS centroid (join
+      // against the current `cells`, not the seeds — with 2+ iterations
+      // falling back to the seed would silently rewind the cell)
+      cells = cells.select(col("cell_id"), col("cell_emb"))
+        .join(refined, Seq("cell_id"), "left")
         .select(col("cell_id"), coalesce(col("new_emb"), col("cell_emb")).as("cell_emb"))
         .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
     }

@@ -66,6 +66,31 @@ class ClusteringSpec extends SparkTestBase {
     assert(ok, "no tested seed settled the bridge graph into two cliques")
   }
 
+  test("kill at iteration k + resume equals the unbroken seeded run") {
+    // the bridge keeps one node tied-active forever, so the loop always
+    // runs to maxIter — the resume path is genuinely exercised.
+    val g = edges(clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L))
+      ++ Seq((100L, 1L), (100L, 10L)))
+    val adj = Clustering.adjacencyList(g).cache()
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (dirFull, dirKilled) = (tmp("graft-ckpt-full"), tmp("graft-ckpt-killed"))
+    val full = Clustering.propagate(adj, seed = 11L, maxIter = 6,
+        checkpointer = Some(Clustering.parquetCheckpointer(dirFull)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // "crashed" run: dies after completing iteration 2
+    Clustering.propagate(adj, seed = 11L, maxIter = 2,
+      checkpointer = Some(Clustering.parquetCheckpointer(dirKilled)))
+      .collect()
+    val resume = Clustering.latestCheckpoint(spark, dirKilled)
+    assert(resume.map(_._2) === Some(2), "dir scan must find iteration 2")
+    val resumed = Clustering.propagate(adj, seed = 11L, maxIter = 6,
+        checkpointer = Some(Clustering.parquetCheckpointer(dirKilled)),
+        resumeFrom = resume)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(resumed === full)
+    assert(Clustering.latestCheckpoint(spark, tmp("graft-ckpt-empty")).isEmpty)
+  }
+
   test("propagation is deterministic for a fixed seed") {
     val g = edges(clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L)) ++ Seq((3L, 7L)))
     val adj = Clustering.adjacencyList(g)
