@@ -170,6 +170,20 @@ object DomainQueries {
     stageCache.clear()
   }
 
+  /** Build and MATERIALIZE every memoized upstream stage (noop write —
+    * runs the full plan and populates the persisted cache). Bench calls
+    * this during warm-up so per-query timings measure the operator
+    * under test, not the one-time shared-chain construction that the
+    * alphabetically first domain query would otherwise absorb.
+    */
+  def prebuild(s: SparkSession, dir: String): Unit =
+    Seq(textreuses(s, dir), pieces(s, dir), trsIds(s, dir),
+        defragMappings(s, dir), spMids(s, dir), spEditionIds(s, dir),
+        spEditionAuthors(s, dir), spTem(s, dir), spTwm(s, dir),
+        spEpd(s, dir), spMpd2(s, dir), spBookEarliest(s, dir),
+        spBookDenorm(s, dir))
+      .foreach(_.write.format("noop").mode("overwrite").save())
+
   private def textreuses(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "textreuses") {
       val raw = synthRaw(s, dir)

@@ -3,6 +3,7 @@ package graft.sink
 import java.sql.DriverManager
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
 
 /** JDBC bulk sink with count-parity verification (SURVEY.md §2.1 S7).
   *
@@ -40,9 +41,35 @@ object Jdbc {
     } finally conn.close()
   }
 
+  /** The reference's implicit id-width contract made EXPLICIT: every id
+    * column except piece_id is declared `int(11) unsigned` in the
+    * database schemas (reference: database_assets/ids_and_mappings.py:
+    * 15-20 — trs_id, manifestation_id_i, edition_id_i, ...) while
+    * piece_id alone is `bigint(20) unsigned`
+    * (downstream_clusters.py:18). A 64-bit Spark id that silently
+    * outgrew 32 bits would wrap or truncate at the database; this guard
+    * fails the JOB instead, per row, inside codegen (`raise_error` only
+    * evaluates on violation). Bounds are MariaDB-unsigned: [0, 2³²).
+    */
+  def withNarrowedIds(df: DataFrame, cols: Seq[String],
+      maxExclusive: Long = 1L << 32): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c) < 0L || col(c) >= maxExclusive,
+          raise_error(concat_ws("", lit(s"id column '$c' violates the 32-bit "),
+            lit(s"unsigned id contract (value "), col(c).cast("string"),
+            lit(s" outside [0, $maxExclusive))"))).cast(d.schema(c).dataType))
+          .otherwise(col(c)))
+    }
+
   /** Drop/create `table` with `ddl`, bulk-insert `df`, assert row-count
     * parity, then apply `indexDdl` statements. Returns row count and
     * phase timings.
+    *
+    * `narrow32Ids` names id columns declared with a 32-bit database
+    * type (the reference's `int(11) unsigned` ids): each is wrapped in
+    * the [[withNarrowedIds]] overflow check so an id outside [0, 2³²)
+    * aborts the load loudly instead of wrapping in the database.
     *
     * Parity is checked against the SAME materialization that was
     * written: `df` is persisted before the write and the Spark-side
@@ -56,10 +83,11 @@ object Jdbc {
     */
   def loadTable(df: DataFrame, url: String, table: String, ddl: String,
       indexDdl: Seq[String] = Seq.empty, batchSize: Int = 100000,
-      numPartitions: Int = 8): LoadResult = {
+      numPartitions: Int = 8, narrow32Ids: Seq[String] = Seq.empty): LoadResult = {
     execute(url, s"DROP TABLE $table", ignoreErrors = true)
     execute(url, ddl)
-    val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = withNarrowedIds(df, narrow32Ids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val t0 = System.nanoTime()
       persisted.coalesce(numPartitions).write

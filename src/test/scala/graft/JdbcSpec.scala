@@ -27,6 +27,36 @@ class JdbcSpec extends SparkTestBase {
     assert(back.where($"id" === 42L).select("name").head.getString(0) === "name_42")
   }
 
+  test("narrow32Ids loads ids inside the unsigned-32 contract and indexes them") {
+    val dir = Files.createTempDirectory("graft-derby3").resolve("db")
+    val url = s"jdbc:derby:$dir;create=true"
+    // 2^31 < id < 2^32 is VALID under the MariaDB `int(11) unsigned`
+    // contract — the DDL must use a 64-bit db type outside MariaDB
+    val df = Seq((0L, 1L), (42L, (1L << 31) + 5L), ((1L << 32) - 1L, 7L))
+      .toDF("trs_id", "piece_id")
+    val r = Jdbc.loadTable(df, url, "t_narrow",
+      "CREATE TABLE t_narrow (trs_id BIGINT, piece_id BIGINT)",
+      narrow32Ids = Seq("trs_id"))
+    assert(r.rows === 3L)
+  }
+
+  test("an id outside the unsigned-32 contract fails the load loudly") {
+    val dir = Files.createTempDirectory("graft-derby4").resolve("db")
+    val url = s"jdbc:derby:$dir;create=true"
+    for (bad <- Seq(1L << 32, -1L)) {
+      val df = Seq((1L, 1L), (bad, 2L)).toDF("trs_id", "piece_id")
+      val e = intercept[Exception] {
+        Jdbc.loadTable(df, url, "t_overflow",
+          "CREATE TABLE t_overflow (trs_id BIGINT, piece_id BIGINT)",
+          narrow32Ids = Seq("trs_id"))
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("32-bit unsigned id contract")),
+        s"expected the id-contract error for $bad, got: $e")
+    }
+  }
+
   test("loadTable replaces an existing table") {
     val dir = Files.createTempDirectory("graft-derby2").resolve("db")
     val url = s"jdbc:derby:$dir;create=true"
