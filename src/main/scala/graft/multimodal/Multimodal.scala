@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * payloads, batched per-partition processing (`mapPartitions` over a
   * typed Dataset — the JVM twin of `mapInPandas`: one iterator per
   * partition, vectorizable, no per-row serialization round trips), and
-  * partition sizing by byte budget. The actual media decode is STUBBED
-  * (this environment has no image/audio codecs): `decodeStub` derives a
-  * deterministic fake feature vector from the payload bytes, and is the
-  * single seam to replace with a real codec (e.g. javacpp-ffmpeg) — the
-  * schema, batching and shuffle behavior do not change.
+  * partition sizing by byte budget.
+  *
+  * Decode is REAL for the formats the JDK decodes natively with zero
+  * external dependencies: images via `javax.imageio` (PNG, JPEG, BMP,
+  * GIF, WBMP) and audio via `javax.sound.sampled` (WAV/AIFF PCM).
+  * Payloads those codecs reject — and all VIDEO, for which the JDK has
+  * no codec — fall back to `decodeStub`, a deterministic pseudo-feature
+  * over the raw bytes, so the pipeline shape is identical either way
+  * and a ffmpeg-style native codec slots into the same seam.
   *
   * Scale notes: payloads never enter a shuffle — feature extraction is
   * narrow (map-only); only the small (asset_id, features, meta) rows
@@ -71,14 +75,119 @@ object Multimodal {
     acc
   }
 
-  /** Feature-extraction output row: integer stripe fingerprints (the
-    * stub "embedding"; a real decoder would emit float features).
+  /** REAL image decode via the JDK's built-in ImageIO codecs (no
+    * external native libraries). Returns (width, height, `dims` mean-
+    * luminance column stripes) or None when the payload is not an image
+    * ImageIO can read — callers fall back to the stub. Luminance uses
+    * the integer ITU-R 601 weights (299/587/114), so features are
+    * deterministic across JVMs.
+    */
+  def decodeImage(payload: Array[Byte], dims: Int = 8): Option[(Int, Int, Array[Long])] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val acc = Array.fill(dims)(0L)
+        val cnt = Array.fill(dims)(0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            val cell = math.min(x * dims / w, dims - 1)
+            acc(cell) += lum
+            cnt(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, Array.tabulate(dims)(i => if (cnt(i) == 0) 0L else acc(i) / cnt(i))))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF PCM,
+    * no external codecs). Returns (sampleRate, channels, `dims` mean-
+    * absolute-amplitude stripes over the 16-bit samples) or None when
+    * the payload is not a parseable audio stream. 8-bit streams fall
+    * back to byte magnitudes; compressed audio (MP3 etc.) is not in the
+    * JDK and lands on the stub like video.
+    */
+  def decodeAudio(payload: Array[Byte], dims: Int = 8): Option[(Float, Int, Array[Long])] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      val fmt = in.getFormat
+      val data = in.readAllBytes()
+      in.close()
+      val acc = Array.fill(dims)(0L)
+      val cnt = Array.fill(dims)(0L)
+      if (fmt.getSampleSizeInBits == 16 && data.length >= 2) {
+        val n = data.length / 2
+        var i = 0
+        while (i < n) {
+          val (lo, hi) = if (fmt.isBigEndian) (data(2 * i + 1), data(2 * i))
+            else (data(2 * i), data(2 * i + 1))
+          val sample = ((hi << 8) | (lo & 0xff)).toShort.toInt
+          val cell = math.min(i * dims / n, dims - 1)
+          acc(cell) += math.abs(sample)
+          cnt(cell) += 1
+          i += 1
+        }
+      } else {
+        val n = data.length
+        var i = 0
+        while (i < n) {
+          val cell = math.min(i * dims / n, dims - 1)
+          acc(cell) += math.abs(data(i).toInt)
+          cnt(cell) += 1
+          i += 1
+        }
+      }
+      Some((fmt.getSampleRate, fmt.getChannels,
+        Array.tabulate(dims)(i => if (cnt(i) == 0) 0L else acc(i) / cnt(i))))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Image resize through the JDK raster pipeline: decode, scale with
+    * Graphics2D, re-encode (`format` = any ImageIO writer, e.g. "png").
+    * None when the payload is not a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int,
+      format: String = "png"): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map { img =>
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, width, height, null)
+          finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, format, baos)
+          baos.toByteArray
+        }
+    } catch { case _: Exception => None }
+
+  /** Feature-extraction output row: integer stripe features — real
+    * luminance/amplitude stripes when the JDK could decode the payload,
+    * the deterministic stub fingerprint otherwise (`decoded` says which).
     */
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
-      features: Array[Long])
+      features: Array[Long], decoded: Boolean)
 
   /** Batched per-partition feature extraction — the mapInPandas-shaped
     * stage: one iterator in, one iterator out, constant memory per batch.
+    * Dispatches to the real JDK decoder for the asset's modality and
+    * falls back to the stub for undecodable payloads (incl. all video).
     */
   def extractFeatures(assets: DataFrame, dims: Int = 8): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
@@ -88,7 +197,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, modality, payload) =>
           val p = if (payload == null) Array.empty[Byte] else payload
-          AssetFeatures(id, modality, p.length.toLong, decodeStub(p, dims))
+          val real = modality match {
+            case "image" => decodeImage(p, dims).map(_._3)
+            case "audio" => decodeAudio(p, dims).map(_._3)
+            case _ => None // video: no JDK codec — always the stub
+          }
+          AssetFeatures(id, modality, p.length.toLong,
+            real.getOrElse(decodeStub(p, dims)), real.isDefined)
         }
       }
   }

@@ -60,6 +60,79 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.toSeq === Seq((0, 64L)))
   }
 
+  /** A real PNG via the JDK encoder: horizontal black→white gradient. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / math.max(w - 1, 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A real 16-bit PCM WAV: quiet first half, loud constant second half. */
+  private def wavBytes(samples: Int, rateHz: Float = 8000f): Array[Byte] = {
+    val data = new Array[Byte](samples * 2)
+    for (i <- 0 until samples) {
+      val s: Short = if (i < samples / 2) 100 else 20000
+      data(2 * i) = (s & 0xff).toByte          // little-endian PCM
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeImage REALLY decodes a PNG: dimensions and gradient stripes") {
+    val Some((w, h, stripes)) = Multimodal.decodeImage(pngBytes(64, 8), dims = 8)
+    assert((w, h) === (64, 8))
+    // gradient: luminance stripe means strictly increase left to right
+    assert(stripes.toSeq === stripes.toSeq.sorted)
+    assert(stripes.head < stripes.last)
+    // non-image bytes are rejected, not mis-decoded
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("decodeAudio REALLY parses a WAV: format metadata and amplitude stripes") {
+    val Some((rate, channels, stripes)) = Multimodal.decodeAudio(wavBytes(8000), dims = 8)
+    assert(rate === 8000f)
+    assert(channels === 1)
+    // quiet half, loud half: last stripe mean amplitude dwarfs the first
+    assert(stripes.head < 200L && stripes.last > 10000L)
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
+  test("resizeImage round-trips through the JDK raster pipeline") {
+    val resized = Multimodal.resizeImage(pngBytes(64, 8), 16, 4)
+    assert(resized.isDefined)
+    val Some((w, h, _)) = Multimodal.decodeImage(resized.get)
+    assert((w, h) === (16, 4))
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+  }
+
+  test("extractFeatures uses the real decoder when the payload decodes") {
+    import spark.implicits._
+    val assets = Seq(
+      (0L, "image", pngBytes(64, 8)),          // real decode
+      (1L, "audio", wavBytes(4000)),           // real decode
+      (2L, "video", "opaque".getBytes),        // no JDK video codec → stub
+      (3L, "image", "not an image".getBytes))  // undecodable → stub
+      .toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(out.map(_.decoded).toSeq === Seq(true, true, false, false))
+    assert(out(0).features.toSeq ===
+      Multimodal.decodeImage(pngBytes(64, 8)).get._3.toSeq)
+    assert(out(3).features.toSeq ===
+      Multimodal.decodeStub("not an image".getBytes).toSeq)
+  }
+
   test("repartitionByBytes sizes partitions by byte budget") {
     val a = Multimodal.assetsFromDocuments(docs((0L to 9L).map(i => i -> ("x" * 100)): _*))
     val parts = Multimodal.repartitionByBytes(a, bytesPerPartition = 300)
