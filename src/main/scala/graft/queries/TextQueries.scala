@@ -31,7 +31,13 @@ object TextQueries {
       TextAnalysis.langId(Tables(s, dir, "documents"))),
 
     "q_text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Tables(s, dir, "documents")))
+      TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+
+    // Gopher-style repetition filters: top/duplicated token fraction +
+    // the same over word bigrams (hash-keyed group-bys, see
+    // TextAnalysis.repetitionStats)
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents")))
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -93,6 +99,42 @@ object TextQueries {
          |  CASE WHEN n > 0 THEN CAST(CAST(list_sum(
          |      list_transform(range(n), i -> (th[i+1] * (i+1)) % $P)) AS BIGINT) % $P AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS token_fingerprint
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // mirrors TextAnalysis.repetitionStats: same per-token rolling
+    // hashes, same n=2 shingle combination (th_i*131 + th_{i+1}) % p,
+    // ratios as one BIGINT/BIGINT→DOUBLE division; short docs get NULL
+    // n-gram columns through the LEFT JOIN
+    "q_text_repetition" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform($toks, tk -> ${charHash("tk")}) AS th
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, h, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(th) AS h FROM th) GROUP BY doc_id, h),
+         |tok_agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         |    CAST(max(c) AS BIGINT) AS top_c,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+         |  FROM tok GROUP BY doc_id),
+         |gr AS (
+         |  SELECT doc_id, g, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(th) >= 2
+         |      THEN list_transform(range(len(th) - 1), i -> (th[i+1] * 131 + th[i+2]) % $P)
+         |      ELSE [] END) AS g
+         |    FROM th) GROUP BY doc_id, g),
+         |gr_agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         |    CAST(max(c) AS BIGINT) AS top_g,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_g
+         |  FROM gr GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+         |  CAST(top_c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS top_token_frac,
+         |  CAST(dup_c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS dup_token_frac,
+         |  g.n_ngrams,
+         |  CAST(top_g AS DOUBLE) / CAST(g.n_ngrams AS DOUBLE) AS top_ngram_frac,
+         |  CAST(dup_g AS DOUBLE) / CAST(g.n_ngrams AS DOUBLE) AS dup_ngram_frac
+         |FROM tok_agg t LEFT JOIN gr_agg g USING (doc_id)""".stripMargin
   )
 }

@@ -166,6 +166,49 @@ object TextAnalysis {
         transform(tokens(col("text")), t => rollingHashInline(t)).as("th"))
       .repartition(col("doc_id"))
 
+  /** Repetition-based quality signals per document (the Gopher-family
+    * repetition filters for training corpora): most-frequent-token
+    * fraction, fraction of token instances belonging to a repeated
+    * token, and the same two signals over word n-grams. High values
+    * flag boilerplate/templated/looping documents.
+    *
+    * Shape: explode the per-token hash table → two partial-aggregated
+    * groupBy levels ((doc, hash) counts, then per-doc maxima/sums) —
+    * shuffle keys are (doc_id, 8-byte hash), never token strings, and
+    * the n-gram branch reuses the same exchange-barriered `th` table.
+    * Ratios are a single long/long→double division, so the DuckDB twin
+    * reproduces them bit-exactly. Documents with fewer than n tokens
+    * have NULL n-gram columns (left join), the standard "undefined"
+    * convention.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val tht = tokenHashTable(docs)
+    val tok = tht.select(col("doc_id"), explode(col("th")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct_tokens"),
+        max("c").as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        (col("dup_c").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_frac"))
+    val gram = tht.select(col("doc_id"), explode(shingleHashes(col("th"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_ngrams"),
+        max("c").as("top_g"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_g"))
+      .select(col("doc_id"), col("n_ngrams"),
+        (col("top_g").cast("double") / col("n_ngrams").cast("double"))
+          .as("top_ngram_frac"),
+        (col("dup_g").cast("double") / col("n_ngrams").cast("double"))
+          .as("dup_ngram_frac"))
+    tok.join(gram, Seq("doc_id"), "left")
+  }
+
   /** Hashes of word n-gram shingles, derived from per-token hashes by
     * polynomial combination: h = fold(h*131 + th_j) mod p — an
     * engine-defined shingle hash that avoids re-hashing overlapping

@@ -65,6 +65,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L)._1 === 1L) // split("") yields [""] — documented edge
   }
 
+  test("repetitionStats computes top/dup token and bigram fractions") {
+    // "a a a b": 4 tokens, 2 distinct, top 'a'×3 → 0.75; 3 of 4
+    // instances are of a repeated token → 0.75. Bigrams (a,a),(a,a),
+    // (a,b): 3 grams, top 2/3, dup 2/3. "x": one token, no bigrams →
+    // NULL n-gram columns.
+    val d = docs(1L -> "a a a b", 2L -> "x")
+    val out = TextAnalysis.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2)) === ((4L, 2L)))
+    assert(r1.getDouble(3) === 0.75 && r1.getDouble(4) === 0.75)
+    assert(r1.getLong(5) === 3L)
+    assert(math.abs(r1.getDouble(6) - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(r1.getDouble(7) - 2.0 / 3.0) < 1e-15)
+    val r2 = out(2L)
+    assert((r2.getLong(1), r2.getLong(2)) === ((1L, 1L)))
+    assert(r2.getDouble(3) === 1.0 && r2.getDouble(4) === 0.0)
+    assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
+  }
+
   test("shingles produces n-token windows, distinct, empty when short") {
     val d = docs(1L -> "a b c d", 2L -> "a b")
     val out = d.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
