@@ -13,21 +13,24 @@ import org.apache.spark.sql.types.StructType
   *
   * The reference streams zip-of-JSONL archives from S3: the driver lists
   * the zip central directory, parallelizes the entry list, and every
-  * task re-opens the archive and parses its assigned entries
+  * task opens the archive and parses its assigned entries
   * (raw_textreuses.py:43-68, 80-133). `readZippedJsonl` reproduces that
   * execution shape on any Hadoop filesystem (file://, hdfs://, s3a://)
-  * — driver lists entry names, executors re-open and stream — with two
-  * deliberate deviations (SURVEY.md §7.3): parsing is delegated to
-  * Spark's JSON reader against an explicit schema (vectorized, typed)
-  * instead of per-row Python dict coercion, and malformed records
-  * surface through the reader's columnNameOfCorruptRecord mechanism
-  * instead of being silently swallowed (raw_textreuses.py:39-40).
+  * — driver indexes the central directory (ZipIndex), executors seek
+  * straight to their entries — with two deliberate deviations
+  * (SURVEY.md §7.3): parsing is delegated to Spark's JSON reader
+  * against an explicit schema (vectorized, typed) instead of per-row
+  * Python dict coercion, and malformed records surface through the
+  * reader's columnNameOfCorruptRecord mechanism instead of being
+  * silently swallowed (raw_textreuses.py:39-40).
   *
   * Scale notes: one driver pass over the central directory (metadata
-  * only); entry payloads are only read inside tasks. Partition count
-  * caps at the entry count; the reference's 200-partition default is
-  * kept. Plain JSONL/CSV directories should use the direct readers —
-  * the zip path exists for parity with archival inputs.
+  * only); entry payloads are only read inside tasks, each exactly once
+  * (seek-based — see ZipIndex for why ZipInputStream would multiply
+  * archive I/O by the partition count). Partition count caps at the
+  * entry count; the reference's 200-partition default is kept. Plain
+  * JSONL/CSV directories should use the direct readers — the zip path
+  * exists for parity with archival inputs.
   */
 object Ingest {
 
@@ -70,39 +73,46 @@ object Ingest {
     } finally zin.close()
   }
 
-  /** Zip-of-JSONL ingest: parallelize the entry list, each task re-opens
-    * the archive and yields the text lines of its assigned entries, then
-    * parse with the schema'd JSON reader.
+  /** Zip-of-JSONL ingest: the driver parses the archive's CENTRAL
+    * DIRECTORY once (ZipIndex — one tail read + one directory read,
+    * metadata only), parallelizes the entry list with per-entry byte
+    * offsets, and each task SEEKS directly to its assigned entries over
+    * one open file handle. Total archive I/O is O(archive size)
+    * regardless of partition count — a ZipInputStream-based task would
+    * have to stream-and-discard every preceding entry, reading the
+    * archive once PER PARTITION. Works on any seekable Hadoop
+    * filesystem (file://, hdfs://, s3a:// ranged reads — the same
+    * shape as the reference's seekable smart_open S3 stream,
+    * raw_textreuses.py:60-66).
     */
   def readZippedJsonl(spark: SparkSession, zipPath: String, schema: StructType,
       numPartitions: Int = 200): DataFrame = {
-    val entries = listZipEntries(spark, zipPath)
+    val p0 = new Path(zipPath)
+    val fs0 = FileSystem.get(p0.toUri, spark.sparkContext.hadoopConfiguration)
+    val entries = ZipIndex.entries(fs0, p0)
     val parts = math.max(1, math.min(numPartitions, entries.size))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val lines = spark.sparkContext.parallelize(entries, parts).mapPartitions { it =>
-      val wanted = it.toSet
-      if (wanted.isEmpty) Iterator.empty
+      val assigned = it.toSeq
+      if (assigned.isEmpty) Iterator.empty
       else {
         val p = new Path(zipPath)
         val fs = FileSystem.get(p.toUri, conf.value)
-        val zin = new ZipInputStream(fs.open(p))
+        val in = fs.open(p)
         val out = ArrayBuffer[String]()
         try {
-          var e = zin.getNextEntry
-          while (e != null) {
-            if (!e.isDirectory && wanted.contains(e.getName)) {
-              val reader = new java.io.BufferedReader(
-                new java.io.InputStreamReader(zin, java.nio.charset.StandardCharsets.UTF_8))
-              var line = reader.readLine()
-              while (line != null) {
-                if (line.nonEmpty) out += line
-                line = reader.readLine()
-              }
+          assigned.foreach { e =>
+            val reader = new java.io.BufferedReader(
+              new java.io.InputStreamReader(ZipIndex.openEntry(in, e),
+                java.nio.charset.StandardCharsets.UTF_8))
+            var line = reader.readLine()
+            while (line != null) {
+              if (line.nonEmpty) out += line
+              line = reader.readLine()
             }
-            e = zin.getNextEntry
           }
-        } finally zin.close()
+        } finally in.close()
         out.iterator
       }
     }

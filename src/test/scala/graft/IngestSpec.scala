@@ -42,6 +42,59 @@ class IngestSpec extends SparkTestBase {
     assert(rows === Set((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5), (4L, "w", 4.5)))
   }
 
+  test("ZipIndex: central directory parse + seek-based entry reads") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // mixed STORED and DEFLATED entries, a directory entry to skip, and
+    // an archive comment (pushes the EOCD away from the file tail)
+    val f = File.createTempFile("graft-zipidx", ".zip")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    val storedData = "stored-line-1\nstored-line-2".getBytes("UTF-8")
+    val se = new ZipEntry("stored.txt")
+    se.setMethod(ZipEntry.STORED)
+    se.setSize(storedData.length)
+    se.setCompressedSize(storedData.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(storedData)
+    se.setCrc(crc.getValue)
+    zos.putNextEntry(se)
+    zos.write(storedData)
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("dir/"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("deflated.txt"))
+    zos.write(("x" * 10000).getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.setComment("an archive comment that offsets the EOCD record")
+    zos.close()
+    val p = new Path(f.getAbsolutePath)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val idx = graft.ingest.ZipIndex.entries(fs, p)
+    assert(idx.map(_.name) === Seq("stored.txt", "deflated.txt")) // dir/ skipped
+    val st = idx.find(_.name == "stored.txt").get
+    val df = idx.find(_.name == "deflated.txt").get
+    assert(st.method === 0 && st.compressedSize === storedData.length.toLong)
+    assert(df.method === 8 && df.uncompressedSize === 10000L
+      && df.compressedSize < 10000L) // actually compressed
+    val in = fs.open(p)
+    try {
+      // read DEFLATED first — seek order independent of file order
+      assert(new String(graft.ingest.ZipIndex.openEntry(in, df).readAllBytes(),
+        "UTF-8") === "x" * 10000)
+      assert(new String(graft.ingest.ZipIndex.openEntry(in, st).readAllBytes(),
+        "UTF-8") === "stored-line-1\nstored-line-2")
+    } finally in.close()
+  }
+
+  test("readZippedJsonl reads each entry exactly once across many partitions") {
+    val entries = (0 until 23).map(i =>
+      s"part_$i.jsonl" -> Seq(s"""{"id":$i,"name":"n$i","score":$i.5}"""))
+    val zip = writeZip(entries: _*)
+    val df = Ingest.readZippedJsonl(spark, zip, schema, numPartitions = 8)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === (0 until 23).map(i => (i.toLong, s"n$i")).toSet)
+  }
+
   test("normalizeDate parses the reference's three formats") {
     import spark.implicits._
     val df = Seq("1745-03-02", "1745", "March 2, 1745", "garbage").toDF("s")
