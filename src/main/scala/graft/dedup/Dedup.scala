@@ -160,6 +160,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
 
+  /** Connected dedup groups from near-dup pairs by k rounds of MIN-LABEL
+    * propagation: every doc starts as its own label; each round, a doc
+    * adopts the minimum label among itself and its neighbours. After
+    * enough rounds (graph diameter) every connected component carries
+    * its minimum doc_id as group_id — the canonical-representative
+    * convention (`is_canonical` marks the survivor a dedup pass keeps).
+    *
+    * `rounds` is a FIXED count, not a convergence loop, deliberately:
+    * the result after exactly k rounds is deterministic and therefore
+    * re-derivable by the DuckDB oracle as k unrolled CTE blocks
+    * (convergence would need a driver-side loop probe per iteration —
+    * see Clustering for the observed-convergence pattern when you need
+    * it). Near-dup graphs are dense inside a group (LSH links most pair
+    * combinations), so small k covers real components; DedupSpec
+    * asserts exact components on chains longer than k as a reminder of
+    * the contract.
+    *
+    * Scale shape: each round is one self-contained
+    * join-on-edges + groupBy(doc_id).min — shuffles (doc, label) pairs
+    * on doc_id, partial-aggregated; edges are symmetrized once. k
+    * rounds = k chained shuffles over shrinking-width rows, the classic
+    * bounded-round component sketch.
+    */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    // every round joins the edge list: persist it so the (often
+    // expensive) pair-generation upstream runs once, not once per round.
+    // Spark evicts the cache LRU-style with the session; callers looping
+    // many graphs should unpersist via their own lifecycle.
+    val edges = pairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("nbr"))
+      .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+    for (_ <- 0 until rounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("group_id").as("nbr_group")),
+          Seq("nbr"))
+        .groupBy("doc_id")
+        .agg(min("nbr_group").as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+            .as("group_id"))
+    }
+    labels.select(col("doc_id"), col("group_id"),
+      (col("doc_id") === col("group_id")).as("is_canonical"))
+  }
+
   /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j
     * of the fingerprint is the sign of sum over tokens of (bit j set in
     * the token hash ? +1 : -1). The token hash is computed once per

@@ -68,7 +68,21 @@ object DedupQueries {
     // embedding-cosine near-dups blocked by the coarse label column
     "q_dedup_embedding" -> ((s, dir) =>
       graft.similarity.Similarity.nearDupPairs(
-        Tables(s, dir, "embeddings"), "label", threshold = 0.5))
+        Tables(s, dir, "embeddings"), "label", threshold = 0.5)),
+
+    // near-dup pairs → connected dedup groups + canonical representative
+    // (4 fixed min-label rounds — deterministic, so the oracle unrolls
+    // the same 4 rounds as CTE blocks)
+    "q_dedup_groups" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("doc_id_a"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 25)).as("doc_id_b"))
+        .join(ids.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_semi")
+      val pairs = Dedup.ngramJaccard(docs, cands).where(col("jaccard") >= 0.2)
+        .select("doc_id_a", "doc_id_b")
+      Dedup.dedupGroups(docs, pairs, rounds = 4)
+    })
   )
 
   // MinHash signature as SQL: k salted minima over shingle hashes, with
@@ -180,6 +194,48 @@ object DedupQueries {
          |  FROM blocked a JOIN blocked b
          |    ON a.b = b.b AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 6""".stripMargin,
+
+    "q_dedup_groups" -> {
+      // l0 = identity labels; each round r: adopt min(own, neighbours'
+      // round-(r-1) labels) — mirrors Dedup.dedupGroups exactly
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS (
+           |  SELECT l.doc_id,
+           |    least(l.group_id, coalesce(m.nbr_min, l.group_id)) AS group_id
+           |  FROM l${r - 1} l LEFT JOIN (
+           |    SELECT e.doc_id, min(x.group_id) AS nbr_min
+           |    FROM e JOIN l${r - 1} x ON x.doc_id = e.nbr
+           |    GROUP BY e.doc_id) m USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+         |  FROM tht),
+         |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM (SELECT doc_id FROM documents) a
+         |  JOIN (SELECT doc_id FROM documents) b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
+         |j AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh + sb.n_sh AS n_a_b
+         |  FROM cand
+         |  JOIN hn sa ON sa.doc_id = doc_id_a
+         |  JOIN hn sb ON sb.doc_id = doc_id_b),
+         |p AS (
+         |  SELECT doc_id_a, doc_id_b FROM j
+         |  WHERE n_a_b - n_common > 0
+         |    AND CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) >= 0.2),
+         |e AS (
+         |  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM p
+         |  UNION ALL
+         |  SELECT doc_id_b, doc_id_a FROM p),
+         |l0 AS (SELECT doc_id, doc_id AS group_id FROM documents),
+         |$rounds
+         |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin
+    },
 
     "q_dedup_embedding" ->
       s"""WITH v AS (

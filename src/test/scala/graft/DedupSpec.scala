@@ -1,5 +1,6 @@
 package graft
 
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -60,6 +61,27 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(out((1L, 2L)) === 0L)
     out.get((1L, 3L)).foreach(h => assert(h <= 16L))
+  }
+
+  test("dedupGroups: min-label rounds find components, bounded by round count") {
+    import spark.implicits._
+    val d = docs((1L to 8L).map(i => i -> s"text $i"): _*)
+    // components: chain 1-2-3-4-5 (4 hops) and pair 7-8; 6 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_id_a", "doc_id_b")
+    val g4 = Dedup.dedupGroups(d, pairs, rounds = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(g4(_)._1 == 1L))
+    assert(g4(6L) === ((6L, true)))
+    assert(g4(7L) === ((7L, true)) && g4(8L)._1 === 7L)
+    assert(g4.values.count(_._2) === 3) // one canonical per component
+    // the contract: k rounds propagate the min label exactly k hops —
+    // 2 rounds cannot finish the 4-hop chain (node 5 still sees 3's min)
+    val g2 = Dedup.dedupGroups(d, pairs, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2(5L) != 1L)
+    // separate components never merge, any round count
+    assert(g4(7L)._1 != 1L && g4(8L)._1 != 1L)
   }
 
   test("minhash hot-bucket cap drops degenerate bands") {
