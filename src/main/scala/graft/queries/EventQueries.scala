@@ -32,6 +32,20 @@ object EventQueries {
           keys = Seq("user_id"), timeCol = "ts", valueCols = Seq("purchase_value"))
         .select(col("event_id"), col("user_id"),
           col("ts").cast("long").as("ts_s"), col("purchase_value"))
+    }),
+
+    // event-time interval join: views within 4h before each click
+    // (batch face of the watermarked stream-stream join)
+    "q_events_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Events.intervalJoin(clicks, views, key = "user_id", timeCol = "ts",
+          maxDelaySeconds = 14400L)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
+          col("r_event_id"), col("r_ts").cast("long").as("r_ts_s"))
     })
   )
 
@@ -73,6 +87,20 @@ object EventQueries {
         |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
         |  p.purchase_value
         |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_events_interval" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT event_id AS r_event_id, user_id, ts AS r_ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+        |  v.r_event_id,
+        |  CAST(floor(epoch(v.r_ts)) AS BIGINT) AS r_ts_s
+        |FROM c JOIN v ON v.user_id = c.user_id
+        |  AND v.r_ts >= c.ts - INTERVAL 14400 SECOND
+        |  AND v.r_ts <= c.ts""".stripMargin
   )
 }

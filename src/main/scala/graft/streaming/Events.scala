@@ -76,6 +76,42 @@ object Events {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Batch face of the event-time interval join: each left row paired
+    * with same-key right rows at most `maxDelaySeconds` BEFORE it
+    * (r.ts ∈ [l.ts − delay, l.ts] — the "view within N seconds before
+    * the click" enrichment shape). Right columns come back `r_`-prefixed
+    * (minus the joined key). Plans as a hash equi-join on the key with
+    * the range as a residual filter — never a cartesian.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      timeCol: String, maxDelaySeconds: Long): DataFrame = {
+    val r2 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    left.join(r2,
+        col(key) === col(s"r_$key") &&
+          col(s"r_$timeCol") >= col(timeCol) - expr(s"INTERVAL $maxDelaySeconds SECONDS") &&
+          col(s"r_$timeCol") <= col(timeCol))
+      .drop(s"r_$key")
+  }
+
+  /** Streaming face of [[intervalJoin]]: the same key + time-range
+    * condition as a watermarked STREAM-STREAM inner join. The range
+    * condition is load-bearing for state cleanup — it tells the engine
+    * how long each side's rows can still match, so buffered state is
+    * bounded by watermark + delay instead of growing forever.
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      timeCol: String, maxDelaySeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark)
+    val r2 = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$timeCol", watermark)
+    l.join(r2,
+        col(key) === col(s"r_$key") &&
+          col(s"r_$timeCol") >= col(timeCol) - expr(s"INTERVAL $maxDelaySeconds SECONDS") &&
+          col(s"r_$timeCol") <= col(timeCol))
+      .drop(s"r_$key")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -91,6 +91,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    // views at 10:00/10:01/10:10 for user 1; clicks at 10:02 (catches
+    // 10:00+10:01), 10:10 (catches only 10:10 — 120s horizon), and a
+    // user-2 click that matches nothing
+    clicks.addData(Event(100, ts(2), 1, "click", 0), Event(101, ts(10), 1, "click", 0),
+      Event(102, ts(2), 2, "click", 0))
+    views.addData(Event(200, ts(0), 1, "view", 0), Event(201, ts(1), 1, "view", 0),
+      Event(202, ts(10), 1, "view", 0))
+    val joined = Events.streamingIntervalJoin(
+      clicks.toDF().select("event_id", "user_id", "ts"),
+      views.toDF().select("event_id", "user_id", "ts"),
+      key = "user_id", timeCol = "ts", maxDelaySeconds = 120L)
+    val q = joined.select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("interval_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((100L, 200L), (100L, 201L), (101L, 202L)))
+      // identical pairs from the batch face on the same rows
+      val batch = Events.intervalJoin(
+        Seq(Event(100, ts(2), 1, "click", 0), Event(101, ts(10), 1, "click", 0),
+          Event(102, ts(2), 2, "click", 0)).toDF().select("event_id", "user_id", "ts"),
+        Seq(Event(200, ts(0), 1, "view", 0), Event(201, ts(1), 1, "view", 0),
+          Event(202, ts(10), 1, "view", 0)).toDF().select("event_id", "user_id", "ts"),
+        key = "user_id", timeCol = "ts", maxDelaySeconds = 120L)
+        .select("event_id", "r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap > 30min, aggregates per session") {
     import spark.implicits._
     val df = Seq(
