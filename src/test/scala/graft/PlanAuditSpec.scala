@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     graft.queries.QueryCaches.clearAll()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // events.parquet stores TIMESTAMP(NANOS) — readable only as long
+    // (the harness sessions set this too; Tables.events converts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   private def plan(name: String): SparkPlan =
@@ -106,6 +109,19 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("interval join and dedup groups plan as equi-joins, repetition has no Window") {
+    for (q <- Seq("q_events_interval", "q_dedup_groups")) {
+      val cart = plan(q).collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(cart.isEmpty,
+        s"$q must hash-join on its key with the range/label predicate residual: $cart")
+    }
+    assert(windows(plan("q_text_repetition")).isEmpty,
+      "repetition stats must stay two-level partial aggregation, no Window")
+  }
+
   test("shuffle-count snapshots for the headline plans") {
     // upper bounds, not exact counts: a future change may legitimately
     // REMOVE a shuffle, but silently adding one fails loudly here
@@ -125,5 +141,6 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
   override def afterAll(): Unit = {
     graft.queries.QueryCaches.clearAll()
     spark.conf.unset("spark.sql.adaptive.enabled")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 }
