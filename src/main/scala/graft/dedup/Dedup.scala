@@ -192,7 +192,7 @@ object Dedup {
       .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
-    for (_ <- 0 until rounds) {
+    for (r <- 1 to rounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("nbr"), col("group_id").as("nbr_group")),
           Seq("nbr"))
@@ -202,6 +202,12 @@ object Dedup {
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
             .as("group_id"))
+      // each round's plan references the previous labels TWICE (the
+      // neighbour-min derivation and the join-back), so the lazy plan
+      // doubles per round; truncate lineage periodically or a
+      // large-diameter graph (long dup chains) would need a 2^rounds
+      // plan. Small default-round runs stay fully lazy.
+      if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels.select(col("doc_id"), col("group_id"),
       (col("doc_id") === col("group_id")).as("is_canonical"))

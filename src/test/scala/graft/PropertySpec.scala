@@ -69,6 +69,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("dedupGroups with rounds >= diameter == exact connected components") {
+    val rnd = new Random(13)
+    // random sparse graph on 60 nodes: ~70 edges → several components
+    val nodes = (1L to 60L)
+    val edges = (1 to 70).map { _ =>
+      (1L + rnd.nextInt(60), 1L + rnd.nextInt(60))
+    }.filter(e => e._1 != e._2).distinct
+    // exact components by BFS over the same edges
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val label = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    nodes.foreach { start =>
+      // flood the component's min node id
+      val seen = scala.collection.mutable.Set(start)
+      val queue = scala.collection.mutable.Queue(start)
+      while (queue.nonEmpty) {
+        val n = queue.dequeue()
+        adj.getOrElse(n, Nil).foreach { m =>
+          if (!seen(m)) { seen += m; queue += m }
+        }
+      }
+      val mn = seen.min
+      seen.foreach(n => label(n) = math.min(label(n), mn))
+    }
+    // 60 nodes → diameter < 60; rounds = 60 is always enough
+    val docs = nodes.toSeq.toDF("doc_id").select(col("doc_id"), lit("t").as("text"))
+    val pairs = edges.toDF("doc_id_a", "doc_id_b")
+    val got = graft.dedup.Dedup.dedupGroups(docs, pairs, rounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === label.toMap)
+  }
+
   test("coverage percentages stay in [0,100] when lengths cover offsets") {
     val rnd = new Random(29)
     val tr = (1 to 300).map { _ =>
