@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.text.TextAnalysis
 
@@ -18,6 +19,9 @@ object TextQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(acc, c) -> (acc * 31 + c) % $P)"
+
+  /** Per-token rolling hashes (TextAnalysis.tokenHashTable's `th`). */
+  private val thSql = s"list_transform($toks, tk -> ${charHash("tk")})"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -37,7 +41,18 @@ object TextQueries {
     // the same over word bigrams (hash-keyed group-bys, see
     // TextAnalysis.repetitionStats)
     "q_text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(Tables(s, dir, "documents")))
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
+
+    // PII screening signals (map-only regexp counts)
+    "q_text_pii" -> ((s, dir) =>
+      TextAnalysis.piiScan(Tables(s, dir, "documents"))),
+
+    // decontamination: trigram overlap of every document against the
+    // doc_id < 5 slice standing in for a benchmark probe set
+    "q_text_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.contaminationScan(docs, docs.where(col("doc_id") < 5))
+    })
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -135,6 +150,43 @@ object TextQueries {
          |  g.n_ngrams,
          |  CAST(top_g AS DOUBLE) / CAST(g.n_ngrams AS DOUBLE) AS top_ngram_frac,
          |  CAST(dup_g AS DOUBLE) / CAST(g.n_ngrams AS DOUBLE) AS dup_ngram_frac
-         |FROM tok_agg t LEFT JOIN gr_agg g USING (doc_id)""".stripMargin
+         |FROM tok_agg t LEFT JOIN gr_agg g USING (doc_id)""".stripMargin,
+
+    // same regex shapes in RE2; DuckDB string literals pass backslashes
+    // through untouched, so the Scala-escaped patterns arrive identical
+    "q_text_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+        |    + len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |    + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) > 0
+        |    AS has_pii
+        |FROM documents""".stripMargin,
+
+    "q_text_contamination" -> {
+      val sh3 =
+        s"""CASE WHEN len(th) >= 3
+           |  THEN list_transform(range(len(th) - 2),
+           |    i -> (((th[i+1] * 131 + th[i+2]) % $P) * 131 + th[i+3]) % $P)
+           |  ELSE [] END""".stripMargin
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |dg AS (SELECT doc_id, unnest($sh3) AS g FROM tht),
+         |pg AS (SELECT DISTINCT unnest($sh3) AS g FROM tht WHERE doc_id < 5),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id),
+         |hits AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         |  FROM dg WHERE g IN (SELECT g FROM pg) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
+         |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin
+    }
   )
 }

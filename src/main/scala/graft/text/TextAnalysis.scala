@@ -209,6 +209,54 @@ object TextAnalysis {
     tok.join(gram, Seq("doc_id"), "left")
   }
 
+  /** PII signal scan per document: counts of email addresses, phone-like
+    * number runs, URLs and IPv4 literals, plus a has_pii flag —
+    * the screening pass a training-data pipeline runs before release.
+    * Pure codegen'd regexp_count projections (map-only, no shuffle);
+    * patterns are the standard conservative shapes, tuned for recall on
+    * obvious PII rather than validator-grade precision.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val email = regexp_count(col("text"),
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+    val phone = regexp_count(col("text"),
+      lit("\\+?[0-9][0-9()\\- ]{7,}[0-9]"))
+    val url = regexp_count(col("text"), lit("https?://[^\\s]+"))
+    val ipv4 = regexp_count(col("text"),
+      lit("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"))
+    docs.select(col("doc_id"),
+      email.cast("long").as("n_emails"),
+      phone.cast("long").as("n_phones"),
+      url.cast("long").as("n_urls"),
+      ipv4.cast("long").as("n_ipv4"),
+      (email + phone + url + ipv4 > 0).as("has_pii"))
+  }
+
+  /** Benchmark-contamination scan: how many of each document's word
+    * n-grams appear in the probe corpus (the decontamination pass that
+    * keeps test sets out of training data). Probe shingles are distinct
+    * and BROADCAST — at 100 TB the document side streams map-side
+    * against a small benchmark set; per-doc totals come from one
+    * partial-aggregated groupBy. Returns every document with its n-gram
+    * count and the number of contaminated (matching) n-gram instances.
+    */
+  def contaminationScan(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
+    val docGrams = tokenHashTable(docs)
+      .select(col("doc_id"), explode(shingleHashes(col("th"), n)).as("g"))
+    val probeGrams = tokenHashTable(probes)
+      .select(explode(shingleHashes(col("th"), n)).as("g"))
+      .distinct()
+    val hits = docGrams
+      .join(broadcast(probeGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+    docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0L).as("is_contaminated"))
+  }
+
   /** Hashes of word n-gram shingles, derived from per-token hashes by
     * polynomial combination: h = fold(h*131 + th_j) mod p — an
     * engine-defined shingle hash that avoids re-hashing overlapping

@@ -85,6 +85,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
   }
 
+  test("piiScan counts emails, phones, urls, ipv4 and flags has_pii") {
+    val d = docs(
+      1L -> "contact me at jane.doe+test@example.co.uk or bob@x.io today",
+      2L -> "call +1 (555) 123-4567 now; server at 10.0.42.7 works",
+      3L -> "see https://example.com/a?b=1 and http://x.org",
+      4L -> "perfectly clean prose with number 42 only")
+    val out = TextAnalysis.piiScan(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) === ((2L, 0L, 0L, 0L, true)))
+    assert(out(2L)._2 === 1L && out(2L)._4 === 1L && out(2L)._5)
+    assert(out(3L)._3 === 2L && out(3L)._5)
+    assert(out(4L) === ((0L, 0L, 0L, 0L, false)))
+  }
+
+  test("contaminationScan finds probe trigram overlap via broadcast semi-join") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon", // contains probe trigram twice-ish
+      2L -> "zeta eta theta iota kappa")      // disjoint
+    val probes = docs(100L -> "beta gamma delta")
+    val out = TextAnalysis.contaminationScan(corpus, probes, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // doc 1: trigrams (a,b,g)(b,g,d)(g,d,e) — exactly (b,g,d) matches
+    assert(out(1L) === ((3L, 1L, true)))
+    assert(out(2L) === ((3L, 0L, false)))
+  }
+
   test("shingles produces n-token windows, distinct, empty when short") {
     val d = docs(1L -> "a b c d", 2L -> "a b")
     val out = d.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
