@@ -30,7 +30,8 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -47,5 +48,6 @@ object SparkEntry {
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++
-      EventQueries.oracles
+      EventQueries.oracles ++
+      SamplingQueries.oracles
 }

@@ -1,0 +1,49 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deterministic corpus sampling and mixing operators — the knobs a
+  * training-data pipeline turns between dedup and tokenization:
+  *
+  *  - hash-based Bernoulli sampling: membership decided by a salted
+  *    integer hash of a key, so the same (key, salt, fraction) always
+  *    selects the same rows on any cluster, any partitioning, any run —
+  *    unlike `df.sample`, whose per-partition RNG changes with the
+  *    split layout. Map-only, no shuffle, trivially pushed to scans.
+  *  - per-group quota caps ("domain mixing"): keep at most n rows per
+  *    group by a quality ordering. One shuffle on the group key; groups
+  *    are bounded (domains, sources, languages), so the per-group window
+  *    sort never sees pathological partitions at scale.
+  */
+object Sampling {
+
+  private val P = TextAnalysis.HashMod
+
+  /** Salted hash bucket in [0, 1000) for a 64-bit key column. */
+  def hashBucket(key: Column, salt: Int): Column =
+    (((key % P) * lit(TextAnalysis.hashA(salt)) + lit(TextAnalysis.hashB(salt))) % P) % 1000L
+
+  /** Deterministic Bernoulli sample: keep rows whose salted key-hash
+    * bucket falls below fraction·1000. Changing `salt` draws an
+    * independent sample; the same salt reproduces the sample exactly.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Int = 0): DataFrame =
+    df.where(hashBucket(col(keyCol), salt) < (fraction * 1000.0).toLong)
+
+  /** Per-group quota: keep the top `n` rows of each group under
+    * (orderCol DESC, tieCol ASC) — e.g. the 20 highest-quality documents
+    * per source. Returns the input columns plus the 1-based `rank`.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Sampling
+
+class SamplingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1L to n.toLong).map(i => (i, s"src${i % 7}", 100 + (i * 37 % 400)))
+      .toDF("doc_id", "source", "n_chars")
+
+  test("sampleByHash is deterministic, salt-independent, near the fraction") {
+    val d = docs(2000)
+    val s1 = Sampling.sampleByHash(d, "doc_id", 0.3, salt = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1again = Sampling.sampleByHash(d.repartition(7), "doc_id", 0.3, salt = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s1again, "same (key, salt, fraction) must select the same rows")
+    val s2 = Sampling.sampleByHash(d, "doc_id", 0.3, salt = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 !== s2, "different salts draw different samples")
+    // a universal hash keeps the realized rate near the target
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05, s"rate ${s1.size / 2000.0}")
+    // nested sampling: fraction 0.1 with the same salt is a subset of 0.3
+    val s01 = Sampling.sampleByHash(d, "doc_id", 0.1, salt = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s01.subsetOf(s1), "smaller fraction must nest inside larger (same salt)")
+  }
+
+  test("capPerGroup keeps the top-n per group in quality order") {
+    val d = docs(100)
+    val out = Sampling.capPerGroup(d, Seq("source"), "n_chars", "doc_id", n = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup.values.forall(_.length <= 3))
+    byGroup.values.foreach { rows =>
+      // ranks are 1..k and n_chars non-increasing along them
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to rows.length))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse === sorted.map(_._3).toSeq)
+      // nothing outside the cap beats anything inside it
+      val kept = rows.map(_._2).toSet
+      val groupAll = (1L to 100L).filter(i => s"src${i % 7}" == rows.head._1)
+      val worstKept = rows.map(_._3).min
+      groupAll.filterNot(kept).foreach { i =>
+        val nc = 100L + (i * 37 % 400)
+        assert(nc <= worstKept || rows.length < 3)
+      }
+    }
+  }
+}
