@@ -23,7 +23,12 @@ object Sampling {
 
   private val P = TextAnalysis.HashMod
 
-  /** Salted hash bucket in [0, 1000) for a 64-bit key column. */
+  /** Salted hash bucket in [0, 1000) for a non-negative 64-bit key
+    * column. Negative keys produce negative remainders (Spark and
+    * DuckDB both follow sign-of-dividend `%`, so the two engines still
+    * agree) and would always pass the sample filter — map ids to
+    * non-negative space first if your keys can be negative.
+    */
   def hashBucket(key: Column, salt: Int): Column =
     (((key % P) * lit(TextAnalysis.hashA(salt)) + lit(TextAnalysis.hashB(salt))) % P) % 1000L
 
