@@ -22,8 +22,15 @@ object Bench {
     // the alphabetically first domain query measures its operator, not
     // the one-time chain build (SCALE.md bench notes); (2) run one query
     // so JVM/codegen first-call classloading is off the clock too
+    // NonFatal only, and LOUD: a silently failed prebuild would revert
+    // the first domain query to chain-build-inclusive timing with no
+    // way to tell from the JSON
     try graft.queries.QueryCaches.prebuildAll(spark, sfDir)
-    catch { case _: Throwable => }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARM-UP PREBUILD FAILED (timings for the " +
+          s"first domain query will include the chain build): $e")
+    }
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }

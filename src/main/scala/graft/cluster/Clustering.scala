@@ -158,18 +158,27 @@ object Clustering {
 
   /** Durable alternating checkpoint, the reference's scheme (reference:
     * chinese_label_propagation.py:189-197): write parquet, read back.
-    * A `LATEST_ITER` marker is written AFTER the table is durable, so a
-    * crash mid-write leaves the previous marker intact and
-    * [[latestCheckpoint]] resumes from the last COMPLETE iteration —
-    * the alternating two-table scheme guarantees the marked table is
-    * never the one a crashed write half-overwrote.
+    * A `LATEST_ITER` marker is committed AFTER the table is durable —
+    * written to a temp name and RENAMED into place (atomic on
+    * HDFS/posix), both through the Hadoop filesystem of `dir`, so the
+    * scheme works on hdfs:// and s3a:// checkpoint dirs and a crash at
+    * any point leaves either the previous marker or the new one, never
+    * a partial file. The alternating two-table layout guarantees the
+    * marked table is never the one a crashed write half-overwrote.
     */
   def parquetCheckpointer(dir: String): Checkpointer = (df, i) => {
     val path = s"$dir/clusters_counts_${i % 2}"
     df.write.mode("overwrite").parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/LATEST_ITER"), i.toString)
-    df.sparkSession.read.parquet(path)
+    val spark = df.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/LATEST_ITER")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.LATEST_ITER.tmp")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(i.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"could not commit checkpoint marker $marker")
+    spark.read.parquet(path)
   }
 
   /** Scan a [[parquetCheckpointer]] directory for the last completed
@@ -182,10 +191,15 @@ object Clustering {
     * guidance assets/README.md:250-251).
     */
   def latestCheckpoint(spark: SparkSession, dir: String): Option[(DataFrame, Int)] = {
-    val marker = java.nio.file.Paths.get(s"$dir/LATEST_ITER")
-    if (!java.nio.file.Files.exists(marker)) None
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/LATEST_ITER")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
     else {
-      val i = java.nio.file.Files.readString(marker).trim.toInt
+      val in = fs.open(marker)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+      val i = text.toInt
       Some((spark.read.parquet(s"$dir/clusters_counts_${i % 2}"), i))
     }
   }

@@ -185,9 +185,9 @@ object Dedup {
     */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, rounds: Int = 4): DataFrame = {
     // every round joins the edge list: persist it so the (often
-    // expensive) pair-generation upstream runs once, not once per round.
-    // Spark evicts the cache LRU-style with the session; callers looping
-    // many graphs should unpersist via their own lifecycle.
+    // expensive) pair-generation upstream runs once, not once per round;
+    // the final labels are materialized below so this cache can be
+    // released before returning instead of pinning memory per call.
     val edges = pairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("nbr"))
       .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -209,8 +209,14 @@ object Dedup {
       // plan. Small default-round runs stay fully lazy.
       if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
-    labels.select(col("doc_id"), col("group_id"),
-      (col("doc_id") === col("group_id")).as("is_canonical"))
+    // materialize the result (cuts lineage off the edge cache), then
+    // release the per-call edge cache — the returned DataFrame is
+    // self-contained and nothing accumulates across calls
+    val out = labels.select(col("doc_id"), col("group_id"),
+        (col("doc_id") === col("group_id")).as("is_canonical"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j

@@ -103,14 +103,19 @@ object Ingest {
         val out = ArrayBuffer[String]()
         try {
           assigned.foreach { e =>
-            val reader = new java.io.BufferedReader(
-              new java.io.InputStreamReader(ZipIndex.openEntry(in, e),
-                java.nio.charset.StandardCharsets.UTF_8))
-            var line = reader.readLine()
-            while (line != null) {
-              if (line.nonEmpty) out += line
-              line = reader.readLine()
-            }
+            val entryIn = ZipIndex.openEntry(in, e)
+            // per-entry close releases the DEFLATE Inflater's native
+            // buffers eagerly; the shared file handle stays open
+            try {
+              val reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(entryIn,
+                  java.nio.charset.StandardCharsets.UTF_8))
+              var line = reader.readLine()
+              while (line != null) {
+                if (line.nonEmpty) out += line
+                line = reader.readLine()
+              }
+            } finally entryIn.close()
           }
         } finally in.close()
         out.iterator

@@ -63,10 +63,14 @@ object ZipIndex {
       val tailLen = math.min(len, 22L + 65535L + 20L).toInt
       val tailPos = len - tailLen
       val tail = readFully(in, tailPos, tailLen)
+      // backward scan for the EOCD signature, validating that the
+      // record's comment-length field reaches exactly EOF — signature
+      // bytes embedded in an archive comment (zip-in-zip notes, crafted
+      // input) would otherwise be misparsed as the record
       var eocd = -1
       var i = tailLen - 22
       while (i >= 0 && eocd < 0) {
-        if (u32(tail, i) == EocdSig) eocd = i
+        if (u32(tail, i) == EocdSig && i + 22 + u16(tail, i + 20) == tailLen) eocd = i
         else i -= 1
       }
       require(eocd >= 0, s"$path: no end-of-central-directory record (not a zip?)")
@@ -127,7 +131,11 @@ object ZipIndex {
   /** Open one entry for reading: seek to its local header, skip it, and
     * return a bounded (and, for DEFLATE, inflating) stream. The caller's
     * `in` survives — multiple entries can be read sequentially from one
-    * open file handle per task.
+    * open file handle per task. CLOSE the returned stream after each
+    * entry: for DEFLATE that releases the Inflater's native zlib
+    * buffers immediately (an externally-supplied Inflater is NOT ended
+    * by InflaterInputStream.close, and waiting for GC accumulates
+    * native memory across thousands of entries per task).
     */
   def openEntry(in: FSDataInputStream, e: Entry): InputStream = {
     val header = readFully(in, e.headerOffset, 30)
@@ -138,7 +146,14 @@ object ZipIndex {
     val bounded = new BoundedInputStream(in, e.compressedSize)
     e.method match {
       case 0 => bounded // STORED
-      case 8 => new InflaterInputStream(bounded, new Inflater(true), 65536)
+      case 8 =>
+        val inflater = new Inflater(true)
+        new InflaterInputStream(bounded, inflater, 65536) {
+          override def close(): Unit = {
+            try super.close()
+            finally inflater.end()
+          }
+        }
       case m => throw new IllegalArgumentException(
         s"${e.name}: unsupported zip compression method $m")
     }

@@ -82,8 +82,16 @@ object Multimodal {
     * the integer ITU-R 601 weights (299/587/114), so features are
     * deterministic across JVMs.
     */
+  /** ImageIO's default stream cache spills every read through a temp
+    * FILE — pure overhead (and a /tmp dependency) when the payload is
+    * already an in-memory byte array in a per-row hot path.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(payload: Array[Byte], dims: Int = 8): Option[(Int, Int, Array[Long])] = {
     if (payload == null || payload.length == 0) return None
+    imageIoNoDiskCache
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
@@ -152,8 +160,10 @@ object Multimodal {
       Some((fmt.getSampleRate, fmt.getChannels,
         Array.tabulate(dims)(i => if (cnt(i) == 0) 0L else acc(i) / cnt(i))))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // catch-all like decodeImage: AudioFileReader providers can throw
+      // runtime exceptions on adversarial headers, and one bad asset
+      // must fall back to the stub, not abort a corpus-scale extraction
+      case _: Exception => None
     }
   }
 
@@ -162,7 +172,8 @@ object Multimodal {
     * None when the payload is not a decodable image.
     */
   def resizeImage(payload: Array[Byte], width: Int, height: Int,
-      format: String = "png"): Option[Array[Byte]] =
+      format: String = "png"): Option[Array[Byte]] = {
+    imageIoNoDiskCache
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         .map { img =>
@@ -176,6 +187,7 @@ object Multimodal {
           baos.toByteArray
         }
     } catch { case _: Exception => None }
+  }
 
   /** Feature-extraction output row: integer stripe features — real
     * luminance/amplitude stripes when the JDK could decode the payload,

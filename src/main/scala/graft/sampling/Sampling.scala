@@ -42,13 +42,18 @@ object Sampling {
 
   /** Per-group quota: keep the top `n` rows of each group under
     * (orderCol DESC, tieCol ASC) — e.g. the 20 highest-quality documents
-    * per source. Returns the input columns plus the 1-based `rank`.
+    * per source. Returns the input columns plus the 1-based `rankCol`;
+    * fails fast if the input already carries a column of that name
+    * (silently overwriting a caller's quality column would be data
+    * loss), so pass a different `rankCol` in that case.
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      tieCol: String, n: Int): DataFrame = {
+      tieCol: String, n: Int, rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass rankCol = <other name>")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(orderCol).desc, col(tieCol))
-    df.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= n)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .where(col(rankCol) <= n)
   }
 }

@@ -65,7 +65,10 @@ class IngestSpec extends SparkTestBase {
     zos.putNextEntry(new ZipEntry("deflated.txt"))
     zos.write(("x" * 10000).getBytes("UTF-8"))
     zos.closeEntry()
-    zos.setComment("an archive comment that offsets the EOCD record")
+    // comment embeds the EOCD signature bytes — the backward scan must
+    // reject the phantom record (comment-length validation) and find
+    // the real one
+    zos.setComment("fake sig PK\u0005\u0006 inside an archive comment")
     zos.close()
     val p = new Path(f.getAbsolutePath)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
