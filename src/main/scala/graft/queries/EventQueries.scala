@@ -19,6 +19,10 @@ object EventQueries {
     "q_events_sessionize" -> ((s, dir) =>
       Events.sessionizeBatch(Tables.events(s, dir))),
 
+    // sliding windows: 1h width / 15min slide — each event in 4 windows
+    "q_events_sliding" -> ((s, dir) =>
+      Events.slidingCounts(Tables.events(s, dir))),
+
     // as-of join: each click attached to the user's most recent prior
     // purchase value (graft.operators.AsOf — union+window composition)
     "q_events_asof" -> ((s, dir) => {
@@ -55,6 +59,19 @@ object EventQueries {
         |  event_type, count(*) AS n_events,
         |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Spark's window(ts, 1h, 15min) is epoch-aligned: the event's
+    // windows start at floor(epoch/900)*900 - k*900 for k in 0..3
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS grid_s
+        |  FROM events)
+        |SELECT grid_s - k * 900 AS window_start_s, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM e, unnest(range(4)) AS u(k)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH g AS (

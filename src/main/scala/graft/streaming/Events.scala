@@ -44,6 +44,30 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding-window counts per event_type (width/slide, epoch-aligned —
+    * each event lands in width/slide windows). Spark expands the
+    * windows BEFORE the aggregation, so the shuffle carries
+    * (window, type) partial counts, not events.
+    */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").cast("long").as("window_start_s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming face of [[slidingCounts]]: same aggregation under a
+    * watermark (append-compatible; state = open windows per type only).
+    */
+  def streamingSlidingCounts(stream: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Batch sessionization: per user, a new session starts when the gap
     * to the previous event exceeds `gapMinutes` (gaps-and-islands on
     * time — the same W2/W3 shape as the coverage pipeline).

@@ -42,6 +42,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingSlidingCounts matches the batch sliding aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),  // windows starting 09:15..10:00
+      Event(2, ts(20), 1, "click", 2.0), // windows starting 09:30..10:15
+      Event(3, ts(50), 2, "view", 3.0))
+    input.addData(events: _*)
+    val q = Events.streamingSlidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding")
+        .select(col("window_start").cast("long"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val exp = Events.slidingCounts(events.toDF())
+        .select("window_start_s", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === exp)
+      // each event appears in exactly width/slide = 4 windows
+      assert(got.filter(_._2 == "view").toSeq.map(_._3).sum === 4L)
+      // clicks at 10:00 and 10:20 share the 09:30/09:45/10:00 windows
+      assert(got.count { case (_, t, n) => t == "click" && n == 2L } === 3)
+    } finally q.stop()
+  }
+
   test("streamingSessionize closes sessions on gap timeout") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
