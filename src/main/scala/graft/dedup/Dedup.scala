@@ -219,6 +219,65 @@ object Dedup {
     out
   }
 
+  /** Observed-convergence twin of [[dedupGroups]] for production dedup
+    * over long duplicate chains: min-label rounds run until a round
+    * changes ZERO labels, so connected components of ANY diameter fully
+    * merge — the fixed-k variant stays the oracle-checkable face (its
+    * k-round result is re-derivable as unrolled CTEs), this one is the
+    * convergence face (rows-only checkable, like Clustering.propagate).
+    *
+    * The changed-label count piggybacks on each round's checkpoint
+    * action via the Observation API — one job per round, not
+    * write + a second count scan (same pattern as Clustering.propagate).
+    * Lineage/stat truncation is the pluggable
+    * [[graft.cluster.Clustering.Checkpointer]]; the default is the
+    * durable parquet round-trip because a convergence loop is unbounded
+    * and `localCheckpoint` compounds origin-plan statistics across
+    * iterations (see Clustering.localCheckpointer's caution).
+    *
+    * Scale shape per round is identical to [[dedupGroups]]: one
+    * edges-join + partial-aggregated groupBy(doc_id).min shuffling
+    * (doc, label) pairs only; the edge list is persisted once.
+    */
+  def dedupGroupsConverged(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 100,
+      checkpointer: Option[graft.cluster.Clustering.Checkpointer] = None): DataFrame = {
+    val checkpoint = checkpointer.getOrElse(graft.cluster.Clustering.parquetCheckpointer(
+      java.nio.file.Files.createTempDirectory("graft-dedup-conv").toString))
+    val edges = pairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("nbr"))
+      .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+    var changed = 1L
+    var r = 0
+    while (changed > 0L && r < maxRounds) {
+      r += 1
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("group_id").as("nbr_group")),
+          Seq("nbr"))
+        .groupBy("doc_id")
+        .agg(min("nbr_group").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("group_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+            .as("new_group"))
+      val obs = org.apache.spark.sql.Observation(s"graft_dedup_conv_$r")
+      val observed = next
+        .observe(obs, sum(when(col("new_group") =!= col("group_id"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("doc_id"), col("new_group").as("group_id"))
+      labels = checkpoint(observed, r)
+      // sum over zero rows is null — an empty corpus is converged
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    // the returned frame reads from the final checkpoint, not the edge
+    // cache, so the per-call cache can be released immediately
+    val out = labels.select(col("doc_id"), col("group_id"),
+      (col("doc_id") === col("group_id")).as("is_canonical"))
+    edges.unpersist()
+    out
+  }
+
   /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j
     * of the fingerprint is the sign of sum over tokens of (bit j set in
     * the token hash ? +1 : -1). The token hash is computed once per

@@ -196,12 +196,28 @@ object Multimodal {
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
       features: Array[Long], decoded: Boolean)
 
+  /** The video-decode seam: the JDK ships no video codec, so video
+    * always stubs UNLESS a decoder is injected here — an ffmpeg-JNI (or
+    * any other) implementation plugs into [[extractFeatures]] without
+    * touching the pipeline shape. Must be Serializable: it is shipped
+    * inside the task closure and called executor-side, once per asset.
+    */
+  trait VideoDecoder extends Serializable {
+    /** `dims` stripe features for a decodable video payload, or None to
+      * fall back to the stub (same contract as decodeImage/decodeAudio).
+      */
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Long]]
+  }
+
   /** Batched per-partition feature extraction — the mapInPandas-shaped
     * stage: one iterator in, one iterator out, constant memory per batch.
     * Dispatches to the real JDK decoder for the asset's modality and
-    * falls back to the stub for undecodable payloads (incl. all video).
+    * falls back to the stub for undecodable payloads; video goes through
+    * the injected [[VideoDecoder]] when one is provided, the stub
+    * otherwise (no JDK video codec exists).
     */
-  def extractFeatures(assets: DataFrame, dims: Int = 8): Dataset[AssetFeatures] = {
+  def extractFeatures(assets: DataFrame, dims: Int = 8,
+      videoDecoder: Option[VideoDecoder] = None): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "modality", "payload")
@@ -212,7 +228,8 @@ object Multimodal {
           val real = modality match {
             case "image" => decodeImage(p, dims).map(_._3)
             case "audio" => decodeAudio(p, dims).map(_._3)
-            case _ => None // video: no JDK codec — always the stub
+            case "video" => videoDecoder.flatMap(_.decode(p, dims))
+            case _ => None
           }
           AssetFeatures(id, modality, p.length.toLong,
             real.getOrElse(decodeStub(p, dims)), real.isDefined)

@@ -82,6 +82,23 @@ object DedupQueries {
       val pairs = Dedup.ngramJaccard(docs, cands).where(col("jaccard") >= 0.2)
         .select("doc_id_a", "doc_id_b")
       Dedup.dedupGroups(docs, pairs, rounds = 4)
+    }),
+
+    // the convergence face of the same operator: identical pair graph,
+    // min-label rounds until an Observation-counted zero-change round.
+    // No oracle by design (a convergence loop is not expressible as a
+    // fixed CTE unrolling — same contract as q_domain_cluster); the
+    // fixed-k/converged agreement on k-sufficient graphs and the
+    // past-the-horizon merge are both spec-asserted in DedupSpec.
+    "q_dedup_groups_conv" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("doc_id_a"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 25)).as("doc_id_b"))
+        .join(ids.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_semi")
+      val pairs = Dedup.ngramJaccard(docs, cands).where(col("jaccard") >= 0.2)
+        .select("doc_id_a", "doc_id_b")
+      Dedup.dedupGroupsConverged(docs, pairs)
     })
   )
 

@@ -138,6 +138,84 @@ object Events {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  /** Internal row of the unioned as-of input: side 0 = reference
+    * (right), side 1 = probe (left) — same tag convention as the batch
+    * face in [[graft.operators.AsOf]].
+    */
+  case class AsOfTagged(side: Int, event_id: Long, ts: Timestamp,
+      user_id: Long, value: Double)
+
+  /** Per-key as-of state: buffered reference rows and probe rows not
+    * yet releasable — both watermark-bounded (see [[streamingAsOf]]).
+    * Tuples are (epochMs, event_id, value).
+    */
+  case class AsOfBuffer(rights: Seq[(Long, Long, Double)],
+      lefts: Seq[(Long, Long, Double)])
+
+  /** One emitted as-of match: the probe row plus the latest reference
+    * row at-or-before it (None = no reference row preceded the probe,
+    * the streaming twin of the batch face's null columns).
+    */
+  case class AsOfJoined(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double, r_event_id: Option[Long], r_ts: Option[Timestamp],
+      r_value: Option[Double])
+
+  /** Stream-stream as-of join — the streaming face of
+    * [[graft.operators.AsOf.asOfJoin]], via the union +
+    * flatMapGroupsWithState formulation: tag both streams, union under
+    * one watermark, group by key, and hold each probe row until the
+    * watermark passes its event time. At that point EVERY reference row
+    * at-or-before the probe has arrived (the watermark guarantee), so
+    * the match — latest reference with r.ts <= probe.ts, ties inclusive
+    * like the batch face — is exact, not best-effort.
+    *
+    * State is bounded per key: probe rows leave when the watermark
+    * passes them (an event-time timeout fires even on an idle key), and
+    * of the reference rows at-or-before the watermark only the LATEST
+    * one is kept (it is the only one any future probe can still match —
+    * unbounded lookback semantics with O(watermark horizon) state).
+    */
+  def streamingAsOf(left: Dataset[Event], right: Dataset[Event],
+      watermark: String = "1 hour")(implicit spark: SparkSession): Dataset[AsOfJoined] = {
+    import spark.implicits._
+    val tagged = left
+      .map(e => AsOfTagged(1, e.event_id, e.ts, e.user_id, e.value))
+      .unionByName(right.map(e => AsOfTagged(0, e.event_id, e.ts, e.user_id, e.value)))
+      .withWatermark("ts", watermark)
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfJoined](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state: GroupState[AsOfBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(AsOfBuffer(Seq.empty, Seq.empty))
+          rows.foreach { t =>
+            val row = (t.ts.getTime, t.event_id, t.value)
+            st = if (t.side == 0) st.copy(rights = st.rights :+ row)
+            else st.copy(lefts = st.lefts :+ row)
+          }
+          // release probes the watermark has passed; the rest wait
+          val (ready, pending) = st.lefts.partition(_._1 <= wm)
+          val rightsSorted = st.rights.sortBy(r => (r._1, r._2))
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lts, lid, lval) =>
+            val m = rightsSorted.takeWhile(_._1 <= lts).lastOption
+            AsOfJoined(userId, lid, new Timestamp(lts), lval,
+              m.map(_._2), m.map(r => new Timestamp(r._1)), m.map(_._3))
+          }
+          // keep reference rows still ahead of the watermark, plus the
+          // single latest one at-or-before it
+          val (past, fresh) = rightsSorted.partition(_._1 <= wm)
+          val kept = past.takeRight(1) ++ fresh
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuffer(kept, pending))
+            // wake this key when the watermark passes its oldest
+            // pending probe, even if no further data arrives for it
+            if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_._1).min)
+          }
+          out.iterator
+      }
+  }
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, sum_value: Double)

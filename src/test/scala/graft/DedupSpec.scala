@@ -84,6 +84,34 @@ class DedupSpec extends SparkTestBase {
     assert(g4(7L)._1 != 1L && g4(8L)._1 != 1L)
   }
 
+  test("dedupGroupsConverged merges chains past the fixed-k horizon") {
+    import spark.implicits._
+    // a duplicate chain of diameter 8 — 2× the default 4-round horizon
+    val n = 9L
+    val d = docs((1L to n).map(i => i -> s"text $i"): _*)
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    // the fixed-k face under-merges by contract: after 4 rounds the min
+    // label has travelled only 4 hops, the chain tail is still unmerged
+    val fixed = Dedup.dedupGroups(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(n) !== 1L)
+    // the convergence face merges the whole component: one group, one
+    // canonical representative, regardless of diameter
+    val conv = Dedup.dedupGroupsConverged(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert((1L to n).forall(conv(_)._1 == 1L))
+    assert(conv.values.count(_._2) === 1)
+    // and on a k-sufficient graph the two faces agree exactly
+    val d8 = docs((1L to 8L).map(i => i -> s"text $i"): _*)
+    val p8 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_id_a", "doc_id_b")
+    val a = Dedup.dedupGroups(d8, p8, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val b = Dedup.dedupGroupsConverged(d8, p8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(a === b)
+  }
+
   test("minhash hot-bucket cap drops degenerate bands") {
     // 100 identical one-shingle docs: every band bucket has 100 members,
     // all above the cap → no candidates (the bucket is non-discriminative)

@@ -71,22 +71,35 @@ class IngestSpec extends SparkTestBase {
     zos.setComment("fake sig PK\u0005\u0006 inside an archive comment")
     zos.close()
     val p = new Path(f.getAbsolutePath)
-    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    val idx = graft.ingest.ZipIndex.entries(fs, p)
-    assert(idx.map(_.name) === Seq("stored.txt", "deflated.txt")) // dir/ skipped
-    val st = idx.find(_.name == "stored.txt").get
-    val df = idx.find(_.name == "deflated.txt").get
-    assert(st.method === 0 && st.compressedSize === storedData.length.toLong)
-    assert(df.method === 8 && df.uncompressedSize === 10000L
-      && df.compressedSize < 10000L) // actually compressed
-    val in = fs.open(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // parameterized over FileSystem implementations: the checksummed
+    // LocalFileSystem (what file:// resolves to) and RawLocalFileSystem
+    // (different open/seek path, no .crc side files) — proving ZipIndex
+    // holds no java.io.File assumptions and goes through the Hadoop FS
+    // API only, the same seam hdfs:// and s3a:// plug into
+    val checksummed = FileSystem.get(p.toUri, conf)
+    assert(checksummed.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem])
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"), conf)
     try {
-      // read DEFLATED first — seek order independent of file order
-      assert(new String(graft.ingest.ZipIndex.openEntry(in, df).readAllBytes(),
-        "UTF-8") === "x" * 10000)
-      assert(new String(graft.ingest.ZipIndex.openEntry(in, st).readAllBytes(),
-        "UTF-8") === "stored-line-1\nstored-line-2")
-    } finally in.close()
+      for (fs <- Seq[FileSystem](checksummed, raw)) {
+        val idx = graft.ingest.ZipIndex.entries(fs, p)
+        assert(idx.map(_.name) === Seq("stored.txt", "deflated.txt")) // dir/ skipped
+        val st = idx.find(_.name == "stored.txt").get
+        val df = idx.find(_.name == "deflated.txt").get
+        assert(st.method === 0 && st.compressedSize === storedData.length.toLong)
+        assert(df.method === 8 && df.uncompressedSize === 10000L
+          && df.compressedSize < 10000L) // actually compressed
+        val in = fs.open(p)
+        try {
+          // read DEFLATED first — seek order independent of file order
+          assert(new String(graft.ingest.ZipIndex.openEntry(in, df).readAllBytes(),
+            "UTF-8") === "x" * 10000)
+          assert(new String(graft.ingest.ZipIndex.openEntry(in, st).readAllBytes(),
+            "UTF-8") === "stored-line-1\nstored-line-2")
+        } finally in.close()
+      }
+    } finally raw.close()
   }
 
   test("readZippedJsonl reads each entry exactly once across many partitions") {

@@ -133,6 +133,35 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodeStub("not an image".getBytes).toSeq)
   }
 
+  test("an injected VideoDecoder is used for video and only video") {
+    import spark.implicits._
+    // a fake codec standing in for an ffmpeg-JNI implementation: decodes
+    // payloads starting with the magic "VID0", rejects everything else
+    object FakeVideoCodec extends Multimodal.VideoDecoder {
+      def decode(payload: Array[Byte], dims: Int): Option[Array[Long]] =
+        if (payload.length >= 4 && payload.take(4).sameElements("VID0".getBytes))
+          Some(Array.tabulate(dims)(d => payload.length.toLong * 1000 + d))
+        else None
+    }
+    val assets = Seq(
+      (0L, "video", "VID0frames".getBytes),   // fake codec decodes
+      (1L, "video", "opaque".getBytes),       // fake codec rejects → stub
+      (2L, "image", "VID0frames".getBytes))   // image path never sees it
+      .toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractFeatures(assets, videoDecoder = Some(FakeVideoCodec))
+      .collect().sortBy(_.asset_id)
+    assert(out(0).decoded && out(0).features.toSeq ===
+      (0 until 8).map(d => 10000L + d))
+    assert(!out(1).decoded && out(1).features.toSeq ===
+      Multimodal.decodeStub("opaque".getBytes).toSeq)
+    assert(!out(2).decoded) // "VID0..." is not a real image → stub
+    // and with no decoder injected, the same video payload stubs —
+    // extractFeatures' behavior today, proven to flow through the seam
+    val plain = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(!plain(0).decoded && plain(0).features.toSeq ===
+      Multimodal.decodeStub("VID0frames".getBytes).toSeq)
+  }
+
   test("repartitionByBytes sizes partitions by byte budget") {
     val a = Multimodal.assetsFromDocuments(docs((0L to 9L).map(i => i -> ("x" * 100)): _*))
     val parts = Multimodal.repartitionByBytes(a, bytesPerPartition = 300)

@@ -122,6 +122,31 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "repetition stats must stay two-level partial aggregation, no Window")
   }
 
+  test("top-k rank filters plan a map-side partial WindowGroupLimit") {
+    // row_number().over(w) <= n is only scale-safe because Spark 4's
+    // InsertWindowGroupLimit pushes a partial top-n BEFORE the shuffle —
+    // without it a hot group sorts its entire contents on one reducer.
+    // Assert the node actually fires (Partial map-side + Final after the
+    // exchange) for every top-k query, so a conf or shape regression
+    // fails the build instead of silently degrading.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    def wgl(q: String): Seq[WindowGroupLimitExec] =
+      plan(q).collect { case w: WindowGroupLimitExec => w }
+    for (q <- Seq("q_sample_cap", "q_sim_brute_topk", "q_sim_lsh_topk")) {
+      val nodes = wgl(q)
+      assert(nodes.size >= 2,
+        s"$q expected Partial+Final WindowGroupLimit, got ${nodes.size}")
+      assert(nodes.exists(_.mode.toString == "Partial"),
+        s"$q has no map-side Partial WindowGroupLimit: ${nodes.map(_.mode)}")
+    }
+    // prove the gate detects the regression it guards against: with the
+    // rule disabled the node disappears from the very same plan
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    try assert(wgl("q_sample_cap").isEmpty,
+      "disabling windowGroupLimitThreshold must remove the node (gate self-test)")
+    finally spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+  }
+
   test("shuffle-count snapshots for the headline plans") {
     // upper bounds, not exact counts: a future change may legitimately
     // REMOVE a shuffle, but silently adding one fails loudly here

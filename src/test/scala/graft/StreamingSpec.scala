@@ -156,6 +156,60 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingAsOf matches the batch as-of join") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    // reference (views) for user 1 at 10:00/10:05/10:30; probes (clicks)
+    // at 10:03 (→ view e200), 10:05 (tie → inclusive, e201), 10:40
+    // (→ e202); a user-2 probe with NO preceding reference (→ None)
+    val leftRows = Seq(Event(100, ts(3), 1, "click", 1.0),
+      Event(101, ts(5), 1, "click", 2.0), Event(102, ts(40), 1, "click", 3.0),
+      Event(103, ts(4), 2, "click", 4.0))
+    val rightRows = Seq(Event(200, ts(0), 1, "view", 10.0),
+      Event(201, ts(5), 1, "view", 20.0), Event(202, ts(30), 1, "view", 30.0))
+    clicks.addData(leftRows: _*)
+    views.addData(rightRows: _*)
+    val q = Events.streamingAsOf(clicks.toDS(), views.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past every probe (both streams feed the
+      // same watermark), then trigger once more so event-time timeouts
+      // fire for keys with no further data
+      clicks.addData(Event(900, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "click", 0.0))
+      views.addData(Event(901, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Event(902, Timestamp.valueOf("2024-01-01 14:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").where($"user_id" =!= 99)
+        .select("event_id", "r_event_id", "r_value")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got === Set(
+        (100L, Some(200L), Some(10.0)),
+        (101L, Some(201L), Some(20.0)),
+        (102L, Some(202L), Some(30.0)),
+        (103L, None, None)))
+      // face parity: the batch as-of join on the same rows agrees
+      val batch = graft.operators.AsOf.asOfJoin(
+        leftRows.toDF().select("event_id", "user_id", "ts"),
+        rightRows.toDF().select(col("user_id"), col("ts"),
+          col("event_id").as("r_event_id"), col("value").as("r_value")),
+        keys = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("r_event_id", "r_value"))
+        .select("event_id", "r_event_id", "r_value")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap > 30min, aggregates per session") {
     import spark.implicits._
     val df = Seq(
