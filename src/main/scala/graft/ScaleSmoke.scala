@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+
+/** sf1 scale smoke: generate a 10× dataset from sf0.1 (into /tmp — the
+  * driver's testdata is read-only) and time the most expensive queries
+  * at both scales. The plan-regression gates (PlanAuditSpec) prove plan
+  * SHAPES; this catches what they cannot — an accidental quadratic whose
+  * plan looks fine but whose runtime grows superlinearly with data.
+  *
+  * Scale-up is key-shifted replication: every replica k shifts each
+  * table's primary key space by k·(max+1), preserving join structure and
+  * value distributions, so sf1 is 10× the ROWS with the same shape.
+  * Document text is perturbed per replica (vowel/consonant rotation +
+  * replica prefix) so replicas are not near-duplicates of each other —
+  * otherwise the dedup queries would face 10×-denser duplicate GROUPS
+  * (a data property, not an engine cost) and the 10× time bound would
+  * measure the wrong thing.
+  *
+  * Usage: runMain graft.ScaleSmoke [baseDir] [sf1Dir]
+  * Prints one PASS/FAIL line per query (bound: sf1 ≤ 10× sf0.1 + 2s
+  * noise floor) and a trailing JSON summary; exits 1 on any FAIL.
+  * Results are recorded in SCALE.md.
+  */
+object ScaleSmoke {
+
+  /** The five most expensive queries of the round-4 clean bench, the
+    * smoke targets. LSH minhash rides along: candidate generation is
+    * the classic accidental-quadratic risk.
+    */
+  val smokeQueries: Seq[String] = Seq(
+    "q_domain_cluster", "q_dedup_groups", "q_domain_id_chain",
+    "q_domain_inception_coverage", "q_coverages", "q_dedup_minhash")
+
+  private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
+
+  /** Shift a key column into replica k's id space. */
+  private def shifted(df: DataFrame, keyCol: String, k: Int, span: Long): DataFrame =
+    df.withColumn(keyCol, col(keyCol) + lit(k * span))
+
+  def generate(spark: SparkSession, base: String, out: String, replicas: Int = 10): Unit = {
+    def read(name: String) = spark.read.parquet(s"$base/$name.parquet")
+    def write(df: DataFrame, name: String) =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def span(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1L
+
+    // small dimension tables: verbatim copies
+    for (n <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(read(n), n)
+
+    // orders + lineitem share the orderkey shift so FKs stay valid
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val oSpan = span(orders, "o_orderkey")
+    val pSpan = span(lineitem, "l_partkey")
+    write((0 until replicas).map(k => shifted(orders, "o_orderkey", k, oSpan))
+      .reduce(_ unionAll _), "orders")
+    write((0 until replicas).map(k =>
+        shifted(shifted(lineitem, "l_orderkey", k, oSpan), "l_partkey", k, pSpan))
+      .reduce(_ unionAll _), "lineitem")
+
+    // documents: new id space + per-replica text perturbation (two
+    // character rotations give >10 distinct combos; k = 0 is identity)
+    val docs = read("documents")
+    val dSpan = span(docs, "doc_id")
+    write((0 until replicas).map { k =>
+      val perturbed =
+        if (k == 0) shifted(docs, "doc_id", k, dSpan)
+        else shifted(docs, "doc_id", k, dSpan)
+          .withColumn("text", concat(lit(s"r$k "),
+            translate(translate(col("text"), "aeiou", rot("aeiou", k)),
+              "lnrst", rot("lnrst", k / 5 + k))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      perturbed
+    }.reduce(_ unionAll _), "documents")
+
+    // events: ts column is read as nanos-long (TESTDATA nanos timestamps)
+    // and written back unchanged, so the sf1 table reads the same way
+    val events = read("events")
+    val eSpan = span(events, "event_id")
+    val uSpan = span(events, "user_id")
+    write((0 until replicas).map(k =>
+        shifted(shifted(events, "event_id", k, eSpan), "user_id", k, uSpan))
+      .reduce(_ unionAll _), "events")
+
+    val emb = read("embeddings")
+    val vSpan = span(emb, "vec_id")
+    write((0 until replicas).map(k => shifted(emb, "vec_id", k, vSpan))
+      .reduce(_ unionAll _), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val spark = GraftSession.local(cores = 32, shufflePartitions = 32,
+      appName = "graft-scale-smoke")
+
+    val marker = new java.io.File(s"$out/_GENERATED")
+    if (!marker.exists()) {
+      println(s"[scale] generating sf1 at $out from $base")
+      generate(spark, base, out)
+      marker.createNewFile()
+    } else println(s"[scale] reusing sf1 at $out")
+
+    def run(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // build the memoized chains for BOTH dirs off the clock, and one
+    // untimed warm-up query for JVM/codegen first-call costs
+    for (d <- Seq(base, out)) graft.queries.QueryCaches.prebuildAll(spark, d)
+    run(smokeQueries.head, base)
+
+    var failed = false
+    val results = smokeQueries.map { q =>
+      val tBase = run(q, base)
+      val tBig = run(q, out)
+      val ratio = tBig / math.max(tBase, 1e-9)
+      // noise floor: small queries jitter by seconds at local[32]
+      val ok = tBig <= tBase * 10.0 + 2.0
+      if (!ok) failed = true
+      println(f"[scale] $q%-32s sf0.1=$tBase%7.2fs  sf1=$tBig%7.2fs  ratio=$ratio%5.2f  ${if (ok) "PASS" else "FAIL"}")
+      (q, tBase, tBig, ratio)
+    }
+    val qs = results.map { case (q, a, b, r) =>
+      f"""\"$q\":{\"sf01\":$a%.2f,\"sf1\":$b%.2f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","bound":"10x+2s","queries":$qs,"failed":$failed}""")
+    graft.queries.QueryCaches.clearAll()
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -278,6 +278,57 @@ object Dedup {
     out
   }
 
+  /** Corpus-wide repeated-span removal — the C4/RefinedWeb sub-document
+    * dedup shape: chunk every document into spans of `tokensPerSpan`
+    * whitespace tokens; any span appearing in at least `minDocs`
+    * DISTINCT documents is boilerplate/template text and is removed
+    * from EVERY document; survivors are rejoined in original order.
+    *
+    * Output: (doc_id, text_clean, n_spans, n_removed) for every input
+    * document (a fully-boilerplate document survives with empty text —
+    * dropping rows silently would break downstream joins).
+    *
+    * Shape: one explode to (doc_id, span_idx, span), one
+    * partial-aggregated groupBy(span) for the corpus-duplicated set, a
+    * left-anti join back on the span (both sides hash-partition on the
+    * same key, so the aggregate's exchange is reused), and one
+    * groupBy(doc_id) re-assembly. The token array is materialized
+    * behind an exchange barrier before the span lambda touches it —
+    * CollapseProject would otherwise inline `split(text)` into the
+    * lambda and re-split the whole document once per span (the
+    * interpreted-HOF trap, see TextAnalysis.tokenHashTable). At larger
+    * span widths, hash the span for the shuffle key; the string form
+    * keeps the DuckDB oracle collision-free.
+    */
+  def dedupSpans(docs: DataFrame, tokensPerSpan: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val n = tokensPerSpan
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .repartition(col("doc_id"))
+    val withCounts = toks.select(col("doc_id"), col("w"),
+      ceil(size(col("w")) / lit(n.toDouble)).cast("long").as("n_spans"))
+    val spans = withCounts.select(col("doc_id"), col("n_spans"),
+        posexplode(transform(sequence(lit(0L), col("n_spans") - 1L),
+          i => array_join(slice(col("w"), (i * n + 1L).cast("int"), lit(n)), " "))))
+      .select(col("doc_id"), col("n_spans"),
+        col("pos").cast("long").as("span_idx"), col("col").as("span"))
+    val corpusDups = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("span")
+    val kept = spans.join(corpusDups, Seq("span"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("text_clean"))
+    withCounts.select(col("doc_id"), col("n_spans"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j
     * of the fingerprint is the sign of sum over tokens of (bit j set in
     * the token hash ? +1 : -1). The token hash is computed once per

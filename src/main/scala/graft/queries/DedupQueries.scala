@@ -99,7 +99,13 @@ object DedupQueries {
       val pairs = Dedup.ngramJaccard(docs, cands).where(col("jaccard") >= 0.2)
         .select("doc_id_a", "doc_id_b")
       Dedup.dedupGroupsConverged(docs, pairs)
-    })
+    }),
+
+    // corpus-wide repeated-span removal (C4/RefinedWeb sub-document
+    // dedup): 8-token spans present in >= 2 distinct documents are
+    // stripped from every document
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(Tables(s, dir, "documents"), tokensPerSpan = 8, minDocs = 2))
   )
 
   // MinHash signature as SQL: k salted minima over shingle hashes, with
@@ -253,6 +259,23 @@ object DedupQueries {
          |$rounds
          |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin
     },
+
+    // mirrors Dedup.dedupSpans: same 1-based inclusive slice windows
+    // (DuckDB l[a:b] == Spark slice), same distinct-doc threshold, same
+    // order-preserving reassembly (list(... ORDER BY span_idx))
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, CAST(ceil(len(w)/8.0) AS BIGINT) AS n_spans FROM t),
+        |c AS (SELECT t.doc_id AS doc_id, CAST(u.i AS BIGINT) AS span_idx,
+        |        array_to_string(w[(CAST(u.i AS INT)*8+1):(CAST(u.i AS INT)*8+8)], ' ') AS span
+        |      FROM t, unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS u(i)),
+        |hot AS (SELECT span FROM c GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        array_to_string(list(span ORDER BY span_idx), ' ') AS text_clean
+        |      FROM c ANTI JOIN hot USING (span) GROUP BY doc_id)
+        |SELECT n.doc_id, coalesce(k.text_clean, '') AS text_clean, n.n_spans,
+        |       n.n_spans - coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_removed
+        |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (

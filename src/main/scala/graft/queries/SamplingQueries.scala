@@ -23,8 +23,17 @@ object SamplingQueries {
     // domain mixing: at most 8 docs per (source, lang), longest first
     "q_sample_cap" -> ((s, dir) =>
       Sampling.capPerGroup(Tables(s, dir, "documents"),
-        Seq("source", "lang"), orderCol = "n_chars", tieCol = "doc_id", n = 8))
+        Seq("source", "lang"), orderCol = "n_chars", tieCol = "doc_id", n = 8)),
+
+    // language reweighting: per-group deterministic rates (salt 7) —
+    // 80% of en, 50% of zh, 25% of de, 10% of everything else
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.sampleByHashWeighted(Tables(s, dir, "documents"),
+        keyCol = "doc_id", groupCol = "lang", rates = weightedRates,
+        defaultRate = 0.1, salt = 7))
   )
+
+  private val weightedRates = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> {
@@ -39,6 +48,17 @@ object SamplingQueries {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY source, lang
         |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
         |  FROM documents)
-        |WHERE rank <= 8""".stripMargin
+        |WHERE rank <= 8""".stripMargin,
+
+    "q_sample_weighted" -> {
+      val a = TextAnalysis.hashA(7)
+      val b = TextAnalysis.hashB(7)
+      val cases = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
+        .map { case (g, r) => s"WHEN lang = '$g' THEN ${(r * 1000.0).toLong}" }
+        .mkString(" ")
+      s"""SELECT * FROM documents
+         |WHERE (((doc_id % $P) * $a + $b) % $P) % 1000 <
+         |  CASE $cases ELSE 100 END""".stripMargin
+    }
   )
 }

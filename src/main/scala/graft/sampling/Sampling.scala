@@ -40,6 +40,26 @@ object Sampling {
       salt: Int = 0): DataFrame =
     df.where(hashBucket(col(keyCol), salt) < (fraction * 1000.0).toLong)
 
+  /** Per-group weighted Bernoulli sample — the domain-mixing knob
+    * (Gopher/DoReMi-style corpus reweighting): each group keeps its own
+    * deterministic fraction of rows, e.g. 80% of `en`, 25% of `de`, 10%
+    * of everything else. Same salted-hash membership as [[sampleByHash]]
+    * (reproducible on any cluster and partitioning); the per-group
+    * threshold is a literal map lookup, so the filter stays map-only
+    * and codegen'd — no join, no shuffle, pushable to the scan.
+    *
+    * Rates are quantized to 1/1000ths (the hash-bucket resolution);
+    * groups absent from `rates` fall back to `defaultRate`.
+    */
+  def sampleByHashWeighted(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: Int = 0): DataFrame = {
+    val thresholds = rates.map { case (g, r) => g -> (r * 1000.0).toLong }
+    df.where(hashBucket(col(keyCol), salt) <
+      coalesce(element_at(typedlit(thresholds), col(groupCol)),
+        lit((defaultRate * 1000.0).toLong)))
+  }
+
   /** Per-group quota: keep the top `n` rows of each group under
     * (orderCol DESC, tieCol ASC) — e.g. the 20 highest-quality documents
     * per source. Returns the input columns plus the 1-based `rankCol`;
