@@ -99,12 +99,21 @@ object ScaleSmoke {
     val spark = GraftSession.local(cores = 32, shufflePartitions = 32,
       appName = "graft-scale-smoke")
 
+    // the marker records the generation INPUTS: a rerun with a
+    // different base (or replica count) must regenerate, not silently
+    // compare against a dataset derived from some other base
+    val replicas = 10
+    val stamp = s"base=$base replicas=$replicas"
     val marker = new java.io.File(s"$out/_GENERATED")
-    if (!marker.exists()) {
+    val fresh = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim != stamp
+    if (fresh) {
       println(s"[scale] generating sf1 at $out from $base")
-      generate(spark, base, out)
-      marker.createNewFile()
-    } else println(s"[scale] reusing sf1 at $out")
+      generate(spark, base, out, replicas)
+      java.nio.file.Files.write(marker.toPath,
+        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else println(s"[scale] reusing sf1 at $out ($stamp)")
 
     def run(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -117,6 +126,9 @@ object ScaleSmoke {
     for (d <- Seq(base, out)) graft.queries.QueryCaches.prebuildAll(spark, d)
     run(smokeQueries.head, base)
 
+    // locale-pinned formatting (like Bench): default-locale %f renders
+    // comma decimals on e.g. a de_DE JVM and corrupts the JSON line
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     var failed = false
     val results = smokeQueries.map { q =>
       val tBase = run(q, base)
@@ -125,11 +137,12 @@ object ScaleSmoke {
       // noise floor: small queries jitter by seconds at local[32]
       val ok = tBig <= tBase * 10.0 + 2.0
       if (!ok) failed = true
-      println(f"[scale] $q%-32s sf0.1=$tBase%7.2fs  sf1=$tBig%7.2fs  ratio=$ratio%5.2f  ${if (ok) "PASS" else "FAIL"}")
+      println(s"[scale] ${q.padTo(32, ' ')} sf0.1=${fmt(tBase)}s  sf1=${fmt(tBig)}s  " +
+        s"ratio=${fmt(ratio)}  ${if (ok) "PASS" else "FAIL"}")
       (q, tBase, tBig, ratio)
     }
     val qs = results.map { case (q, a, b, r) =>
-      f"""\"$q\":{\"sf01\":$a%.2f,\"sf1\":$b%.2f,\"ratio\":$r%.2f}"""
+      s""""$q":{"sf01":${fmt(a)},"sf1":${fmt(b)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","bound":"10x+2s","queries":$qs,"failed":$failed}""")
     graft.queries.QueryCaches.clearAll()

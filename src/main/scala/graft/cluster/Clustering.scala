@@ -222,9 +222,13 @@ object Clustering {
       resumeFrom: Option[(DataFrame, Int)] = None): DataFrame = {
     // default: durable alternating parquet checkpoint in a temp dir —
     // resets both lineage AND plan statistics each iteration (see
-    // localCheckpointer caution)
-    val checkpoint = checkpointer.getOrElse(parquetCheckpointer(
-      java.nio.file.Files.createTempDirectory("graft-cluster-ckpt").toString))
+    // localCheckpointer caution). The temp dir is owned by THIS call
+    // and deleted on return (the result is pulled off it first);
+    // crash-resume needs a caller-supplied checkpointer with a caller-
+    // owned dir, which is also the only case latestCheckpoint can find.
+    val tmpDir = if (checkpointer.isEmpty)
+      Some(java.nio.file.Files.createTempDirectory("graft-cluster-ckpt")) else None
+    val checkpoint = checkpointer.getOrElse(parquetCheckpointer(tmpDir.get.toString))
     // the static adjacency side is joined every iteration: pre-partition
     // on the join key and persist so iterations reuse both the
     // computation and the partitioning (the in-session equivalent of the
@@ -264,6 +268,18 @@ object Clustering {
       persisted.unpersist()
     }
     adj.unpersist()
-    state.select("piece_id", "cluster_id")
+    val out = state.select("piece_id", "cluster_id")
+    tmpDir match {
+      case Some(dir) =>
+        // materialize off the checkpoint files, then delete them — the
+        // default-dir path would otherwise leak two full label tables
+        // in /tmp per call (every bench run, every spec)
+        val materialized = out.localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(dir.toString)
+          .getFileSystem(adjacency.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+        materialized
+      case None => out
+    }
   }
 }

@@ -242,8 +242,13 @@ object Dedup {
   def dedupGroupsConverged(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 100,
       checkpointer: Option[graft.cluster.Clustering.Checkpointer] = None): DataFrame = {
-    val checkpoint = checkpointer.getOrElse(graft.cluster.Clustering.parquetCheckpointer(
-      java.nio.file.Files.createTempDirectory("graft-dedup-conv").toString))
+    // the default checkpoint dir is owned by THIS call and deleted on
+    // return (the result is localCheckpoint-materialized off it first);
+    // a caller-supplied checkpointer owns its own lifecycle
+    val tmpDir = if (checkpointer.isEmpty)
+      Some(java.nio.file.Files.createTempDirectory("graft-dedup-conv")) else None
+    val checkpoint = checkpointer.getOrElse(
+      graft.cluster.Clustering.parquetCheckpointer(tmpDir.get.toString))
     val edges = pairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("nbr"))
       .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -270,12 +275,29 @@ object Dedup {
       // sum over zero rows is null — an empty corpus is converged
       changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
     }
+    // fall through while still changing = the contract ("components of
+    // any diameter fully merge") is NOT met, and a partially-merged
+    // result is indistinguishable from a converged one downstream —
+    // fail loudly; the caller raises maxRounds
+    require(changed == 0L,
+      s"dedupGroupsConverged did not converge within $maxRounds rounds " +
+        s"($changed labels still changing); raise maxRounds")
     // the returned frame reads from the final checkpoint, not the edge
     // cache, so the per-call cache can be released immediately
     val out = labels.select(col("doc_id"), col("group_id"),
       (col("doc_id") === col("group_id")).as("is_canonical"))
     edges.unpersist()
-    out
+    tmpDir match {
+      case Some(dir) =>
+        // pull the result off the checkpoint files, then delete them —
+        // otherwise every call leaks two full label tables in /tmp
+        val materialized = out.localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(dir.toString)
+          .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+        materialized
+      case None => out
+    }
   }
 
   /** Corpus-wide repeated-span removal — the C4/RefinedWeb sub-document

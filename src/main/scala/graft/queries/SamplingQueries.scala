@@ -53,7 +53,9 @@ object SamplingQueries {
     "q_sample_weighted" -> {
       val a = TextAnalysis.hashA(7)
       val b = TextAnalysis.hashB(7)
-      val cases = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
+      // built from the SAME map the Spark query uses — a rate tweak
+      // cannot desynchronize the two faces
+      val cases = weightedRates
         .map { case (g, r) => s"WHEN lang = '$g' THEN ${(r * 1000.0).toLong}" }
         .mkString(" ")
       s"""SELECT * FROM documents

@@ -179,21 +179,32 @@ object Events {
   def streamingAsOf(left: Dataset[Event], right: Dataset[Event],
       watermark: String = "1 hour")(implicit spark: SparkSession): Dataset[AsOfJoined] = {
     import spark.implicits._
+    // watermark EACH stream before the union (same as
+    // streamingIntervalJoin): the global watermark is then the MIN of
+    // the two streams, so a fast probe stream cannot advance it past a
+    // lagging reference stream and get reference rows dropped as late —
+    // a post-union watermark would silently turn matches into Nones
     val tagged = left
       .map(e => AsOfTagged(1, e.event_id, e.ts, e.user_id, e.value))
-      .unionByName(right.map(e => AsOfTagged(0, e.event_id, e.ts, e.user_id, e.value)))
       .withWatermark("ts", watermark)
+      .unionByName(right.map(e => AsOfTagged(0, e.event_id, e.ts, e.user_id, e.value))
+        .withWatermark("ts", watermark))
     tagged.groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfBuffer, AsOfJoined](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId, rows, state: GroupState[AsOfBuffer]) =>
           val wm = state.getCurrentWatermarkMs()
-          var st = state.getOption.getOrElse(AsOfBuffer(Seq.empty, Seq.empty))
+          val prev = state.getOption.getOrElse(AsOfBuffer(Seq.empty, Seq.empty))
+          // accumulate into buffers and build the state object ONCE — a
+          // per-row immutable :+ plus case-class copy is O(batch²) on a
+          // hot key
+          val rBuf = scala.collection.mutable.ArrayBuffer.from(prev.rights)
+          val lBuf = scala.collection.mutable.ArrayBuffer.from(prev.lefts)
           rows.foreach { t =>
             val row = (t.ts.getTime, t.event_id, t.value)
-            st = if (t.side == 0) st.copy(rights = st.rights :+ row)
-            else st.copy(lefts = st.lefts :+ row)
+            if (t.side == 0) rBuf += row else lBuf += row
           }
+          val st = AsOfBuffer(rBuf.toSeq, lBuf.toSeq)
           // release probes the watermark has passed; the rest wait
           val (ready, pending) = st.lefts.partition(_._1 <= wm)
           val rightsSorted = st.rights.sortBy(r => (r._1, r._2))

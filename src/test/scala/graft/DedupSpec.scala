@@ -112,6 +112,18 @@ class DedupSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("dedupGroupsConverged fails loudly when maxRounds is exhausted") {
+    import spark.implicits._
+    // a partially-merged result is indistinguishable from a converged
+    // one downstream — exhausting maxRounds must throw, not return
+    val d = docs((1L to 4L).map(i => i -> s"t$i"): _*)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupGroupsConverged(d, p, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("minhash hot-bucket cap drops degenerate bands") {
     // 100 identical one-shingle docs: every band bucket has 100 members,
     // all above the cap → no candidates (the bucket is non-discriminative)
