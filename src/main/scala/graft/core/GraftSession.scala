@@ -28,6 +28,8 @@ object GraftSession {
       // (Tables.events converts to micros timestamps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // graft planner strategies (native as-of join, …) — see graft.plans
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
 
   /** @param hive enable a Hive metastore-backed external catalog

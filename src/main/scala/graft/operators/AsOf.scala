@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
 
 /** As-of (point-in-time) join — an operator Spark lacks natively,
   * composed from existing operators per the preference order in the
@@ -56,6 +58,45 @@ object AsOf {
         leftCols.filterNot(c => keys.contains(c) || c == timeCol)
           .map(c => col(s"_l_$c").as(c)) ++
         valueCols.map(col): _*)
+  }
+
+  /** Native-plan face of [[asOfJoin]] — identical semantics, planned as
+    * the custom Catalyst operator [[graft.plans.AsOfJoinExec]] (merge
+    * join over co-partitioned sorted children) instead of the
+    * union+window composition. Output columns: all left columns, then
+    * `valueCols` (nullable).
+    *
+    * Prefer this face when right is too big to broadcast and left is
+    * wide: each side shuffles only its own columns, and no window frame
+    * is materialized.
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    Shim.ensureStrategy(spark, graft.plans.GraftStrategy)
+    // re-alias every column on both sides so the children carry FRESH,
+    // disjoint exprIds: analyzer-built joins get this from
+    // DeduplicateRelations, but a hand-built node must do it itself or
+    // self-joins (both sides derived from one scan) leave ambiguous
+    // attribute ids that break column pruning
+    val lPlan = left.select(left.columns.toSeq.map(c => left(c).as(c)): _*)
+      .queryExecution.analyzed
+    val rPlan = right.select(right.columns.toSeq.map(c => right(c).as(c)): _*)
+      .queryExecution.analyzed
+    def resolve(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found on $side side"))
+    val lk = keys.map(resolve(lPlan.output, _, "left"))
+    val rk = keys.map(resolve(rPlan.output, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name} ${a.dataType} vs ${b.dataType}") }
+    val lt = resolve(lPlan.output, timeCol, "left")
+    val rt = resolve(rPlan.output, timeCol, "right")
+    require(lt.dataType == rt.dataType,
+      s"time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    val rv = valueCols.map(resolve(rPlan.output, _, "right"))
+    Shim.ofRows(spark, graft.plans.AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, rv))
   }
 
   /** Column helper: epoch seconds of a timestamp (both engines agree). */

@@ -38,6 +38,22 @@ object EventQueries {
           col("ts").cast("long").as("ts_s"), col("purchase_value"))
     }),
 
+    // the same as-of join planned as the NATIVE Catalyst operator
+    // (graft.plans.AsOfJoinExec via SparkSessionExtensions) — merge
+    // join over co-partitioned sorted children, no union, no window
+    "q_events_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("value").as("purchase_value"))
+      graft.operators.AsOf.asOfJoinNative(clicks, purchases,
+          keys = Seq("user_id"), timeCol = "ts", valueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_s"), col("purchase_value"))
+    }),
+
     // event-time interval join: views within 4h before each click
     // (batch face of the watermarked stream-stream join)
     "q_events_interval" -> ((s, dir) => {
@@ -95,6 +111,19 @@ object EventQueries {
 
     // DuckDB's native ASOF JOIN is the oracle for the composed operator
     "q_events_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+        |  p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    // identical oracle for the native-plan face
+    "q_events_asof_native" ->
       """WITH p AS (
         |  SELECT user_id, ts, max(value) AS purchase_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),

@@ -44,4 +44,114 @@ class AsOfSpec extends SparkTestBase {
     assert(out.columns.toSet === Set("user_id", "ts", "event_id", "tag", "v"))
     assert(out.where(col("tag") === "a").head.getDouble(4) === 1.0)
   }
+
+  // ---- native Catalyst plan face (graft.plans.AsOfJoinExec) ----
+
+  test("asOfJoinNative matches the basic as-of semantics") {
+    val left = Seq(
+      (1L, 1L, ts(5)), (2L, 1L, ts(15)), (3L, 1L, ts(2)),
+      (4L, 2L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(3), 30.0), (1L, ts(10), 100.0),
+      (2L, ts(20), 7.0)).toDF("user_id", "ts", "v")
+    val out = AsOf.asOfJoinNative(left, right, Seq("user_id"), "ts", Seq("v"))
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts", "v"))
+    val got = out.collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got(1L) === Some(30.0))
+    assert(got(2L) === Some(100.0))
+    assert(got(3L) === None)
+    assert(got(4L) === None)
+  }
+
+  test("asOfJoinNative is inclusive at equal timestamps and plans AsOfJoinExec") {
+    val left = Seq((1L, 1L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(10), 5.0)).toDF("user_id", "ts", "v")
+    val out = AsOf.asOfJoinNative(left, right, Seq("user_id"), "ts", Seq("v"))
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), s"native node missing from plan:\n$planStr")
+    assert(out.collect().head.getDouble(3) === 5.0)
+  }
+
+  test("asOfJoinNative handles null keys, null times, and empty right") {
+    val left = Seq(
+      (1L, Option(1L), Option(ts(5))),
+      (2L, Option.empty[Long], Option(ts(5))),   // null key: no match
+      (3L, Option(1L), Option.empty[java.sql.Timestamp]) // null time: no match
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), Option(ts(1)), 1.0),
+      (Option.empty[Long], Option(ts(1)), 2.0),  // null right key: never matches
+      (Option(1L), Option.empty[java.sql.Timestamp], 3.0) // null right time: skipped
+    ).toDF("user_id", "ts", "v")
+    val got = AsOf.asOfJoinNative(left, right, Seq("user_id"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(1L) === Some(1.0))
+    assert(got(2L) === None)
+    assert(got(3L) === None)
+
+    val empty = right.where(lit(false))
+    val out2 = AsOf.asOfJoinNative(left, right.where(lit(false)),
+      Seq("user_id"), "ts", Seq("v"))
+    assert(out2.count() === 3)
+    assert(out2.where(col("v").isNotNull).count() === 0)
+  }
+
+  test("asOfJoinNative agrees with the union+window composition on random data") {
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(400) { i =>
+      (i.toLong, rnd.nextInt(12).toLong, ts(rnd.nextInt(60)))
+    }.toDF("event_id", "user_id", "ts")
+    // unique (key, ts) on the right — as-of precondition on both faces
+    val right = rnd.shuffle(
+        (for (k <- 0 until 12; m <- 0 until 60) yield (k, m)).toSeq)
+      .take(300)
+      .map { case (k, m) => (k.toLong, ts(m), rnd.nextDouble()) }
+      .toDF("user_id", "ts", "v")
+    val composed = AsOf.asOfJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val native = AsOf.asOfJoinNative(left, right, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(native === composed)
+  }
+
+  test("asOfJoinNative survives both sides derived from ONE scan (self-join exprIds)") {
+    // regression: clicks and purchases carved from the same DataFrame
+    // share attribute exprIds; without fresh per-side aliasing the
+    // optimizer mis-prunes the right child (ATTRIBUTE_NOT_FOUND at the
+    // exchange). Mirrors the q_events_asof_native shape.
+    val ev = Seq(
+      (1L, 1L, "click", ts(5), 0.0), (2L, 1L, "click", ts(15), 0.0),
+      (3L, 1L, "purchase", ts(3), 30.0), (4L, 1L, "purchase", ts(10), 100.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("v"))
+    val got = AsOf.asOfJoinNative(clicks, purchases, Seq("user_id"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(1L) === Some(30.0))
+    assert(got(2L) === Some(100.0))
+
+    // the degenerate case: literally the same DataFrame on both sides
+    val sameBoth = AsOf.asOfJoinNative(
+      purchases.withColumnRenamed("v", "w"),
+      purchases.withColumnRenamed("v", "w"),
+      Seq("user_id"), "ts", Seq("w"))
+    assert(sameBoth.count() === 2)
+  }
+
+  test("asOfJoinNative supports composite keys") {
+    val left = Seq((1L, 1L, "a", ts(10)), (2L, 1L, "b", ts(10)))
+      .toDF("event_id", "k1", "k2", "ts")
+    val right = Seq((1L, "a", ts(5), 1.0), (1L, "b", ts(20), 2.0))
+      .toDF("k1", "k2", "ts", "v")
+    val got = AsOf.asOfJoinNative(left, right, Seq("k1", "k2"), "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(got(1L) === Some(1.0))
+    assert(got(2L) === None)
+  }
 }

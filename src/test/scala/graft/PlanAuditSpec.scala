@@ -147,6 +147,23 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     finally spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
   }
 
+  test("native as-of join: merge exec over per-side exchanges, no union, no window") {
+    val p = plan("q_events_asof_native")
+    assert(p.collect { case a: graft.plans.AsOfJoinExec => a }.size == 1,
+      s"expected AsOfJoinExec in plan:\n$p")
+    // each side shuffles only its own columns: left clicks on user_id,
+    // right purchase pre-agg on (user_id, ts) then user_id — and the
+    // union+window shape (wide combined-schema shuffle + frame pass)
+    // must NOT come back
+    assert(windows(p).isEmpty, "native as-of must not plan a Window")
+    assert(p.collect { case u: org.apache.spark.sql.execution.UnionExec => u }.isEmpty,
+      "native as-of must not plan a Union")
+    val s = shuffles(p)
+    assert(s.size <= 3, s"native as-of expected <=3 exchanges, got ${s.size}")
+    assert(s.exists(e => partitionKeys(e) == Seq("user_id")),
+      s"expected a user_id exchange, got ${s.map(partitionKeys)}")
+  }
+
   test("shuffle-count snapshots for the headline plans") {
     // upper bounds, not exact counts: a future change may legitimately
     // REMOVE a shuffle, but silently adding one fails loudly here
