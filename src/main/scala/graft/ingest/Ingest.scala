@@ -46,6 +46,18 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
 
+  /** ORC read — the interchange format when downstream consumers are
+    * Hive/Trino-side rather than parquet-native. Column pruning and
+    * predicate pushdown work the same as the parquet scans (both are
+    * Spark DataSource v1 file sources with vectorized readers).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC write, zstd-compressed like every parquet sink in the engine. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
   /** Multi-format date normalization for string metadata columns
     * (reference: upstream_metadata.py:27-36, publication_date.py:30-56).
     */

@@ -30,7 +30,17 @@ object SamplingQueries {
     "q_sample_weighted" -> ((s, dir) =>
       Sampling.sampleByHashWeighted(Tables(s, dir, "documents"),
         keyCol = "doc_id", groupCol = "lang", rates = weightedRates,
-        defaultRate = 0.1, salt = 7))
+        defaultRate = 0.1, salt = 7)),
+
+    // sequence packing: whitespace token counts, 512-token budget,
+    // 8 deterministic shards (salt 5)
+    "q_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.packSequences(docs, keyCol = "doc_id", tokenCol = "n_tokens",
+        budget = 512L, shards = 8, salt = 5)
+    })
   )
 
   private val weightedRates = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
@@ -61,6 +71,28 @@ object SamplingQueries {
       s"""SELECT * FROM documents
          |WHERE (((doc_id % $P) * $a + $b) % $P) % 1000 <
          |  CASE $cases ELSE 100 END""".stripMargin
+    },
+
+    "q_pack_sequences" -> {
+      val a = TextAnalysis.hashA(5)
+      val b = TextAnalysis.hashB(5)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    ((((doc_id % $P) * $a + $b) % $P) % 1000) % 8 AS shard
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    -- sum() OVER returns HUGEINT in DuckDB; pin to BIGINT so the
+         |    -- modulo below types like the Spark face
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |      AS BIGINT) AS start
+         |  FROM d)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(floor(start / 512) AS BIGINT) AS seq_id,
+         |  CAST(start % 512 AS BIGINT) AS seq_offset
+         |FROM s""".stripMargin
     }
   )
 }

@@ -52,7 +52,12 @@ object TextQueries {
     "q_text_contamination" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       TextAnalysis.contaminationScan(docs, docs.where(col("doc_id") < 5))
-    })
+    }),
+
+    // TF-IDF top-5 keywords per document (integer-floored scores so the
+    // rank ordering is ulp-stable across engines)
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), k = 5))
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -187,6 +192,28 @@ object TextQueries {
          |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |  coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
          |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin
-    }
+    },
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+        |    CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) * 100.0)
+        |      AS BIGINT) AS score_s
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_s DESC, tok) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, tok, tf, df, score_s FROM r
+        |WHERE rank <= 5""".stripMargin
   )
 }

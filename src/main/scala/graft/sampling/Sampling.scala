@@ -60,6 +60,41 @@ object Sampling {
         lit((defaultRate * 1000.0).toLong)))
   }
 
+  /** Sequence packing — the training-batch construction step that runs
+    * after sampling and before tokenized shards are written: documents
+    * are packed into fixed token-budget sequences, contiguous-fill in a
+    * deterministic order (each document starts at the running-token
+    * offset of its predecessors; the sequence id is the budget-quotient
+    * of that start offset, so a document whose tokens straddle a
+    * boundary belongs to the sequence where it starts — the "packed
+    * sequences with document boundaries" layout).
+    *
+    * Scale shape: a single global ordering would serialize the corpus
+    * through one window partition, so packing is sharded — each document
+    * is salted-hashed into one of `shards` independent packing streams
+    * and the running sum windows per shard. Shards at cluster scale are
+    * sized to executor count (thousands), each sorting |corpus|/shards
+    * rows; determinism is preserved because shard assignment and
+    * intra-shard order both derive from the key, not the partitioning.
+    *
+    * Output: input columns + `shard`, `seq_id` (per-shard sequence
+    * number), `seq_offset` (token offset of this document within its
+    * sequence's budget window).
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
+      budget: Long, shards: Int, salt: Int = 0): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", hashBucket(col(keyCol), salt) % shards.toLong)
+      .withColumn("_start", sum(col(tokenCol)).over(w) - col(tokenCol))
+      // floor, not integer cast: `/` on longs is double division in both
+      // Spark and DuckDB, and floor keeps the two faces identical
+      .withColumn("seq_id", floor(col("_start") / budget).cast("long"))
+      .withColumn("seq_offset", col("_start") % budget)
+      .drop("_start")
+  }
+
   /** Per-group quota: keep the top `n` rows of each group under
     * (orderCol DESC, tieCol ASC) — e.g. the 20 highest-quality documents
     * per source. Returns the input columns plus the 1-based `rankCol`;

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -278,5 +279,40 @@ object TextAnalysis {
       i => (0 until n).map(j => element_at(th, i + j + 1))
         .reduce((a, b) => (a * 131L + b) % HashMod))
     when(size(th) >= n, grams).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** TF-IDF top-k keyword extraction per document — the corpus-relative
+    * salience scorer (keyword tagging / topic hints for corpus curation).
+    * Tokens are lowercased alphanumeric runs; `score = tf · ln((N+1)/(df+1))`
+    * (smoothed idf), emitted pre-floored to 1/100ths so the ordering and
+    * the oracle compare on exact integers, with the token string as the
+    * deterministic tie-break.
+    *
+    * Scale shape: token frequencies and document frequencies are both
+    * partial-aggregated groupBys on short keys; the corpus size joins in
+    * as a broadcast single row; idf attaches via a (tok)-keyed hash join
+    * (the vocabulary is NOT assumed broadcastable); the per-document
+    * top-k is a rank filter, which Spark 4 plans with a map-side partial
+    * WindowGroupLimit — no document sorts its full vocabulary on one
+    * reducer.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("score_s",
+        floor(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)) * 100.0)
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_s").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("df"), col("score_s"))
   }
 }

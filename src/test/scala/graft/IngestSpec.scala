@@ -130,4 +130,21 @@ class IngestSpec extends SparkTestBase {
     assert(df.schema.fields.forall(_.dataType == StringType))
     assert(df.count() === 2)
   }
+
+  test("ORC round-trip preserves schema and rows, zstd-compressed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/t.orc"
+    val src = Seq((1L, "a", 1.5), (2L, "b", -0.5), (3L, null, 0.0))
+      .toDF("id", "s", "v")
+    Ingest.writeOrc(src, path)
+    val back = Ingest.readOrc(spark, path)
+    // file sources widen nullability on read; names and types round-trip
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+    // the files on disk really are zstd ORC
+    assert(new File(path).listFiles().exists(_.getName.contains(".zstd.orc")))
+  }
 }

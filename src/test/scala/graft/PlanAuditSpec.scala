@@ -132,7 +132,8 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     def wgl(q: String): Seq[WindowGroupLimitExec] =
       plan(q).collect { case w: WindowGroupLimitExec => w }
-    for (q <- Seq("q_sample_cap", "q_sim_brute_topk", "q_sim_lsh_topk")) {
+    for (q <- Seq("q_sample_cap", "q_sim_brute_topk", "q_sim_lsh_topk",
+        "q_text_tfidf")) {
       val nodes = wgl(q)
       assert(nodes.size >= 2,
         s"$q expected Partial+Final WindowGroupLimit, got ${nodes.size}")

@@ -30,6 +30,34 @@ class SamplingSpec extends SparkTestBase {
     assert(s01.subsetOf(s1), "smaller fraction must nest inside larger (same salt)")
   }
 
+  test("packSequences fills fixed token budgets contiguously per shard") {
+    val d = (1L to 500L).map(i => (i, 1L + (i * 13 % 50))).toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(d, "doc_id", "n_tokens",
+        budget = 128L, shards = 4, salt = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 500, "packing keeps every document")
+    // offsets are inside the budget window; seq_id is the budget
+    // quotient of the running start
+    out.foreach { case (_, _, _, _, off) => assert(off >= 0 && off < 128) }
+    // replay each shard in key order: every doc starts at the running
+    // token offset of its predecessors
+    out.groupBy(_._3).values.foreach { shardRows =>
+      var run = 0L
+      shardRows.sortBy(_._1).foreach { case (_, toks, _, seqId, off) =>
+        assert(seqId === run / 128, "seq_id must be the budget quotient of the start")
+        assert(off === run % 128, "seq_offset must be the budget remainder of the start")
+        run += toks
+      }
+    }
+    // deterministic under repartitioning
+    val again = Sampling.packSequences(d.repartition(7), "doc_id", "n_tokens",
+        budget = 128L, shards = 4, salt = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(again.toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("capPerGroup keeps the top-n per group in quality order") {
     val d = docs(100)
     val out = Sampling.capPerGroup(d, Seq("source"), "n_chars", "doc_id", n = 3)

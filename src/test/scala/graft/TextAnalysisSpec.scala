@@ -112,6 +112,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) === ((3L, 0L, false)))
   }
 
+  test("tfidfTopK ranks corpus-rare frequent tokens first, k-capped, tok tie-break") {
+    val d = docs(
+      1L -> "apple banana apple apple common",
+      2L -> "banana cherry common",
+      3L -> "cherry common date")
+    val out = TextAnalysis.tfidfTopK(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 2))
+    // doc 1: apple tf=3 df=1 score=floor(3*ln(2)*100)=207 beats
+    // banana tf=1 df=2 score=floor(ln(4/3)*100)=28 beats common (df=3, 0)
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.map(t => (t._3, t._4, t._5)).toSeq ===
+      Seq(("apple", 3L, 1L), ("banana", 1L, 2L)))
+    // doc 3: cherry (df=2) ranks above date?? date df=1 ln(2)=69 > cherry 28
+    val d3 = byDoc(3L).sortBy(_._2)
+    assert(d3.head._3 === "date")
+    assert(d3(1)._3 === "cherry")
+    // equal scores fall back to token order: doc 2 banana/cherry both
+    // tf=1 df=2 → banana first
+    val d2 = byDoc(2L).sortBy(_._2)
+    assert(d2.map(_._3).toSeq === Seq("banana", "cherry"))
+  }
+
   test("shingles produces n-token windows, distinct, empty when short") {
     val d = docs(1L -> "a b c d", 2L -> "a b")
     val out = d.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
