@@ -74,6 +74,7 @@ object AsOf {
       timeCol: String, valueCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     Shim.ensureStrategy(spark, graft.plans.GraftStrategy)
+    Shim.ensureOptimizerRule(spark, graft.plans.PushFilterThroughAsOfJoin)
     // re-alias every column on both sides so the children carry FRESH,
     // disjoint exprIds: analyzer-built joins get this from
     // DeduplicateRelations, but a hand-built node must do it itself or

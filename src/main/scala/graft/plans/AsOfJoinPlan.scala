@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, GenericInternalRow, JoinedRow, PredicateHelper, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
@@ -187,6 +188,31 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Restores predicate pushdown through [[AsOfJoin]] — custom logical
+  * nodes are optimization barriers (PushDownPredicates only knows the
+  * built-in operators), so without this rule a `WHERE` above the join
+  * parks on top of it and the scans read everything.
+  *
+  * Only LEFT-side conjuncts move: each left row's as-of match is
+  * independent of every other left row, so pre-filtering the left child
+  * is equivalence-preserving. Right-side predicates must NOT push — a
+  * filter on an attached value column changes which right row is
+  * "latest" (it would re-match instead of null-out), exactly like the
+  * preserved side of an outer join.
+  */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(leftOnly.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. A planner strategy (not an
   * optimizer rule): the node IS the desired physical algorithm, there
   * is nothing to cost.
@@ -203,6 +229,8 @@ object GraftStrategy extends SparkStrategy {
   * every engine session can plan graft logical nodes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+  }
 }

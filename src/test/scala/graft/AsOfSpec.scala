@@ -144,6 +144,40 @@ class AsOfSpec extends SparkTestBase {
     assert(sameBoth.count() === 2)
   }
 
+  test("left-column filters push through the native as-of node; value filters stay above") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-pd").toFile
+    dir.deleteOnExit()
+    Seq((1L, 1L, ts(5)), (2L, 2L, ts(6)))
+      .toDF("event_id", "user_id", "ts").write.parquet(s"$dir/l.parquet")
+    Seq((1L, ts(1), 1.0)).toDF("user_id", "ts", "v").write.parquet(s"$dir/r.parquet")
+    val left = spark.read.parquet(s"$dir/l.parquet")
+    val right = spark.read.parquet(s"$dir/r.parquet")
+    // AQE wraps executedPlan in an opaque adaptive node; plan the query
+    // statically so the scan assertions can walk the tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = AsOf.asOfJoinNative(left, right, Seq("user_id"), "ts", Seq("v"))
+        .where(col("event_id") === 1L && col("v").isNotNull)
+      // the left-only conjunct reaches the left parquet scan's pushed
+      // filters (custom nodes are pushdown barriers without the rule)
+      val scans = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val leftScan = scans.find(_.output.exists(_.name == "event_id")).get
+      assert(leftScan.metadata("PushedFilters").contains("event_id"),
+        s"left filter not pushed: ${leftScan.metadata("PushedFilters")}")
+      // the value-column conjunct must NOT move below the join (it would
+      // change which right row is latest — outer-join preserved-side rule)
+      val optimized = out.queryExecution.optimizedPlan
+      val above = optimized.collect {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _: graft.plans.AsOfJoin) => c
+      }
+      assert(above.exists(_.references.map(_.name).toSet == Set("v")),
+        s"value filter should remain above the join:\n$optimized")
+      assert(out.count() === 1)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("asOfJoinNative supports composite keys") {
     val left = Seq((1L, 1L, "a", ts(10)), (2L, 1L, "b", ts(10)))
       .toDF("event_id", "k1", "k2", "ts")
