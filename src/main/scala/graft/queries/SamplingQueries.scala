@@ -40,8 +40,20 @@ object SamplingQueries {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       Sampling.packSequences(docs, keyCol = "doc_id", tokenCol = "n_tokens",
         budget = 512L, shards = 8, salt = 5)
-    })
+    }),
+
+    // stratified 80/10/10 train/val/test assignment (salt 11)
+    "q_sample_splits" -> ((s, dir) =>
+      Sampling.assignSplits(Tables(s, dir, "documents"), keyCol = "doc_id",
+        splits = splitFractions, salt = 11)),
+
+    // uniform (hash-ordered) 5-per-(source,lang) downsample, salt 13
+    "q_sample_group_uniform" -> ((s, dir) =>
+      Sampling.samplePerGroup(Tables(s, dir, "documents"), keyCol = "doc_id",
+        groupCols = Seq("source", "lang"), n = 5, salt = 13))
   )
+
+  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   private val weightedRates = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
 
@@ -93,6 +105,33 @@ object SamplingQueries {
          |  CAST(floor(start / 512) AS BIGINT) AS seq_id,
          |  CAST(start % 512 AS BIGINT) AS seq_offset
          |FROM s""".stripMargin
+    },
+
+    "q_sample_splits" -> {
+      val a = TextAnalysis.hashA(11)
+      val b = TextAnalysis.hashB(11)
+      // CASE ladder built from the SAME fraction list the Spark query
+      // uses, so a fraction tweak cannot desynchronize the faces
+      val cums = splitFractions.map(_._2 * 1000.0)
+        .scanLeft(0L)((acc, f) => acc + f.toLong).tail
+      val whens = splitFractions.zip(cums)
+        .map { case ((name, _), cum) => s"WHEN bucket < $cum THEN '$name'" }
+        .mkString(" ")
+      s"""WITH d AS (
+         |  SELECT *, (((doc_id % $P) * $a + $b) % $P) % 1000 AS bucket
+         |  FROM documents)
+         |SELECT * EXCLUDE (bucket), CASE $whens END AS split FROM d""".stripMargin
+    },
+
+    "q_sample_group_uniform" -> {
+      val a = TextAnalysis.hashA(13)
+      val b = TextAnalysis.hashB(13)
+      s"""SELECT * FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY source, lang
+         |    ORDER BY (((doc_id % $P) * $a + $b) % $P) % 1000, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM documents)
+         |WHERE rank <= 5""".stripMargin
     }
   )
 }

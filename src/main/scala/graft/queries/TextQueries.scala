@@ -57,7 +57,12 @@ object TextQueries {
     // TF-IDF top-5 keywords per document (integer-floored scores so the
     // rank ordering is ulp-stable across engines)
     "q_text_tfidf" -> ((s, dir) =>
-      TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), k = 5))
+      TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), k = 5)),
+
+    // per-language length-distribution stats (exact interpolated
+    // percentiles, floor-scaled)
+    "q_text_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(Tables(s, dir, "documents")))
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -214,6 +219,19 @@ object TextQueries {
         |    ORDER BY score_s DESC, tok) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, tok, tf, df, score_s FROM r
-        |WHERE rank <= 5""".stripMargin
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_text_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(floor(quantile_cont(n_tokens, 0.5) * 100.0) AS BIGINT) AS p50_tokens_s,
+         |  CAST(floor(quantile_cont(n_tokens, 0.9) * 100.0) AS BIGINT) AS p90_tokens_s,
+         |  CAST(floor(quantile_cont(n_tokens, 0.99) * 100.0) AS BIGINT) AS p99_tokens_s,
+         |  CAST(floor(avg(n_chars) * 100.0) AS BIGINT) AS mean_chars_s
+         |FROM d GROUP BY lang""".stripMargin
   )
 }

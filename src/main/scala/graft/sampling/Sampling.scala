@@ -95,6 +95,47 @@ object Sampling {
       .drop("_start")
   }
 
+  /** Stratified train/val/test assignment: each row gets a named split,
+    * decided by which cumulative salted-hash threshold its key bucket
+    * falls under — deterministic on any cluster/partitioning, and the
+    * splits are exactly disjoint and exhaustive by construction (the
+    * CASE ladder covers [0, 1000)). Fractions are quantized to 1/1000ths
+    * and must sum to 1 after quantization; map-only, scan-pushable.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: Int = 0,
+      splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(splitCol),
+      s"input already has a '$splitCol' column; pass splitCol = <other name>")
+    val quantized = splits.map { case (name, f) => name -> (f * 1000.0).toLong }
+    require(quantized.map(_._2).sum == 1000L,
+      s"split fractions must sum to 1.0 after 1/1000th quantization: $quantized")
+    val bucket = hashBucket(col(keyCol), salt)
+    // CASE ladder front-to-back over cumulative thresholds
+    val thresholds = quantized.scanLeft(0L)(_ + _._2).tail
+    val expr = quantized.zip(thresholds).tail
+      .foldLeft(when(bucket < thresholds.head, lit(quantized.head._1))) {
+        case (acc, ((name, _), cum)) => acc.when(bucket < cum, lit(name))
+      }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Uniform per-group downsampling: keep `n` rows of each group chosen
+    * by salted-hash order (not by a quality column — the unbiased-mixing
+    * counterpart of [[capPerGroup]]). Deterministic for a (key, salt);
+    * the rank filter plans a map-side partial WindowGroupLimit, so hot
+    * groups do not sort their full contents on one reducer.
+    */
+  def samplePerGroup(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      n: Int, salt: Int = 0, rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass rankCol = <other name>")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashBucket(col(keyCol), salt), col(keyCol))
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .where(col(rankCol) <= n)
+  }
+
   /** Per-group quota: keep the top `n` rows of each group under
     * (orderCol DESC, tieCol ASC) — e.g. the 20 highest-quality documents
     * per source. Returns the input columns plus the 1-based `rankCol`;

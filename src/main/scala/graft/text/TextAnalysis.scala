@@ -281,6 +281,32 @@ object TextAnalysis {
     when(size(th) >= n, grams).otherwise(array().cast("array<bigint>"))
   }
 
+  /** Per-language corpus length-distribution stats — the curation
+    * dashboard numbers (median/p90/p99 token counts, mean chars) that
+    * drive length-filter thresholds. Exact interpolated percentiles
+    * (both Spark `percentile` and DuckDB `quantile_cont` use the
+    * (n-1)·p linear-interpolation definition), emitted floor-scaled to
+    * integers so the faces hash-match.
+    *
+    * Exact percentile is a sort-based aggregate per group — fine for
+    * bounded group cardinality (languages/sources). For percentiles
+    * over an unbounded group count at 100 TB switch to
+    * `approx_percentile` (t-digest sketch, partial-aggregated) and drop
+    * the oracle to tolerance-based.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val nTokens = size(tokens(col("text"))).cast("long")
+    docs.select(col("lang"), nTokens.as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        floor(percentile(col("n_tokens"), lit(0.5)) * 100.0).cast("long").as("p50_tokens_s"),
+        floor(percentile(col("n_tokens"), lit(0.9)) * 100.0).cast("long").as("p90_tokens_s"),
+        floor(percentile(col("n_tokens"), lit(0.99)) * 100.0).cast("long").as("p99_tokens_s"),
+        floor(avg(col("n_chars")) * 100.0).cast("long").as("mean_chars_s"))
+  }
+
   /** TF-IDF top-k keyword extraction per document — the corpus-relative
     * salience scorer (keyword tagging / topic hints for corpus curation).
     * Tokens are lowercased alphanumeric runs; `score = tf · ln((N+1)/(df+1))`

@@ -133,7 +133,7 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     def wgl(q: String): Seq[WindowGroupLimitExec] =
       plan(q).collect { case w: WindowGroupLimitExec => w }
     for (q <- Seq("q_sample_cap", "q_sim_brute_topk", "q_sim_lsh_topk",
-        "q_text_tfidf")) {
+        "q_text_tfidf", "q_sample_group_uniform")) {
       val nodes = wgl(q)
       assert(nodes.size >= 2,
         s"$q expected Partial+Final WindowGroupLimit, got ${nodes.size}")
@@ -146,6 +146,25 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     try assert(wgl("q_sample_cap").isEmpty,
       "disabling windowGroupLimitThreshold must remove the node (gate self-test)")
     finally spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+  }
+
+  test("sequence packing shuffles once, on shard only (no global ordering)") {
+    val p = plan("q_pack_sequences")
+    val s = shuffles(p)
+    assert(s.size == 1, s"packing expected 1 shuffle, got ${s.size}")
+    assert(partitionKeys(s.head) == Seq("shard"),
+      s"packing must shuffle on shard, got ${s.map(partitionKeys)}")
+    // and the running-sum window partitions on shard, never globally
+    windows(p).foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "packing window must be partitioned")
+    }
+  }
+
+  test("split assignment and weighted sampling stay map-only (no shuffle)") {
+    for (q <- Seq("q_sample_splits", "q_sample_hash", "q_sample_weighted")) {
+      val s = shuffles(plan(q))
+      assert(s.isEmpty, s"$q must be map-only, found shuffles: ${s.size}")
+    }
   }
 
   test("native as-of join: merge exec over per-side exchanges, no union, no window") {

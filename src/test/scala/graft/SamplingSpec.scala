@@ -58,6 +58,45 @@ class SamplingSpec extends SparkTestBase {
     assert(again.toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("assignSplits is disjoint-exhaustive, deterministic, near the fractions") {
+    val d = docs(2000)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplits(d, "doc_id", splits, salt = 1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length === 2000, "every row gets exactly one split")
+    assert(out.forall(_._2 != null))
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(sizes("train") / 2000.0 - 0.8) < 0.05, s"$sizes")
+    assert(math.abs(sizes("val") / 2000.0 - 0.1) < 0.03, s"$sizes")
+    // deterministic under repartitioning
+    val again = Sampling.assignSplits(d.repartition(7), "doc_id", splits, salt = 1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.toMap === again)
+    // quantization guard: fractions that don't cover [0,1) are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), salt = 1)
+    }
+  }
+
+  test("samplePerGroup keeps n hash-ordered rows per group, layout-independent") {
+    val d = docs(300)
+    val out = Sampling.samplePerGroup(d, "doc_id", Seq("source"), n = 4, salt = 2)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.groupBy(_._2).values.forall(_.length <= 4))
+    val again = Sampling.samplePerGroup(d.repartition(5), "doc_id", Seq("source"),
+        n = 4, salt = 2)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // a different salt draws a different per-group subset
+    val other = Sampling.samplePerGroup(d, "doc_id", Seq("source"), n = 4, salt = 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other !== out.map(_._1).toSet)
+  }
+
   test("capPerGroup keeps the top-n per group in quality order") {
     val d = docs(100)
     val out = Sampling.capPerGroup(d, Seq("source"), "n_chars", "doc_id", n = 3)

@@ -136,6 +136,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(d2.map(_._3).toSeq === Seq("banana", "cherry"))
   }
 
+  test("lengthQuantiles computes exact interpolated percentiles per group") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "en", "a b c"),        // 3 tokens
+      (2L, "en", "a b c d e"),    // 5
+      (3L, "en", "a"),            // 1
+      (4L, "de", "x y"))          // 2
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lengthQuantiles(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // en tokens sorted: 1,3,5 → p50 lands exactly on 3; p99 interpolates
+    // between 3 and 5 — compute the expectation with the same double
+    // arithmetic the engines use (hardcoding 496 vs 495 is ulp-fragile)
+    val frac = 0.99 * 2 - 1.0
+    val exp99 = math.floor((3.0 + (5.0 - 3.0) * frac) * 100.0).toLong
+    assert(out("en") === ((3L, 300L, exp99)))
+    assert(out("de")._2 === 200L)
+  }
+
   test("shingles produces n-token windows, distinct, empty when short") {
     val d = docs(1L -> "a b c d", 2L -> "a b")
     val out = d.select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
