@@ -37,7 +37,7 @@ object SamplingQueries {
     "q_pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables(s, dir, "documents").select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Sampling.packSequences(docs, keyCol = "doc_id", tokenCol = "n_tokens",
         budget = 512L, shards = 8, salt = 5)
     }),

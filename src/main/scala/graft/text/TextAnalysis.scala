@@ -25,6 +25,13 @@ object TextAnalysis {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Token COUNT without materializing the token array — the native
+    * allocation-free twin of `size(tokens(text))` (see
+    * [[graft.expressions.TokenCount]]); identical semantics including
+    * the empty-string→1 split artifact.
+    */
+  def tokenCount(text: Column): Column = graft.expressions.TokenCount(text)
+
   /** Rolling polynomial hash of a string column: fold acc*31+codepoint
     * over characters, mod [[HashMod]] (the classic Rabin-Karp form).
     * Backed by the native codegen'd expression
@@ -295,7 +302,7 @@ object TextAnalysis {
     * the oracle to tolerance-based.
     */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
-    val nTokens = size(tokens(col("text"))).cast("long")
+    val nTokens = tokenCount(col("text"))
     docs.select(col("lang"), nTokens.as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
       .groupBy("lang")

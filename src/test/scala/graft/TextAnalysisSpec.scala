@@ -136,6 +136,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(d2.map(_._3).toSeq === Seq("banana", "cherry"))
   }
 
+  test("native TokenCount == size(split(trim, \\s+)) on edge cases and random text") {
+    val edge = Seq("", " ", "   \t\n ", "a", " a ", "a  b", "a\tb\nc\rd\fe",
+      "a b",          // NBSP is NOT \s — one token
+      "xy",          // vertical tab IS \s — two tokens
+      "emoji 💩  pair\t😀", "多字 节  文本")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab \t\n九💩"
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val d = docs((edge ++ random).zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val out = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("native"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("split_based"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: native ${r.getLong(1)} != split ${r.getLong(2)}")
+    }
+  }
+
   test("lengthQuantiles computes exact interpolated percentiles per group") {
     import spark.implicits._
     val d = Seq(
