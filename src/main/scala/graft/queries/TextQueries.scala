@@ -62,7 +62,12 @@ object TextQueries {
     // per-language length-distribution stats (exact interpolated
     // percentiles, floor-scaled)
     "q_text_quantiles" -> ((s, dir) =>
-      TextAnalysis.lengthQuantiles(Tables(s, dir, "documents")))
+      TextAnalysis.lengthQuantiles(Tables(s, dir, "documents"))),
+
+    // bigram-LM fluency scoring: per-doc summed NLL under the corpus's
+    // own add-one-smoothed bigram MLE (integer terms — order-safe sums)
+    "q_text_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexityScore(Tables(s, dir, "documents")))
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -232,6 +237,25 @@ object TextQueries {
          |  CAST(floor(quantile_cont(n_tokens, 0.9) * 100.0) AS BIGINT) AS p90_tokens_s,
          |  CAST(floor(quantile_cont(n_tokens, 0.99) * 100.0) AS BIGINT) AS p99_tokens_s,
          |  CAST(floor(avg(n_chars) * 100.0) AS BIGINT) AS mean_chars_s
-         |FROM d GROUP BY lang""".stripMargin
+         |FROM d GROUP BY lang""".stripMargin,
+
+    "q_text_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |      FROM (SELECT unnest(t) AS w FROM tk)),
+         |terms AS (
+         |  SELECT bg.doc_id,
+         |    CAST(floor(-ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000.0)
+         |      AS BIGINT) AS term_s
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
+         |FROM terms GROUP BY doc_id""".stripMargin
   )
 }

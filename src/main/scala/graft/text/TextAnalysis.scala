@@ -288,6 +288,54 @@ object TextAnalysis {
     when(size(th) >= n, grams).otherwise(array().cast("array<bigint>"))
   }
 
+  /** Bigram language-model perplexity scoring — the corpus-level
+    * fluency/quality signal (a document whose bigrams are improbable
+    * under the corpus's own bigram MLE is boilerplate, gibberish, or
+    * wrong-language): per document, the summed negative log-probability
+    * of its word bigrams under add-one-smoothed corpus MLE,
+    *   P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V).
+    *
+    * Determinism contract: each bigram's −ln P is floor-scaled to an
+    * integer (1e6) BEFORE summing, so the per-document total is an
+    * integer sum — order-independent, unlike a float sum whose value
+    * depends on reduction order and would flake the cross-engine hash.
+    * Callers derive avg-NLL/perplexity as `sum_nll_s / 1e6 / n_bigrams`.
+    *
+    * Scale shape: bigram and context counts are partial-aggregated
+    * groupBys; the model attaches to document bigrams by hash joins on
+    * (w1,w2) and (w1) — the model tables are NOT assumed broadcastable
+    * (bigram vocabulary grows with the corpus); the vocabulary size is
+    * the only broadcast (one row). Hot tokens (stopword contexts) skew
+    * the w1 join; AQE skew-join splitting handles it, same class as
+    * every other power-law key in the engine.
+    */
+  def perplexityScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // per-occurrence bigrams (duplicates preserved — these are counts,
+    // not the distinct shingle sets used for dedup)
+    val bigrams = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(-log((col("c12") + 1.0) / (col("c1") + col("v"))) * 1e6)
+          .cast("long").as("term_s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_nll_s"))
+  }
+
   /** Per-language corpus length-distribution stats — the curation
     * dashboard numbers (median/p90/p99 token counts, mean chars) that
     * drive length-filter thresholds. Exact interpolated percentiles

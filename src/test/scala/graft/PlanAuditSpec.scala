@@ -167,6 +167,20 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("perplexity: model attaches by equi-joins, vocab is the only broadcast") {
+    val p = plan("q_text_perplexity")
+    val cart = p.collect { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, "bigram model joins must be hash equi-joins")
+    // all model joins are EQUI-joins — at sf0.001 Spark rightly
+    // broadcasts the small count tables (hash-keyed either way; at
+    // corpus scale the size stats flip them to shuffled joins with no
+    // plan change here) — but the only nested-loop join allowed is the
+    // one-row V cross join
+    val nested = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(nested.size <= 1,
+      s"only the one-row V cross join may nest, got ${nested.size}")
+  }
+
   test("native as-of join: merge exec over per-side exchanges, no union, no window") {
     val p = plan("q_events_asof_native")
     assert(p.collect { case a: graft.plans.AsOfJoinExec => a }.size == 1,

@@ -156,6 +156,19 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("perplexityScore: hand-computed add-one bigram NLL, short docs dropped") {
+    val d = docs(1L -> "a b a b", 2L -> "b a", 3L -> "x")
+    // bigrams: d1 (a,b)(b,a)(a,b), d2 (b,a) → c(a,b)=2, c(b,a)=2,
+    // c(a,·)=2, c(b,·)=2; vocab {a,b,x} → V=3
+    // every observed bigram: P = (2+1)/(2+3) = 0.6
+    val term = math.floor(-math.log(3.0 / 5.0) * 1e6).toLong
+    val out = TextAnalysis.perplexityScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, 3L * term)))
+    assert(out(2L) === ((1L, term)))
+    assert(!out.contains(3L), "single-token docs have no bigrams")
+  }
+
   test("lengthQuantiles computes exact interpolated percentiles per group") {
     import spark.implicits._
     val d = Seq(
