@@ -29,11 +29,14 @@ object ScaleSmoke {
 
   /** The five most expensive queries of the round-4 clean bench, the
     * smoke targets. LSH minhash rides along: candidate generation is
-    * the classic accidental-quadratic risk.
+    * the classic accidental-quadratic risk. TF-IDF and perplexity ride
+    * along too: token-explode volume and self-trained model joins are
+    * where a super-linear join or skew collapse would show first.
     */
   val smokeQueries: Seq[String] = Seq(
     "q_domain_cluster", "q_dedup_groups", "q_domain_id_chain",
-    "q_domain_inception_coverage", "q_coverages", "q_dedup_minhash")
+    "q_domain_inception_coverage", "q_coverages", "q_dedup_minhash",
+    "q_text_tfidf", "q_text_perplexity")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

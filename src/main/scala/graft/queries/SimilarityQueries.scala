@@ -161,7 +161,11 @@ object SimilarityQueries {
     "q_sim_ivf_kmeans2" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5, kmeansIters = 2)
-    })
+    }),
+
+    // per-label centroid component sums — exact fixed-point math
+    "q_sim_centroids" -> ((s, dir) =>
+      Similarity.centroidStats(Tables(s, dir, "embeddings"), groupCol = "label"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +253,17 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
-    }
+    },
+
+    "q_sim_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS sum_s
+        |FROM e GROUP BY 1, 2""".stripMargin
   )
 }

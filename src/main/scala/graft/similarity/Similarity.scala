@@ -236,6 +236,27 @@ object Similarity {
     * the block key, threshold on exact fixed-point cosine. The block key
     * bounds the quadratic term exactly like LSH bands do for MinHash.
     */
+  /** Per-group embedding centroid statistics — the aggregate behind
+    * IVF seeding, cluster drift monitoring, and per-domain embedding
+    * diagnostics: for every (group, dimension), the vector count and
+    * the EXACT fixed-point component sum (each float component is
+    * floor-scaled to a 1e6 integer before summing, the engine's
+    * standard order-independent-sum contract — a float sum would depend
+    * on reduction order and break cross-engine/rerun determinism).
+    * Callers derive the centroid as `sum_s / 1e6 / n_vecs`.
+    *
+    * Scale shape: posexplode then ONE partial-aggregated groupBy on
+    * (group, dim) — map-side combine reduces each partition to
+    * |groups|·|dims| rows before the only shuffle; no window, no
+    * collect, dimension count is the natural parallelism multiplier.
+    */
+  def centroidStats(vectors: DataFrame, groupCol: String = "label"): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("x").cast("double") * 1000000.0).cast("long")).as("sum_s"))
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val v = vectors.select(col(blockCol).as("block"), col("vec_id"),
       col("embedding"), normFp(col("embedding")).as("norm"))

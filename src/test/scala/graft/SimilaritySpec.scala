@@ -127,6 +127,26 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("centroidStats sums fixed-point components per (group, dim) exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1.0f, -0.5f), "a"),
+      (1L, Seq(0.25f, 0.5f), "a"),
+      (2L, Seq(2.0f, 0.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidStats(d, "label").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // fixed-point: floor(x*1e6) per component, then integer sums
+    assert(out(("a", 0L)) === ((2L, 1000000L + 250000L)))
+    assert(out(("a", 1L)) === ((2L, -500000L + 500000L)))
+    assert(out(("b", 0L)) === ((1L, 2000000L)))
+    assert(out(("b", 1L)) === ((1L, 0L)))
+    // layout-independent: same sums on any partitioning (integer adds)
+    val again = Similarity.centroidStats(d.repartition(7), "label").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
+
   test("nearDupPairs finds duplicates within a block, none across") {
     import spark.implicits._
     val d = Seq(
