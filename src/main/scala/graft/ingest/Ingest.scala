@@ -40,6 +40,14 @@ object Ingest {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL write, gzip-compressed — the interchange face for consumers
+    * that ingest line-JSON (annotation tooling, external corpora
+    * pipelines). Gzip over zstd here: line-JSON interchange targets
+    * maximum-compatibility readers.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
   /** CSV with header, all columns string (reference:
     * upstream_metadata.py:20); callers normalize types downstream.
     */

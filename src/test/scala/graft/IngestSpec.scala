@@ -131,6 +131,22 @@ class IngestSpec extends SparkTestBase {
     assert(df.count() === 2)
   }
 
+  test("JSONL round-trip through writeJsonl/readJsonl preserves rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/d.jsonl"
+    val src = Seq((1L, "a \"quoted\" line", 1.5), (2L, "unicode ü 九", -0.5))
+      .toDF("id", "s", "v")
+    Ingest.writeJsonl(src, path)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = Ingest.readJsonl(spark, path, schema).select("id", "s", "v")
+    assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+    assert(new File(path).listFiles().exists(_.getName.endsWith(".json.gz")))
+  }
+
   test("ORC round-trip preserves schema and rows, zstd-compressed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile

@@ -210,6 +210,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless curation ops (splits, weighted sampling) run unchanged on streams") {
+    // the point under test: the hash-bucket curation family is pure
+    // map-only column logic, so the SAME functions drive batch and
+    // streaming — no separate streaming implementation to drift
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sampling.Sampling
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val rates = Map("en" -> 0.8)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleByHashWeighted(
+        Sampling.assignSplits(df, "doc_id", splits, salt = 3),
+        keyCol = "doc_id", groupCol = "lang", rates = rates,
+        defaultRate = 0.5, salt = 2)
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    val q = curate(input.toDF().toDF("doc_id", "lang"))
+      .writeStream.format("memory").queryName("curation")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curation").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val exp = curate(rows.toDF("doc_id", "lang")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === exp)
+      assert(got.nonEmpty && got.size < rows.size, "sampling must drop some rows")
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap > 30min, aggregates per session") {
     import spark.implicits._
     val df = Seq(
