@@ -67,7 +67,13 @@ object TextQueries {
     // bigram-LM fluency scoring: per-doc summed NLL under the corpus's
     // own add-one-smoothed bigram MLE (integer terms — order-safe sums)
     "q_text_perplexity" -> ((s, dir) =>
-      TextAnalysis.perplexityScore(Tables(s, dir, "documents")))
+      TextAnalysis.perplexityScore(Tables(s, dir, "documents"))),
+
+    // sliding-window chunking for embedding prep: 64-token windows,
+    // stride 32 (map-only sequence+explode+slice)
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables(s, dir, "documents"),
+        window = 64, stride = 32))
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -256,6 +262,21 @@ object TextQueries {
          |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
-         |FROM terms GROUP BY doc_id""".stripMargin
+         |FROM terms GROUP BY doc_id""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tk),
+         |c AS (
+         |  SELECT doc_id, t, n,
+         |    unnest(range(0, 1 + greatest(
+         |      CAST(ceil((n - 64) / 32.0) AS BIGINT), 0))) AS chunk_id
+         |  FROM d)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * 32 AS tok_start,
+         |  least(chunk_id * 32 + 64, n) AS tok_end,
+         |  array_to_string(t[chunk_id * 32 + 1 : least(chunk_id * 32 + 64, n)], ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin
   )
 }

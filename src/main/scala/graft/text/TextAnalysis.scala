@@ -288,6 +288,33 @@ object TextAnalysis {
     when(size(th) >= n, grams).otherwise(array().cast("array<bigint>"))
   }
 
+  /** Sliding-window document chunking — the embedding/retrieval prep
+    * step: each document becomes overlapping token-window chunks
+    * (window w, stride s ≤ w), the last chunk clipped at the document
+    * end. Chunk count = 1 + max(0, ceil((n_tokens − w)/s)), so every
+    * token is covered and no chunk starts past the end.
+    *
+    * Scale shape: map-only — sequence + explode + array slice inside
+    * the scan projection; output volume is the w/s overlap factor times
+    * the corpus, which is the caller's knob, not an engine cost.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 64,
+      stride: Int = 32): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("t"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("n_tokens") - window).cast("double") / stride)
+            .cast("long"), lit(0L)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(col("chunk_id") * stride + window, col("n_tokens")).as("tok_end"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(window))).as("chunk_text"))
+  }
+
   /** Bigram language-model perplexity scoring — the corpus-level
     * fluency/quality signal (a document whose bigrams are improbable
     * under the corpus's own bigram MLE is boilerplate, gibberish, or

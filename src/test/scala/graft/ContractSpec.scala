@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency: the correctness gate compares per query
+  * NAME, so a key typo between `queries` and `oracleSql` would silently
+  * demote a hash-checked operator to a rows-only check (or orphan an
+  * oracle entirely). This spec pins both directions and the documented
+  * rows-only set, so any drift fails the build instead of the round.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries deliberately WITHOUT an oracle — iterative/convergence
+    * semantics that ANSI CTEs cannot unroll; each has a dedicated
+    * ScalaTest spec instead (SURVEY.md §5).
+    */
+  private val rowsOnly = Set(
+    "q_domain_cluster",          // Chinese Whispers (seeded iteration)
+    "q_domain_defrag_pieces",    // window-UDAF defrag (recursive-CTE dead end)
+    "q_domain_defrag_textreuses",
+    "q_dedup_groups_conv")       // observed-convergence label rounds
+
+  test("every oracle names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries (typo?): $orphans")
+  }
+
+  test("every query is oracle-checked unless documented rows-only") {
+    val undocumented = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) -- rowsOnly
+    assert(undocumented.isEmpty,
+      s"queries silently missing an oracle: $undocumented")
+    val stale = rowsOnly -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"rows-only entries naming no query: $stale")
+    val overdocumented = rowsOnly.filter(SparkEntry.oracleSql.contains)
+    assert(overdocumented.isEmpty,
+      s"rows-only entries that actually HAVE oracles now: $overdocumented")
+  }
+
+  test("oracle SQL references only tables the driver registers") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val known = ("""\bFROM\s+([a-z_0-9]+)""".r)
+    for ((name, sql) <- SparkEntry.oracleSql) {
+      val ctes = ("""(?i)\b([a-z_0-9]+)\s+AS\s*\(""".r)
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = known.findAllMatchIn(sql).map(_.group(1)).toSet
+      val unknown = refs -- tables -- ctes
+      assert(unknown.isEmpty,
+        s"$name references tables the driver will not register: $unknown")
+    }
+  }
+}

@@ -156,6 +156,27 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocuments windows cover every token, clipped tail, short docs = 1 chunk") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens, w=4 s=2
+      2L -> "a b",                                     // shorter than window
+      3L -> "")                                        // empty → [""] artifact
+    val out = TextAnalysis.chunkDocuments(d, window = 4, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 10 tokens: chunks start 0,2,4,6 → 1 + ceil((10-4)/2) = 4 chunks
+    assert(d1.length === 4)
+    assert(d1.map(c => (c._3, c._4)).toSeq === Seq((0L, 4L), (2L, 6L), (4L, 8L), (6L, 10L)))
+    assert(d1.head._5 === "t1 t2 t3 t4")
+    assert(d1.last._5 === "t7 t8 t9 t10")
+    // every token index [0,10) is covered by at least one chunk
+    val covered = d1.flatMap(c => c._3 until c._4).toSet
+    assert(covered === (0L until 10L).toSet)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 2L, "a b")))
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._3, c._4, c._5)).toSeq ===
+      Seq((0L, 0L, 1L, "")))
+  }
+
   test("perplexityScore: hand-computed add-one bigram NLL, short docs dropped") {
     val d = docs(1L -> "a b a b", 2L -> "b a", 3L -> "x")
     // bigrams: d1 (a,b)(b,a)(a,b), d2 (b,a) → c(a,b)=2, c(b,a)=2,
