@@ -102,6 +102,24 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     spark.table(name)
   }
 
+  /** Hive-style partitioned materialization — the data-layout knob for
+    * predicate-aligned scans at 100 TB: a filter on the partition
+    * columns prunes whole directories at PLANNING time (the scan's
+    * `PartitionFilters`, CatalogSpec-asserted), so a per-language or
+    * per-date query reads only its slice of the corpus instead of
+    * filtering all of it. Partition columns must be low-cardinality
+    * (languages, dates, sources) — high-cardinality partitioning
+    * explodes the file count and kills listing performance.
+    */
+  def materializePartitioned(name: String, df: DataFrame,
+      partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path(name))
+    get(name)
+  }
+
   /** Eager named cache (reference: S8, spark_utils.py:57-65). */
   def cache(name: String, df: DataFrame): DataFrame = {
     df.createOrReplaceTempView(s"${name}_source")

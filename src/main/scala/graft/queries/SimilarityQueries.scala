@@ -165,7 +165,15 @@ object SimilarityQueries {
 
     // per-label centroid component sums — exact fixed-point math
     "q_sim_centroids" -> ((s, dir) =>
-      Similarity.centroidStats(Tables(s, dir, "embeddings"), groupCol = "label"))
+      Similarity.centroidStats(Tables(s, dir, "embeddings"), groupCol = "label")),
+
+    // matryoshka truncate-to-8 + renormalize, exploded to scalar
+    // components for the hash compare (array columns don't hash-sort)
+    "q_sim_truncate_norm" -> ((s, dir) =>
+      Similarity.truncateNormalize(Tables(s, dir, "embeddings"), dims = 8)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1000000.0).cast("long").as("comp_s")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +272,25 @@ object SimilarityQueries {
         |  CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
         |    AS BIGINT) AS sum_s
-        |FROM e GROUP BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_sim_truncate_norm" -> {
+      val normS = dotSql.format("embedding[1:8]", "embedding[1:8]")
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding[1:8] AS emb_t, $normS AS norm_s
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id,
+         |    CASE WHEN norm_s > 0 THEN
+         |      list_transform(emb_t, x -> CAST(CAST(x AS DOUBLE) /
+         |        sqrt(CAST(norm_s AS DOUBLE) / 1000000.0) AS FLOAT))
+         |    ELSE emb_t END AS embedding
+         |  FROM t)
+         |SELECT vec_id,
+         |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT)
+         |    AS comp_s
+         |FROM n""".stripMargin
+    }
   )
 }

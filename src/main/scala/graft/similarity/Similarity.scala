@@ -236,6 +236,28 @@ object Similarity {
     * the block key, threshold on exact fixed-point cosine. The block key
     * bounds the quadratic term exactly like LSH bands do for MinHash.
     */
+  /** Matryoshka truncate-and-renormalize: keep the first `dims`
+    * components and L2-normalize the prefix — the consumption pattern
+    * for nested-representation embeddings (serve a cheap prefix, keep
+    * the full vector at rest). The norm comes from the FIXED-POINT
+    * self-dot of the prefix, so the scale factor is exact and identical
+    * on any engine/partitioning; components then divide in double and
+    * round once back to float. Zero vectors pass through unscaled
+    * (no NaN). Map-only.
+    */
+  def truncateNormalize(vectors: DataFrame, dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val prefix = slice(col("embedding"), 1, dims)
+    val normS = dotFp(prefix, prefix)
+    vectors.select(col("vec_id"), prefix.as("emb_t"), normS.as("norm_s"))
+      .select(col("vec_id"),
+        when(col("norm_s") > 0L,
+          transform(col("emb_t"), x =>
+            (x.cast("double") /
+              sqrt(col("norm_s").cast("double") / 1000000.0)).cast("float")))
+          .otherwise(col("emb_t")).as("embedding"))
+  }
+
   /** Per-group embedding centroid statistics — the aggregate behind
     * IVF seeding, cluster drift monitoring, and per-domain embedding
     * diagnostics: for every (group, dimension), the vector count and

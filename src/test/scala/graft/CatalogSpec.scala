@@ -42,6 +42,32 @@ class CatalogSpec extends SparkTestBase {
       || f.getName.startsWith("_old_")))
   }
 
+  test("partitioned tables prune directories at planning time") {
+    val cat = newCatalog()
+    import spark.implicits._
+    val docs = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"), (4L, "zh", "w"))
+      .toDF("doc_id", "lang", "text")
+    cat.materializePartitioned("pdocs", docs, Seq("lang"))
+    // static plans so the scan node is walkable (AQE wraps otherwise)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = cat.get("pdocs").where(col("lang") === "en")
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      // the lang predicate must be a PARTITION filter (directory prune),
+      // not a data filter evaluated over every row
+      assert(scan.partitionFilters.nonEmpty,
+        s"expected partition filters, got data filters only:\n$scan")
+      assert(scan.relation.location.inputFiles.count(_.contains("lang=en")) > 0)
+      assert(q.count() === 2)
+      // and the scan actually selects only the en partition's files
+      val selected = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+      assert(selected.nonEmpty && selected.forall(_.contains("lang=en")),
+        s"pruning read beyond lang=en: ${selected.mkString(", ")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val cat = newCatalog()
     import spark.implicits._

@@ -147,6 +147,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("truncateNormalize keeps the prefix, unit norm, zero passthrough") {
+    val d = vecs(
+      0L -> Seq(3f, 4f, 100f, 100f), // prefix (3,4): norm 5
+      1L -> Seq(0f, 0f, 9f, 9f))     // zero prefix: passthrough
+    val out = Similarity.truncateNormalize(d, dims = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(0L).length === 2)
+    assert(math.abs(out(0L)(0) - 0.6f) < 1e-5 && math.abs(out(0L)(1) - 0.8f) < 1e-5)
+    assert(out(1L) === Seq(0f, 0f))
+    // unit norm within fixed-point tolerance
+    val n = out(0L).map(x => x.toDouble * x).sum
+    assert(math.abs(n - 1.0) < 1e-4)
+  }
+
   test("nearDupPairs finds duplicates within a block, none across") {
     import spark.implicits._
     val d = Seq(
