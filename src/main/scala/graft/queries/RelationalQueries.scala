@@ -245,6 +245,105 @@ object RelationalQueries {
           dayofmonth(col("o_orderdate")).cast("long").as("d"))
         .groupBy(col("y"), col("m"))
         .agg(count(lit(1)).as("n_orders"), max(col("d")).as("max_day"))
+    }),
+
+    // Full outer join — both null-producing sides exercised: the
+    // customer side is filtered (acctbal threshold) so some order
+    // groups lose their match, and order-less customers survive from
+    // the right. One shuffle on the key; same scale class as J2.
+    "q_join_full" -> ((s, dir) => {
+      val oa = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val cs = Tables(s, dir, "customer")
+        .where(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      oa.join(cs, oa("o_custkey") === cs("c_custkey"), "full")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("c_custkey").isNull, lit("orders_only"))
+            .when(col("o_custkey").isNull, lit("customer_only"))
+            .otherwise(lit("both")).as("side"))
+    }),
+
+    // EXCEPT ALL — multiset difference (exceptAll keeps per-row
+    // multiplicity; plain except would silently dedup). Spark plans
+    // this as a count-tagged aggregate + generate, no cartesian.
+    "q_set_except" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val r = li.where(col("l_returnflag") === "R").select(col("l_partkey"))
+      val a = li.where(col("l_returnflag") === "A").select(col("l_partkey"))
+      r.exceptAll(a).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_excess"))
+    }),
+
+    // INTERSECT ALL — multiset intersection, same engine shape
+    "q_set_intersect" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val r = li.where(col("l_returnflag") === "R").select(col("l_partkey"))
+      val a = li.where(col("l_returnflag") === "A").select(col("l_partkey"))
+      r.intersectAll(a).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_common"))
+    }),
+
+    // ROLLUP hierarchy totals (year → status → grand total) with
+    // grouping_id disambiguating real NULL keys from rollup NULLs.
+    // One shuffle: Spark expands the grouping sets map-side then
+    // hash-aggregates — no per-level rescan of the fact table.
+    "q_agg_rollup" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.rollup(year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          fps(col("o_totalprice")).as("sum_price"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // CUBE — all 2^k marginal totals in one pass (same expand shape)
+    "q_agg_cube" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          fps(col("l_quantity")).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // Explicit GROUPING SETS — two independent 1-d marginals + grand
+    // total without the full cube
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          fps(col("o_totalprice")).as("sum_price"),
+          grouping_id().cast("long").as("gid"))
+    }),
+
+    // PIVOT — long→wide with a pinned value list (the scalable form:
+    // an unpinned pivot needs a driver-side distinct to discover
+    // columns). Absent cells filled 0 to match the oracle's FILTER
+    // counts. One hash aggregate; output width is the pinned list.
+    "q_pivot_langs" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      d.groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .na.fill(0L, langs)
+    }),
+
+    // UNPIVOT (melt) — wide→long without N self-scans: one pass,
+    // each row expands to (metric, value) pairs map-side
+    "q_unpivot_metrics" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "v")
+        .groupBy(col("metric"))
+        .agg(fps(col("v")).as("sum_v"), count(lit(1)).as("n_rows"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
     })
   )
 
@@ -384,6 +483,71 @@ object RelationalQueries {
     "q_scalar_date" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
         |  count(*) AS n_orders, max(CAST(day(o_orderdate) AS BIGINT)) AS max_day
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_join_full" ->
+      """WITH oa AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+        |cs AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |  CASE WHEN c_custkey IS NULL THEN 'orders_only'
+        |       WHEN o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side
+        |FROM oa FULL JOIN cs ON o_custkey = c_custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT l_partkey, count(*) AS n_excess FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_partkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT l_partkey, count(*) AS n_common FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_partkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_price,
+        |  CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+        |  sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q_pivot_langs" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE lang = 'de') AS de,
+        |  count(*) FILTER (WHERE lang = 'en') AS en,
+        |  count(*) FILTER (WHERE lang = 'es') AS es,
+        |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric,
+        |  sum(CAST(floor(v * 100.0) AS BIGINT)) / 100.0 AS sum_v,
+        |  count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v
+        |FROM u GROUP BY metric""".stripMargin
   )
 }

@@ -75,6 +75,27 @@ object WindowQueries {
         .agg(sum(col("gap_days")).as("sum_gap_days"),
           max(col("gap_days")).as("max_gap_days"),
           count(col("gap_days")).as("n_gaps"))
+    }),
+
+    // Rank-family analytics in one pass: dense_rank, ntile, lead,
+    // percent_rank, cume_dist share a single window spec → ONE shuffle
+    // + one in-partition sort serves all five. The ordering ends in
+    // the unique o_orderkey so there are no peer groups and every
+    // function is engine-deterministic; the double-valued ratios
+    // (percent_rank/cume_dist) are identical IEEE divisions on both
+    // engines, floor-scaled per the oracle float pattern.
+    "q_window_rank_family" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(8).over(w).cast("long").as("octile"),
+          floor(coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)) * 100.0)
+            .cast("long").as("next_price_s"),
+          floor(percent_rank().over(w) * 1000000.0).cast("long").as("pr_s"),
+          floor(cume_dist().over(w) * 1000000.0).cast("long").as("cd_s"))
+        .where(col("o_orderkey") % 5 === 0)
     })
   )
 
@@ -117,6 +138,20 @@ object WindowQueries {
         |      ORDER BY l_shipdate, l_orderkey, l_linenumber),
         |    l_shipdate) AS BIGINT) AS gap_days
         |  FROM lineitem)
-        |GROUP BY l_suppkey""".stripMargin
+        |GROUP BY l_suppkey""".stripMargin,
+
+    "q_window_rank_family" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(dense_rank() OVER win AS BIGINT) AS drank,
+        |    CAST(ntile(8) OVER win AS BIGINT) AS octile,
+        |    CAST(floor(coalesce(lead(o_totalprice, 1) OVER win, -1.0) * 100.0)
+        |      AS BIGINT) AS next_price_s,
+        |    CAST(floor(percent_rank() OVER win * 1000000.0) AS BIGINT) AS pr_s,
+        |    CAST(floor(cume_dist() OVER win * 1000000.0) AS BIGINT) AS cd_s
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT * FROM w WHERE o_orderkey % 5 = 0""".stripMargin
   )
 }

@@ -198,6 +198,37 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       s"expected a user_id exchange, got ${s.map(partitionKeys)}")
   }
 
+  test("grouping-set queries: one Expand + one aggregation exchange, no rescan") {
+    // ROLLUP/CUBE/GROUPING SETS must plan as a single-pass Expand +
+    // two-phase hash aggregate — N grouping levels from ONE fact scan.
+    // A rewrite into per-level scans unioned together would rescan the
+    // fact table per level (quadratic-ish at 100 TB) and shuffle once
+    // per level instead of once total.
+    for (q <- Seq("q_agg_rollup", "q_agg_cube", "q_agg_grouping_sets")) {
+      val p = plan(q)
+      val expands = p.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(expands.size == 1, s"$q expected 1 Expand, got ${expands.size}")
+      val s = shuffles(p)
+      assert(s.size == 1, s"$q expected 1 shuffle (two-phase agg), got ${s.size}")
+      assert(p.collect { case u: org.apache.spark.sql.execution.UnionExec => u }.isEmpty,
+        s"$q rewrote grouping sets into a per-level union")
+    }
+  }
+
+  test("rank family: five window functions share one Window node and one exchange") {
+    // dense_rank/ntile/lead/percent_rank/cume_dist declare the same
+    // (partition, order) spec — the planner must fuse them into a
+    // single WindowExec over a single exchange+sort. A second Window
+    // node would mean a redundant full sort of the input.
+    val p = plan("q_window_rank_family")
+    val w = windows(p)
+    assert(w.size == 1, s"expected 1 fused Window node, got ${w.size}")
+    assert(w.head.windowExpression.size == 5,
+      s"expected all 5 functions in one node, got ${w.head.windowExpression.size}")
+    assert(shuffles(p).size == 1,
+      s"expected 1 exchange, got ${shuffles(p).size}")
+  }
+
   test("shuffle-count snapshots for the headline plans") {
     // upper bounds, not exact counts: a future change may legitimately
     // REMOVE a shuffle, but silently adding one fails loudly here
