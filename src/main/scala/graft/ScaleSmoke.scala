@@ -36,7 +36,10 @@ object ScaleSmoke {
   val smokeQueries: Seq[String] = Seq(
     "q_domain_cluster", "q_dedup_groups", "q_domain_id_chain",
     "q_domain_inception_coverage", "q_coverages", "q_dedup_minhash",
-    "q_text_tfidf", "q_text_perplexity")
+    "q_text_tfidf", "q_text_perplexity",
+    // PageRank rides along since round 5: the co-supply edge expansion
+    // is an m2m self-join — the canonical accidental-quadratic shape
+    "q_graph_pagerank")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

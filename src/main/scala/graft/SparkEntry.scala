@@ -31,7 +31,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       MultimodalQueries.queries ++
       EventQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -49,5 +50,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++
       EventQueries.oracles ++
-      SamplingQueries.oracles
+      SamplingQueries.oracles ++
+      GraphQueries.oracles
 }

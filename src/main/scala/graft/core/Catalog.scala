@@ -84,6 +84,39 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
   def ifNotExists(name: String)(build: => DataFrame): DataFrame =
     if (exists(name)) get(name) else materialize(name, build)
 
+  /** Incremental upsert-by-key (poor-man's MERGE for plain parquet):
+    * merge `updates` into the materialized table, keeping per key the
+    * row with the greatest `versionCol` — updates win version ties, so
+    * a same-version re-delivery is idempotent. Resolution is a rank-1
+    * filter over (version, update-priority), which Spark plans with a
+    * map-side WindowGroupLimit — a hot key does not sort its full
+    * history on one reducer. The rewrite goes through the atomic
+    * rename path, which also makes read-own-table safe: the new data
+    * lands in `_tmp` while the old directory is still being scanned.
+    *
+    * At 100 TB prefer a table format (Iceberg/Delta) whose MERGE
+    * rewrites only affected files; the resolution operator here is the
+    * same — this rewrites the whole table, which is the right trade
+    * only while the table ≪ the update cadence allows.
+    */
+  def mergeByKey(name: String, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one merge key column")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val merged =
+      if (!exists(name)) updates
+      else {
+        val tagged = get(name).withColumn("_prio", lit(0))
+          .unionByName(updates.withColumn("_prio", lit(1)))
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc, col("_prio").desc)
+        tagged.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn", "_prio")
+      }
+    materializeAtomic(name, merged)
+  }
+
   /** Bucketed + sorted materialization through the session catalog, for
     * shuffle-free iterative re-joins (reference: S5,
     * chinese_label_propagation.py:45-50 — bucketBy(256,"piece_id")).

@@ -1,0 +1,158 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank over a directed edge list — the graph-authority
+  * primitive of LLM-era corpus curation (domain-authority weighting for
+  * crawl corpora, citation ranking of source documents). The reference
+  * has no rank operator beyond label propagation
+  * (`/root/reference/etl_textreuse/spark/chinese_label_propagation.py`);
+  * this is the extension counterpart, built on the same
+  * iterated-equi-join shape as `graft.cluster.Clustering`.
+  *
+  * All arithmetic is INTEGER (ranks in `scale`-units, floor division),
+  * so results are exact and identical on any engine, partitioning, or
+  * aggregation order — a double-based PageRank is not cross-engine
+  * reproducible because FP addition is not associative. Semantics, with
+  * d = dampingPct:
+  *
+  *   r_0(v)     = scale                                     (i.e. 1.0)
+  *   r_{i+1}(v) = ((100-d)*scale) div 100
+  *              + (d * sum over u→v of (r_i(u) div outdeg(u))) div 100
+  *
+  * Dangling-node mass (nodes with no out-edges) is dropped rather than
+  * redistributed — the documented simplification when ranks are
+  * consumed as relative importance; redistribution would add a
+  * per-iteration global aggregate for a uniform additive term.
+  *
+  * Scale shape: each iteration is one equi-join edges⋈ranks on src
+  * (the ranks side is one row per NODE, usually ≪ edges) followed by a
+  * partial-aggregated groupBy(dst) — shuffles are keyed on node ids
+  * only, never on payloads. The degree-annotated edge list is built
+  * once and persisted across iterations; the result is materialized via
+  * localCheckpoint so the per-call cache is released before returning.
+  * Like dedupGroups, each iteration references the previous ranks once,
+  * so the lazy plan grows linearly; lineage is truncated every
+  * `checkpointEvery` iterations for long runs.
+  */
+object PageRank {
+
+  /** @param edges directed edges with `src` and `dst` columns
+    * @return (node, rank_s) — rank in `scale`-units, exact
+    */
+  def run(edges: DataFrame, iters: Int, dampingPct: Int = 85,
+      scale: Long = 1000000L, checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    require(scale > 0, s"scale must be positive, got $scale")
+
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree-annotated edges: joined once, reused every iteration
+    val withDeg = e.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val baseTerm = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_s"))
+    for (i <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.select(col("node").as("src"), col("rank_s")), Seq("src"))
+        .select(col("dst"), expr("rank_s div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseTerm) +
+            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank_s"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    // materialize (cuts lineage off the caches), then release them —
+    // nothing accumulates across calls
+    val out = ranks.localCheckpoint()
+    withDeg.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  /** Observed-convergence twin of [[run]] (same pattern as
+    * `Dedup.dedupGroupsConverged` / `Clustering.propagate`): iterate
+    * until the LARGEST per-node rank change is at most `tolS`
+    * scale-units. The fixed-iteration variant stays the
+    * oracle-checkable face (its result is re-derivable as unrolled
+    * CTEs); this is the production face — damping makes the iteration a
+    * contraction, so ~log(scale/tolS)/log(100/dampingPct) rounds
+    * converge.
+    *
+    * The max-delta observation piggybacks on each round's checkpoint
+    * action (Observation API — one job per round, no second scan).
+    * Checkpointing is the pluggable Clustering.Checkpointer; the
+    * default is the durable parquet round-trip because a convergence
+    * loop is unbounded and localCheckpoint compounds origin-plan
+    * statistics across iterations.
+    */
+  def runConverged(edges: DataFrame, tolS: Long = 1000L, dampingPct: Int = 85,
+      scale: Long = 1000000L, maxIters: Int = 100,
+      checkpointer: Option[graft.cluster.Clustering.Checkpointer] = None): DataFrame = {
+    require(tolS >= 0, s"tolS must be >= 0, got $tolS")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val tmpDir = if (checkpointer.isEmpty)
+      Some(java.nio.file.Files.createTempDirectory("graft-pagerank-conv")) else None
+    val checkpoint = checkpointer.getOrElse(
+      graft.cluster.Clustering.parquetCheckpointer(tmpDir.get.toString))
+
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val baseTerm = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_s"))
+    var maxDelta = Long.MaxValue
+    var i = 0
+    while (maxDelta > tolS && i < maxIters) {
+      i += 1
+      val contrib = withDeg
+        .join(ranks.select(col("node").as("src"), col("rank_s")), Seq("src"))
+        .select(col("dst"), expr("rank_s div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      val next = ranks
+        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(col("node"), col("rank_s").as("prev_s"),
+          (lit(baseTerm) +
+            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("new_s"))
+      val obs = org.apache.spark.sql.Observation(s"graft_pagerank_conv_$i")
+      val observed = next
+        .observe(obs, max(abs(col("new_s") - col("prev_s"))).as("max_delta"))
+        .select(col("node"), col("new_s").as("rank_s"))
+      ranks = checkpoint(observed, i)
+      // max over zero rows is null — an empty graph is converged
+      maxDelta = Option(obs.get("max_delta")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    // a partially-converged rank table is indistinguishable from a
+    // converged one downstream — fail loudly; the caller raises maxIters
+    require(maxDelta <= tolS,
+      s"PageRank did not converge within $maxIters iterations " +
+        s"(max rank delta $maxDelta > tolS=$tolS); raise maxIters")
+    withDeg.unpersist()
+    nodes.unpersist()
+    tmpDir match {
+      case Some(dir) =>
+        // pull the result off the checkpoint files, then delete them
+        val materialized = ranks.localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(dir.toString)
+          .getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+        materialized
+      case None => ranks
+    }
+  }
+}

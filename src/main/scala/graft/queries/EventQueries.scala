@@ -66,10 +66,41 @@ object EventQueries {
           maxDelaySeconds = 14400L)
         .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
           col("r_event_id"), col("r_ts").cast("long").as("r_ts_s"))
+    }),
+
+    // §2.8 JSON scalar functions over the events props column, both
+    // extraction forms: path-based get_json_object (no schema needed,
+    // per-field) and schema-based from_json (one parse for the whole
+    // struct — the right form when extracting many fields). Map-only;
+    // JSON parsing stays inside whole-stage codegen on both paths.
+    "q_events_props_json" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val kPath = get_json_object(col("props"), "$.k").cast("long")
+      val kSchema = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k")
+      ev.select(col("event_type"), kPath.as("k_path"), kSchema.as("k_schema"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k_path")).as("sum_k"),
+          min(col("k_path")).as("min_k"),
+          max(col("k_path")).as("max_k"),
+          sum(when(col("k_path") === col("k_schema"), 1L).otherwise(0L)).as("n_agree"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // both Spark extraction forms agree on every well-formed row, so
+    // the oracle's n_agree is the non-null parse count
+    "q_events_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_agree
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_events_tumbling" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
         |  event_type, count(*) AS n_events,

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+
+/** Graph-analytics extension queries (graft.graph), oracle-checked.
+  *
+  * The fixture graph is the supplier co-supply graph: suppliers are
+  * linked when they supply the same part (bounded m2m expansion per
+  * part, both directions, deduplicated). PageRank runs a FIXED 2
+  * iterations so the result is re-derivable as unrolled CTEs — the
+  * same oracle-checkability trade as q_dedup_groups / q_sim_ivf_kmeans2;
+  * unbounded convergence runs reuse the identical per-iteration plan.
+  */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_graph_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 40.0)
+      val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val edges = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      PageRank.run(edges, iters = 2)
+    }),
+
+    // production face: iterate until max per-node delta <= 1% of scale
+    // (rows-only — convergence loops are not CTE-unrollable;
+    // PageRankSpec proves face agreement). Round count is set by the
+    // damping contraction (~log(scale·tol⁻¹)/log(d⁻¹) ≈ 28 at 1%), not
+    // by graph size — the tolerance knob trades rounds for precision.
+    "q_graph_pagerank_conv" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 40.0)
+      val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val edges = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      PageRank.runConverged(edges, tolS = 10000L)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // 2-iteration unroll; all integer math (// is DuckDB floor
+    // division, identical to Spark's `div` on positive longs), so the
+    // compare is hash-exact with no float tolerance
+    "q_graph_pagerank" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 40.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, sum(r0.r // deg.d) AS s1
+        |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(c1.s1, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, sum(r1.r // deg.d) AS s2
+        |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(c2.s2, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin
+  )
+}

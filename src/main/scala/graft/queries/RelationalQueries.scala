@@ -333,6 +333,17 @@ object RelationalQueries {
         .na.fill(0L, langs)
     }),
 
+    // Z-order layout key (graft.layout.ZOrder): the Morton bit
+    // interleave is a pure shift/and/or scalar expression —
+    // oracle-checked bit for bit against the same formula in SQL
+    "q_layout_zorder" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").where(col("o_orderkey") % 7 === 0)
+      val x = col("o_custkey").bitwiseAND(lit(1023L))
+      val y = col("o_orderkey").bitwiseAND(lit(1023L))
+      o.select(col("o_orderkey"), x.as("x"), y.as("y"),
+        graft.layout.ZOrder.zValue(Seq(x, y), bits = 10).as("z"))
+    }),
+
     // UNPIVOT (melt) — wide→long without N self-scans: one pass,
     // each row expands to (metric, value) pairs map-side
     "q_unpivot_metrics" -> ((s, dir) => {
@@ -539,6 +550,20 @@ object RelationalQueries {
         |  count(*) FILTER (WHERE lang = 'fr') AS fr,
         |  count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_layout_zorder" -> {
+      // the same interleave formula, generated term by term: bit b of
+      // x lands at 2b, bit b of y at 2b+1
+      val zTerms = (0 until 10).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})",
+        s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH t AS (
+         |  SELECT o_orderkey,
+         |    CAST(o_custkey & 1023 AS BIGINT) AS x,
+         |    CAST(o_orderkey & 1023 AS BIGINT) AS y
+         |  FROM orders WHERE o_orderkey % 7 = 0)
+         |SELECT o_orderkey, x, y, CAST($zTerms AS BIGINT) AS z FROM t""".stripMargin
+    },
 
     "q_unpivot_metrics" ->
       """WITH u AS (

@@ -68,6 +68,32 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("mergeByKey keeps the newest version per key, updates winning ties") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materialize("kv", Seq(
+      (1L, "old-1", 10L), (2L, "old-2", 20L), (3L, "old-3", 30L))
+      .toDF("k", "v", "version"))
+    val updates = Seq(
+      (1L, "new-1", 11L),   // newer version → replaces
+      (2L, "stale-2", 5L),  // older version → existing row survives
+      (3L, "tie-3", 30L),   // same version → update wins (idempotent redelivery)
+      (4L, "new-4", 40L))   // new key → inserted
+      .toDF("k", "v", "version")
+    val out = cat.mergeByKey("kv", updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out === Map(
+      1L -> ("new-1", 11L), 2L -> ("old-2", 20L),
+      3L -> ("tie-3", 30L), 4L -> ("new-4", 40L)))
+    // re-applying the same updates is a no-op (idempotent)
+    val again = cat.mergeByKey("kv", updates, Seq("k"), "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again === out)
+    // first merge into an absent table just materializes the updates
+    val fresh = cat.mergeByKey("kv2", updates, Seq("k"), "version")
+    assert(fresh.count() === 4)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val cat = newCatalog()
     import spark.implicits._

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+
+class PageRankSpec extends SparkTestBase {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two iterations match the hand-computed fixed-point values") {
+    // graph: 1→2, 2→1, 2→3, 3→1; deg 1:1, 2:2, 3:1; scale 1e6, d=85
+    // iter1: r(1)=150000+85*(500000+1000000)//100 = 1425000
+    //        r(2)=150000+85*1000000//100          = 1000000
+    //        r(3)=150000+85*500000//100           =  575000
+    // iter2: r(1)=150000+85*(500000+575000)//100  = 1063750
+    //        r(2)=150000+85*1425000//100          = 1361250
+    //        r(3)=150000+85*500000//100           =  575000
+    val out = ranks(PageRank.run(edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L), iters = 2))
+    assert(out === Map(1L -> 1063750L, 2L -> 1361250L, 3L -> 575000L))
+  }
+
+  test("zero iterations return the uniform initial rank") {
+    val out = ranks(PageRank.run(edges(1L -> 2L, 2L -> 1L), iters = 0))
+    assert(out === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("dangling nodes receive rank but contribute none (mass dropped)") {
+    // 1→2 only: 2 is dangling. iter1: r(2)=150000+850000=1000000,
+    // r(1)=150000 (no in-edges). iter2: r(2)=150000+85*150000//100
+    // =277500 — node 2's mass vanished, not redistributed.
+    val out = ranks(PageRank.run(edges(1L -> 2L), iters = 2))
+    assert(out === Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("result is exact under any input partitioning") {
+    val e = edges((1L to 40L).flatMap(i => Seq(i -> (i % 40 + 1), i -> ((i + 7) % 40 + 1))): _*)
+    val a = ranks(PageRank.run(e, iters = 3))
+    val b = ranks(PageRank.run(e.repartition(13, col("dst")), iters = 3))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("checkpointEvery truncation does not change results") {
+    val e = edges((1L to 20L).map(i => i -> (i % 20 + 1)): _*)
+    val a = ranks(PageRank.run(e, iters = 5, checkpointEvery = 2))
+    val b = ranks(PageRank.run(e, iters = 5, checkpointEvery = 100))
+    assert(a === b)
+  }
+
+  test("converged face agrees with a long fixed run within tolerance") {
+    val e = edges((1L to 30L).flatMap(i => Seq(i -> (i % 30 + 1), (i % 30 + 1) -> i)): _*)
+    val tol = 500L
+    val conv = ranks(PageRank.runConverged(e, tolS = tol))
+    val fixed = ranks(PageRank.run(e, iters = 60))
+    assert(conv.keySet === fixed.keySet)
+    for ((n, r) <- conv)
+      assert(math.abs(r - fixed(n)) <= 2 * tol,
+        s"node $n: converged $r vs fixed ${fixed(n)}")
+  }
+
+  test("converged face on a degree-1 cycle stops after one unchanged round") {
+    // cycle: ranks stay exactly scale forever → delta 0 at iter 1
+    val out = ranks(PageRank.runConverged(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), tolS = 0L))
+    assert(out.values.toSet === Set(1000000L))
+  }
+
+  test("converged face fails loudly when maxIters is too low") {
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L)
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.runConverged(e, tolS = 0L, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("total rank is conserved on a graph with no dangling nodes") {
+    // every node has out-edges → each iteration redistributes all mass
+    // (up to floor-division loss, bounded by edges count in scale units)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L) // simple cycle, deg 1
+    val out = ranks(PageRank.run(e, iters = 4))
+    // cycle of degree-1 nodes: r stays exactly 1.0 forever
+    assert(out.values.toSet === Set(1000000L))
+  }
+}
