@@ -117,6 +117,25 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     materializeAtomic(name, merged)
   }
 
+  /** Remove crash leftovers: `_tmp_*` staging directories (a job died
+    * mid-write) and `_old_*` previous-table copies (a crash between the
+    * two renames of [[materializeAtomic]]). Registered tables are never
+    * touched — only the two well-known transient prefixes. Returns the
+    * deleted paths so operational logs can record what was reclaimed.
+    * Run it at pipeline start, not concurrently with a materialization.
+    */
+  def vacuum(): Seq[String] = {
+    val base = new Path(baseDir)
+    val f = fs(baseDir)
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("_tmp_") || p.getName.startsWith("_old_")
+      }
+      .map { p => f.delete(p, true); p.toString }
+  }
+
   /** Bucketed + sorted materialization through the session catalog, for
     * shuffle-free iterative re-joins (reference: S5,
     * chinese_label_propagation.py:45-50 — bucketBy(256,"piece_id")).

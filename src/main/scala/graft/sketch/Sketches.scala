@@ -1,0 +1,48 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate statistics — the scale path where the exact
+  * operators' cost model breaks down. The exact twins stay the
+  * oracle-checked faces (`q_agg_distinct_count`, `q_text_quantiles`);
+  * these are the forms a 100 TB profile job actually runs:
+  *
+  *  - exact COUNT(DISTINCT) shuffles every distinct value;
+  *    `approx_count_distinct` (HyperLogLog++) shuffles one fixed-size
+  *    sketch per partition — mergeable, single narrow aggregation.
+  *  - exact percentiles sort each group;
+  *    `approx_percentile` (t-digest) partial-aggregates bounded-size
+  *    digests.
+  *
+  * Approximate results are engine-specific (sketch internals differ),
+  * so there is no DuckDB oracle — SketchSpec instead asserts the
+  * documented ERROR BOUNDS against the exact answers, which is the
+  * contract a user consumes.
+  */
+object Sketches {
+
+  /** HyperLogLog++ distinct counts for each of `cols`, one pass.
+    * `rsd` is the target relative standard deviation (Spark default
+    * 0.05); sketch size grows as 1/rsd² — 0.01 costs ~27 KB/group.
+    */
+  def approxDistinct(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    df.agg(
+      approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_approx"),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx")): _*)
+  }
+
+  /** Per-group t-digest percentiles of `valueCol` at `percentiles`.
+    * `accuracy` trades memory for error: err ≈ 1/accuracy of the RANK
+    * (not the value) — 10000 gives ~0.01 quantile-rank error.
+    */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      percentiles: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    val pArr: Column = array(percentiles.map(lit): _*)
+    df.groupBy(col(groupCol))
+      .agg(approx_percentile(col(valueCol), pArr, lit(accuracy)).as("quantiles"),
+        count(lit(1)).as("n_rows"))
+  }
+}

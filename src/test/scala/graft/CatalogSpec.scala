@@ -94,6 +94,22 @@ class CatalogSpec extends SparkTestBase {
     assert(fresh.count() === 4)
   }
 
+  test("vacuum removes only crash leftovers, never registered tables") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materialize("keepme", Seq((1L, "a")).toDF("k", "v"))
+    // simulate a crash: stranded staging + old-copy directories
+    Seq((2L, "b")).toDF("k", "v").write.parquet(cat.path("keepme")
+      .replace("keepme.parquet", "_tmp_dead.parquet"))
+    Seq((3L, "c")).toDF("k", "v").write.parquet(cat.path("keepme")
+      .replace("keepme.parquet", "_old_dead.parquet"))
+    val deleted = cat.vacuum()
+    assert(deleted.size === 2, s"expected 2 leftovers deleted, got $deleted")
+    assert(deleted.forall(p => p.contains("_tmp_") || p.contains("_old_")))
+    assert(cat.exists("keepme") && cat.get("keepme").count() === 1)
+    assert(cat.vacuum().isEmpty) // idempotent
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val cat = newCatalog()
     import spark.implicits._

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Plan-REGRESSION gates for the load-bearing physical plans (VERDICT r3
   * item 4): PlanAudit prints shuffle/broadcast counts for humans; this
@@ -227,6 +228,43 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       s"expected all 5 functions in one node, got ${w.head.windowExpression.size}")
     assert(shuffles(p).size == 1,
       s"expected 1 exchange, got ${shuffles(p).size}")
+  }
+
+  test("runtime bloom-filter injection reduces a selective shuffle join") {
+    // At 100 TB the cheapest shuffle is the one that never happens:
+    // when a fact⋈dim join's dim side is selectively filtered but too
+    // big to broadcast, Catalyst's InjectRuntimeFilter builds a bloom
+    // filter from the dim keys and prunes the fact side BEFORE its
+    // exchange (semi-join reduction). This gate proves the mechanism
+    // fires on this Spark build under the documented confs — and that
+    // disabling it is detectable, so a conf regression cannot silently
+    // disable the reduction. Local thresholds are lowered because the
+    // defaults key off multi-GB scan-size estimates.
+    def planFor(enabled: Boolean): String = {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled.toString)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = spark.read.parquet(s"/root/testdata/sf0.001/lineitem.parquet")
+        val o = spark.read.parquet(s"/root/testdata/sf0.001/orders.parquet")
+          .where(col("o_orderpriority") === "1-URGENT")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("l_returnflag").agg(count(lit(1)))
+          .queryExecution.optimizedPlan.toString
+      } finally {
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val on = planFor(enabled = true)
+    assert(on.contains("might_contain") && on.contains("bloom_filter_agg"),
+      s"runtime bloom filter not injected:\n${on.take(2000)}")
+    val off = planFor(enabled = false)
+    assert(!off.contains("might_contain"),
+      "bloom injection survived being disabled — the assert is vacuous")
   }
 
   test("shuffle-count snapshots for the headline plans") {

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Sketches
+
+class SketchSpec extends SparkTestBase {
+
+  test("approx distinct counts stay within the rsd bound of exact") {
+    import spark.implicits._
+    // 60k rows, two columns of known distinct cardinality
+    val df = (0 until 60000).map(i => (i.toLong % 10000, (i * 31 % 997).toLong))
+      .toDF("hi_card", "lo_card")
+    val out = Sketches.approxDistinct(df, Seq("hi_card", "lo_card"), rsd = 0.02).head()
+    val (hi, lo) = (out.getLong(0), out.getLong(1))
+    // 5 sigma of the configured 2% rsd — a deterministic sketch of a
+    // fixed dataset either passes forever or the bound claim is wrong
+    assert(math.abs(hi - 10000L) <= 10000L * 0.10, s"hi_card approx $hi vs 10000")
+    assert(math.abs(lo - 997L) <= 997L * 0.10, s"lo_card approx $lo vs 997")
+  }
+
+  test("approx quantiles land within rank-accuracy of the exact percentile") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val out = Sketches.approxQuantiles(df, "grp", "v",
+      percentiles = Seq(0.5, 0.9, 0.99), accuracy = 10000).head()
+    val qs = out.getSeq[Long](1)
+    // value space == rank space here (v = 1..n), so rank error 1e-4
+    // translates to ±2 values at n=20000; allow 10x slack
+    assert(math.abs(qs(0) - 10000L) <= 20, s"p50 ${qs(0)}")
+    assert(math.abs(qs(1) - 18000L) <= 20, s"p90 ${qs(1)}")
+    assert(math.abs(qs(2) - 19800L) <= 20, s"p99 ${qs(2)}")
+    assert(out.getLong(2) === 20000L)
+  }
+
+  test("sketch aggregation is a single two-phase aggregate (no distinct expand)") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+    val plan = Sketches.approxDistinct(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // exact COUNT(DISTINCT a), COUNT(DISTINCT b) in one query plans an
+    // Expand (one shuffle stream per distinct column); HLL sketches
+    // partial-aggregate both columns through ONE exchange
+    assert(!plan.contains("Expand"), s"sketch plan grew an Expand:\n$plan")
+  }
+}
