@@ -79,6 +79,40 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Exact edit-distance verification of candidate pairs — the final
+    * filter after any approximate candidate generator (LSH bands,
+    * SimHash blocks, fingerprints): Levenshtein is exact but O(len²)
+    * per pair, so it only ever runs on candidates, never as its own
+    * join, and two caps bound the DP cost per pair: `prefixLen` trims
+    * the strings (near-dups disagree early; a 120-char prefix separates
+    * them as reliably as full texts at 1/100th the cost) and `maxDist`
+    * switches Spark to the BANDED DP (3-arg levenshtein, O(len×maxDist)
+    * with early exit) — a pair farther than maxDist is already not a
+    * duplicate, so its exact distance is worthless; it reports as −1.
+    * sim_s is the fixed-point normalized similarity 1 − dist/maxlen
+    * (−1 for beyond-threshold pairs).
+    * `candidates` must have (doc_id_a, doc_id_b); texts are joined in.
+    */
+  def editDistanceVerify(docs: DataFrame, candidates: DataFrame,
+      prefixLen: Int = 120, maxDist: Int = 30): DataFrame = {
+    require(prefixLen > 0, "prefixLen must be positive")
+    require(maxDist > 0, "maxDist must be positive")
+    val t = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    candidates
+      .join(t.select(col("doc_id").as("doc_id_a"), col("p").as("pa")), Seq("doc_id_a"))
+      .join(t.select(col("doc_id").as("doc_id_b"), col("p").as("pb")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).cast("long").as("edit_dist"),
+        greatest(length(col("pa")), length(col("pb")), lit(1))
+          .cast("long").as("max_len"))
+      .withColumn("sim_s",
+        when(col("edit_dist") >= 0L,
+          floor((lit(1.0) - col("edit_dist").cast("double") / col("max_len").cast("double"))
+            * 1000000.0).cast("long"))
+          .otherwise(lit(-1L)))
+  }
+
   /** MinHash signatures via explode + grouped minima: one row per
     * (doc, shingle), the rolling hash computed ONCE per shingle, then k
     * codegen'd `min` aggregates build the signature.

@@ -55,6 +55,17 @@ object DedupQueries {
       Dedup.ngramJaccard(docs, cands).where(col("jaccard") > 0.0)
     }),
 
+    // exact Levenshtein verification over the same sliding candidate
+    // window — the post-LSH confirmation pass, prefix-capped
+    "q_dedup_edit_distance" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("doc_id_a"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 25)).as("doc_id_b"))
+        .join(ids.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_semi")
+      Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
+    }),
+
     // full MinHash+LSH near-dup pipeline (threshold 0.1 so the synthetic
     // corpus yields a non-trivial result set)
     "q_dedup_minhash" -> ((s, dir) =>
@@ -128,6 +139,31 @@ object DedupQueries {
          |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
          |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
          |FROM h""".stripMargin,
+
+    // DuckDB has no banded levenshtein — the oracle computes the full
+    // distance and applies the threshold contract afterwards (> 30 → −1)
+    "q_dedup_edit_distance" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM ids a JOIN ids b
+        |    ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 25),
+        |t AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents),
+        |d AS (
+        |  SELECT c.doc_id_a, c.doc_id_b,
+        |    CASE WHEN levenshtein(ta.p, tb.p) <= 30
+        |      THEN CAST(levenshtein(ta.p, tb.p) AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS edit_dist,
+        |    CAST(greatest(length(ta.p), length(tb.p), 1) AS BIGINT) AS max_len
+        |  FROM cand c
+        |  JOIN t ta ON ta.doc_id = c.doc_id_a
+        |  JOIN t tb ON tb.doc_id = c.doc_id_b)
+        |SELECT doc_id_a, doc_id_b, edit_dist, max_len,
+        |  CASE WHEN edit_dist >= 0
+        |    THEN CAST(floor((1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS sim_s
+        |FROM d""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),

@@ -39,6 +39,18 @@ object GraphQueries {
           col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
         .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
       PageRank.runConverged(edges, tolS = 10000L)
+    }),
+
+    // per-node triangle counts, degree-oriented wedge counting (the
+    // thinner >=49 co-supply graph: triangle volume is cubic in
+    // density, and the dense variant is a stress shape, not a corpus)
+    "q_graph_triangles" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 49.0)
+      val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val edges = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      PageRank.triangleCounts(edges)
     })
   )
 
@@ -70,6 +82,29 @@ object GraphQueries {
         |r2 AS (
         |  SELECT n.node, 150000 + (85 * coalesce(c2.s2, 0)) // 100 AS r
         |  FROM nodes n LEFT JOIN c2 USING (node))
-        |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin
+        |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin,
+
+    // canonical x<y<z enumeration — each triangle contributes one tri
+    // row and three corner credits, mirroring the oriented-wedge count
+    "q_graph_triangles" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |canon AS (
+        |  SELECT DISTINCT a.sk AS x, b.sk AS y
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk),
+        |nodes AS (SELECT x AS node FROM canon UNION SELECT y FROM canon),
+        |tri AS (
+        |  SELECT c1.x AS a, c1.y AS b, c2.y AS c
+        |  FROM canon c1
+        |  JOIN canon c2 ON c2.x = c1.y
+        |  JOIN canon c3 ON c3.x = c1.x AND c3.y = c2.y),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |cnt AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1)
+        |SELECT n.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM nodes n LEFT JOIN cnt USING (node)""".stripMargin
   )
 }

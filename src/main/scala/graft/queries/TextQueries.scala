@@ -37,6 +37,22 @@ object TextQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
 
+    // Unicode NFC normalization (native expression). The synthetic
+    // corpus is ASCII, so the face appends decomposed accents
+    // (e+U+0301, A+U+030A) and an NFC-invariant ligature — the oracle
+    // must recompose them identically (len shrinks by exactly the two
+    // combining marks) or the compare fails
+    "q_text_normalize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val decorated = concat(substring(col("text"), 1, 40),
+        lit(" Café ﬁn Å"))
+      Tables(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.UnicodeNormalize(decorated, "NFC").as("text_nfc"),
+        length(decorated).cast("long").as("len_raw"),
+        length(graft.expressions.UnicodeNormalize(decorated, "NFC"))
+          .cast("long").as("len_nfc"))
+    }),
+
     // Gopher-style repetition filters: top/duplicated token fraction +
     // the same over word bigrams (hash-keyed group-bys, see
     // TextAnalysis.repetitionStats)
@@ -82,6 +98,18 @@ object TextQueries {
   }.mkString(",\n        |  ")
 
   val oracles: Map[String, String] = Map(
+    // chr(769)=U+0301 combining acute, chr(64257)=U+FB01 ﬁ ligature
+    // (NFC-invariant), chr(778)=U+030A combining ring — the same
+    // decorated string the Spark face builds
+    "q_text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(text, 1, 40) || ' Cafe' || chr(769) || ' ' ||
+        |    chr(64257) || 'n A' || chr(778) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+        |FROM t""".stripMargin,
     "q_text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toks) AS BIGINT) AS n_tokens,

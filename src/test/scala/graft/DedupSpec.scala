@@ -131,4 +131,23 @@ class DedupSpec extends SparkTestBase {
     val n = Dedup.minhashCandidates(d, maxBucket = 64).count()
     assert(n === 0L)
   }
+
+  test("edit-distance verify: exact distances, banded -1 beyond maxDist") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "kitten sat here",
+      2L -> "sitten sat here",   // distance 1
+      3L -> "kitten sat hers",   // distance 1 from doc 1
+      4L -> "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz") // far from all
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.editDistanceVerify(d, cands, prefixLen = 120, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(out((1L, 2L))._1 === 1L)
+    assert(out((1L, 3L))._1 === 1L)
+    assert(out((2L, 3L))._1 === 2L)
+    // beyond the band: distance AND similarity report -1, not garbage
+    assert(out((1L, 4L)) === (-1L, -1L))
+    // sim_s for distance 1 over max_len 15: floor((1-1/15)*1e6)
+    assert(out((1L, 2L))._2 === 933333L)
+  }
 }

@@ -79,6 +79,47 @@ class PageRankSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  private def undirected(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+  }
+
+  private def tris(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle counts: K4, pendant, square, star") {
+    // K4: every node is in C(3,2)=3 triangles
+    val k4 = undirected(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(tris(PageRank.triangleCounts(k4)) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle with a pendant node: pendant is in 0
+    val pend = undirected(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    assert(tris(PageRank.triangleCounts(pend)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // 4-cycle: no triangles, every node still reported
+    val square = undirected(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    assert(tris(PageRank.triangleCounts(square)).values.toSet === Set(0L))
+    // star: hub wedges never close
+    val star = undirected(9L -> 1L, 9L -> 2L, 9L -> 3L, 9L -> 4L)
+    assert(tris(PageRank.triangleCounts(star)).values.toSet === Set(0L))
+  }
+
+  test("triangle counts match brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (for (a <- 1L to 25L; b <- (a + 1) to 25L if rnd.nextDouble() < 0.3)
+      yield (a, b)).toSeq
+    val adj = pairs.toSet
+    def linked(a: Long, b: Long) = adj.contains((a min b, a max b))
+    val expected = (for {
+      a <- 1L to 25L; b <- (a + 1) to 25L; c <- (b + 1) to 25L
+      if linked(a, b) && linked(b, c) && linked(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val got = tris(PageRank.triangleCounts(undirected(pairs: _*)))
+    assert(got === nodes.map(n => n -> expected.getOrElse(n, 0L)).toMap)
+  }
+
   test("total rank is conserved on a graph with no dangling nodes") {
     // every node has out-edges → each iteration redistributes all mass
     // (up to floor-division loss, bounded by edges count in scale units)

@@ -230,6 +230,25 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       s"expected 1 exchange, got ${shuffles(p).size}")
   }
 
+  test("parquet scans push filters down and prune to the referenced columns") {
+    // pushdown: the event_type predicate must reach the scan node (a
+    // post-scan Filter over a full read is the 100 TB anti-pattern)
+    val scans1 = plan("q_events_interval").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans1.nonEmpty)
+    assert(scans1.exists(_.metadata.get("PushedFilters").exists(_.contains("event_type"))),
+      s"event_type filter not pushed: ${scans1.map(_.metadata.get("PushedFilters"))}")
+    // pruning: langid reads (doc_id, text) — a scan that also reads
+    // lang/source/n_chars ships 3 dead columns per row at 100 TB
+    val scans2 = plan("q_text_langid").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans2.nonEmpty)
+    val cols = scans2.head.requiredSchema.fieldNames.toSet
+    assert(cols === Set("doc_id", "text"), s"scan reads extra columns: $cols")
+  }
+
   test("runtime bloom-filter injection reduces a selective shuffle join") {
     // At 100 TB the cheapest shuffle is the one that never happens:
     // when a fact⋈dim join's dim side is selectively filtered but too
