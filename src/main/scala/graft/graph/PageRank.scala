@@ -85,19 +85,26 @@ object PageRank {
     out
   }
 
-  /** @param edges directed edges with `src` and `dst` columns
+  /** @param edges directed edges with `src` and `dst` columns — plus,
+    *               when `weightCol` is set, a positive integer weight:
+    *               contributions split proportionally,
+    *               (rank*w) div sum-of-out-weights, instead of evenly
     * @return (node, rank_s) — rank in `scale`-units, exact
     */
   def run(edges: DataFrame, iters: Int, dampingPct: Int = 85,
-      scale: Long = 1000000L, checkpointEvery: Int = 8): DataFrame = {
+      scale: Long = 1000000L, checkpointEvery: Int = 8,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     require(scale > 0, s"scale must be positive, got $scale")
 
-    val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree-annotated edges: joined once, reused every iteration
+    val e = weightCol match {
+      case Some(w) => edges.select(col("src"), col("dst"), col(w).cast("long").as("w"))
+      case None => edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    }
+    val deg = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    // out-weight-annotated edges: joined once, reused every iteration
     val withDeg = e.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
@@ -109,7 +116,7 @@ object PageRank {
     for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("rank_s")), Seq("src"))
-        .select(col("dst"), expr("rank_s div deg").as("c"))
+        .select(col("dst"), expr("(rank_s * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")

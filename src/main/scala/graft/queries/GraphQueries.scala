@@ -41,6 +41,18 @@ object GraphQueries {
       PageRank.runConverged(edges, tolS = 10000L)
     }),
 
+    // weighted variant: co-supply multiplicity (shared-part count) as
+    // the edge weight — contributions split proportionally
+    "q_graph_pagerank_weighted" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 40.0)
+      val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val edges = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") =!= col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      PageRank.run(edges, iters = 2, weightCol = Some("w"))
+    }),
+
     // per-node triangle counts, degree-oriented wedge counting (the
     // thinner >=49 co-supply graph: triangle volume is cubic in
     // density, and the dense variant is a stress shape, not a corpus)
@@ -77,6 +89,34 @@ object GraphQueries {
         |  FROM nodes n LEFT JOIN c1 USING (node)),
         |c2 AS (
         |  SELECT e.dst AS node, sum(r1.r // deg.d) AS s2
+        |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(c2.s2, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin,
+
+    // weighted 2-iteration unroll: (r*w) // sw replaces r // deg
+    "q_graph_pagerank_weighted" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 40.0),
+        |e AS (
+        |  SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, sum(w) AS sw FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, sum((r0.r * e.w) // deg.sw) AS s1
+        |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(c1.s1, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, sum((r1.r * e.w) // deg.sw) AS s2
         |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
         |  GROUP BY 1),
         |r2 AS (

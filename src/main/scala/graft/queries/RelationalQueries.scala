@@ -333,6 +333,12 @@ object RelationalQueries {
         .na.fill(0L, langs)
     }),
 
+    // One-pass column profiler (core.Profiler): all per-column stats
+    // from a single scan + single aggregate, exploded to long form
+    "q_profile_documents" -> ((s, dir) =>
+      graft.core.Profiler.profile(Tables(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // Z-order layout key (graft.layout.ZOrder): the Morton bit
     // interleave is a pure shift/and/or scalar expression —
     // oracle-checked bit for bit against the same formula in SQL
@@ -550,6 +556,20 @@ object RelationalQueries {
         |  count(*) FILTER (WHERE lang = 'fr') AS fr,
         |  count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_profile_documents" -> {
+      // one SELECT per column UNION ALL'd — the relational spelling of
+      // the same statistics (DuckDB happily single-scans this too)
+      val perCol = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_v,
+           |  CAST(max($c) AS VARCHAR) AS max_v
+           |FROM documents""".stripMargin
+      }
+      perCol.mkString("\nUNION ALL\n")
+    },
 
     "q_layout_zorder" -> {
       // the same interleave formula, generated term by term: bit b of

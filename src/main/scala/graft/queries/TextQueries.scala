@@ -37,6 +37,17 @@ object TextQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
 
+    // approximate heavy-hitter tokens (native frequent-items sketch
+    // aggregate) — rows-only: sketch estimates depend on eviction
+    // order, so the contract (no false negatives, bracketed counts) is
+    // SketchSpec-asserted rather than oracle-hashed
+    "q_sketch_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      graft.sketch.Sketches.topItems(toks, "tok", maxMapSize = 1024)
+    }),
+
     // Unicode NFC normalization (native expression). The synthetic
     // corpus is ASCII, so the face appends decomposed accents
     // (e+U+0301, A+U+030A) and an NFC-invariant ligature — the oracle

@@ -33,6 +33,18 @@ object Sketches {
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_approx")): _*)
   }
 
+  /** Approximate global heavy hitters over `itemCol` — one row per
+    * frequent item, heaviest first, with the [lb, ub] bracket on the
+    * true count. Backed by the native frequent-items aggregate
+    * (graft.expressions.FreqItemsAgg): fixed-size mergeable sketches,
+    * no per-value shuffle. Guarantee: every item with true count >
+    * n/maxMapSize is present (no false negatives).
+    */
+  def topItems(df: DataFrame, itemCol: String, maxMapSize: Int = 1024): DataFrame =
+    df.agg(graft.expressions.FreqItemsAgg(col(itemCol), maxMapSize).as("items"))
+      .select(explode(col("items")).as("f"))
+      .select(col("f.item"), col("f.estimate"), col("f.lb"), col("f.ub"))
+
   /** Per-group t-digest percentiles of `valueCol` at `percentiles`.
     * `accuracy` trades memory for error: err ≈ 1/accuracy of the RANK
     * (not the value) — 10000 gives ~0.01 quantile-rank error.

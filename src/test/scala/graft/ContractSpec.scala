@@ -19,7 +19,8 @@ class ContractSpec extends AnyFunSuite {
     "q_domain_defrag_pieces",    // window-UDAF defrag (recursive-CTE dead end)
     "q_domain_defrag_textreuses",
     "q_dedup_groups_conv",       // observed-convergence label rounds
-    "q_graph_pagerank_conv")     // observed-convergence PageRank
+    "q_graph_pagerank_conv",     // observed-convergence PageRank
+    "q_sketch_heavy_hitters")    // sketch output is eviction-order-dependent
 
   test("every oracle names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

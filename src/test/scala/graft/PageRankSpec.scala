@@ -79,6 +79,26 @@ class PageRankSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("weighted ranks split contributions proportionally (hand-computed)") {
+    import spark.implicits._
+    // 1→2 (w3), 1→3 (w1), 3→1 (w2): sw(1)=4, sw(3)=2
+    // iter1: c(2)=(1e6*3)div4=750000, c(3)=250000, c(1)=(1e6*2)div2=1e6
+    //   r1(1)=1000000, r1(2)=150000+637500=787500, r1(3)=362500
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (3L, 1L, 2L)).toDF("src", "dst", "w")
+    val out = ranks(PageRank.run(e, iters = 1, weightCol = Some("w")))
+    assert(out === Map(1L -> 1000000L, 2L -> 787500L, 3L -> 362500L))
+  }
+
+  test("weight 1 everywhere reproduces the unweighted ranks exactly") {
+    import spark.implicits._
+    val pairs = (1L to 30L).flatMap(i => Seq(i -> (i % 30 + 1), i -> ((i + 11) % 30 + 1)))
+    val unw = ranks(PageRank.run(pairs.toDF("src", "dst"), iters = 3))
+    val w1 = ranks(PageRank.run(
+      pairs.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+      iters = 3, weightCol = Some("w")))
+    assert(unw === w1)
+  }
+
   private def undirected(pairs: (Long, Long)*) = {
     import spark.implicits._
     (pairs ++ pairs.map(_.swap)).toDF("src", "dst")

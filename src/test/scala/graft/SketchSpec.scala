@@ -33,6 +33,33 @@ class SketchSpec extends SparkTestBase {
     assert(out.getLong(2) === 20000L)
   }
 
+  test("heavy hitters: no false negatives, bracketed estimates, heaviest first") {
+    import spark.implicits._
+    // Zipf-ish stream: "tok0" x 4000, "tok1" x 2000, ..., plus a long
+    // unique tail — heavy items far above the n/maxMapSize threshold
+    val heavy = (0 until 5).flatMap(i => Seq.fill(4000 >> i)(s"tok$i"))
+    val tail = (0 until 3000).map(i => s"rare$i")
+    val df = scala.util.Random.shuffle(heavy ++ tail).toDF("tok")
+      .repartition(7) // fixed layout → deterministic sketch
+    val n = heavy.size + tail.size
+    val out = Sketches.topItems(df, "tok", maxMapSize = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val trueCounts = heavy.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // every item with true count > n/maxMapSize must be reported
+    val threshold = n / 64
+    for ((tok, c) <- trueCounts if c > threshold)
+      assert(out.exists(_._1 == tok), s"$tok (count $c > $threshold) missing")
+    // reported brackets contain the true counts
+    for ((tok, est, lb, ub) <- out if trueCounts.contains(tok)) {
+      val c = trueCounts(tok)
+      assert(lb <= c && c <= ub, s"$tok: true $c outside [$lb, $ub]")
+      assert(lb <= est && est <= ub)
+    }
+    // heaviest first
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    assert(out.head._1 === "tok0")
+  }
+
   test("sketch aggregation is a single two-phase aggregate (no distinct expand)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("a", "b")
