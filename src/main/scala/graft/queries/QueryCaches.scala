@@ -12,6 +12,7 @@ object QueryCaches {
   def clearAll(): Unit = {
     DomainQueries.clearCache()
     CoverageQueries.clearCache()
+    GraphQueries.clearCache()
   }
 
   /** Build + materialize every memoized shared stage (Bench warm-up):
@@ -21,5 +22,6 @@ object QueryCaches {
   def prebuildAll(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     DomainQueries.prebuild(s, dir)
     CoverageQueries.prebuild(s, dir)
+    GraphQueries.prebuild(s, dir)
   }
 }
