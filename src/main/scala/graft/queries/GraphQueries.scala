@@ -68,7 +68,19 @@ object GraphQueries {
     // thinner >=49 co-supply graph: triangle volume is cubic in
     // density, and the dense variant is a stress shape, not a corpus)
     "q_graph_triangles" -> ((s, dir) =>
-      PageRank.triangleCounts(coSupply(s, dir, 49.0).select(col("src"), col("dst"))))
+      PageRank.triangleCounts(coSupply(s, dir, 49.0).select(col("src"), col("dst")))),
+
+    // k-core peel, fixed 2 rounds (oracle-unrollable face; deep
+    // tendril chains under-peel — the dedupGroups fixed-k trade)
+    "q_graph_kcore" -> ((s, dir) =>
+      graft.graph.KCore.peel(coSupply(s, dir, 49.0).select(col("src"), col("dst")),
+        k = 3, rounds = 2)),
+
+    // converged peel (rows-only; KCoreSpec proves face agreement and
+    // the under-peel contrast)
+    "q_graph_kcore_conv" -> ((s, dir) =>
+      graft.graph.KCore.peelConverged(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 3))
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +140,25 @@ object GraphQueries {
         |  SELECT n.node, 150000 + (85 * coalesce(c2.s2, 0)) // 100 AS r
         |  FROM nodes n LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin,
+
+    // two unrolled peeling rounds: degrees over the full graph, then
+    // over the subgraph induced by round-1 survivors
+    "q_graph_kcore" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |a1 AS (SELECT src AS node FROM e GROUP BY 1 HAVING count(*) >= 3),
+        |i2 AS (
+        |  SELECT e.src, e.dst FROM e
+        |  JOIN a1 x ON x.node = e.src
+        |  JOIN a1 y ON y.node = e.dst),
+        |a2 AS (SELECT src AS node FROM i2 GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT n.node, (a.node IS NOT NULL) AS in_core
+        |FROM nodes n LEFT JOIN a2 a ON n.node = a.node""".stripMargin,
 
     // canonical x<y<z enumeration — each triangle contributes one tri
     // row and three corner credits, mirroring the oriented-wedge count

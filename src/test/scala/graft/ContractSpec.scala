@@ -20,6 +20,7 @@ class ContractSpec extends AnyFunSuite {
     "q_domain_defrag_textreuses",
     "q_dedup_groups_conv",       // observed-convergence label rounds
     "q_graph_pagerank_conv",     // observed-convergence PageRank
+    "q_graph_kcore_conv",        // observed-convergence k-core peel
     "q_sketch_heavy_hitters")    // sketch output is eviction-order-dependent
 
   test("every oracle names a registered query") {
