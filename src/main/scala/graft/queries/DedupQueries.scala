@@ -55,6 +55,22 @@ object DedupQueries {
       Dedup.ngramJaccard(docs, cands).where(col("jaccard") > 0.0)
     }),
 
+    // end-to-end curation pipeline — the operators are designed to
+    // COMPOSE: length gate → exact-dedup keep → deterministic 50%
+    // hash sample → per-(lang, source) accounting. One flagship query
+    // proving interop; each stage is individually oracle-checked by
+    // its own query elsewhere.
+    "q_pipeline_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sized = docs.where(col("n_chars") >= 200 && col("n_chars") <= 2000)
+      val kept = Dedup.exact(sized).where(col("is_kept")).select(col("doc_id"))
+      val deduped = sized.join(kept, Seq("doc_id"))
+      val sampled = graft.sampling.Sampling
+        .sampleByHash(deduped, "doc_id", fraction = 0.5, salt = 11)
+      sampled.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // exact Levenshtein verification over the same sliding candidate
     // window — the post-LSH confirmation pass, prefix-capped
     "q_dedup_edit_distance" -> ((s, dir) => {
@@ -139,6 +155,28 @@ object DedupQueries {
          |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
          |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
          |FROM h""".stripMargin,
+
+    "q_pipeline_curation" -> {
+      val a = TextAnalysis.hashA(11)
+      val b = TextAnalysis.hashB(11)
+      s"""WITH sized AS (
+         |  SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 2000),
+         |h AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    ${charHash("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS canon_hash
+         |  FROM sized),
+         |kept AS (
+         |  SELECT doc_id, lang, source, n_chars FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY canon_hash) AS keep_id
+         |    FROM h)
+         |  WHERE doc_id = keep_id),
+         |sampled AS (
+         |  SELECT * FROM kept
+         |  WHERE (((doc_id % $P) * $a + $b) % $P) % 1000 < 500)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM sampled GROUP BY 1, 2""".stripMargin
+    },
 
     // DuckDB has no banded levenshtein — the oracle computes the full
     // distance and applies the threshold contract afterwards (> 30 → −1)

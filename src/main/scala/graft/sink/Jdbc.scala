@@ -107,4 +107,37 @@ object Jdbc {
       LoadResult(dbCount, loadSeconds, (System.nanoTime() - t1) / 1e9)
     } finally persisted.unpersist()
   }
+
+  /** Parallel JDBC read — the return path of [[loadTable]]. Without
+    * partitioning options Spark reads a JDBC table through ONE
+    * connection on ONE task; `partitionCol` + bounds split the read
+    * into `numPartitions` range-predicated queries so a large table
+    * ingests in parallel. Bounds are fetched with a single min/max
+    * query when not supplied (one cheap round-trip; pass them
+    * explicitly when the planner table is hot). `partitionCol` must be
+    * a trusted identifier (interpolated into the bounds query), same
+    * contract as `table`/`ddl` on the load side.
+    */
+  def readTable(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, partitionCol: String, numPartitions: Int = 8,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    val (lo, hi) = bounds.getOrElse {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($partitionCol), MAX($partitionCol) FROM $table")
+        rs.next()
+        (rs.getLong(1), rs.getLong(2))
+      } finally conn.close()
+    }
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lo.toString)
+      .option("upperBound", math.max(hi, lo + 1).toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+  }
 }

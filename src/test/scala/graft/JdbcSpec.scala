@@ -27,6 +27,27 @@ class JdbcSpec extends SparkTestBase {
     assert(back.where($"id" === 42L).select("name").head.getString(0) === "name_42")
   }
 
+  test("readTable splits the scan into range-partitioned parallel reads") {
+    val dir = Files.createTempDirectory("graft-derby").resolve("db")
+    val url = s"jdbc:derby:$dir;create=true"
+    val df = (1L to 1000L).map(i => (i, s"v_$i")).toDF("id", "v")
+    Jdbc.loadTable(df, url, "t_read",
+      "CREATE TABLE t_read (id BIGINT, v VARCHAR(64))")
+    val back = Jdbc.readTable(spark, url, "t_read", partitionCol = "id",
+      numPartitions = 4)
+    // parallel scan: the source reports the requested partition split
+    assert(back.rdd.getNumPartitions === 4)
+    // complete and correct despite the range predicates (boundary rows
+    // must appear exactly once)
+    assert(back.count() === 1000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      === 500500L)
+    // explicit bounds path skips the min/max round-trip
+    val bounded = Jdbc.readTable(spark, url, "t_read", partitionCol = "id",
+      numPartitions = 3, bounds = Some((1L, 1000L)))
+    assert(bounded.count() === 1000L)
+  }
+
   test("narrow32Ids loads ids inside the unsigned-32 contract and indexes them") {
     val dir = Files.createTempDirectory("graft-derby3").resolve("db")
     val url = s"jdbc:derby:$dir;create=true"

@@ -242,6 +242,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("the native frequent-items aggregate runs in a streaming aggregation") {
+    // TypedImperativeAggregate buffers must serialize across streaming
+    // state-store boundaries (the percentile_approx protocol) — this
+    // proves FreqItemsAgg streams: windowed heavy hitters over an
+    // event-type stream, complete-mode parity with the batch sketch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val events = (1 to 40).map(i => Event(i.toLong, ts(i % 50),
+      i.toLong % 5, if (i % 4 == 0) "rare" + i else "click", 1.0))
+    input.addData(events: _*)
+
+    val q = input.toDF()
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+      .agg(graft.expressions.FreqItemsAgg(col("event_type"), 64).as("items"))
+      .select(explode(col("items")).as("f"))
+      .select(col("f.item"), col("f.estimate"))
+      .writeStream.format("memory").queryName("freq_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("freq_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // "click" (30 occurrences) dominates; its estimate is exact here
+      // (one window, no evictions at map size 64 with <=11 distinct)
+      assert(got("click") === 30L)
+      assert(got.keySet.contains("click"))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap > 30min, aggregates per session") {
     import spark.implicits._
     val df = Seq(
