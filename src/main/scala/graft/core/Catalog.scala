@@ -172,6 +172,19 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     get(name)
   }
 
+  /** Collect table + column statistics for a METASTORE table (one
+    * written by [[materializeBucketed]]) so Catalyst's cost-based
+    * optimizer has real rowCount/sizeInBytes/NDV instead of file-size
+    * guesses — at scale this is what flips borderline joins to
+    * broadcast and orders multi-way joins sensibly. Not applicable to
+    * path-registered temp views ([[get]]), whose stats come from file
+    * sizes.
+    */
+  def analyze(name: String, columns: Seq[String] = Seq.empty): Unit = {
+    val forCols = if (columns.isEmpty) "" else s" FOR COLUMNS ${columns.mkString(", ")}"
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS$forCols")
+  }
+
   /** Eager named cache (reference: S8, spark_utils.py:57-65). */
   def cache(name: String, df: DataFrame): DataFrame = {
     df.createOrReplaceTempView(s"${name}_source")

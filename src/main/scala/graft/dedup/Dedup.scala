@@ -49,6 +49,22 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
+  /** Incremental exact dedup — the daily-drop shape: dedup a NEW batch
+    * against itself AND against the canon hashes of everything already
+    * accepted, without rereading the historical corpus (only its hash
+    * column ships). A new doc survives iff it is first in its batch
+    * group AND its hash is unseen. `knownHashes` needs a `canon_hash`
+    * column (e.g. the stored output of [[exact]]); the join is a
+    * hash-keyed left, partial-agg distinct on the known side.
+    */
+  def exactIncremental(docs: DataFrame, knownHashes: DataFrame): DataFrame = {
+    val known = knownHashes.select(col("canon_hash")).distinct()
+      .withColumn("_seen", lit(true))
+    exact(docs).join(known, Seq("canon_hash"), "left")
+      .select(col("doc_id"), col("canon_hash"), col("group_size"),
+        (col("is_kept") && col("_seen").isNull).as("is_kept"))
+  }
+
   /** Word-n-gram Jaccard similarity for candidate pairs, over HASHED
     * shingle sets: shingles are rolling-hashed to longs per doc before
     * the pair join, so the per-pair set intersection works on bigint

@@ -38,6 +38,27 @@ object Ids {
   def dictionary(df: DataFrame, valueCol: String, idCol: String): DataFrame =
     zipWithRowId(df.select(valueCol).where(col(valueCol).isNotNull).distinct().orderBy(valueCol), idCol)
 
+  /** Extend an existing dictionary with unseen values — stable ids
+    * across corpus drops: previously assigned ids NEVER change, new
+    * distinct values get dense ids continuing after the current max
+    * (sorted among themselves). The production face of S10/S11:
+    * re-deriving the dictionary from scratch on every drop would
+    * reshuffle ids and invalidate every downstream encoded table.
+    * The max-id shift attaches as a broadcast 1-row cross join — no
+    * driver-side collect.
+    */
+  def extendDictionary(existing: DataFrame, df: DataFrame, valueCol: String,
+      idCol: String): DataFrame = {
+    val fresh = df.select(col(valueCol)).where(col(valueCol).isNotNull).distinct()
+      .join(existing.select(col(valueCol)), Seq(valueCol), "left_anti")
+      .orderBy(valueCol)
+    val mx = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("_mx"))
+    zipWithRowId(fresh, idCol)
+      .crossJoin(broadcast(mx))
+      .select((col(idCol) + col("_mx")).as(idCol), col(valueCol))
+      .unionByName(existing.select(col(idCol), col(valueCol)))
+  }
+
   /** Replace `valueCol` with its dictionary id (reference:
     * spark_utils.py:176-230). Returns (encoded, dictionary).
     */

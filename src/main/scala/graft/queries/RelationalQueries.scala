@@ -333,6 +333,14 @@ object RelationalQueries {
         .na.fill(0L, langs)
     }),
 
+    // S10/S11 production face: extend a dictionary with a new drop —
+    // old ids stable, new values appended densely after the max
+    "q_dict_extend" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val existing = Ids.dictionary(d.where(col("lang") < "es"), "lang", "lang_id")
+      Ids.extendDictionary(existing, d, "lang", "lang_id")
+    }),
+
     // One-pass column profiler (core.Profiler): all per-column stats
     // from a single scan + single aggregate, exploded to long form
     "q_profile_documents" -> ((s, dir) =>
@@ -556,6 +564,21 @@ object RelationalQueries {
         |  count(*) FILTER (WHERE lang = 'fr') AS fr,
         |  count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_dict_extend" ->
+      """WITH ex AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS lang_id, lang
+        |  FROM (SELECT DISTINCT lang FROM documents
+        |        WHERE lang < 'es' AND lang IS NOT NULL)),
+        |fresh AS (
+        |  SELECT DISTINCT lang FROM documents
+        |  WHERE lang IS NOT NULL AND lang NOT IN (SELECT lang FROM ex)),
+        |app AS (
+        |  SELECT (SELECT coalesce(max(lang_id), 0) FROM ex)
+        |    + CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS lang_id, lang
+        |  FROM fresh)
+        |SELECT lang_id, lang FROM app
+        |UNION ALL SELECT lang_id, lang FROM ex""".stripMargin,
 
     "q_profile_documents" -> {
       // one SELECT per column UNION ALL'd — the relational spelling of

@@ -37,6 +37,24 @@ object TextQueries {
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
 
+    // PII redaction over a face decorated with one of each PII shape
+    // (the synthetic corpus is clean): the oracle must produce the
+    // identical token-substituted text, and the residual scan counts
+    // must be zero
+    "q_text_redact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val decorated = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 60),
+          lit(" a.b@test.org or +1 (415) 555-0199 via http://ex.com/p?q=1 from 10.0.0.1"))
+          .as("text"))
+      val red = TextAnalysis.redactPii(decorated)
+      TextAnalysis.piiScan(red)
+        .join(red, Seq("doc_id"))
+        .select(col("doc_id"), col("text").as("text_redacted"),
+          (col("n_emails") + col("n_phones") + col("n_urls") + col("n_ipv4"))
+            .as("n_residual_pii"))
+    }),
+
     // approximate heavy-hitter tokens (native frequent-items sketch
     // aggregate) — rows-only: sketch estimates depend on eviction
     // order, so the contract (no false negatives, bracketed counts) is
@@ -214,6 +232,34 @@ object TextQueries {
 
     // same regex shapes in RE2; DuckDB string literals pass backslashes
     // through untouched, so the Scala-escaped patterns arrive identical
+    // the same replacement chain (email → URL → IP → phone, global)
+    // then the residual scan over the redacted text
+    "q_text_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 60) ||
+        |    ' a.b@test.org or +1 (415) 555-0199 via http://ex.com/p?q=1 from 10.0.0.1'
+        |    AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          'https?://[^\s]+', '<URL>', 'g'),
+        |        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted
+        |  FROM d)
+        |SELECT doc_id, text_redacted,
+        |  CAST(len(regexp_extract_all(text_redacted,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text_redacted, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+        |    + len(regexp_extract_all(text_redacted, 'https?://[^\s]+'))
+        |    + len(regexp_extract_all(text_redacted,
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_residual_pii
+        |FROM r""".stripMargin,
+
     "q_text_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

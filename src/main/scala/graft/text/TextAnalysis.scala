@@ -251,6 +251,27 @@ object TextAnalysis {
       (email + phone + url + ipv4 > 0).as("has_pii"))
   }
 
+  /** PII redaction — the remediation pass paired with [[piiScan]]:
+    * replace every match of the same four conservative shapes with a
+    * typed placeholder token. Replacement order matters and is fixed:
+    * emails → URLs → IPv4 → phones, so digit runs inside URLs/IPs are
+    * consumed before the phone pattern can see them. Map-only chained
+    * codegen'd regexp_replace; same RE2-compatible patterns as the
+    * scan (no backrefs/lookahead), so the pass runs identically on
+    * engines with either regex engine class.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val replacements = Seq(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+      "https?://[^\\s]+" -> "<URL>",
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+      "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>")
+    val redacted = replacements.foldLeft(col("text")) {
+      case (c, (pat, token)) => regexp_replace(c, pat, token)
+    }
+    docs.select(col("doc_id"), redacted.as("text"))
+  }
+
   /** Benchmark-contamination scan: how many of each document's word
     * n-grams appear in the probe corpus (the decontamination pass that
     * keeps test sets out of training data). Probe shingles are distinct

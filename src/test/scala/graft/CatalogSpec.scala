@@ -94,6 +94,22 @@ class CatalogSpec extends SparkTestBase {
     assert(fresh.count() === 4)
   }
 
+  test("analyze records row-count statistics for a metastore table") {
+    val cat = newCatalog()
+    import spark.implicits._
+    val df = (1L to 321L).map(i => (i, s"v$i")).toDF("k", "v")
+    cat.materializeBucketed("stats_t", df, buckets = 4, cols = Seq("k"))
+    cat.analyze("stats_t", columns = Seq("k"))
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("stats_t"))
+      .stats
+    assert(stats.isDefined, "ANALYZE left no table statistics")
+    assert(stats.get.rowCount.contains(BigInt(321)),
+      s"rowCount ${stats.get.rowCount} != 321")
+    assert(stats.get.colStats.get("k").exists(_.distinctCount.isDefined),
+      "column NDV missing after FOR COLUMNS analyze")
+  }
+
   test("vacuum removes only crash leftovers, never registered tables") {
     val cat = newCatalog()
     import spark.implicits._

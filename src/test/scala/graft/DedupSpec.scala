@@ -132,6 +132,20 @@ class DedupSpec extends SparkTestBase {
     assert(n === 0L)
   }
 
+  test("incremental exact dedup rejects batch dups AND historically seen docs") {
+    import spark.implicits._
+    val history = docs(1L -> "seen before", 2L -> "also seen")
+    val knownHashes = Dedup.exact(history).select("canon_hash")
+    val batch = docs(
+      10L -> "seen   before",  // canon-equal to history doc 1 → rejected
+      11L -> "brand new",      // first occurrence → kept
+      12L -> "brand new",      // batch dup of 11 → rejected
+      13L -> "also new")       // kept
+    val out = Dedup.exactIncremental(batch, knownHashes)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+  }
+
   test("edit-distance verify: exact distances, banded -1 beyond maxDist") {
     import spark.implicits._
     val d = docs(

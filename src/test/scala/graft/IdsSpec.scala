@@ -27,6 +27,25 @@ class IdsSpec extends SparkTestBase {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("extendDictionary keeps old ids stable and appends new values densely") {
+    val existing = Ids.dictionary(Seq("b", "a").toDF("v"), "v", "id")
+    val drop2 = Seq("c", "a", "e", "b", "d", null).toDF("v")
+    val out = Ids.extendDictionary(existing, drop2, "v", "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // a,b keep ids 1,2; c,d,e append as 3,4,5 in sorted order
+    assert(out === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // extending with nothing new is the identity
+    val again = Ids.extendDictionary(
+      Ids.extendDictionary(existing, drop2, "v", "id"), drop2, "v", "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again === out)
+    // an empty starting dictionary degenerates to plain dictionary()
+    val fromEmpty = Ids.extendDictionary(existing.where(lit(false)),
+      Seq("x", "y").toDF("v"), "v", "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fromEmpty === Seq((1L, "x"), (2L, "y")))
+  }
+
   test("withIntId round-trips values through the dictionary") {
     val df = Seq(("x", 1), ("y", 2), ("x", 3)).toDF("v", "n")
     val (encoded, dict) = Ids.withIntId(df, "v", "v_id")
