@@ -54,12 +54,20 @@ object KCore {
   }
 
   /** Converged peel: rounds run until one removes zero nodes, counted
-    * via the Observation API on each round's localCheckpoint (peeling
-    * is bounded by |V| rounds, so local lineage truncation suffices —
-    * no durable checkpoint needed).
+    * via the Observation API on each round's checkpoint. Checkpointing
+    * is the pluggable Clustering.Checkpointer with the durable parquet
+    * round-trip as default — a deep tendril chain peels one node per
+    * round, and localCheckpoint compounds origin-plan statistics
+    * across unbounded iterations (the dedupGroupsConverged /
+    * PageRank.runConverged rationale).
     */
-  def peelConverged(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame = {
+  def peelConverged(edges: DataFrame, k: Int, maxRounds: Int = 1000,
+      checkpointer: Option[graft.cluster.Clustering.Checkpointer] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val tmpDir = if (checkpointer.isEmpty)
+      Some(java.nio.file.Files.createTempDirectory("graft-kcore")) else None
+    val checkpoint = checkpointer.getOrElse(
+      graft.cluster.Clustering.parquetCheckpointer(tmpDir.get.toString))
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
@@ -82,7 +90,7 @@ object KCore {
         .select(col("node"))
       val obs = org.apache.spark.sql.Observation(s"graft_kcore_$r")
       val observed = next.observe(obs, count(lit(1)).as("n_alive"))
-      alive = observed.localCheckpoint()
+      alive = checkpoint(observed, r)
       val nAlive = Option(obs.get("n_alive")).map(_.asInstanceOf[Long]).getOrElse(0L)
       removed = lastAlive - nAlive
       lastAlive = nAlive
@@ -94,6 +102,13 @@ object KCore {
       .localCheckpoint()
     e.unpersist()
     nodes.unpersist()
+    tmpDir.foreach { dir =>
+      // the result is localCheckpoint-materialized off the checkpoint
+      // files above, so the per-call directory can go
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    }
     out
   }
 }

@@ -286,6 +286,32 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "bloom injection survived being disabled — the assert is vacuous")
   }
 
+  test("NO registered query plans a cartesian product; BNLJ only where designed") {
+    // The one invariant that must hold across the whole contract: no
+    // operator may quietly degrade to a cartesian product. Broadcast
+    // nested-loop joins are allowed only for the three designed
+    // 1-row/bounded-aggregate attaches (corpus totals, vocab, the
+    // dictionary max shift) and the brute-force ANN baseline (broadcast
+    // query set × corpus scan is the definition of brute force) —
+    // anything else is a join that lost its equi-keys. sparkPlan
+    // (pre-AQE) keeps this deterministic; eager queries
+    // (localCheckpoint results) have truncated plans and pass
+    // trivially but cost their sf0.001 materialization here.
+    // the IVF family broadcasts its bounded centroid set against every
+    // query/vector for rank-1 assignment — same designed shape
+    val intendedBnlj = Set("q_text_perplexity", "q_text_tfidf", "q_dict_extend",
+      "q_sim_brute_topk", "q_sim_ivf_topk", "q_sim_ivf_kmeans", "q_sim_ivf_kmeans2")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, dir).queryExecution.sparkPlan
+      val cart = p.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct")
+      if (!intendedBnlj(name)) {
+        val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+        assert(bnlj.isEmpty, s"$name plans an unintended BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
   test("shuffle-count snapshots for the headline plans") {
     // upper bounds, not exact counts: a future change may legitimately
     // REMOVE a shuffle, but silently adding one fails loudly here
