@@ -49,6 +49,31 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("is_kept"))
   }
 
+  /** Sorted-neighborhood blocking — the third candidate-generation
+    * family next to LSH banding and SimHash blocks: sort the corpus by
+    * a locality-preserving key (normalized text prefix) and emit pairs
+    * within `window` positions of each other. Catches near-dups that
+    * share openings (boilerplate headers, templated pages) at O(n·w)
+    * candidate pairs. The global rank comes from `Ids.zipWithRowId`
+    * over a range-partitioned sort — NOT a `row_number() OVER ()`
+    * whole-corpus window, which would funnel every row through one
+    * reducer; the w-window pairs come from an offset explode joined
+    * back on rank (the sliding-candidates shape, rank-keyed shuffles
+    * only).
+    */
+  def sortedNeighborhoodCandidates(docs: DataFrame, window: Int = 10,
+      prefixLen: Int = 40): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val keyed = docs.select(col("doc_id"),
+      lower(trim(substring(col("text"), 1, prefixLen))).as("snk"))
+    val ranked = graft.ids.Ids.zipWithRowId(keyed.orderBy("snk", "doc_id"), "rank")
+    val right = ranked.select(col("rank").as("rank_b"), col("doc_id").as("doc_id_b"))
+    ranked.select(col("doc_id").as("doc_id_a"),
+        explode(sequence(col("rank") + 1, col("rank") + window)).as("rank_b"))
+      .join(right, Seq("rank_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+  }
+
   /** Incremental exact dedup — the daily-drop shape: dedup a NEW batch
     * against itself AND against the canon hashes of everything already
     * accepted, without rereading the historical corpus (only its hash

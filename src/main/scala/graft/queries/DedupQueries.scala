@@ -55,6 +55,15 @@ object DedupQueries {
       Dedup.ngramJaccard(docs, cands).where(col("jaccard") > 0.0)
     }),
 
+    // sorted-neighborhood blocking + banded edit-distance verify — the
+    // third candidate family (prefix-locality) composed with the
+    // confirmation pass
+    "q_dedup_sorted_neighborhood" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cands = Dedup.sortedNeighborhoodCandidates(docs, window = 10)
+      Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
+    }),
+
     // end-to-end curation pipeline — the operators are designed to
     // COMPOSE: length gate → exact-dedup keep → deterministic 50%
     // hash sample → per-(lang, source) accounting. One flagship query
@@ -155,6 +164,37 @@ object DedupQueries {
          |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
          |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
          |FROM h""".stripMargin,
+
+    // row_number is fine in the ORACLE (DuckDB, small SF); the engine
+    // face uses the range-partitioned zipWithRowId instead
+    "q_dedup_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY snk, doc_id) AS BIGINT) AS rank
+        |  FROM keyed),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 10),
+        |t AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents),
+        |d AS (
+        |  SELECT c.doc_id_a, c.doc_id_b,
+        |    CASE WHEN levenshtein(ta.p, tb.p) <= 30
+        |      THEN CAST(levenshtein(ta.p, tb.p) AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS edit_dist,
+        |    CAST(greatest(length(ta.p), length(tb.p), 1) AS BIGINT) AS max_len
+        |  FROM cand c
+        |  JOIN t ta ON ta.doc_id = c.doc_id_a
+        |  JOIN t tb ON tb.doc_id = c.doc_id_b)
+        |SELECT doc_id_a, doc_id_b, edit_dist, max_len,
+        |  CASE WHEN edit_dist >= 0
+        |    THEN CAST(floor((1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS sim_s
+        |FROM d""".stripMargin,
 
     "q_pipeline_curation" -> {
       val a = TextAnalysis.hashA(11)

@@ -68,6 +68,21 @@ object EventQueries {
           col("r_event_id"), col("r_ts").cast("long").as("r_ts_s"))
     }),
 
+    // Spark 4 VARIANT: parse the JSON once into the binary
+    // semi-structured type, then typed-path extraction — the engine's
+    // modern answer to schemaless columns (one parse, shredded
+    // storage-ready, typed access). Same aggregate contract as the
+    // get_json_object face so the two extraction generations are
+    // directly comparable.
+    "q_events_variant" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val k = variant_get(parse_json(col("props")), "$.k", "long")
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // §2.8 JSON scalar functions over the events props column, both
     // extraction forms: path-based get_json_object (no schema needed,
     // per-field) and schema-based from_json (one parse for the whole
@@ -91,6 +106,13 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_events_variant" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
     // both Spark extraction forms agree on every well-formed row, so
     // the oracle's n_agree is the non-null parse count
     "q_events_props_json" ->

@@ -333,6 +333,17 @@ object RelationalQueries {
         .na.fill(0L, langs)
     }),
 
+    // Spark 4 Dataset.transpose — rows↔columns with the index column's
+    // values becoming column names (the long→wide dual of unpivot,
+    // bounded index domain like pivot's pinned list)
+    "q_transpose_langs" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .transpose(col("lang"))
+    }),
+
     // S10/S11 production face: extend a dictionary with a new drop —
     // old ids stable, new values appended densely after the max
     "q_dict_extend" -> ((s, dir) => {
@@ -564,6 +575,23 @@ object RelationalQueries {
         |  count(*) FILTER (WHERE lang = 'fr') AS fr,
         |  count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_transpose_langs" ->
+      """SELECT 'n_docs' AS key,
+        |  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+        |FROM documents
+        |UNION ALL
+        |SELECT 'sum_chars',
+        |  CAST(sum(n_chars) FILTER (WHERE lang = 'de') AS BIGINT),
+        |  CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS BIGINT),
+        |  CAST(sum(n_chars) FILTER (WHERE lang = 'es') AS BIGINT),
+        |  CAST(sum(n_chars) FILTER (WHERE lang = 'fr') AS BIGINT),
+        |  CAST(sum(n_chars) FILTER (WHERE lang = 'zh') AS BIGINT)
+        |FROM documents""".stripMargin,
 
     "q_dict_extend" ->
       """WITH ex AS (

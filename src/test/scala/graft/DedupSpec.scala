@@ -132,6 +132,29 @@ class DedupSpec extends SparkTestBase {
     assert(n === 0L)
   }
 
+  test("sorted-neighborhood blocking pairs shared-prefix docs, bounds by window") {
+    import spark.implicits._
+    // ids deliberately scattered so pairing follows PREFIX order, not
+    // id; the shared header fills the whole 40-char sort key so the
+    // three docs tie and fall back to doc_id order (5, 100, 200)
+    val hdr = "aaaa shared boilerplate header 40 chars!" // exactly 40
+    val d = docs(
+      100L -> (hdr + " doc one"),
+      5L -> (hdr + " doc two"),
+      200L -> (hdr + " doc three"),
+      7L -> "zzzz totally different tail")
+    val pairs = Dedup.sortedNeighborhoodCandidates(d, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window 1 → only sort-adjacent pairs; the 3 'aaaa' docs sort
+    // together (tie-break by doc_id: 5, 100, 200), 'zzzz' is adjacent
+    // only to the last of them
+    assert(pairs === Set((5L, 100L), (100L, 200L), (200L, 7L)))
+    // widening the window adds the skip-one pairs
+    val w2 = Dedup.sortedNeighborhoodCandidates(d, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 === pairs ++ Set((5L, 200L), (100L, 7L)))
+  }
+
   test("incremental exact dedup rejects batch dups AND historically seen docs") {
     import spark.implicits._
     val history = docs(1L -> "seen before", 2L -> "also seen")
