@@ -272,6 +272,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: foreachBatch accepts only never-seen docs") {
+    // the daily-drop loop as a stream: each micro-batch dedups against
+    // itself AND the accumulated accepted-hash history (foreachBatch is
+    // the right sink for cross-batch state that lives in a table, not
+    // in operator state) — batch 2 must reject batch 1's re-deliveries
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    var history = spark.emptyDataset[(Long, Long)].toDF("doc_id", "canon_hash")
+      .select(col("canon_hash"))
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val result = graft.dedup.Dedup.exactIncremental(batch, history)
+          .where(col("is_kept")).select(col("doc_id"), col("canon_hash"))
+          .collect()
+        accepted ++= result.map(_.getLong(0))
+        history = history.unionByName(
+          result.map(_.getLong(1)).toSeq.toDF("canon_hash")).distinct()
+        ()
+      }.start()
+    try {
+      input.addData(1L -> "alpha text", 2L -> "beta text", 3L -> "alpha  text")
+      q.processAllAvailable() // batch 1: 3 is a canon-dup of 1
+      input.addData(10L -> "alpha text", 11L -> "gamma text", 12L -> "gamma text")
+      q.processAllAvailable() // batch 2: 10 seen historically, 12 batch-dup
+      assert(accepted.toSet === Set(1L, 2L, 11L))
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap > 30min, aggregates per session") {
     import spark.implicits._
     val df = Seq(
