@@ -40,6 +40,33 @@ object Ingest {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSONL with corrupt-record CAPTURE (PERMISSIVE + a quarantine
+    * column): a 100 TB crawl drop always contains malformed lines, and
+    * the two failure postures are both wrong at scale — FAILFAST kills
+    * the whole pass on row one billion, DROPMALFORMED silently loses
+    * data with no audit trail. This keeps every line: well-formed rows
+    * parse into the schema, broken ones land intact in `corruptCol`
+    * (schema fields null), so the caller can route them to a quarantine
+    * sink and account for every input byte.
+    *
+    * Spark restriction: a query that projects ONLY the corrupt column
+    * from the raw scan is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    * cache or persist the parsed frame before splitting it into
+    * clean/quarantine branches, which a real ingest does anyway (one
+    * parse, two sinks).
+    */
+  def readJsonlPermissive(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+  }
+
   /** JSONL write, gzip-compressed — the interchange face for consumers
     * that ingest line-JSON (annotation tooling, external corpora
     * pipelines). Gzip over zstd here: line-JSON interchange targets

@@ -333,6 +333,32 @@ object RelationalQueries {
         .na.fill(0L, langs)
     }),
 
+    // boolean/conditional aggregate family: count_if + bool_and/bool_or
+    // (ANSI EVERY/ANY) — one pass, partial-aggregated like any hash agg
+    "q_agg_bool" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy(col("o_orderpriority")).agg(
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        bool_and(col("o_totalprice") > 900.0).as("all_above_900"),
+        bool_or(col("o_totalprice") > 400000.0).as("any_above_400k"),
+        count(lit(1)).as("n_orders"))
+    }),
+
+    // defensive scalar arithmetic: try_divide / nullif — error-safe
+    // math that yields NULL instead of failing the job on a bad row
+    // (the posture batch curation needs: one pathological row must not
+    // kill a 100 TB pass)
+    "q_scalar_try" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.select(col("l_orderkey"),
+          try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+          try_divide(col("l_quantity"), col("l_quantity") - col("l_quantity")).as("div_zero"))
+        .groupBy((col("l_orderkey") % 7).as("bucket"))
+        .agg(count(col("price_per_disc")).as("n_divisible"),
+          count(col("div_zero")).as("n_div_zero_nonnull"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Spark 4 Dataset.transpose — rows↔columns with the index column's
     // values becoming column names (the long→wide dual of unpivot,
     // bounded index domain like pivot's pinned list)
@@ -575,6 +601,23 @@ object RelationalQueries {
         |  count(*) FILTER (WHERE lang = 'fr') AS fr,
         |  count(*) FILTER (WHERE lang = 'zh') AS zh
         |FROM documents GROUP BY source""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        |  bool_and(o_totalprice > 900.0) AS all_above_900,
+        |  bool_or(o_totalprice > 400000.0) AS any_above_400k,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // try_divide emulated as divide-by-nullif: NULL for zero divisors
+    "q_scalar_try" ->
+      """SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket,
+        |  CAST(count(l_extendedprice / nullif(l_discount, 0.0)) AS BIGINT) AS n_divisible,
+        |  CAST(count(l_quantity / nullif(l_quantity - l_quantity, 0.0)) AS BIGINT)
+        |    AS n_div_zero_nonnull,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_transpose_langs" ->
       """SELECT 'n_docs' AS key,
