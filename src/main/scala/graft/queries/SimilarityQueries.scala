@@ -173,7 +173,43 @@ object SimilarityQueries {
       Similarity.truncateNormalize(Tables(s, dir, "embeddings"), dims = 8)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          floor(col("x").cast("double") * 1000000.0).cast("long").as("comp_s")))
+          floor(col("x").cast("double") * 1000000.0).cast("long").as("comp_s"))),
+
+    // SemDeDup semantic dedup: nearest-centroid cells bound the pairwise
+    // term; lowest-id representative survives each near-dup neighborhood
+    "q_dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables(s, dir, "embeddings"),
+        nCells = 16, threshold = 0.35)),
+
+    // int8 scalar quantization, exploded to (vec_id, dim, qv) codes +
+    // the per-vector max-abs scale (IEEE-exact → hash-checked)
+    "q_sim_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"))
+        .select(col("vec_id"), col("amax"), posexplode(col("q")).as(Seq("dim", "qv")))
+        .select(col("vec_id"), col("amax"), col("dim").cast("long").as("dim"),
+          col("qv"))),
+
+    // brute-force top-k over the QUANTIZED codes — the compressed search
+    // path; integer code dots/norms, scale factors cancel in the cosine
+    "q_sim_quantized_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb.where(col("vec_id") < 8), emb, k = 5)
+    }),
+
+    // product-quantization ANN: 4 subspaces × 16 codewords, ADC scoring
+    // over the broadcast query LUT — integer fixed-point throughout
+    "q_sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqTopK(emb.where(col("vec_id") < 8), emb, k = 5, m = 4, nCodes = 16)
+    }),
+
+    // IVF-PQ: coarse cell restriction × PQ-ADC scoring — the production
+    // ANN composition (cells, codebook, codes, LUT all deterministic)
+    "q_sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where(col("vec_id") < 8), emb, k = 5,
+        nCells = 16, nProbe = 4, m = 4, nCodes = 16)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +309,193 @@ object SimilarityQueries {
         |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
         |    AS BIGINT) AS sum_s
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id AS cell_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |scored_cells AS (
+         |  SELECT v.vec_id, c.cell_id,
+         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+         |  FROM embeddings v CROSS JOIN cells c),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM scored_cells) WHERE r = 1),
+         |j AS (
+         |  SELECT e.vec_id, a.cell_id, e.embedding
+         |  FROM embeddings e JOIN assigned a USING (vec_id)),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM j a JOIN j b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS keep
+         |FROM assigned a LEFT JOIN dropped d USING (vec_id)""".stripMargin,
+
+    "q_sim_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, amax,
+        |    CASE WHEN amax > 0 THEN
+        |      list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+        |    ELSE list_transform(embedding, x -> 0) END AS q
+        |  FROM s)
+        |SELECT vec_id, amax,
+        |  CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim,
+        |  unnest(q) AS qv
+        |FROM q""".stripMargin,
+
+    "q_sim_quantized_topk" -> {
+      val qdotSql =
+        """CAST(list_sum(list_transform(list_zip(%s, %s),
+          |  p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+          |  AS BIGINT)""".stripMargin
+      val dotQC = qdotSql.format("q.q", "c.q")
+      val normQ = qdotSql.format("q.q", "q.q")
+      val normC = qdotSql.format("c.q", "c.q")
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qz AS (
+         |  SELECT vec_id,
+         |    CASE WHEN amax > 0 THEN
+         |      list_transform(embedding, x ->
+         |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+         |    ELSE list_transform(embedding, x -> 0) END AS q
+         |  FROM s),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    CAST($dotQC AS DOUBLE) /
+         |      sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS qcosine
+         |  FROM (SELECT * FROM qz WHERE vec_id < 8) q
+         |  JOIN qz c ON q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, qcosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qcosine DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_pq_topk" -> {
+      // m=4 subspaces of 16 dims (64-dim embeddings), 16 codewords each
+      val l2Sql =
+        """CAST(list_sum(list_transform(list_zip(%s, %s),
+          |  p -> CAST(floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+          |    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000.0) AS BIGINT)))
+          |  AS BIGINT)""".stripMargin
+      val cbBranches = (0 until 4).map(s =>
+        s"""  SELECT $s AS sub, vec_id AS code_id,
+           |    list_transform(embedding[${s * 16 + 1}:${(s + 1) * 16}],
+           |      x -> CAST(x AS DOUBLE)) AS code_emb
+           |  FROM seeds""".stripMargin).mkString("\n  UNION ALL\n")
+      val svBranches = (0 until 4).map(s =>
+        s"""  SELECT vec_id, $s AS sub,
+           |    embedding[${s * 16 + 1}:${(s + 1) * 16}] AS sv
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH seeds AS (
+         |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |codebook AS (
+         |$cbBranches),
+         |subsv AS (
+         |$svBranches),
+         |assigned AS (
+         |  SELECT vec_id, sub, code_id FROM (
+         |    SELECT v.vec_id, v.sub, c.code_id,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${l2Sql.format("v.sv", "c.code_emb")}, c.code_id) AS r
+         |    FROM subsv v JOIN codebook c ON c.sub = v.sub) WHERE r = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, q.sub, c.code_id,
+         |    ${dotSql.format("q.sv", "c.code_emb")} AS dot
+         |  FROM (SELECT * FROM subsv WHERE vec_id < 8) q
+         |  JOIN codebook c ON c.sub = q.sub),
+         |scored AS (
+         |  SELECT l.query_id, a.vec_id, CAST(sum(l.dot) AS BIGINT) AS score_s
+         |  FROM assigned a JOIN lut l ON l.sub = a.sub AND l.code_id = a.code_id
+         |  WHERE l.query_id != a.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score_s,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_s DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, score_s, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_ivfpq_topk" -> {
+      val l2Sql =
+        """CAST(list_sum(list_transform(list_zip(%s, %s),
+          |  p -> CAST(floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+          |    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000.0) AS BIGINT)))
+          |  AS BIGINT)""".stripMargin
+      val cbBranches = (0 until 4).map(s =>
+        s"""  SELECT $s AS sub, vec_id AS code_id,
+           |    list_transform(embedding[${s * 16 + 1}:${(s + 1) * 16}],
+           |      x -> CAST(x AS DOUBLE)) AS code_emb
+           |  FROM seeds""".stripMargin).mkString("\n  UNION ALL\n")
+      val svBranches = (0 until 4).map(s =>
+        s"""  SELECT vec_id, $s AS sub,
+           |    embedding[${s * 16 + 1}:${(s + 1) * 16}] AS sv
+           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH cells AS (
+         |  SELECT vec_id AS cell_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |scored_cells AS (
+         |  SELECT v.vec_id, c.cell_id,
+         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+         |  FROM embeddings v CROSS JOIN cells c),
+         |cell_assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM scored_cells) WHERE r = 1),
+         |probed AS (
+         |  SELECT vec_id AS query_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM scored_cells WHERE vec_id < 8) WHERE r <= 4),
+         |seeds AS (
+         |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |codebook AS (
+         |$cbBranches),
+         |subsv AS (
+         |$svBranches),
+         |codes AS (
+         |  SELECT vec_id, sub, code_id FROM (
+         |    SELECT v.vec_id, v.sub, c.code_id,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY ${l2Sql.format("v.sv", "c.code_emb")}, c.code_id) AS r
+         |    FROM subsv v JOIN codebook c ON c.sub = v.sub) WHERE r = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, q.sub, c.code_id,
+         |    ${dotSql.format("q.sv", "c.code_emb")} AS dot
+         |  FROM (SELECT * FROM subsv WHERE vec_id < 8) q
+         |  JOIN codebook c ON c.sub = q.sub),
+         |scored AS (
+         |  SELECT l.query_id, co.vec_id, CAST(sum(l.dot) AS BIGINT) AS score_s
+         |  FROM codes co
+         |  JOIN cell_assigned ca ON ca.vec_id = co.vec_id
+         |  JOIN probed p ON p.cell_id = ca.cell_id
+         |  JOIN lut l ON l.query_id = p.query_id
+         |    AND l.sub = co.sub AND l.code_id = co.code_id
+         |  WHERE l.query_id != co.vec_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score_s,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_s DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, score_s, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
 
     "q_sim_truncate_norm" -> {
       val normS = dotSql.format("embedding[1:8]", "embedding[1:8]")

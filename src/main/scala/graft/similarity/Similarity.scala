@@ -279,6 +279,235 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("x").cast("double") * 1000000.0).cast("long")).as("sum_s"))
 
+  /** Rank-1 nearest-centroid cell assignment against the `nCells`
+    * lowest-id vectors (the deterministic IVF seeding rule): returns
+    * (vec_id, cell_id). Shared by [[semanticDedup]]; the same max_by
+    * aggregation shape as the IVF path — the |vectors|·nCells scored
+    * rows collapse map-side, the shuffle carries one row per vector and
+    * nothing is sorted.
+    */
+  def assignCells(vectors: DataFrame, nCells: Int): DataFrame = {
+    val cells = vectors.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cell_emb"))
+      .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
+    vectors.select(col("vec_id"), col("embedding"), normFp(col("embedding")).as("_norm"))
+      .join(broadcast(cells))
+      .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
+        col("_norm"), col("cell_norm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"),
+        struct(col("_cos").as("c"), (-col("cell_id")).as("nid"))).as("cell_id"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into
+    * nearest-centroid cells, compute pairwise cosine only WITHIN each
+    * cell, and drop every vector that has a higher-similarity-than-
+    * `threshold` neighbor with a lower id (the lowest-id member of each
+    * near-dup neighborhood survives as the representative). Returns one
+    * row per input vector: (vec_id, cell_id, keep).
+    *
+    * Scale shape: the cell key bounds the quadratic pairing term exactly
+    * as in the SemDeDup paper — the self-join is an equi-join on
+    * cell_id, never a corpus cartesian (the global no-cartesian plan
+    * gate applies); centroids broadcast; the drop set joins back by
+    * vec_id only. Deterministic by the engine's fixed-point cosine
+    * contract, so fully oracle-checkable.
+    */
+  def semanticDedup(vectors: DataFrame, nCells: Int = 16,
+      threshold: Double = 0.35): DataFrame = {
+    val assigned = vectors.join(assignCells(vectors, nCells), "vec_id")
+    val dropped = nearDupPairs(assigned, "cell_id", threshold)
+      .select(col("vec_id_b").as("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    assigned.select("vec_id", "cell_id")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        not(coalesce(col("_drop"), lit(false))).as("keep"))
+  }
+
+  /** Symmetric int8 scalar quantization: each vector is scaled by its
+    * own max-abs component so q = floor(x·127/amax + 0.5) ∈ [−127, 127]
+    * (half-up rounding written as floor(+0.5) — identical in any IEEE
+    * engine, unlike round() whose negative-half convention varies).
+    * Returns (vec_id, amax, q: array<int>). A zero vector quantizes to
+    * zeros with amax = 0. 4× smaller at rest than float32, 16× smaller
+    * than the doubles they expand to — the difference between an ANN
+    * index that fits executor memory at 100 TB and one that spills.
+    * Map-only; every arithmetic step (float→double cast, one multiply,
+    * one divide, floor) is IEEE-exact, so the codes are oracle-exact.
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    vectors.select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .select(col("vec_id"), col("amax"),
+        when(col("amax") > 0d,
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * lit(127.0) / col("amax") + lit(0.5)).cast("int")))
+          .otherwise(transform(col("embedding"), x => lit(0))).as("q"))
+  }
+
+  /** Brute-force top-k over int8-QUANTIZED vectors — the compressed
+    * search path: scores are integer code dots normalized by integer
+    * code norms (Σq², exact BIGINT arithmetic — scale factors cancel in
+    * the cosine, so amax never enters the score). Same output shape and
+    * tie-break as [[bruteTopK]]; recall < 1 by quantization error
+    * (bounded in SimilaritySpec). Queries broadcast; candidates stream;
+    * only (query, candidate, score) triples shuffle for ranking.
+    */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    def qdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    val q = quantizeInt8(queries).select(col("vec_id").as("query_id"),
+      col("q").as("q_q"))
+    val c = quantizeInt8(candidates).select(col("vec_id"), col("q").as("q_c"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (qdot(col("q_q"), col("q_c")).cast("double") /
+          sqrt(qdot(col("q_q"), col("q_q")).cast("double") *
+            qdot(col("q_c"), col("q_c")).cast("double"))).as("qcosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Fixed-point squared L2 distance between two double-array columns:
+    * Σ floor((x−y)²·1e6) as BIGINT — the same order-independent integer
+    * contract as [[dotFp]], for the PQ codeword assignment.
+    */
+  private def l2Fp(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        floor(d * d * lit(1000000.0)).cast("long")
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Product-quantization codebook: the embedding space is split into
+    * `m` contiguous subspaces; each subspace's codewords are the
+    * `nCodes` lowest-id vectors' subvectors (the engine's deterministic
+    * seeding rule, as in IVF). Returns (sub, code_id, code_emb) —
+    * m·nCodes rows, always broadcastable.
+    */
+  def pqCodebook(vectors: DataFrame, m: Int, nCodes: Int): DataFrame = {
+    val d = (size(col("embedding")) / m).cast("int")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        transform(slice(col("embedding"), lit(s) * d + 1, d),
+          x => x.cast("double")).as("code_emb")))
+    vectors.orderBy("vec_id").limit(nCodes)
+      .select(col("vec_id").as("code_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("code_id"), col("sc.code_emb").as("code_emb"))
+  }
+
+  /** PQ encoding: each vector's subvector is assigned its nearest
+    * codeword by fixed-point L2 (ties → lowest code_id). Returns the
+    * long form (vec_id, sub, code_id) — m rows per vector, the compact
+    * at-rest representation (m small ints instead of the float array).
+    * Codebook broadcasts; assignment is a min_by aggregation on
+    * (vec_id, sub), so the |vectors|·m·nCodes scored rows collapse
+    * map-side and the shuffle carries m rows per vector.
+    */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val d = (size(col("embedding")) / m).cast("int")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col("embedding"), lit(s) * d + 1, d).as("sv")))
+    vectors.select(col("vec_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.sv").as("sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("_dist", l2Fp(col("sv"), col("code_emb")))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("code_id"), struct(col("_dist"), col("code_id"))).as("code_id"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): queries
+    * precompute a lookup table of fixed-point dots against every
+    * codeword; a candidate's approximate dot is the SUM of its m
+    * codeword entries — the candidate's floats are never touched at
+    * query time. Scoring is an equi-join of the (vec_id, sub, code_id)
+    * codes against the broadcast LUT plus one partial-aggregated
+    * groupBy; ranking shuffles (query, candidate, score) triples only.
+    * Returns (query_id, vec_id, score_s, rank) — score_s is the exact
+    * integer ADC dot (1e-6 fixed point), oracle-exact.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 4, nCodes: Int = 16): DataFrame = {
+    val cb = pqCodebook(candidates, m, nCodes)
+    val codes = pqEncode(candidates, cb, m)
+    val d = (size(col("embedding")) / m).cast("int")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col("embedding"), lit(s) * d + 1, d).as("qv")))
+    val lut = queries.select(col("vec_id").as("query_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("query_id"), col("sc.sub").as("sub"), col("sc.qv").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code_id"),
+        dotFp(col("qv"), col("code_emb")).as("_dot"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("_dot")).as("score_s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_s").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-PQ ANN — the production composition (coarse inverted-file
+    * partitioning × product-quantized codes): a query scans only its
+    * `nProbe` nearest cells, and within them scores candidates by ADC
+    * over the m-subspace codebook — so query cost is
+    * |cell|·nProbe·m LUT lookups and the candidate floats are never
+    * read at query time. At 100 TB the codes table (m small ints per
+    * vector) is the only per-candidate state the search touches.
+    * Cell restriction and code scoring are both equi-joins; the LUT
+    * and centroids broadcast. Returns (query_id, vec_id, score_s,
+    * rank) with the same integer ADC-dot contract as [[pqTopK]].
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 4, nCodes: Int = 16): DataFrame = {
+    val cells = candidates.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cell_emb"))
+      .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
+    val assigned = assignCells(candidates, nCells)
+    val cb = pqCodebook(candidates, m, nCodes)
+    val codes = pqEncode(candidates, cb, m).join(assigned, Seq("vec_id"))
+    // query side: top-nProbe cells by exact cosine (query sets are small
+    // by construction — the window is bounded)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col("cell_id"))
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        normFp(col("embedding")).as("_norm"))
+      .join(broadcast(cells))
+      .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
+        col("_norm"), col("cell_norm")))
+      .withColumn("_rank", row_number().over(probeW))
+      .where(col("_rank") <= nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val d = (size(col("embedding")) / m).cast("int")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col("embedding"), lit(s) * d + 1, d).as("qv")))
+    val lut = queries.select(col("vec_id").as("query_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("query_id"), col("sc.sub").as("sub"), col("sc.qv").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code_id"),
+        dotFp(col("qv"), col("code_emb")).as("_dot"))
+    val scored = codes.join(broadcast(probed), Seq("cell_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("_dot")).as("score_s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_s").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val v = vectors.select(col(blockCol).as("block"), col("vec_id"),
       col("embedding"), normFp(col("embedding")).as("norm"))

@@ -299,8 +299,11 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     // trivially but cost their sf0.001 materialization here.
     // the IVF family broadcasts its bounded centroid set against every
     // query/vector for rank-1 assignment — same designed shape
+    // q_dedup_semantic shares the IVF bounded-centroid attach;
+    // q_sim_quantized_topk is the brute-force baseline over int8 codes
     val intendedBnlj = Set("q_text_perplexity", "q_text_tfidf", "q_dict_extend",
-      "q_sim_brute_topk", "q_sim_ivf_topk", "q_sim_ivf_kmeans", "q_sim_ivf_kmeans2")
+      "q_sim_brute_topk", "q_sim_ivf_topk", "q_sim_ivf_kmeans", "q_sim_ivf_kmeans2",
+      "q_dedup_semantic", "q_sim_quantized_topk")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -173,4 +173,124 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("semanticDedup keeps the lowest-id representative per neighborhood") {
+    // cells seed from ids 0 and 1; v2 is a near-dup of v0 (same cell),
+    // v3 is orthogonal to everything (cell tie → lowest cell id) and kept
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0.99f, 0.01f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f))
+    val out = Similarity.semanticDedup(d, nCells = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) === (0L, true))
+    assert(out(1L) === (1L, true))
+    assert(out(2L)._1 === 0L)       // assigned to v0's cell
+    assert(out(2L)._2 === false)    // dropped: near-dup of lower-id 0
+    assert(out(3L) === (0L, true))  // orthogonal tie → cell 0, kept
+  }
+
+  test("semanticDedup drop rule is any-lower-id-neighbor (greedy, not transitive)") {
+    // chain a–b–c where a~b and b~c but a!~c: b drops (neighbor a is
+    // lower), and c ALSO drops (its neighbor b has a lower id even
+    // though b itself was dropped) — the documented greedy contract
+    val a = Seq(1f, 0f, 0f)
+    val b = Seq(0.95f, 0.3122499f, 0f)  // cos(a,b) ≈ 0.95
+    val c = Seq(0.805f, 0.5931845f, 0f) // cos(b,c) ≈ 0.95, cos(a,c) ≈ 0.805
+    val d = vecs(10L -> a, 11L -> b, 12L -> c)
+    val out = Similarity.semanticDedup(d, nCells = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(10L -> true, 11L -> false, 12L -> false))
+  }
+
+  test("quantizeInt8: codes bounded, max component hits ±127, error ≤ half-step") {
+    val d = vecs(
+      0L -> Seq(0.5f, -1f, 0.25f, 0f),
+      1L -> Seq(0f, 0f, 0f, 0f),          // zero vector
+      2L -> Seq(3f, 2f, -3f, 1f))
+    val out = Similarity.quantizeInt8(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toList
+      .sortBy(_._1)
+    val (_, amax0, q0) = out(0)
+    assert(amax0 === 1.0)
+    assert(q0 === Seq(64, -127, 32, 0))   // floor(±x·127 + 0.5)
+    val (_, amaxZ, qZ) = out(1)
+    assert(amaxZ === 0.0 && qZ === Seq(0, 0, 0, 0))
+    val (_, amax2, q2) = out(2)
+    assert(q2.forall(q => q >= -127 && q <= 127))
+    assert(q2.max === 127 || q2.min === -127)
+    // reconstruction error bound: |x − q·amax/127| ≤ amax/254 (half a step)
+    val xs = Seq(3f, 2f, -3f, 1f)
+    xs.zip(q2).foreach { case (x, q) =>
+      assert(math.abs(x - q * amax2 / 127.0) <= amax2 / 254.0 + 1e-9)
+    }
+  }
+
+  test("pqTopK is exact when every candidate is a codeword") {
+    // 4 candidates, nCodes = 4 → every candidate's subvectors ARE
+    // codewords, encoding is lossless, so ADC ranking == exact dot
+    // ranking (scores are the fixed-point dots themselves)
+    // all values exactly representable in binary float → the fixed-point
+    // element products floor to exact integers
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f, 2f),
+      1L -> Seq(0.5f, 0.25f, 0.25f, 1.5f),
+      2L -> Seq(0f, 1f, 2f, 0f),
+      3L -> Seq(-1f, 0f, 0f, -2f))
+    val q = d.where(col("vec_id") === 0)
+    val pq = Similarity.pqTopK(q, d, k = 3, m = 2, nCodes = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // exact dots vs v0=(1,0,0,2): v1=0.5+3.0=3.5, v2=0, v3=-5
+    assert(pq.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(pq(0)._2 === 3500000L)
+    assert(pq(1)._2 === 0L)
+    assert(pq(2)._2 === -5000000L)
+  }
+
+  test("pqEncode assigns each subvector its nearest codeword") {
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),   // codeword 0: subs (1,0) / (0,0)
+      1L -> Seq(0f, 0f, 1f, 1f),   // codeword 1: subs (0,0) / (1,1)
+      2L -> Seq(0.9f, 0.1f, 0.9f, 0.9f)) // sub0 near cw0, sub1 near cw1
+    val cb = Similarity.pqCodebook(d, m = 2, nCodes = 2)
+    val codes = Similarity.pqEncode(d.where(col("vec_id") === 2), cb, m = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(codes === Map(0 -> 0L, 1 -> 1L))
+  }
+
+  test("pqTopK recall vs exact brute force on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(q, emb, k = 5, m = 4, nCodes = 16)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.2, s"PQ recall $recall too low")
+  }
+
+  test("ivfPqTopK with nProbe == nCells equals pqTopK (cell filter is a no-op)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60).cache()
+    val q = emb.where(col("vec_id") < 3)
+    def collectR(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "score_s", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pq = collectR(Similarity.pqTopK(q, emb, k = 4, m = 4, nCodes = 8))
+    val ivfpq = collectR(Similarity.ivfPqTopK(q, emb, k = 4,
+      nCells = 4, nProbe = 4, m = 4, nCodes = 8))
+    assert(ivfpq === pq)
+  }
+
+  test("quantizedTopK recall vs exact brute force on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 recall $recall too low")
+  }
 }

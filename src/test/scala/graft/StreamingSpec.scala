@@ -242,6 +242,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("int8 quantization runs unchanged on streams (stateless map-only face)") {
+    // quantizeInt8 is pure per-row column logic — the same function
+    // drives the batch oracle query and a streaming embedding feed
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (0L until 50L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13 - 6).toFloat / 4f)))
+    def collectQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSet
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows: _*)
+    val q = graft.similarity.Similarity.quantizeInt8(
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("quant")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = collectQ(spark.table("quant"))
+      val exp = collectQ(graft.similarity.Similarity.quantizeInt8(
+        rows.toDF("vec_id", "embedding")))
+      assert(got === exp)
+      assert(got.size === 50)
+    } finally q.stop()
+  }
+
   test("the native frequent-items aggregate runs in a streaming aggregation") {
     // TypedImperativeAggregate buffers must serialize across streaming
     // state-store boundaries (the percentile_approx protocol) — this
