@@ -201,18 +201,7 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, maxBucket: Int = 64): DataFrame = {
-    // the standard banding constraint: every minhash participates in
-    // exactly one band. k % bands != 0 would silently drop the trailing
-    // k - bands*(k/bands) hashes and change the similarity threshold the
-    // band width encodes.
-    require(k % bands == 0, s"signature width k=$k must be divisible by bands=$bands")
-    val rows = k / bands
-    val sig = minhashSignatures(docs, k, shingleN)
-    val keyed = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rows + 1, lit(rows)))))
-      .select(col("doc_id"), col("pos").as("band"),
-        concat_ws("_", col("col")).as("band_key"))
+    val keyed = minhashBands(docs, k, bands, shingleN)
     val smallBuckets = keyed.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucket)
@@ -226,6 +215,55 @@ object Dedup {
       .distinct()
   }
 
+  /** The (doc_id, band, band_key) table behind [[minhashCandidates]] —
+    * exposed because it is ALSO the state a periodic-drop pipeline
+    * persists between batches (see [[minhashCandidatesIncremental]]).
+    */
+  def minhashBands(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    // the standard banding constraint: every minhash participates in
+    // exactly one band. k % bands != 0 would silently drop the trailing
+    // k - bands*(k/bands) hashes and change the similarity threshold the
+    // band width encodes.
+    require(k % bands == 0, s"signature width k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    minhashSignatures(docs, k, shingleN)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))))
+      .select(col("doc_id"), col("pos").as("band"),
+        concat_ws("_", col("col")).as("band_key"))
+  }
+
+  /** Incremental LSH candidate generation — the daily-drop shape (the
+    * banding twin of [[exactIncremental]]): signatures are computed for
+    * the NEW batch only; `historyBands` is the persisted band table of
+    * everything already ingested (its texts and signatures never load).
+    * Returns candidate pairs with at least one new-batch member —
+    * old×old pairs were already emitted when their batches arrived.
+    * The bucket cap counts the COMBINED bucket, so a band key that
+    * went hot across batches stops pairing exactly as it would have in
+    * a full recompute; pairing and cap stay equi-key shuffles.
+    */
+  def minhashCandidatesIncremental(newBands: DataFrame, historyBands: DataFrame,
+      maxBucket: Int = 64): DataFrame = {
+    val all = newBands.select("doc_id", "band", "band_key").withColumn("is_new", lit(true))
+      .unionByName(historyBands.select("doc_id", "band", "band_key")
+        .withColumn("is_new", lit(false)))
+    val smallBuckets = all.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val banded = all.join(smallBuckets, Seq("band", "band_key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard →
     * threshold. Returns (doc_id_a, doc_id_b, jaccard).
     */
@@ -234,6 +272,36 @@ object Dedup {
     ngramJaccard(docs, minhashCandidates(docs, k, bands, shingleN), shingleN)
       .where(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+
+  /** LSH calibration diagnostic — measure, don't guess: for every
+    * candidate pair, the signature agreement count (the quantity the
+    * banding s-curve is built on; E[n_match/k] = true Jaccard) next to
+    * the EXACT n-gram Jaccard, aggregated per agreement level. Returns
+    * (n_match, n_pairs, sum_jaccard_s) — consumers derive the mean true
+    * similarity per level as sum_jaccard_s/1e6/n_pairs and read off
+    * whether k/bands encode the threshold they intended before a 100 TB
+    * pass burns a day on the wrong curve. Fixed-point Jaccard sum keeps
+    * the aggregate order-independent (oracle-exact); candidate pairs
+    * shuffle as id pairs, signatures join back by doc_id.
+    */
+  def minhashCalibration(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): DataFrame = {
+    val sig = minhashSignatures(docs, k, shingleN)
+    val cands = minhashCandidates(docs, k, bands, shingleN)
+    val agree = cands
+      .join(sig.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a")),
+        Seq("doc_id_a"))
+      .join(sig.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b")),
+        Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_match"))
+    agree.join(ngramJaccard(docs, cands, shingleN), Seq("doc_id_a", "doc_id_b"))
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("jaccard") * 1000000.0).cast("long")).as("sum_jaccard_s"))
+  }
 
   /** Connected dedup groups from near-dup pairs by k rounds of MIN-LABEL
     * propagation: every doc starts as its own label; each round, a doc

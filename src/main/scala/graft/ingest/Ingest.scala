@@ -93,6 +93,20 @@ object Ingest {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
 
+  /** Schema-evolution parquet read: merge the per-file schemas into
+    * their union instead of trusting the first footer sampled. The
+    * long-corpus reality is that drops accumulate columns over months;
+    * without mergeSchema a scan planned off an OLD file silently drops
+    * the new columns from every file that has them. Spark leaves the
+    * option off by default because footer-merging costs a pass over
+    * file metadata — so the engine names the evolution read explicitly
+    * rather than flipping the global conf. Columns absent in a file
+    * read as null (additive evolution only; incompatible type changes
+    * still fail loudly at merge time, which is correct).
+    */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Multi-format date normalization for string metadata columns
     * (reference: upstream_metadata.py:27-36, publication_date.py:30-56).
     */

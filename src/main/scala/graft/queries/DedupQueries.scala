@@ -96,6 +96,30 @@ object DedupQueries {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables(s, dir, "documents"), threshold = 0.1)),
 
+    // end-to-end dedup pipeline — the dedup-family counterpart of
+    // q_pipeline_curation: MinHash+LSH candidates → exact-Jaccard verify
+    // → connected groups (4 min-label rounds) → lowest-id representative
+    // keep → per-(lang, source) survivor accounting. Each stage is
+    // individually oracle-checked elsewhere; this query proves they
+    // COMPOSE (the 100 TB shape: candidates/groups shuffle id pairs
+    // only, the wide text never leaves its scan).
+    "q_pipeline_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, threshold = 0.1)
+        .select("doc_id_a", "doc_id_b")
+      val groups = Dedup.dedupGroups(docs, pairs, rounds = 4)
+      docs.join(groups, Seq("doc_id"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_canonical"), 1)).as("n_kept"),
+          sum(when(col("is_canonical"), col("n_chars"))).as("chars_kept"))
+    }),
+
+    // LSH calibration: signature-agreement level vs exact Jaccard per
+    // candidate pair — the s-curve diagnostic behind the k/bands choice
+    "q_dedup_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Tables(s, dir, "documents"))),
+
     // SimHash near-dups: 32-bit fingerprints, 8-bit blocks, hamming <= 6
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables(s, dir, "documents"), bits = 32,
@@ -372,6 +396,116 @@ object DedupQueries {
          |l0 AS (SELECT doc_id, doc_id AS group_id FROM documents),
          |$rounds
          |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin
+    },
+
+    // the q_dedup_minhash candidate chain + per-pair signature agreement
+    // (list_zip equality count) + exact Jaccard, grouped by agreement
+    "q_dedup_calibration" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hh
+         |  FROM tht WHERE len(th) >= 3),
+         |sig AS (SELECT doc_id, ${sigSql(16)} AS sig FROM hh),
+         |bands0 AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS band_key
+         |  FROM sig, unnest(range(4)) AS t(b)),
+         |bands AS (
+         |  SELECT doc_id, b, band_key FROM (
+         |    SELECT doc_id, b, band_key,
+         |      count(*) OVER (PARTITION BY b, band_key) AS bucket_n
+         |    FROM bands0) WHERE bucket_n <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |agree AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+         |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_id_b),
+         |hs2 AS (
+         |  SELECT doc_id, list_distinct(hh) AS hs,
+         |    CAST(len(list_distinct(hh)) AS BIGINT) AS n_sh
+         |  FROM hh),
+         |jac AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    CASE WHEN sa.n_sh + sb.n_sh
+         |        - CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) > 0
+         |      THEN CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |        / CAST(sa.n_sh + sb.n_sh
+         |          - CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS DOUBLE)
+         |      ELSE 0.0 END AS jaccard
+         |  FROM cand c
+         |  JOIN hs2 sa ON sa.doc_id = c.doc_id_a
+         |  JOIN hs2 sb ON sb.doc_id = c.doc_id_b)
+         |SELECT a.n_match, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(floor(j.jaccard * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS sum_jaccard_s
+         |FROM agree a
+         |JOIN jac j ON j.doc_id_a = a.doc_id_a AND j.doc_id_b = a.doc_id_b
+         |GROUP BY 1""".stripMargin,
+
+    // the composed pipeline: the q_dedup_minhash chain (bands, bucket
+    // cap, Jaccard >= 0.1) feeding the q_dedup_groups 4-round min-label
+    // unroll, aggregated per (lang, source)
+    "q_pipeline_dedup" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS (
+           |  SELECT l.doc_id,
+           |    least(l.group_id, coalesce(m.nbr_min, l.group_id)) AS group_id
+           |  FROM l${r - 1} l LEFT JOIN (
+           |    SELECT e.doc_id, min(x.group_id) AS nbr_min
+           |    FROM e JOIN l${r - 1} x ON x.doc_id = e.nbr
+           |    GROUP BY e.doc_id) m USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hh
+         |  FROM tht WHERE len(th) >= 3),
+         |sig AS (SELECT doc_id, ${sigSql(16)} AS sig FROM hh),
+         |bands0 AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS band_key
+         |  FROM sig, unnest(range(4)) AS t(b)),
+         |bands AS (
+         |  SELECT doc_id, b, band_key FROM (
+         |    SELECT doc_id, b, band_key,
+         |      count(*) OVER (PARTITION BY b, band_key) AS bucket_n
+         |    FROM bands0) WHERE bucket_n <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |hs2 AS (
+         |  SELECT doc_id, list_distinct(hh) AS hs,
+         |    CAST(len(list_distinct(hh)) AS BIGINT) AS n_sh
+         |  FROM hh),
+         |j AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh + sb.n_sh AS n_a_b
+         |  FROM cand
+         |  JOIN hs2 sa ON sa.doc_id = doc_id_a
+         |  JOIN hs2 sb ON sb.doc_id = doc_id_b),
+         |p AS (
+         |  SELECT doc_id_a, doc_id_b FROM j
+         |  WHERE n_a_b - n_common > 0
+         |    AND CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) >= 0.1),
+         |e AS (
+         |  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM p
+         |  UNION ALL
+         |  SELECT doc_id_b, doc_id_a FROM p),
+         |l0 AS (SELECT doc_id, doc_id AS group_id FROM documents),
+         |$rounds
+         |SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE l.doc_id = l.group_id) AS BIGINT) AS n_kept,
+         |  CAST(sum(d.n_chars) FILTER (WHERE l.doc_id = l.group_id) AS BIGINT)
+         |    AS chars_kept
+         |FROM l4 l JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // mirrors Dedup.dedupSpans: same 1-based inclusive slice windows

@@ -169,6 +169,27 @@ class DedupSpec extends SparkTestBase {
     assert(out === Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
   }
 
+  test("incremental LSH candidates == full recompute minus old×old pairs") {
+    // the incremental contract: banding the new batch against the
+    // persisted history band table finds exactly the pairs a full
+    // recompute would, except pairs entirely inside history (emitted
+    // when their own batches arrived)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cut = 25L
+    val history = docs.where(col("doc_id") < cut)
+    val batch = docs.where(col("doc_id") >= cut)
+    val full = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashCandidatesIncremental(
+        Dedup.minhashBands(batch), Dedup.minhashBands(history))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filterNot { case (a, b) => a < cut && b < cut }
+    assert(inc === expected)
+    assert(inc.nonEmpty, "fixture must produce cross-batch candidates")
+    // every old×old pair is excluded by construction
+    assert(inc.forall { case (a, b) => a >= cut || b >= cut })
+  }
+
   test("edit-distance verify: exact distances, banded -1 beyond maxDist") {
     import spark.implicits._
     val d = docs(

@@ -191,4 +191,21 @@ class IngestSpec extends SparkTestBase {
     // the files on disk really are zstd ORC
     assert(new File(path).listFiles().exists(_.getName.contains(".zstd.orc")))
   }
+
+  test("readParquetMerged unions evolved schemas; absent columns read null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toFile
+    dir.deleteOnExit()
+    val d1 = s"${dir.getAbsolutePath}/drop1"
+    val d2 = s"${dir.getAbsolutePath}/drop2"
+    // month 1 had (doc_id, text); month 2 added a lang column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text").write.parquet(d1)
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang").write.parquet(d2)
+    val merged = Ingest.readParquetMerged(spark, d1, d2)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang"))
+    val rows = merged.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq === Seq(
+      (1L, "alpha", None), (2L, "beta", None), (3L, "gamma", Some("en"))))
+  }
 }
