@@ -39,7 +39,10 @@ object ScaleSmoke {
     "q_text_tfidf", "q_text_perplexity",
     // PageRank rides along since round 5: the co-supply edge expansion
     // is an m2m self-join — the canonical accidental-quadratic shape
-    "q_graph_pagerank")
+    "q_graph_pagerank",
+    // the composed dedup pipeline: bands + pair join + 4 label rounds —
+    // the query where a hot bucket or label-round skew would compound
+    "q_pipeline_dedup")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -124,6 +124,30 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     * deleted paths so operational logs can record what was reclaimed.
     * Run it at pipeline start, not concurrently with a materialization.
     */
+  /** Compact a materialized table's file layout: rewrite it as
+    * ceil(bytes / targetFileBytes) files through the atomic-rename
+    * protocol. The small-file problem is the slow killer of long-lived
+    * 100 TB tables — every incremental drop appends task-count files,
+    * and a year later a scan plans millions of splits and the namenode/
+    * listing dominates query time. Returns (filesBefore, filesAfter).
+    *
+    * coalesce, not repartition: compaction must not pay a shuffle —
+    * it only glues existing partitions together (row order within
+    * files is preserved, stats stay tight for sorted/z-ordered data).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = path(name)
+    def dataFiles: Array[org.apache.hadoop.fs.FileStatus] =
+      fs(p).listStatus(new Path(p))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val before = dataFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    materializeAtomic(name, get(name).coalesce(nOut))
+    (before.length, dataFiles.length)
+  }
+
   def vacuum(): Seq[String] = {
     val base = new Path(baseDir)
     val f = fs(baseDir)

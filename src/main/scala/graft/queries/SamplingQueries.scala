@@ -50,7 +50,13 @@ object SamplingQueries {
     // uniform (hash-ordered) 5-per-(source,lang) downsample, salt 13
     "q_sample_group_uniform" -> ((s, dir) =>
       Sampling.samplePerGroup(Tables(s, dir, "documents"), keyCol = "doc_id",
-        groupCols = Seq("source", "lang"), n = 5, salt = 13))
+        groupCols = Seq("source", "lang"), n = 5, salt = 13)),
+
+    // temperature-flattened mixing: keep-rates derived from √n_g group
+    // sizes, expected output 25% of the corpus (salt 17)
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.sampleTemperature(Tables(s, dir, "documents"), keyCol = "doc_id",
+        groupCol = "source", outFraction = 0.25, salt = 17))
   )
 
   private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -121,6 +127,29 @@ object SamplingQueries {
          |  SELECT *, (((doc_id % $P) * $a + $b) % $P) % 1000 AS bucket
          |  FROM documents)
          |SELECT * EXCLUDE (bucket), CASE $whens END AS split FROM d""".stripMargin
+    },
+
+    "q_sample_temperature" -> {
+      val a = TextAnalysis.hashA(17)
+      val b = TextAnalysis.hashB(17)
+      s"""WITH w AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS w_s
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(w_s) AS BIGINT) AS w_total,
+         |    CAST(sum(n_g) AS BIGINT) AS n_total
+         |  FROM w),
+         |r AS (
+         |  SELECT source,
+         |    least(CAST(1000 AS BIGINT),
+         |      CAST(floor(CAST(0.25 AS DOUBLE) * CAST(n_total AS DOUBLE)
+         |        * CAST(w_s AS DOUBLE) / CAST(w_total AS DOUBLE)
+         |        / CAST(n_g AS DOUBLE) * 1000.0) AS BIGINT)) AS threshold
+         |  FROM w CROSS JOIN tot)
+         |SELECT d.* FROM documents d JOIN r USING (source)
+         |WHERE (((d.doc_id % $P) * $a + $b) % $P) % 1000 < r.threshold""".stripMargin
     },
 
     "q_sample_group_uniform" -> {

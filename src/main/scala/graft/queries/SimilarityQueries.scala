@@ -167,6 +167,12 @@ object SimilarityQueries {
     "q_sim_centroids" -> ((s, dir) =>
       Similarity.centroidStats(Tables(s, dir, "embeddings"), groupCol = "label")),
 
+    // embedding outliers: cosine to the own-label centroid, flagged
+    // below 0.0 (the ~p10 tail on this corpus)
+    "q_sim_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables(s, dir, "embeddings"),
+        groupCol = "label", minCosine = 0.0)),
+
     // matryoshka truncate-to-8 + renormalize, exploded to scalar
     // components for the hash compare (array columns don't hash-sort)
     "q_sim_truncate_norm" -> ((s, dir) =>
@@ -383,6 +389,29 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    "q_sim_outliers" ->
+      s"""WITH sums AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         |    unnest(embedding) AS x
+         |  FROM embeddings),
+         |s2 AS (
+         |  SELECT label, dim,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM sums GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label,
+         |    list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY dim) AS c_emb
+         |  FROM s2 GROUP BY 1),
+         |sc AS (
+         |  SELECT e.vec_id, e.label,
+         |    ${cosineSql("e.embedding", "c.c_emb")} AS cos_centroid
+         |  FROM embeddings e JOIN cent c USING (label))
+         |SELECT vec_id, label, cos_centroid,
+         |  cos_centroid < 0.0 AS is_outlier
+         |FROM sc""".stripMargin,
 
     "q_sim_pq_topk" -> {
       // m=4 subspaces of 16 dims (64-dim embeddings), 16 codewords each

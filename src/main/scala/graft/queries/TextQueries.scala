@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.text.TextAnalysis
 
@@ -33,6 +33,17 @@ object TextQueries {
 
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables(s, dir, "documents"))),
+
+    // language-ID evaluation: confusion matrix of the detector's
+    // prediction against the stored lang column — the accuracy face a
+    // curation pipeline reads before trusting the detector as a filter
+    "q_text_langid_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.langId(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
 
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
@@ -178,6 +189,23 @@ object TextQueries {
          |SELECT doc_id, ${langs.map(l => s"votes_$l").mkString(", ")},
          |  $pred AS pred_lang
          |FROM v""".stripMargin
+    },
+
+    "q_text_langid_eval" -> {
+      val langs = TextAnalysis.markerSets.map(_._1)
+      val best = s"greatest(${langs.map(l => s"votes_$l").mkString(", ")})"
+      val pred = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN votes_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |  $langVotes
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, $pred AS pred_lang FROM v)
+         |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "q_text_fingerprint" ->

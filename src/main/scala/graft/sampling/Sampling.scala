@@ -60,6 +60,45 @@ object Sampling {
         lit((defaultRate * 1000.0).toLong)))
   }
 
+  /** Temperature-flattened corpus mixing (the mT5/PaLM α = 0.5 rule):
+    * group keep-rates are DERIVED from the group sizes so the expected
+    * output mix follows p_g ∝ √n_g — big domains are downweighted, the
+    * long tail upweighted, without anyone hand-maintaining a rate map
+    * (that manual knob is [[sampleByHashWeighted]]). `outFraction`
+    * sets the expected total output size; a group whose flattened
+    * share exceeds its row count caps at keep-everything (rate 1), so
+    * tiny groups are never oversampled into duplication.
+    *
+    * Determinism: weights are fixed-point √n (sqrt is IEEE
+    * correctly-rounded — unlike pow — which is why α is fixed at 0.5),
+    * totals are integer sums, and the final rate expression is a fixed
+    * AST over exact integers, so the 1/1000th-quantized thresholds are
+    * engine-exact. Membership is the same salted-hash bucket as every
+    * sampler here. Scale shape: one partial-agged groupBy for counts
+    * (|groups| rows), a 1-row bounded-aggregate attach for the totals
+    * (the designed BNLJ shape), thresholds broadcast back — the corpus
+    * itself is filtered map-side and never shuffles.
+    */
+  def sampleTemperature(df: DataFrame, keyCol: String, groupCol: String,
+      outFraction: Double, salt: Int = 0): DataFrame = {
+    require(outFraction > 0.0 && outFraction <= 1.0,
+      s"outFraction must be in (0, 1], got $outFraction")
+    val weighted = df.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
+      .withColumn("w_s",
+        floor(sqrt(col("n_g").cast("double")) * lit(1000000.0)).cast("long"))
+    val totals = weighted.agg(sum(col("w_s")).as("w_total"), sum(col("n_g")).as("n_total"))
+    val thresholds = weighted.join(broadcast(totals))
+      .select(col(groupCol),
+        least(lit(1000L),
+          floor(lit(outFraction) * col("n_total").cast("double") *
+              col("w_s").cast("double") / col("w_total").cast("double") /
+              col("n_g").cast("double") * lit(1000.0))
+            .cast("long")).as("_threshold"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .where(hashBucket(col(keyCol), salt) < col("_threshold"))
+      .drop("_threshold")
+  }
+
   /** Sequence packing — the training-batch construction step that runs
     * after sampling and before tokenized shards are written: documents
     * are packed into fixed token-budget sequences, contiguous-fill in a

@@ -508,6 +508,39 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-space outlier detection — the data-quality face of
+    * [[centroidStats]]: every vector is scored by its cosine to its own
+    * group's centroid (the mean embedding, self included — the standard
+    * convention) and flagged when it falls below `minCosine`. Mislabeled
+    * or corrupted embeddings surface as the low-cosine tail; curation
+    * drops or re-routes them before they poison an index or a
+    * training mix. Returns (vec_id, group, cos_centroid, is_outlier).
+    *
+    * Scale shape: the centroid table is |groups|·dims fixed-point sums
+    * (one partial-agged shuffle via centroidStats, then |groups| rows),
+    * broadcast back for a map-side cosine — vectors are scanned twice
+    * but never shuffled. Centroid components divide exact integer sums,
+    * so scores are engine-exact and the flags oracle-checkable.
+    */
+  def centroidOutliers(vectors: DataFrame, groupCol: String = "label",
+      minCosine: Double = 0.0): DataFrame = {
+    val cent = centroidStats(vectors, groupCol)
+      .select(col(groupCol), col("dim"),
+        (col("sum_s").cast("double") /
+          (lit(1000000.0) * col("n_vecs").cast("double"))).as("m"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("c_emb"))
+      .select(col(groupCol), col("c_emb"), normFp(col("c_emb")).as("c_norm"))
+    vectors.select(col("vec_id"), col(groupCol), col("embedding"),
+        normFp(col("embedding")).as("_norm"))
+      .join(broadcast(cent), Seq(groupCol))
+      .select(col("vec_id"), col(groupCol),
+        cosine(dotFp(col("embedding"), col("c_emb")),
+          col("_norm"), col("c_norm")).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < minCosine)
+  }
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val v = vectors.select(col(blockCol).as("block"), col("vec_id"),
       col("embedding"), normFp(col("embedding")).as("norm"))

@@ -110,6 +110,21 @@ class CatalogSpec extends SparkTestBase {
       "column NDV missing after FOR COLUMNS analyze")
   }
 
+  test("compact coalesces a fragmented table without losing rows") {
+    val cat = newCatalog()
+    import spark.implicits._
+    // a "many incremental drops" layout: 8 tiny files
+    cat.materialize("frag", (1L to 800L).toDF("id").repartition(8))
+    val (before, after) = cat.compact("frag", targetFileBytes = 512L * 1024 * 1024)
+    assert(before === 8)
+    assert(after === 1)
+    // rows and content survive the rewrite
+    assert(cat.get("frag").count() === 800L)
+    assert(cat.get("frag").agg(sum(col("id"))).head.getLong(0) === 800L * 801L / 2)
+    // idempotent: compacting a compact table stays at one file
+    assert(cat.compact("frag") === ((1, 1)))
+  }
+
   test("vacuum removes only crash leftovers, never registered tables") {
     val cat = newCatalog()
     import spark.implicits._

@@ -303,7 +303,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     // q_sim_quantized_topk is the brute-force baseline over int8 codes
     val intendedBnlj = Set("q_text_perplexity", "q_text_tfidf", "q_dict_extend",
       "q_sim_brute_topk", "q_sim_ivf_topk", "q_sim_ivf_kmeans", "q_sim_ivf_kmeans2",
-      "q_dedup_semantic", "q_sim_quantized_topk", "q_sim_ivfpq_topk")
+      "q_dedup_semantic", "q_sim_quantized_topk", "q_sim_ivfpq_topk",
+      // temperature mixing's grand-total attach is the same 1-row
+      // bounded-aggregate shape as q_dict_extend
+      "q_sample_temperature")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -97,6 +97,28 @@ class SamplingSpec extends SparkTestBase {
     assert(other !== out.map(_._1).toSet)
   }
 
+  test("sampleTemperature flattens the mix: tail kept whole, head downweighted") {
+    import spark.implicits._
+    // 900 rows of domain A vs 100 of B: raw mix 90/10; √n flattening
+    // targets 75/25 shares, so at outFraction 0.5 B's flattened share
+    // (125) exceeds its size → keep-everything, while A keeps ~42%
+    val df = ((1L to 900L).map(i => (i, "A")) ++ (1001L to 1100L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val out = Sampling.sampleTemperature(df, "doc_id", "source",
+      outFraction = 0.5, salt = 1)
+    val byGroup = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup("B") === 100L, "small group must cap at keep-everything")
+    val aFrac = byGroup("A").toDouble / 900.0
+    assert(aFrac > 0.3 && aFrac < 0.55, s"head group kept $aFrac, expected ~0.42")
+    // deterministic: the same call selects the same rows
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.sampleTemperature(df, "doc_id", "source",
+      outFraction = 0.5, salt = 1)
+    assert(ids(again) === ids(out))
+  }
+
   test("capPerGroup keeps the top-n per group in quality order") {
     val d = docs(100)
     val out = Sampling.capPerGroup(d, Seq("source"), "n_chars", "doc_id", n = 3)

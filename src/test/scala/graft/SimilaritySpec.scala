@@ -174,6 +174,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("centroidOutliers flags the vector opposing its group centroid") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(-1f, 0f), 0),   // opposes the group direction
+      (3L, Seq(0f, 1f), 1))    // alone in its group → centroid is itself
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(d, "label", minCosine = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(0L -> false, 1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("semanticDedup keeps the lowest-id representative per neighborhood") {
     // cells seed from ids 0 and 1; v2 is a near-dup of v0 (same cell),
     // v3 is orthogonal to everything (cell tie → lowest cell id) and kept
