@@ -215,8 +215,91 @@ object SimilarityQueries {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfPqTopK(emb.where(col("vec_id") < 8), emb, k = 5,
         nCells = 16, nProbe = 4, m = 4, nCodes = 16)
+    }),
+
+    // 1-bit binary sketch search: 48 sign bits per vector, Hamming
+    // ranking by bit_count(xor) — the extreme compression end
+    "q_sim_hamming_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hammingTopK(emb.where(col("vec_id") < 8), emb, k = 5, nPlanes = 48)
+    }),
+
+    // reciprocal-rank fusion of the LSH and IVF retriever rankings —
+    // consensus top-k, fixed-point RRF scores
+    "q_sim_rrf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.rrfFuse(Seq(
+        Similarity.lshTopK(q, emb, k = 5),
+        Similarity.ivfTopK(q, emb, k = 5)), k = 5)
     })
   )
+
+  /** Shared retriever twins: referenced by their own oracle keys AND
+    * embedded verbatim as derived tables in the RRF fusion oracle.
+    */
+  private val lshOracle: String = {
+    // one bucket branch per LSH table (8 tables, 4 planes each)
+    val branches = (0 until 8).map(t =>
+      s"""  SELECT vec_id, $t AS tbl,
+         |    ${bucketSql(rotSql(t), nPlanes = 4)} AS bucket
+         |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH buckets AS (
+       |$branches),
+       |pairs AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM buckets q
+       |  JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |    AND c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 8),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM pairs p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings c ON c.vec_id = p.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  private val ivfOracle: String =
+    s"""WITH cells AS (
+       |  SELECT vec_id AS cell_id, embedding AS cell_emb
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored_cells AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+       |  FROM embeddings v CROSS JOIN cells c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell_id) AS r
+       |    FROM scored_cells) WHERE r = 1),
+       |probed AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell_id) AS r
+       |    FROM scored_cells WHERE vec_id < 8) WHERE r <= 4),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probed p JOIN assigned a USING (cell_id)
+       |  WHERE p.query_id != a.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM pairs p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings c ON c.vec_id = p.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_sim_brute_topk" -> {
@@ -237,73 +320,13 @@ object SimilarityQueries {
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
 
-    "q_sim_lsh_topk" -> {
-      // one bucket branch per LSH table (8 tables, 4 planes each)
-      val branches = (0 until 8).map(t =>
-        s"""  SELECT vec_id, $t AS tbl,
-           |    ${bucketSql(rotSql(t), nPlanes = 4)} AS bucket
-           |  FROM embeddings""".stripMargin).mkString("\n  UNION ALL\n")
-      s"""WITH buckets AS (
-         |$branches),
-         |pairs AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-         |  FROM buckets q
-         |  JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
-         |    AND c.vec_id != q.vec_id
-         |  WHERE q.vec_id < 8),
-         |scored AS (
-         |  SELECT p.query_id, p.vec_id,
-         |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
-         |  FROM pairs p
-         |  JOIN embeddings q ON q.vec_id = p.query_id
-         |  JOIN embeddings c ON c.vec_id = p.vec_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    "q_sim_lsh_topk" -> lshOracle,
 
     "q_sim_ivf_kmeans" -> kmeansSql(1),
 
     "q_sim_ivf_kmeans2" -> kmeansSql(2),
 
-    "q_sim_ivf_topk" -> {
-      s"""WITH cells AS (
-         |  SELECT vec_id AS cell_id, embedding AS cell_emb
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
-         |scored_cells AS (
-         |  SELECT v.vec_id, c.cell_id,
-         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
-         |  FROM embeddings v CROSS JOIN cells c),
-         |assigned AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell_id) AS r
-         |    FROM scored_cells) WHERE r = 1),
-         |probed AS (
-         |  SELECT vec_id AS query_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell_id) AS r
-         |    FROM scored_cells WHERE vec_id < 8) WHERE r <= 4),
-         |pairs AS (
-         |  SELECT p.query_id, a.vec_id
-         |  FROM probed p JOIN assigned a USING (cell_id)
-         |  WHERE p.query_id != a.vec_id),
-         |scored AS (
-         |  SELECT p.query_id, p.vec_id,
-         |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
-         |  FROM pairs p
-         |  JOIN embeddings q ON q.vec_id = p.query_id
-         |  JOIN embeddings c ON c.vec_id = p.vec_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    "q_sim_ivf_topk" -> ivfOracle,
 
     "q_sim_centroids" ->
       """WITH e AS (
@@ -388,6 +411,47 @@ object SimilarityQueries {
          |      ORDER BY qcosine DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_hamming_topk" -> {
+      val sig = bucketSql("embedding", nPlanes = 48)
+      s"""WITH sigs AS (
+         |  SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
+         |  FROM (SELECT * FROM sigs WHERE vec_id < 8) q
+         |  JOIN sigs c ON q.vec_id != c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, hamming,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming ASC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_rrf" -> {
+      // the two retriever oracles embed verbatim as derived tables — a
+      // retriever-twin tweak cannot desynchronize the fusion oracle
+      def listSql(inner: String) =
+        s"""SELECT query_id, vec_id,
+           |  CAST(floor(1000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS s
+           |FROM ($inner)""".stripMargin
+      s"""WITH u AS (
+         |${listSql(lshOracle)}
+         |UNION ALL
+         |${listSql(ivfOracle)}),
+         |fused AS (
+         |  SELECT query_id, vec_id, CAST(sum(s) AS BIGINT) AS rrf_s,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, rrf_s, n_lists,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_s DESC, vec_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |SELECT query_id, vec_id, rrf_s, n_lists, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
     "q_sim_outliers" ->

@@ -508,6 +508,59 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Binary (1-bit) sketch search — the extreme end of the compression
+    * ladder (float32 → int8 → PQ codes → sign bits): every vector
+    * collapses to `nPlanes` random-hyperplane sign bits in one BIGINT
+    * (the [[lshBucket]] expression used as a SKETCH, not a bucket key),
+    * and ranking is Hamming distance = bit_count(xor) — one ALU op per
+    * comparison, no arrays touched. At 100 TB the whole sketch column
+    * for a billion vectors is 8 GB. Recall is the lowest of the family
+    * (bounded in SimilaritySpec); use as a pre-filter feeding an exact
+    * or int8 rerank. Same join/shuffle shape as [[bruteTopK]]: queries
+    * broadcast, only (query, candidate, distance) triples shuffle.
+    * Returns (query_id, vec_id, hamming, rank), nearest first.
+    */
+  def hammingTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int = 48): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
+    val q = queries.select(col("vec_id").as("query_id"),
+      lshBucket(col("embedding"), nPlanes).as("q_sig"))
+    val c = candidates.select(col("vec_id"),
+      lshBucket(col("embedding"), nPlanes).as("c_sig"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("q_sig").bitwiseXOR(col("c_sig"))).cast("long").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion: merge the rankings of several retrievers
+    * (LSH, IVF, binary, quantized — any (query_id, vec_id, rank)
+    * tables) into one consensus top-k by score Σ 1/(k0 + rank), the
+    * standard RRF rule. Scores are fixed-point floor(1e6/(k0+rank)) —
+    * integer sums, order-independent, oracle-exact. A candidate
+    * surfaced by several retrievers outranks one surfaced high by a
+    * single list — the robustness-to-one-bad-retriever property RRF is
+    * used for. Input lists are top-k bounded, so the union and the
+    * one partial-agged groupBy are tiny regardless of corpus size.
+    * Returns (query_id, vec_id, rrf_s, n_lists, rank).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    val scored = rankings.map(_.select(col("query_id"), col("vec_id"),
+        floor(lit(1000000.0) / (lit(k0.toDouble) + col("rank").cast("double")))
+          .cast("long").as("s")))
+      .reduce(_ unionAll _)
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("s")).as("rrf_s"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_s").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-space outlier detection — the data-quality face of
     * [[centroidStats]]: every vector is scored by its cosine to its own
     * group's centroid (the mean embedding, self included — the standard

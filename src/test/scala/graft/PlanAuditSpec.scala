@@ -306,7 +306,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_dedup_semantic", "q_sim_quantized_topk", "q_sim_ivfpq_topk",
       // temperature mixing's grand-total attach is the same 1-row
       // bounded-aggregate shape as q_dict_extend
-      "q_sample_temperature")
+      "q_sample_temperature",
+      // hamming is a brute-force sketch scan; rrf embeds the IVF
+      // retriever and inherits its designed centroid attach
+      "q_sim_hamming_topk", "q_sim_rrf")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

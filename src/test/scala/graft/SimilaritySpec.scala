@@ -296,6 +296,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfpq === pq)
   }
 
+  test("hammingTopK: identical vector at distance 0, recall bound on real data") {
+    val d = vecs(
+      0L -> Seq(1f, -2f, 3f, -4f),
+      1L -> Seq(1f, -2f, 3f, -4f),   // identical → all sign bits agree
+      2L -> Seq(-1f, 2f, -3f, 4f))   // negated → all projections flip
+    val out = Similarity.hammingTopK(d.where(col("vec_id") === 0), d, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out(0) === ((1L, 0L)))
+    assert(out(1)._1 === 2L && out(1)._2 > 0L)
+
+    // the pre-filter contract on real data: Hamming distance must
+    // CORRELATE with cosine (true near-neighbors sit measurably closer
+    // in sketch space than the population). Top-5 recall is the wrong
+    // assert for a 48-bit sketch — the integer distance ties at the
+    // k=5 cut are broken arbitrarily; what matters for a pre-filter is
+    // the separation (measured ≈ 18.3 vs 24.0 bits on this fixture).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 8)
+    val brute = Similarity.bruteTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Similarity.hammingTopK(q, emb, k = Int.MaxValue)
+      .select("query_id", "vec_id", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val (top, rest) = all.partition(p => brute.contains(p._1))
+    def mean(xs: Array[((Long, Long), Long)]) = xs.map(_._2).sum.toDouble / xs.length
+    assert(mean(top) < mean(rest) - 3.0,
+      s"sketch distances carry no signal: top=${mean(top)} rest=${mean(rest)}")
+  }
+
+  test("rrfFuse: consensus candidates outrank single-list tops") {
+    import spark.implicits._
+    // list A ranks: x=1, y=2; list B ranks: z=1, y=2 — y appears in
+    // both (scores 16129+16129) and must beat either single first place
+    // (16393)
+    val listA = Seq((0L, 10L, 1L), (0L, 20L, 2L)).toDF("query_id", "vec_id", "rank")
+    val listB = Seq((0L, 30L, 1L), (0L, 20L, 2L)).toDF("query_id", "vec_id", "rank")
+    val out = Similarity.rrfFuse(Seq(listA, listB), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === ((20L, 32258L, 2L, 1L)))  // floor(1e6/62)*2
+    // the two single-list tops tie at floor(1e6/61) → vec_id breaks it
+    assert(out(1) === ((10L, 16393L, 1L, 2L)))
+    assert(out(2) === ((30L, 16393L, 1L, 3L)))
+  }
+
   test("quantizedTopK recall vs exact brute force on real data") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 8)
