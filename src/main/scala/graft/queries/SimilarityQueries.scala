@@ -232,8 +232,54 @@ object SimilarityQueries {
       Similarity.rrfFuse(Seq(
         Similarity.lshTopK(q, emb, k = 5),
         Similarity.ivfTopK(q, emb, k = 5)), k = 5)
+    }),
+
+    // end-to-end embedding index build — the similarity-family flagship
+    // COMPOSITION (the peer of q_pipeline_curation / q_pipeline_dedup):
+    // semantic dedup keep → int8 quantization → per-cell index report
+    // (kept count, fixed-point norm and scale sums). Each stage is
+    // individually oracle-checked by its own query elsewhere.
+    "q_pipeline_embeddings" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val kept = Similarity.semanticDedup(emb, nCells = 16, threshold = 0.35)
+        .where(col("keep")).select("vec_id", "cell_id")
+      val qz = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"), floor(col("amax") * 1000000.0).cast("long").as("amax_s"))
+      emb.join(kept, Seq("vec_id")).join(qz, Seq("vec_id"))
+        .groupBy("cell_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(Similarity.normFp(col("embedding"))).as("sum_norm_s"),
+          sum(col("amax_s")).as("sum_amax_s"))
     })
   )
+
+  /** The SemDeDup CTE chain (cells → assignment → within-cell dup
+    * pairs → dropped set), shared by the q_dedup_semantic oracle and
+    * the q_pipeline_embeddings composition oracle — one definition, so
+    * the faces cannot desynchronize. Callers prepend `WITH ` and append
+    * their final SELECT over `assigned`/`dropped`.
+    */
+  private val semanticChainSql: String =
+    s"""cells AS (
+       |  SELECT vec_id AS cell_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored_cells AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
+       |  FROM embeddings v CROSS JOIN cells c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cell_id) AS r
+       |    FROM scored_cells) WHERE r = 1),
+       |j AS (
+       |  SELECT e.vec_id, a.cell_id, e.embedding
+       |  FROM embeddings e JOIN assigned a USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM j a JOIN j b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)""".stripMargin
 
   /** Shared retriever twins: referenced by their own oracle keys AND
     * embedded verbatim as derived tables in the RRF fusion oracle.
@@ -340,28 +386,31 @@ object SimilarityQueries {
         |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_semantic" ->
-      s"""WITH cells AS (
-         |  SELECT vec_id AS cell_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
-         |scored_cells AS (
-         |  SELECT v.vec_id, c.cell_id,
-         |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
-         |  FROM embeddings v CROSS JOIN cells c),
-         |assigned AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, cell_id) AS r
-         |    FROM scored_cells) WHERE r = 1),
-         |j AS (
-         |  SELECT e.vec_id, a.cell_id, e.embedding
-         |  FROM embeddings e JOIN assigned a USING (vec_id)),
-         |dropped AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM j a JOIN j b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+      s"""WITH $semanticChainSql
          |SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS keep
          |FROM assigned a LEFT JOIN dropped d USING (vec_id)""".stripMargin,
+
+    "q_pipeline_embeddings" -> {
+      val normS = dotSql.format("embedding", "embedding")
+      s"""WITH $semanticChainSql,
+         |kept AS (
+         |  SELECT a.vec_id, a.cell_id
+         |  FROM assigned a LEFT JOIN dropped d USING (vec_id)
+         |  WHERE d.vec_id IS NULL),
+         |qa AS (
+         |  SELECT vec_id,
+         |    CAST(floor(list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) * 1000000.0) AS BIGINT) AS amax_s
+         |  FROM embeddings),
+         |nrm AS (SELECT vec_id, $normS AS norm_s FROM embeddings)
+         |SELECT k.cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(n.norm_s) AS BIGINT) AS sum_norm_s,
+         |  CAST(sum(q.amax_s) AS BIGINT) AS sum_amax_s
+         |FROM kept k
+         |JOIN nrm n USING (vec_id)
+         |JOIN qa q USING (vec_id)
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_sim_quantize" ->
       """WITH s AS (

@@ -307,9 +307,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // temperature mixing's grand-total attach is the same 1-row
       // bounded-aggregate shape as q_dict_extend
       "q_sample_temperature",
-      // hamming is a brute-force sketch scan; rrf embeds the IVF
-      // retriever and inherits its designed centroid attach
-      "q_sim_hamming_topk", "q_sim_rrf")
+      // hamming is a brute-force sketch scan; rrf and the embedding
+      // pipeline embed retrievers/semantic-dedup and inherit their
+      // designed centroid attaches
+      "q_sim_hamming_topk", "q_sim_rrf", "q_pipeline_embeddings")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
