@@ -19,6 +19,11 @@ object EventQueries {
     "q_events_sessionize" -> ((s, dir) =>
       Events.sessionizeBatch(Tables.events(s, dir))),
 
+    // the built-in session_window face: one hash aggregation, no
+    // per-user sort; half-open boundary convention, microsecond bounds
+    "q_events_session_window" -> ((s, dir) =>
+      Events.sessionWindowCounts(Tables.events(s, dir))),
+
     // sliding windows: 1h width / 15min slide — each event in 4 windows
     "q_events_sliding" -> ((s, dir) =>
       Events.slidingCounts(Tables.events(s, dir))),
@@ -158,6 +163,29 @@ object EventQueries {
         |SELECT user_id, session_seq,
         |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_s,
         |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_s,
+        |  count(*) AS n_events,
+        |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // the session_window twin: same islands, but micro-precision gaps
+    // and the half-open >= split (an event at exactly start+gap opens a
+    // new session — Spark's [start, last+gap) window convention)
+    "q_events_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS session_start_us,
+        |  max(epoch_us(ts)) AS session_end_us,
         |  count(*) AS n_events,
         |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,

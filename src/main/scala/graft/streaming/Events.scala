@@ -68,6 +68,43 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** The BUILT-IN `session_window` face of sessionization — the same
+    * gap semantics as [[sessionizeBatch]] expressed as a session-window
+    * aggregation instead of a lag/running-sum window chain: one hash
+    * aggregation with map-side session merging, no per-user sort. Its
+    * boundary convention is half-open ([start, last + gap)): an event
+    * arriving at EXACTLY gap after the previous one starts a NEW
+    * session, where the gaps-and-islands face keeps it (diff > gap
+    * splits there) — the two faces are distinct queries for that
+    * reason, each with its own oracle. Emits microsecond bounds
+    * (session_end_us = last event, i.e. window end minus the gap).
+    */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        (unix_micros(col("sw.end")) - lit(gapMinutes * 60L * 1000000L)).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming face of [[sessionWindowCounts]]: the identical
+    * aggregation under a watermark — Spark's native streaming session
+    * windows (state merges sessions as late-but-in-horizon events
+    * arrive; the watermark bounds state and emission).
+    */
+  def streamingSessionWindowCounts(stream: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), Ids.fixedPointSum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        (unix_micros(col("sw.end")) - lit(gapMinutes * 60L * 1000000L)).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Batch sessionization: per user, a new session starts when the gap
     * to the previous event exceeds `gapMinutes` (gaps-and-islands on
     * time — the same W2/W3 shape as the coverage pipeline).

@@ -99,6 +99,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session_window matches the batch session_window face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0),
+      Event(3, ts(45), 7, "click", 4.0),   // 40-min gap → new session
+      Event(4, ts(10), 8, "view", 0.5))
+    val input = MemoryStream[Event]
+    input.addData(rows: _*)
+    val q = Events.streamingSessionWindowCounts(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("swc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every session horizon so all emit
+      input.addData(Event(9, Timestamp.valueOf("2024-01-02 00:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("user_id") < 99)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).toSet
+      val got = canon(spark.table("swc"))
+      val exp = canon(Events.sessionWindowCounts(rows.toDF(), gapMinutes = 30))
+      assert(got === exp)
+      assert(exp.size === 3, s"fixture must produce 3 sessions: $exp")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -239,6 +267,35 @@ class StreamingSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(got === exp)
       assert(got.nonEmpty && got.size < rows.size, "sampling must drop some rows")
+    } finally q.stop()
+  }
+
+  test("multimodal feature extraction runs unchanged on streams (map-only face)") {
+    // extractFeatures is a stateless mapPartitions — the same function
+    // drives the batch oracle query and a streaming asset feed
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val rows = (0L until 10L).map(i =>
+      (i, if (i % 2 == 0) "text" else "video", s"payload body $i with bytes".getBytes("UTF-8")))
+    def canon(ds: org.apache.spark.sql.Dataset[Multimodal.AssetFeatures]) =
+      ds.collect().map(f =>
+        (f.asset_id, f.modality, f.n_bytes, f.features.toSeq, f.decoded)).toSet
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    input.addData(rows: _*)
+    val q = Multimodal.extractFeatures(
+        input.toDF().toDF("asset_id", "modality", "payload"))
+      .writeStream.format("memory").queryName("mmfeat")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = canon(spark.table("mmfeat").as[Multimodal.AssetFeatures])
+      val exp = canon(Multimodal.extractFeatures(
+        rows.toDF("asset_id", "modality", "payload")))
+      assert(got === exp)
+      assert(got.size === 10)
+      // undecodable payloads rode the stub path, not an exception
+      assert(got.forall(!_._5))
     } finally q.stop()
   }
 
