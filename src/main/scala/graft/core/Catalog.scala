@@ -62,10 +62,20 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     * copy — prefer `materialize` + a table-format layer there.
     */
   def materializeAtomic(name: String, df: DataFrame): DataFrame = {
+    df.write.mode("overwrite").parquet(s"$baseDir/_tmp_$name.parquet")
+    publishTmp(name)
+    get(name)
+  }
+
+  /** The atomic publish step: swap `_tmp_<name>` into place via the
+    * rename protocol (previous table parked at `_old_` until the new
+    * one is in place, restored on failure). Shared by
+    * [[materializeAtomic]] and [[materializeAudited]].
+    */
+  private def publishTmp(name: String): Unit = {
     val target = path(name)
     val tmp = s"$baseDir/_tmp_$name.parquet"
     val old = s"$baseDir/_old_$name.parquet"
-    df.write.mode("overwrite").parquet(tmp)
     val f = fs(target)
     f.delete(new Path(old), true)
     val hadPrevious = f.exists(new Path(target))
@@ -77,6 +87,36 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
       throw new java.io.IOException(s"rename $tmp -> $target failed")
     }
     f.delete(new Path(old), true)
+  }
+
+  /** Write-audit-publish: write `df` to the `_tmp` directory, evaluate
+    * every audit as a boolean aggregate over the WRITTEN rows (one
+    * scan, one row — e.g. `count(*) > 0`, `count(CASE WHEN id IS NULL
+    * THEN 1 END) = 0`), and only then swap it into place. A failing
+    * audit deletes the tmp write and throws, naming the failed audits —
+    * the previously published table is never touched, so readers keep
+    * a good version while the bad batch is investigated. This is the
+    * production answer to "the pipeline succeeded but wrote garbage":
+    * at 100 TB you cannot un-publish, so the gate runs BEFORE the
+    * rename, on the exact bytes that would go live.
+    */
+  def materializeAudited(name: String, df: DataFrame,
+      audits: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(audits.nonEmpty, "materializeAudited needs at least one audit")
+    val tmp = s"$baseDir/_tmp_$name.parquet"
+    df.write.mode("overwrite").parquet(tmp)
+    val written = spark.read.parquet(tmp)
+    val row = written.agg(audits.head._2.as(audits.head._1),
+      audits.tail.map { case (n, c) => c.as(n) }: _*).head()
+    val failed = audits.indices.collect {
+      case i if row.isNullAt(i) || !row.getBoolean(i) => audits(i)._1
+    }
+    if (failed.nonEmpty) {
+      fs(tmp).delete(new Path(tmp), true)
+      throw new IllegalStateException(
+        s"audit failed for '$name': ${failed.mkString(", ")} — previous table untouched")
+    }
+    publishTmp(name)
     get(name)
   }
 

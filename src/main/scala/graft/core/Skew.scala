@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Skew diagnostic — measure before salting: the `topN` heaviest
+    * values of a prospective join/groupBy key with exact counts and
+    * their corpus fraction (fixed-point ppm, engine-exact). The number
+    * this feeds is the salting decision itself: a top key at 10% of
+    * rows means one reducer takes 10% of the shuffle — salt it; a flat
+    * top-20 means AQE alone is fine. One partial-agged groupBy + a
+    * 1-row total attach + a global top-N (TakeOrdered — only N rows
+    * move); the corpus never shuffles wholesale.
+    */
+  def diagnoseKey(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    counts.join(broadcast(total))
+      .withColumn("frac_ppm",
+        floor(col("n_rows").cast("double") * lit(1000000.0) /
+          col("n_total").cast("double")).cast("long"))
+      .select(col(keyCol), col("n_rows"), col("frac_ppm"))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(topN)
+  }
+
   /** Inner equi-join `large ⋈ small` on `key`, salted `salt` ways.
     * Output columns = join output minus the salt helper column.
     */

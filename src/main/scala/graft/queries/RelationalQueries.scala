@@ -384,6 +384,29 @@ object RelationalQueries {
       graft.core.Profiler.profile(Tables(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Join-key skew diagnostic (core.Skew.diagnoseKey): the 20 heaviest
+    // event users with exact counts + fixed-point corpus fraction — the
+    // measurement behind the salt-or-not decision
+    "q_profile_skew" -> ((s, dir) =>
+      graft.core.Skew.diagnoseKey(Tables(s, dir, "events"), "user_id", topN = 20)),
+
+    // Correlated LATERAL subquery: top-2 suppliers per nation by
+    // account balance — the SQL-surface face of per-group top-k
+    // (Catalyst decorrelates it into the same window-rank plan)
+    "q_join_lateral" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT s_name, s_acctbal FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2
+        ) t
+      """)
+    }),
+
     // Z-order layout key (graft.layout.ZOrder): the Morton bit
     // interleave is a pure shift/and/or scalar expression —
     // oracle-checked bit for bit against the same formula in SQL
@@ -650,6 +673,26 @@ object RelationalQueries {
         |  FROM fresh)
         |SELECT lang_id, lang FROM app
         |UNION ALL SELECT lang_id, lang FROM ex""".stripMargin,
+
+    "q_profile_skew" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM counts)
+        |SELECT user_id, n_rows,
+        |  CAST(floor(CAST(n_rows AS DOUBLE) * 1000000.0
+        |    / CAST(n_total AS DOUBLE)) AS BIGINT) AS frac_ppm
+        |FROM counts CROSS JOIN tot
+        |ORDER BY n_rows DESC, user_id LIMIT 20""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2
+        |) t""".stripMargin,
 
     "q_profile_documents" -> {
       // one SELECT per column UNION ALL'd — the relational spelling of

@@ -110,6 +110,35 @@ class CatalogSpec extends SparkTestBase {
       "column NDV missing after FOR COLUMNS analyze")
   }
 
+  test("materializeAudited publishes only when every audit passes") {
+    val cat = newCatalog()
+    import spark.implicits._
+    val audits = Seq(
+      "nonempty" -> (count(lit(1)) > 0L),
+      "no_null_keys" -> (count(when(col("id").isNull, 1)) === 0L))
+    // good batch publishes
+    cat.materializeAudited("aud", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), audits)
+    assert(cat.get("aud").count() === 2L)
+    // bad batch (null key) must throw, delete its tmp, and leave the
+    // published version untouched
+    val bad = Seq((Some(3L), "c"), (None, "d"))
+      .toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      cat.materializeAudited("aud", bad, audits)
+    }
+    assert(e.getMessage.contains("no_null_keys"))
+    assert(cat.get("aud").count() === 2L)
+    assert(cat.get("aud").agg(max(col("id"))).head.getLong(0) === 2L)
+    // empty batch trips the other audit
+    val e2 = intercept[IllegalStateException] {
+      cat.materializeAudited("aud", Seq.empty[(Long, String)].toDF("id", "v"), audits)
+    }
+    assert(e2.getMessage.contains("nonempty"))
+    assert(cat.get("aud").count() === 2L)
+    // no crash leftovers: vacuum finds nothing to reclaim
+    assert(cat.vacuum().isEmpty)
+  }
+
   test("compact coalesces a fragmented table without losing rows") {
     val cat = newCatalog()
     import spark.implicits._

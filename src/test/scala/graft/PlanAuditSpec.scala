@@ -310,7 +310,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // hamming is a brute-force sketch scan; rrf and the embedding
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
-      "q_sim_hamming_topk", "q_sim_rrf", "q_pipeline_embeddings")
+      "q_sim_hamming_topk", "q_sim_rrf", "q_pipeline_embeddings",
+      // skew diagnostic's 1-row corpus-total attach
+      "q_profile_skew")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
