@@ -120,6 +120,17 @@ object DedupQueries {
     "q_dedup_calibration" -> ((s, dir) =>
       Dedup.minhashCalibration(Tables(s, dir, "documents"))),
 
+    // incremental banding as a driver query: docs < 250 are "history"
+    // (persisted band table), the rest arrive as the new batch —
+    // candidates must involve at least one new doc, with the combined
+    // hot-bucket cap
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.minhashCandidatesIncremental(
+        Dedup.minhashBands(docs.where(col("doc_id") >= 250)),
+        Dedup.minhashBands(docs.where(col("doc_id") < 250)))
+    }),
+
     // SimHash near-dups: 32-bit fingerprints, 8-bit blocks, hamming <= 6
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables(s, dir, "documents"), bits = 32,
@@ -397,6 +408,29 @@ object DedupQueries {
          |$rounds
          |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin
     },
+
+    // band values depend only on each doc's text, so the twin computes
+    // bands over ALL docs and applies the at-least-one-new filter; the
+    // bucket cap counts the combined bucket exactly like the engine
+    "q_dedup_minhash_inc" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hh
+         |  FROM tht WHERE len(th) >= 3),
+         |sig AS (SELECT doc_id, ${sigSql(16)} AS sig FROM hh),
+         |bands0 AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_') AS band_key
+         |  FROM sig, unnest(range(4)) AS t(b)),
+         |bands AS (
+         |  SELECT doc_id, b, band_key FROM (
+         |    SELECT doc_id, b, band_key,
+         |      count(*) OVER (PARTITION BY b, band_key) AS bucket_n
+         |    FROM bands0) WHERE bucket_n <= 64)
+         |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |WHERE a.doc_id >= 250 OR b.doc_id >= 250""".stripMargin,
 
     // the q_dedup_minhash candidate chain + per-pair signature agreement
     // (list_zip equality count) + exact Jaccard, grouped by agreement
