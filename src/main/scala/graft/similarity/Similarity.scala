@@ -45,6 +45,21 @@ object Similarity {
   /** Fixed-point squared norm. */
   def normFp(a: Column): Column = dotFp(a, a)
 
+  /** Integer dot product of two int-array columns (the int8-code
+    * scoring loop). Backed by the native codegen'd expression
+    * (graft.expressions.IntDot); [[intDotHof]] keeps the HOF
+    * formulation for the parity spec.
+    */
+  def intDot(a: Column, b: Column): Column =
+    graft.expressions.IntDot(a, b)
+
+  /** The higher-order-function formulation of [[intDot]] (executable
+    * documentation of the semantics; spec-tested equal).
+    */
+  def intDotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** Cosine from fixed-point parts — deterministic double. */
   def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
@@ -356,16 +371,14 @@ object Similarity {
     * only (query, candidate, score) triples shuffle for ranking.
     */
   def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    def qdot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
     val q = quantizeInt8(queries).select(col("vec_id").as("query_id"),
       col("q").as("q_q"))
     val c = quantizeInt8(candidates).select(col("vec_id"), col("q").as("q_c"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        (qdot(col("q_q"), col("q_c")).cast("double") /
-          sqrt(qdot(col("q_q"), col("q_q")).cast("double") *
-            qdot(col("q_c"), col("q_c")).cast("double"))).as("qcosine"))
+        (intDot(col("q_q"), col("q_c")).cast("double") /
+          sqrt(intDot(col("q_q"), col("q_q")).cast("double") *
+            intDot(col("q_c"), col("q_c")).cast("double"))).as("qcosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

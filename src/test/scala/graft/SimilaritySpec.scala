@@ -240,6 +240,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native IntDot == HOF formulation, incl. nulls and length mismatch") {
+    import spark.implicits._
+    // quantized real embeddings exercise the full int8 code range
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q"))
+    val pairs = codes.as("a").join(codes.as("b"),
+        col("a.vec_id") < col("b.vec_id") && col("a.vec_id") < 5)
+      .select(col("a.q").as("qa"), col("b.q").as("qb"))
+    val diff = pairs.where(
+      Similarity.intDot(col("qa"), col("qb")) =!=
+        Similarity.intDotHof(col("qa"), col("qb"))).count()
+    assert(diff === 0L)
+    // widen-before-multiply: per-element products beyond int range
+    val big = Seq((Seq(1000000, 2), Seq(1000000, 3))).toDF("a", "b")
+    assert(big.select(Similarity.intDot(col("a"), col("b"))).head.getLong(0)
+      === 1000000L * 1000000L + 6L)
+    // null element and length mismatch → null (zip_with semantics)
+    val edge = Seq(
+      (Seq[Integer](1, null), Seq[Integer](2, 3)),
+      (Seq[Integer](1), Seq[Integer](2, 3)))
+      .toDF("a", "b")
+    val r = edge.select(Similarity.intDot(col("a"), col("b"))).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
   test("pqTopK is exact when every candidate is a codeword") {
     // 4 candidates, nCodes = 4 → every candidate's subvectors ARE
     // codewords, encoding is lossless, so ADC ranking == exact dot
