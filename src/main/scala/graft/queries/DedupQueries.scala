@@ -189,16 +189,21 @@ object DedupQueries {
   private def simhashMaskSql(bits: Int): String =
     (0 until bits).map(j => 1L << j).mkString("[", ", ", "]")
 
+  /** Exact-dedup twin — its own oracle key, and embedded as a derived
+    * table by the cross-family q_curation_report oracle (TextQueries).
+    */
+  private[queries] val exactDedupSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${charHash("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS canon_hash
+       |  FROM documents)
+       |SELECT doc_id, canon_hash,
+       |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
+       |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
+       |FROM h""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_dedup_exact" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    ${charHash("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS canon_hash
-         |  FROM documents)
-         |SELECT doc_id, canon_hash,
-         |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
-         |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
-         |FROM h""".stripMargin,
+    "q_dedup_exact" -> exactDedupSql,
 
     // row_number is fine in the ORACLE (DuckDB, small SF); the engine
     // face uses the range-partitioned zipWithRowId instead

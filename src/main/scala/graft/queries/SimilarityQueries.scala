@@ -281,6 +281,33 @@ object SimilarityQueries {
        |  FROM j a JOIN j b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
        |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)""".stripMargin
 
+  /** Centroid-outlier twin — its own oracle key, and embedded as a
+    * derived table by the cross-family q_curation_report oracle
+    * (TextQueries).
+    */
+  private[queries] val outlierSql: String =
+    s"""WITH sums AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |s2 AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM sums GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label,
+       |    list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY dim) AS c_emb
+       |  FROM s2 GROUP BY 1),
+       |sc AS (
+       |  SELECT e.vec_id, e.label,
+       |    ${cosineSql("e.embedding", "c.c_emb")} AS cos_centroid
+       |  FROM embeddings e JOIN cent c USING (label))
+       |SELECT vec_id, label, cos_centroid,
+       |  cos_centroid < 0.0 AS is_outlier
+       |FROM sc""".stripMargin
+
   /** Shared retriever twins: referenced by their own oracle keys AND
     * embedded verbatim as derived tables in the RRF fusion oracle.
     */
@@ -503,28 +530,7 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
-    "q_sim_outliers" ->
-      s"""WITH sums AS (
-         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
-         |    unnest(embedding) AS x
-         |  FROM embeddings),
-         |s2 AS (
-         |  SELECT label, dim,
-         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
-         |      AS BIGINT) AS s,
-         |    count(*) AS n
-         |  FROM sums GROUP BY 1, 2),
-         |cent AS (
-         |  SELECT label,
-         |    list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY dim) AS c_emb
-         |  FROM s2 GROUP BY 1),
-         |sc AS (
-         |  SELECT e.vec_id, e.label,
-         |    ${cosineSql("e.embedding", "c.c_emb")} AS cos_centroid
-         |  FROM embeddings e JOIN cent c USING (label))
-         |SELECT vec_id, label, cos_centroid,
-         |  cos_centroid < 0.0 AS is_outlier
-         |FROM sc""".stripMargin,
+    "q_sim_outliers" -> outlierSql,
 
     "q_sim_pq_topk" -> {
       // m=4 subspaces of 16 dims (64-dim embeddings), 16 codewords each

@@ -34,6 +34,33 @@ object TextQueries {
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables(s, dir, "documents"))),
 
+    // cross-family curation report — one row per (lang, source): doc
+    // count, exact-dedup survivors, embedding outliers (embeddings
+    // joined by id, left so coverage gaps don't drop docs), and the
+    // fixed-point quality mass. The "data card" a corpus owner reads
+    // before a training run; composes text × dedup × similarity
+    // operators, each separately oracle-checked elsewhere.
+    "q_curation_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.floor(
+            col("quality_score") * 1000000.0).cast("long").as("q_s"))
+      val kept = graft.dedup.Dedup.exact(docs).select(col("doc_id"), col("is_kept"))
+      val outl = graft.similarity.Similarity
+        .centroidOutliers(Tables(s, dir, "embeddings"), "label", minCosine = 0.0)
+        .select(col("vec_id").as("doc_id"), col("is_outlier"))
+      docs.select("doc_id", "lang", "source")
+        .join(quality, Seq("doc_id"))
+        .join(kept, Seq("doc_id"))
+        .join(outl, Seq("doc_id"), "left")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(org.apache.spark.sql.functions.when(col("is_kept"), 1)).as("n_kept"),
+          count(org.apache.spark.sql.functions.when(col("is_outlier"), 1)).as("n_outliers"),
+          org.apache.spark.sql.functions.sum(col("q_s")).as("sum_quality_s"))
+    }),
+
     // language-ID evaluation: confusion matrix of the detector's
     // prediction against the stored lang column — the accuracy face a
     // curation pipeline reads before trusting the detector as a filter
@@ -190,6 +217,36 @@ object TextQueries {
          |  $pred AS pred_lang
          |FROM v""".stripMargin
     },
+
+    // the cross-family report: quality/exact-dedup/outlier twins join
+    // by doc id; the dedup and outlier twins embed verbatim from their
+    // owning objects so the faces cannot desynchronize
+    "q_curation_report" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor(least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+         |      * (1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0))
+         |      * 1000000.0) AS BIGINT) AS q_s
+         |  FROM base),
+         |kept AS (SELECT doc_id, is_kept FROM (${DedupQueries.exactDedupSql})),
+         |outl AS (SELECT vec_id AS doc_id, is_outlier
+         |         FROM (${SimilarityQueries.outlierSql}))
+         |SELECT d.lang, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE k.is_kept) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE o.is_outlier) AS BIGINT) AS n_outliers,
+         |  CAST(sum(q.q_s) AS BIGINT) AS sum_quality_s
+         |FROM documents d
+         |JOIN q USING (doc_id)
+         |JOIN kept k USING (doc_id)
+         |LEFT JOIN outl o USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_text_langid_eval" -> {
       val langs = TextAnalysis.markerSets.map(_._1)
