@@ -134,7 +134,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     def wgl(q: String): Seq[WindowGroupLimitExec] =
       plan(q).collect { case w: WindowGroupLimitExec => w }
     for (q <- Seq("q_sample_cap", "q_sim_brute_topk", "q_sim_lsh_topk",
-        "q_text_tfidf", "q_sample_group_uniform")) {
+        "q_text_tfidf", "q_sample_group_uniform",
+        // the compressed-search family ranks with the same rank<=k shape
+        "q_sim_quantized_topk", "q_sim_pq_topk", "q_sim_ivfpq_topk",
+        "q_sim_hamming_topk", "q_sim_rrf")) {
       val nodes = wgl(q)
       assert(nodes.size >= 2,
         s"$q expected Partial+Final WindowGroupLimit, got ${nodes.size}")
