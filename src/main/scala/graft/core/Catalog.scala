@@ -178,6 +178,11 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
   def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = path(name)
+    // a partitioned table (Hive directory layout) must NOT be flattened
+    // into a single unpartitioned rewrite — refuse instead of silently
+    // destroying the partition pruning a consumer depends on
+    require(!fs(p).listStatus(new Path(p)).exists(_.isDirectory),
+      s"compact: '$name' has a partitioned directory layout — compact partitions individually")
     def dataFiles: Array[org.apache.hadoop.fs.FileStatus] =
       fs(p).listStatus(new Path(p))
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))

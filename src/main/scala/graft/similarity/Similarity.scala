@@ -402,6 +402,15 @@ object Similarity {
     * `nCodes` lowest-id vectors' subvectors (the engine's deterministic
     * seeding rule, as in IVF). Returns (sub, code_id, code_emb) —
     * m·nCodes rows, always broadcastable.
+    *
+    * Dimension contract: subspace width is size(embedding) / m with
+    * integer division, so when the dimension count is not divisible by
+    * `m` the trailing `dims % m` components do not participate in any
+    * subspace (they are ignored by encoding AND by the query LUT — the
+    * two sides stay consistent, but those dimensions carry no signal).
+    * Pick m to divide the embedding width; the width is data, not a
+    * parameter, so this is a documented contract rather than a
+    * require() the way k % bands is for MinHash banding.
     */
   def pqCodebook(vectors: DataFrame, m: Int, nCodes: Int): DataFrame = {
     val d = (size(col("embedding")) / m).cast("int")

@@ -154,6 +154,17 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.compact("frag") === ((1, 1)))
   }
 
+  test("compact refuses a partitioned table rather than flattening it") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materializePartitioned("parted",
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), Seq("lang"))
+    val e = intercept[IllegalArgumentException] { cat.compact("parted") }
+    assert(e.getMessage.contains("partitioned"))
+    // the table is untouched
+    assert(cat.get("parted").count() === 2L)
+  }
+
   test("vacuum removes only crash leftovers, never registered tables") {
     val cat = newCatalog()
     import spark.implicits._
