@@ -545,4 +545,24 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash calibration — the Hamming-side twin of
+    * [[minhashCalibration]]: for every block-candidate pair, the
+    * fingerprint Hamming distance next to the exact n-gram Jaccard,
+    * aggregated per distance. This is the curve that justifies (or
+    * refutes) a maxHamming threshold before a full pass runs with it;
+    * fixed-point Jaccard sums keep the aggregate oracle-exact.
+    * Candidates carry the full curve (maxHamming = bits, i.e. no
+    * filter), which the block-bucket cap still bounds.
+    */
+  def simhashCalibration(docs: DataFrame, bits: Int = 32, blockBits: Int = 8,
+      shingleN: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val pairs = simhashNearDups(docs, bits, blockBits, maxHamming = bits,
+      maxBucket = maxBucket)
+    pairs.join(ngramJaccard(docs, pairs.select("doc_id_a", "doc_id_b"), shingleN),
+        Seq("doc_id_a", "doc_id_b"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("jaccard") * 1000000.0).cast("long")).as("sum_jaccard_s"))
+  }
 }

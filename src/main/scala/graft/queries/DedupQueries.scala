@@ -136,6 +136,12 @@ object DedupQueries {
       Dedup.simhashNearDups(Tables(s, dir, "documents"), bits = 32,
         blockBits = 8, maxHamming = 6)),
 
+    // SimHash calibration: fingerprint Hamming distance vs exact
+    // Jaccard per block candidate — the curve behind the maxHamming
+    // threshold choice (the Hamming twin of q_dedup_calibration)
+    "q_dedup_simhash_calibration" -> ((s, dir) =>
+      Dedup.simhashCalibration(Tables(s, dir, "documents"))),
+
     // embedding-cosine near-dups blocked by the coarse label column
     "q_dedup_embedding" -> ((s, dir) =>
       graft.similarity.Similarity.nearDupPairs(
@@ -371,6 +377,49 @@ object DedupQueries {
          |  FROM blocked a JOIN blocked b
          |    ON a.b = b.b AND a.block_key = b.block_key AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 6""".stripMargin,
+
+    // the q_dedup_simhash chain WITHOUT the hamming filter + the
+    // jaccard chain, grouped per distance
+    "q_dedup_simhash_calibration" ->
+      s"""WITH th0 AS (
+         |  SELECT doc_id, $thSql AS th
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(${simhashMaskSql(32)},
+         |      m -> CASE WHEN CAST(list_sum(list_transform(th,
+         |             h -> CASE WHEN (h & m) != 0 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         |           THEN m ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM th0),
+         |blocked0 AS (
+         |  SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS block_key
+         |  FROM sig, unnest(range(4)) AS t(b)),
+         |blocked AS (
+         |  SELECT doc_id, sig, b, block_key FROM (
+         |    SELECT doc_id, sig, b, block_key,
+         |      count(*) OVER (PARTITION BY b, block_key) AS bucket_n
+         |    FROM blocked0) WHERE bucket_n <= 64),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |  FROM blocked a JOIN blocked b
+         |    ON a.b = b.b AND a.block_key = b.block_key AND a.doc_id < b.doc_id),
+         |hs AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+         |  FROM (SELECT doc_id, th FROM th0) tht),
+         |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
+         |j AS (
+         |  SELECT p.hamming,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh + sb.n_sh AS n_a_b
+         |  FROM pairs p
+         |  JOIN hn sa ON sa.doc_id = p.doc_id_a
+         |  JOIN hn sb ON sb.doc_id = p.doc_id_b)
+         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(floor((CASE WHEN n_a_b - n_common > 0
+         |    THEN CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE)
+         |    ELSE 0.0 END) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_jaccard_s
+         |FROM j GROUP BY 1""".stripMargin,
 
     "q_dedup_groups" -> {
       // l0 = identity labels; each round r: adopt min(own, neighbours'
