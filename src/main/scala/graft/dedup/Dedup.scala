@@ -247,9 +247,18 @@ object Dedup {
     */
   def minhashCandidatesIncremental(newBands: DataFrame, historyBands: DataFrame,
       maxBucket: Int = 64): DataFrame = {
+    // A doc_id present in BOTH inputs (re-ingest before the history
+    // table was refreshed) must count ONCE toward the bucket cap — the
+    // raw union would double-count its band rows and could prematurely
+    // suppress a bucket a full recompute keeps. Collapse to one row per
+    // (doc_id, band, band_key), new-wins, so a re-ingested doc still
+    // pairs as new. One extra partial-aggregated shuffle on the same
+    // key the bucket count shuffles on; AQE coalesces the pair.
     val all = newBands.select("doc_id", "band", "band_key").withColumn("is_new", lit(true))
       .unionByName(historyBands.select("doc_id", "band", "band_key")
         .withColumn("is_new", lit(false)))
+      .groupBy("doc_id", "band", "band_key")
+      .agg(bool_or(col("is_new")).as("is_new"))
     val smallBuckets = all.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucket)

@@ -394,13 +394,17 @@ object RelationalQueries {
     // account balance — the SQL-surface face of per-group top-k
     // (Catalyst decorrelates it into the same window-rank plan)
     "q_join_lateral" -> ((s, dir) => {
-      Tables(s, dir, "nation").createOrReplaceTempView("nation")
-      Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
+      // view names are uniquely prefixed: registering bare "nation" /
+      // "supplier" would mutate shared session catalog state as a side
+      // effect of BUILDING this query and could clobber views another
+      // query registered in the same session
+      Tables(s, dir, "nation").createOrReplaceTempView("graft_lateral_nation")
+      Tables(s, dir, "supplier").createOrReplaceTempView("graft_lateral_supplier")
       s.sql("""
         SELECT n.n_name, t.s_name, t.s_acctbal
-        FROM nation n,
+        FROM graft_lateral_nation n,
         LATERAL (
-          SELECT s_name, s_acctbal FROM supplier s
+          SELECT s_name, s_acctbal FROM graft_lateral_supplier s
           WHERE s.s_nationkey = n.n_nationkey
           ORDER BY s_acctbal DESC, s_name LIMIT 2
         ) t

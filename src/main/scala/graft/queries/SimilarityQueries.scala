@@ -379,12 +379,17 @@ object SimilarityQueries {
       val dotQC = dotSql.format("q.embedding", "c.embedding")
       val normQ = dotSql.format("q.embedding", "q.embedding")
       val normC = dotSql.format("c.embedding", "c.embedding")
-      s"""WITH scored AS (
+      val normSelf = dotSql.format("embedding", "embedding")
+      // nz mirrors the operator's zero-norm guard: degenerate vectors
+      // have no defined cosine and never appear on either side
+      s"""WITH nz AS (
+         |  SELECT * FROM embeddings WHERE $normSelf > 0),
+         |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          |    CAST($dotQC AS DOUBLE) /
          |      sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS cosine
-         |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
-         |  JOIN embeddings c ON q.vec_id != c.vec_id),
+         |  FROM (SELECT * FROM nz WHERE vec_id < 8) q
+         |  JOIN nz c ON q.vec_id != c.vec_id),
          |ranked AS (
          |  SELECT query_id, vec_id, cosine,
          |    CAST(row_number() OVER (PARTITION BY query_id
@@ -468,13 +473,15 @@ object SimilarityQueries {
          |  SELECT vec_id, embedding,
          |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
          |  FROM embeddings),
-         |qz AS (
+         |qz0 AS (
          |  SELECT vec_id,
          |    CASE WHEN amax > 0 THEN
          |      list_transform(embedding, x ->
          |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
          |    ELSE list_transform(embedding, x -> 0) END AS q
          |  FROM s),
+         |qz AS (
+         |  SELECT * FROM qz0 WHERE ${qdotSql.format("q", "q")} > 0),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          |    CAST($dotQC AS DOUBLE) /
@@ -491,8 +498,10 @@ object SimilarityQueries {
 
     "q_sim_hamming_topk" -> {
       val sig = bucketSql("embedding", nPlanes = 48)
+      val normSelf = dotSql.format("embedding", "embedding")
       s"""WITH sigs AS (
-         |  SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM embeddings),
+         |  SELECT vec_id, CAST($sig AS BIGINT) AS sig FROM embeddings
+         |  WHERE $normSelf > 0),
          |scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          |    CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming

@@ -67,12 +67,20 @@ object Similarity {
   /** Brute-force cosine top-k: for every query vector, the k most
     * similar non-identical vectors. Queries are broadcast; candidates
     * stream. Returns (query_id, vec_id, cosine, rank).
+    *
+    * Degenerate (all-zero) vectors have no defined cosine — 0/sqrt(0)
+    * is NaN, which Spark orders ABOVE every double, so without a guard
+    * a zero vector would rank as the top match for every query. Both
+    * sides therefore drop zero-norm rows before scoring (the family
+    * contract, shared by [[quantizedTopK]] and [[hammingTopK]]).
     */
   def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       normFp(col("embedding")).as("q_norm"))
+      .where(col("q_norm") > 0)
     val c = candidates.select(col("vec_id"), col("embedding").as("c_emb"),
       normFp(col("embedding")).as("c_norm"))
+      .where(col("c_norm") > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(dotFp(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm"))
@@ -369,11 +377,17 @@ object Similarity {
     * tie-break as [[bruteTopK]]; recall < 1 by quantization error
     * (bounded in SimilaritySpec). Queries broadcast; candidates stream;
     * only (query, candidate, score) triples shuffle for ranking.
+    * Zero vectors quantize to all-zero codes (amax=0), whose qcosine
+    * would be 0/sqrt(0) = NaN — NaN-above-all ordering would rank them
+    * TOP for every query, so both sides drop zero-code-norm rows
+    * before scoring (same guard as [[bruteTopK]]).
     */
   def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = quantizeInt8(queries).select(col("vec_id").as("query_id"),
       col("q").as("q_q"))
+      .where(intDot(col("q_q"), col("q_q")) > 0)
     val c = quantizeInt8(candidates).select(col("vec_id"), col("q").as("q_c"))
+      .where(intDot(col("q_c"), col("q_c")) > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         (intDot(col("q_q"), col("q_c")).cast("double") /
@@ -397,22 +411,36 @@ object Similarity {
       }),
       lit(0L), (acc, x) => acc + x)
 
+  /** PQ width contract, enforced in the plan: raises on the first row
+    * whose embedding width `m` does not divide (the trailing dims % m
+    * components would otherwise silently drop out of every subspace —
+    * quietly weaker recall with no runtime signal). One size+mod per
+    * row, codegen'd — negligible against the slice/transform work that
+    * follows.
+    */
+  private def pqWidthChecked(vectors: DataFrame, m: Int): DataFrame =
+    vectors.withColumn("embedding",
+      when(size(col("embedding")) % m === 0, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit("PQ width contract violated: embedding width "),
+          size(col("embedding")).cast("string"),
+          lit(s" is not divisible by m=$m")))))
+
   /** Product-quantization codebook: the embedding space is split into
     * `m` contiguous subspaces; each subspace's codewords are the
     * `nCodes` lowest-id vectors' subvectors (the engine's deterministic
     * seeding rule, as in IVF). Returns (sub, code_id, code_emb) —
     * m·nCodes rows, always broadcastable.
     *
-    * Dimension contract: subspace width is size(embedding) / m with
-    * integer division, so when the dimension count is not divisible by
-    * `m` the trailing `dims % m` components do not participate in any
-    * subspace (they are ignored by encoding AND by the query LUT — the
-    * two sides stay consistent, but those dimensions carry no signal).
-    * Pick m to divide the embedding width; the width is data, not a
-    * parameter, so this is a documented contract rather than a
-    * require() the way k % bands is for MinHash banding.
+    * Dimension contract: subspace width is size(embedding) / m, so `m`
+    * must divide the embedding width — otherwise the trailing `dims % m`
+    * components would silently fall out of every subspace (quietly
+    * weaker recall with no signal). The width is data, not a parameter,
+    * so the contract is enforced IN the plan: [[pqWidthChecked]] raises
+    * on the first row whose width `m` does not divide.
     */
-  def pqCodebook(vectors: DataFrame, m: Int, nCodes: Int): DataFrame = {
+  def pqCodebook(rawVectors: DataFrame, m: Int, nCodes: Int): DataFrame = {
+    val vectors = pqWidthChecked(rawVectors, m)
     val d = (size(col("embedding")) / m).cast("int")
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"),
@@ -431,7 +459,8 @@ object Similarity {
     * (vec_id, sub), so the |vectors|·m·nCodes scored rows collapse
     * map-side and the shuffle carries m rows per vector.
     */
-  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+  def pqEncode(rawVectors: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val vectors = pqWidthChecked(rawVectors, m)
     val d = (size(col("embedding")) / m).cast("int")
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"),
@@ -454,10 +483,11 @@ object Similarity {
     * Returns (query_id, vec_id, score_s, rank) — score_s is the exact
     * integer ADC dot (1e-6 fixed point), oracle-exact.
     */
-  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+  def pqTopK(rawQueries: DataFrame, candidates: DataFrame, k: Int,
       m: Int = 4, nCodes: Int = 16): DataFrame = {
     val cb = pqCodebook(candidates, m, nCodes)
     val codes = pqEncode(candidates, cb, m)
+    val queries = pqWidthChecked(rawQueries, m)
     val d = (size(col("embedding")) / m).cast("int")
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"),
@@ -514,7 +544,8 @@ object Similarity {
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"),
         slice(col("embedding"), lit(s) * d + 1, d).as("qv")))
-    val lut = queries.select(col("vec_id").as("query_id"), explode(array(subs: _*)).as("sc"))
+    val lut = pqWidthChecked(queries, m)
+      .select(col("vec_id").as("query_id"), explode(array(subs: _*)).as("sc"))
       .select(col("query_id"), col("sc.sub").as("sub"), col("sc.qv").as("qv"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code_id"),
@@ -544,11 +575,20 @@ object Similarity {
     */
   def hammingTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nPlanes: Int = 48): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
-    val q = queries.select(col("vec_id").as("query_id"),
-      lshBucket(col("embedding"), nPlanes).as("q_sig"))
-    val c = candidates.select(col("vec_id"),
-      lshBucket(col("embedding"), nPlanes).as("c_sig"))
+    // bound mirrors the LshBucket expression's own require (<= 62 so the
+    // signature fits a signed long with no sign-bit plane) — checked here
+    // too so a bad nPlanes fails with the operator's name, not deep in
+    // expression construction
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes must be in [1, 62], got $nPlanes")
+    // zero vectors have sketch 0 and a defined (if meaningless) Hamming
+    // distance — dropped anyway for family consistency: a degenerate
+    // vector never surfaces as a match from any of the search paths
+    val q = queries.where(normFp(col("embedding")) > 0)
+      .select(col("vec_id").as("query_id"),
+        lshBucket(col("embedding"), nPlanes).as("q_sig"))
+    val c = candidates.where(normFp(col("embedding")) > 0)
+      .select(col("vec_id"),
+        lshBucket(col("embedding"), nPlanes).as("c_sig"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         bit_count(col("q_sig").bitwiseXOR(col("c_sig"))).cast("long").as("hamming"))

@@ -208,4 +208,24 @@ class DedupSpec extends SparkTestBase {
     // sim_s for distance 1 over max_len 15: floor((1-1/15)*1e6)
     assert(out((1L, 2L))._2 === 933333L)
   }
+
+  test("incremental LSH: a re-ingested doc counts once toward the cap, pairs as new") {
+    // overlap fixture: docs 25-29 are in BOTH the history band table and
+    // the new batch (re-ingest before the history refresh landed). The
+    // union dedupe must collapse their band rows so bucket-cap counts
+    // equal a full recompute's, and the overlap docs still pair as new.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.where(col("doc_id") < 30)
+    val batch = docs.where(col("doc_id") >= 25)
+    val full = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashCandidatesIncremental(
+        Dedup.minhashBands(batch), Dedup.minhashBands(history))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: every full-recompute pair with at least one endpoint in
+    // the batch (is_new wins for the re-ingested overlap docs)
+    val expected = full.filterNot { case (a, b) => a < 25 && b < 25 }
+    assert(inc === expected)
+    assert(inc.nonEmpty, "fixture must produce cross-batch candidates")
+  }
 }

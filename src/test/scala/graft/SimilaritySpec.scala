@@ -376,4 +376,52 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (brute & quant).size.toDouble / brute.size
     assert(recall >= 0.8, s"int8 recall $recall too low")
   }
+
+  test("zero-norm vectors are excluded from every top-k search path") {
+    // without the guard, a zero candidate's cosine is 0/sqrt(0) = NaN
+    // and Spark orders NaN ABOVE all doubles — the degenerate vector
+    // would be the TOP match for every query
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 0f, 0f), // degenerate
+      3L -> Seq(0f, 1f, 0f, 0f))
+    val q = d.where(col("vec_id") === 0)
+    val paths = Seq(
+      "brute" -> Similarity.bruteTopK(q, d, k = 3),
+      "quantized" -> Similarity.quantizedTopK(q, d, k = 3),
+      "hamming" -> Similarity.hammingTopK(q, d, k = 3, nPlanes = 16))
+    for ((name, out) <- paths) {
+      val rows = out.orderBy("rank").collect()
+      val ids = rows.map(_.getLong(1)).toSet
+      assert(!ids.contains(2L), s"$name surfaced the zero vector: $ids")
+      assert(rows.head.getLong(1) === 1L, s"$name top match wrong")
+    }
+    // a zero-norm QUERY yields no rows rather than NaN-ranked garbage
+    assert(Similarity.bruteTopK(d.where(col("vec_id") === 2), d, k = 3).count() === 0)
+    assert(Similarity.quantizedTopK(d.where(col("vec_id") === 2), d, k = 3).count() === 0)
+  }
+
+  test("PQ width contract fails loudly when m does not divide the width") {
+    val d = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f, 5f), // width 5, m = 2 → trailing dim lost
+      1L -> Seq(5f, 4f, 3f, 2f, 1f),
+      2L -> Seq(1f, 1f, 1f, 1f, 1f))
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(d.where(col("vec_id") === 0), d, k = 1, m = 2, nCodes = 2)
+        .collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("PQ width contract")),
+      s"expected the width-contract error, got: ${messages(ex)}")
+  }
+
+  test("hammingTopK rejects nPlanes beyond the expression's 62-bit bound") {
+    val d = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(d.where(col("vec_id") === 0), d, k = 1, nPlanes = 63)
+    }
+    assert(ex.getMessage.contains("[1, 62]"))
+  }
 }
