@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -501,6 +502,55 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_spans"),
         (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Maximal repeated regions at ARBITRARY alignment — the sliding-window
+    * upgrade of [[dedupSpans]], whose fixed n-token blocks miss repeats
+    * that straddle a block boundary. This is the bounded n-gram
+    * approximation of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * word n-gram whose CORPUS-wide occurrence count reaches `minCount`
+    * marks the n token positions it covers, and overlapping or adjacent
+    * marks merge into maximal spans (the same running-max islands
+    * pattern as the coverage queries). Returns
+    * (doc_id, span_start, span_end, span_len) — token positions,
+    * 0-based inclusive — the regions a cleaning pass would cut.
+    *
+    * Scale shape: per-doc token hashes (codegen'd RollingHash) →
+    * sliding shingle hashes (native ShingleHashes) → posexplode → one
+    * partial-aggregated groupBy on the 8-byte gram hash → equi-join
+    * back on that hash (the frequent-gram set is corpus-sized in the
+    * worst case, so it is NOT broadcast — both sides shuffle on the
+    * key) → per-doc window for the island merge, bounded by document
+    * length. Token strings never shuffle, only (doc_id, pos, hash).
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 3, minCount: Int = 4): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val tht = TextAnalysis.tokenHashTable(docs)
+    val occ = tht.select(col("doc_id"),
+      posexplode(TextAnalysis.shingleHashes(col("th"), n)).as(Seq("pos", "g")))
+    val freq = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select("g")
+    val hits = occ.join(freq, Seq("g"))
+      .select(col("doc_id"), col("pos").cast("long").as("start_tok"),
+        (col("pos") + (n - 1)).cast("long").as("end_tok"))
+    // islands: a hit opens a new span iff it starts past the running
+    // max end + 1 (adjacent coverage merges — tokens are contiguous)
+    val byStart = Window.partitionBy("doc_id").orderBy("start_tok")
+    val prevMaxEnd = max(col("end_tok"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = hits
+      .withColumn("new_span",
+        when(col("start_tok") > coalesce(prevMaxEnd, lit(-2L)) + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("doc_id"), col("span_id"))
+      .agg(min("start_tok").as("span_start"), max("end_tok").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
   /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j

@@ -182,7 +182,14 @@ object DedupQueries {
     // dedup): 8-token spans present in >= 2 distinct documents are
     // stripped from every document
     "q_dedup_spans" -> ((s, dir) =>
-      Dedup.dedupSpans(Tables(s, dir, "documents"), tokensPerSpan = 8, minDocs = 2))
+      Dedup.dedupSpans(Tables(s, dir, "documents"), tokensPerSpan = 8, minDocs = 2)),
+
+    // maximal repeated regions at arbitrary alignment (the sliding-
+    // n-gram approximation of suffix-array substring dedup): corpus-
+    // frequent 3-grams mark their token positions; marks merge into
+    // islands
+    "q_dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables(s, dir, "documents"), n = 3, minCount = 4))
   )
 
   // MinHash signature as SQL: k salted minima over shingle hashes, with
@@ -612,6 +619,36 @@ object DedupQueries {
         |SELECT n.doc_id, coalesce(k.text_clean, '') AS text_clean, n.n_spans,
         |       n.n_spans - coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_removed
         |FROM n LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // mirrors Dedup.repeatedSpans: same token/shingle hashes, corpus
+    // count >= 4 on the 3-gram hash, the same running-max islands merge
+    // (adjacent coverage merges: new span iff start > prev_max_end + 1)
+    "q_dedup_repeated_spans" ->
+      s"""WITH th AS (SELECT doc_id, $thSql AS th FROM documents),
+         |sh AS (SELECT doc_id, $shingleHashSql AS sh FROM th),
+         |occ AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, sh[CAST(u.i AS INT) + 1] AS g
+         |  FROM sh, unnest(range(len(sh))) AS u(i)),
+         |freq AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 4),
+         |hits AS (
+         |  SELECT o.doc_id, o.pos AS start_tok, o.pos + 2 AS end_tok
+         |  FROM occ o JOIN freq USING (g)),
+         |flagged AS (
+         |  SELECT doc_id, start_tok, end_tok,
+         |    CASE WHEN start_tok > coalesce(max(end_tok) OVER (
+         |        PARTITION BY doc_id ORDER BY start_tok
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |      THEN 1 ELSE 0 END AS new_span
+         |  FROM hits),
+         |spans AS (
+         |  SELECT doc_id, start_tok, end_tok,
+         |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM flagged)
+         |SELECT doc_id, CAST(min(start_tok) AS BIGINT) AS span_start,
+         |  CAST(max(end_tok) AS BIGINT) AS span_end,
+         |  CAST(max(end_tok) - min(start_tok) + 1 AS BIGINT) AS span_len
+         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH v AS (

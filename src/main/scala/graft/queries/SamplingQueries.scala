@@ -56,7 +56,16 @@ object SamplingQueries {
     // sizes, expected output 25% of the corpus (salt 17)
     "q_sample_temperature" -> ((s, dir) =>
       Sampling.sampleTemperature(Tables(s, dir, "documents"), keyCol = "doc_id",
-        groupCol = "source", outFraction = 0.25, salt = 17))
+        groupCol = "source", outFraction = 0.25, salt = 17)),
+
+    // deterministic corpus shuffle for training export: reproducible
+    // (shard, pos) placement into 8 shards (salt 19)
+    "q_sample_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.shuffleToShards(Tables(s, dir, "documents"), keyCol = "doc_id",
+        nShards = 8, salt = 19)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    })
   )
 
   private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -77,6 +86,20 @@ object SamplingQueries {
         |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
         |  FROM documents)
         |WHERE rank <= 8""".stripMargin,
+
+    // mirrors Sampling.shuffleToShards: same full-range salted hash,
+    // shard = h mod 8, pos = 0-based rank of (h, doc_id) within shard
+    "q_sample_shards" -> {
+      val a = TextAnalysis.hashA(19)
+      val b = TextAnalysis.hashB(19)
+      s"""WITH h AS (
+         |  SELECT doc_id, ((doc_id % $P) * $a + $b) % $P AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM h""".stripMargin
+    },
 
     "q_sample_weighted" -> {
       val a = TextAnalysis.hashA(7)

@@ -224,6 +224,14 @@ object SimilarityQueries {
       Similarity.hammingTopK(emb.where(col("vec_id") < 8), emb, k = 5, nPlanes = 48)
     }),
 
+    // batch linear-classifier inference (graft.ml.Inference): argmax
+    // class + fixed-point score + runner-up margin per vector — the
+    // "apply the quality/topic model to the whole corpus" step, as a
+    // map-only codegen'd projection (no UDF, no shuffle)
+    "q_infer_linear" -> ((s, dir) =>
+      graft.ml.Inference.linearClassify(Tables(s, dir, "embeddings"),
+        nClasses = 4)),
+
     // reciprocal-rank fusion of the LSH and IVF retriever rankings —
     // consensus top-k, fixed-point RRF scores
     "q_sim_rrf" -> ((s, dir) => {
@@ -514,6 +522,27 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    // mirrors Inference.linearClassify: same integer weight grid
+    // w(c,d) = ((c·64+1+d)·2654435761) mod 1000003 − 501001 (d 0-based),
+    // floor(x·w) BIGINT sums, argmax by (score desc, class asc), margin
+    // vs the rank-2 class
+    "q_infer_linear" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, u.c AS c,
+         |    CAST(list_sum(list_transform(embedding, (x, i) ->
+         |      CAST(floor(CAST(x AS DOUBLE) *
+         |        CAST((((u.c * 64 + 1 + (i - 1)) * 2654435761) % 1000003) - 501001
+         |          AS DOUBLE)) AS BIGINT))) AS BIGINT) AS score_s
+         |  FROM embeddings, unnest(range(4)) AS u(c)),
+         |r AS (
+         |  SELECT vec_id, c, score_s,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score_s DESC, c) AS rk
+         |  FROM s)
+         |SELECT a.vec_id, CAST(a.c AS BIGINT) AS pred_class,
+         |  a.score_s AS pred_score_s, a.score_s - b.score_s AS margin_s
+         |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2""".stripMargin,
 
     "q_sim_rrf" -> {
       // the two retriever oracles embed verbatim as derived tables — a

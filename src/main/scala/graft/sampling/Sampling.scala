@@ -191,4 +191,41 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w).cast("long"))
       .where(col(rankCol) <= n)
   }
+
+  /** Full-range salted key hash in [0, P): the pre-bucket value behind
+    * [[hashBucket]], for uses that need more than 1000 distinct values
+    * (shard assignment, shuffle ordering). Same non-negative-key
+    * contract as [[hashBucket]].
+    */
+  def saltedKeyHash(key: Column, salt: Int): Column =
+    ((key % P) * lit(TextAnalysis.hashA(salt)) + lit(TextAnalysis.hashB(salt))) % P
+
+  /** Deterministic corpus shuffle for training export: every row gets a
+    * pseudo-random but reproducible (shard, pos) — shard = salted key
+    * hash mod nShards, pos = rank of the hash within its shard. The
+    * standard pre-training step "globally shuffle the corpus, then
+    * write N shards the loader reads sequentially", WITHOUT
+    * `orderBy(rand())`'s partitioning/run dependence: the same (key,
+    * salt, nShards) always produces the same placement, on any cluster,
+    * so an export can be re-run, resumed or audited byte-for-byte.
+    * Changing `salt` draws an independent permutation per epoch.
+    *
+    * Scale shape: one hash shuffle on shard plus a per-shard sort —
+    * exactly the job the sharded write performs anyway (pos IS the
+    * within-file row order; write with
+    * repartition(shard) + sortWithinPartitions(pos)). Pick nShards ≈
+    * corpus_bytes / target_file_size (~100k 1 GB shards at 100 TB) so a
+    * shard is one output file and the per-shard window sorts one file's
+    * rows, never a hot partition.
+    */
+  def shuffleToShards(df: DataFrame, keyCol: String, nShards: Int,
+      salt: Int = 0): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val withH = df.withColumn("_h", saltedKeyHash(col(keyCol), salt))
+      .withColumn("shard", (col("_h") % nShards).cast("long"))
+    // hash ties are broken by the key, so pos is total and reproducible
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(keyCol))
+    withH.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
 }

@@ -228,4 +228,25 @@ class DedupSpec extends SparkTestBase {
     assert(inc === expected)
     assert(inc.nonEmpty, "fixture must produce cross-batch candidates")
   }
+
+  test("repeatedSpans merges sliding 3-gram hits into maximal islands") {
+    // "a b c d" appears in 4 docs (twice in doc 1), so its two 3-grams
+    // reach the corpus count threshold; every other 3-gram is unique
+    val d = docs(
+      1L -> "a b c d x y z q a b c d", // hits at 0-2,1-3 and 8-10,9-11
+      2L -> "a b c d k k2 k3",         // hits at 0-2,1-3
+      3L -> "p a b c d r rr",          // hits at 1-3,2-4
+      4L -> "m mm a b c d")            // hits at 2-4,3-5
+    val out = Dedup.repeatedSpans(d, n = 3, minCount = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // overlapping hits merge; the two doc-1 occurrences are separated by
+    // unique tokens and stay distinct spans
+    assert(out === Set(
+      (1L, 0L, 3L, 4L), (1L, 8L, 11L, 4L),
+      (2L, 0L, 3L, 4L),
+      (3L, 1L, 4L, 4L),
+      (4L, 2L, 5L, 4L)))
+  }
 }

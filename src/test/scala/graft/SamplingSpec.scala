@@ -140,4 +140,24 @@ class SamplingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("shuffleToShards: reproducible placement, complete, contiguous pos") {
+    val d = docs(500)
+    def run(input: org.apache.spark.sql.DataFrame, salt: Int) =
+      Sampling.shuffleToShards(input, "doc_id", nShards = 8, salt = salt)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val p1 = run(d, salt = 1)
+    // same (key, salt, nShards) → identical placement on any partitioning
+    assert(run(d.repartition(7), salt = 1) === p1)
+    // complete: every key placed exactly once
+    assert(p1.keySet === (1L to 500L).toSet)
+    // per shard, pos is exactly 0..count-1 (a permutation, no gaps)
+    p1.values.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).toSeq.sorted
+      assert(ps === (0L until ps.length.toLong), s"shard $shard pos not contiguous")
+    }
+    // a different salt draws a different permutation
+    assert(run(d, salt = 2) !== p1)
+  }
 }
