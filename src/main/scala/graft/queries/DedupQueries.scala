@@ -650,7 +650,16 @@ object DedupQueries {
          |  CAST(max(end_tok) - min(start_tok) + 1 AS BIGINT) AS span_len
          |FROM spans GROUP BY doc_id, span_id""".stripMargin,
 
-    "q_dedup_embedding" ->
+    // the cosine is the TOTAL form (zero-norm pair → −2 sentinel, same
+    // as Similarity.cosine) so a degenerate vector can never pair
+    "q_dedup_embedding" -> {
+      val cosExpr =
+        """(CASE WHEN a.norm > 0 AND b.norm > 0
+          |    THEN CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          |      p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
+          |    AS BIGINT) AS DOUBLE)
+          |    / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE))
+          |    ELSE -2.0 END)""".stripMargin
       s"""WITH v AS (
          |  SELECT label AS block, vec_id, embedding,
          |    CAST(list_sum(list_transform(embedding,
@@ -658,14 +667,9 @@ object DedupQueries {
          |      AS BIGINT) AS norm
          |  FROM embeddings)
          |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         |  CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-         |      p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
-         |    AS BIGINT) AS DOUBLE)
-         |    / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) AS cosine
+         |  $cosExpr AS cosine
          |FROM v a JOIN v b ON a.block = b.block AND a.vec_id < b.vec_id
-         |WHERE CAST(CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-         |      p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
-         |    AS BIGINT) AS DOUBLE)
-         |    / sqrt(CAST(a.norm AS DOUBLE) * CAST(b.norm AS DOUBLE)) >= 0.5""".stripMargin
+         |WHERE $cosExpr >= 0.5""".stripMargin
+    }
   )
 }

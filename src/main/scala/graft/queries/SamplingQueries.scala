@@ -65,6 +65,27 @@ object SamplingQueries {
       Sampling.shuffleToShards(Tables(s, dir, "documents"), keyCol = "doc_id",
         nShards = 8, salt = 19)
         .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // export pipeline COMPOSITION (the sampling-family flagship, peer of
+    // q_pipeline_curation/_dedup/_embeddings): exact-dedup keep →
+    // deterministic shuffle-to-shards (salt 23) → per-shard manifest
+    // (doc count, token mass, first/last doc in shard order) — the
+    // final "write the training corpus" accounting
+    "q_pipeline_export" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val kept = graft.dedup.Dedup.exact(docs)
+        .where(col("is_kept")).select("doc_id")
+      val corpus = docs.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.shuffleToShards(corpus, keyCol = "doc_id", nShards = 8, salt = 23)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          min_by(col("doc_id"), col("pos")).as("first_doc"),
+          max_by(col("doc_id"), col("pos")).as("last_doc"))
     })
   )
 
@@ -86,6 +107,32 @@ object SamplingQueries {
         |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
         |  FROM documents)
         |WHERE rank <= 8""".stripMargin,
+
+    // mirrors the export composition: the exact-dedup twin embeds
+    // verbatim from DedupQueries (one definition for both faces), then
+    // the same salted shard hash, then per-shard arg_min/arg_max by pos
+    "q_pipeline_export" -> {
+      val a = TextAnalysis.hashA(23)
+      val b = TextAnalysis.hashB(23)
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      s"""WITH kept AS (
+         |  SELECT doc_id FROM (${DedupQueries.exactDedupSql}) WHERE is_kept),
+         |corpus AS (
+         |  SELECT d.doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |h AS (
+         |  SELECT doc_id, n_tokens, ((doc_id % $P) * $a + $b) % $P AS h
+         |  FROM corpus),
+         |p AS (
+         |  SELECT doc_id, n_tokens, CAST(h % 8 AS BIGINT) AS shard,
+         |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS pos
+         |  FROM h)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  arg_min(doc_id, pos) AS first_doc,
+         |  arg_max(doc_id, pos) AS last_doc
+         |FROM p GROUP BY shard""".stripMargin
+    },
 
     // mirrors Sampling.shuffleToShards: same full-range salted hash,
     // shard = h mod 8, pos = 0-based rank of (h, doc_id) within shard

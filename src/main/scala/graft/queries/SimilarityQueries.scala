@@ -21,13 +21,18 @@ object SimilarityQueries {
       |  p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1000000.0) AS BIGINT)))
       |  AS BIGINT)""".stripMargin
 
-  /** cosine from two embedding expressions, via fixed-point parts */
+  /** cosine from two embedding expressions, via fixed-point parts —
+    * the TOTAL twin of Similarity.cosine: zero-norm inputs yield the
+    * −2 sentinel instead of 0/0
+    */
   private def cosineSql(a: String, b: String): String = {
     val dot = dotSql.format(a, b)
     val na = dotSql.format(a, a)
     val nb = dotSql.format(b, b)
-    s"""CAST($dot AS DOUBLE) /
-       |      sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))""".stripMargin
+    s"""(CASE WHEN $na > 0 AND $nb > 0
+       |      THEN CAST($dot AS DOUBLE) /
+       |        sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))
+       |      ELSE -2.0 END)""".stripMargin
   }
 
   /** Rotated view of the embedding for LSH table `t` — the SQL twin of

@@ -156,7 +156,21 @@ object TextQueries {
     // stride 32 (map-only sequence+explode+slice)
     "q_text_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables(s, dir, "documents"),
-        window = 64, stride = 32))
+        window = 64, stride = 32)),
+
+    // vocabulary construction: top-500 tokens by corpus frequency with
+    // dense (count desc, token asc) vocab ids — the tokenizer-training
+    // step (TakeOrdered cut; id window bounded by the knob)
+    "q_text_vocab" -> ((s, dir) =>
+      TextAnalysis.buildVocab(Tables(s, dir, "documents"), maxVocab = 500)),
+
+    // OOV coverage vs a deliberately small (200-token) vocab so the
+    // out-of-vocabulary tail is non-trivial — the freeze-the-tokenizer
+    // go/no-go metric
+    "q_text_oov" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.oovStats(docs, TextAnalysis.buildVocab(docs, maxVocab = 200))
+    })
   )
 
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
@@ -447,6 +461,40 @@ object TextQueries {
          |  least(chunk_id * 32 + 64, n) AS tok_end,
          |  array_to_string(t[chunk_id * 32 + 1 : least(chunk_id * 32 + 64, n)], ' ')
          |    AS chunk_text
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // mirrors TextAnalysis.buildVocab: same whitespace tokens, count
+    // desc + token asc ordering, dense 0-based vocab ids over the cut
+    "q_text_vocab" ->
+      s"""WITH t AS (
+         |  SELECT unnest($toks) AS token FROM documents),
+         |c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t WHERE token != '' GROUP BY token)
+         |SELECT token, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT)
+         |    AS vocab_id
+         |FROM c ORDER BY cnt DESC, token LIMIT 500""".stripMargin,
+
+    // mirrors TextAnalysis.oovStats over the 200-token buildVocab cut:
+    // instances left-joined to the vocab, one per-doc aggregate, the
+    // fraction as one BIGINT/BIGINT→DOUBLE division
+    "q_text_oov" ->
+      s"""WITH ti AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents),
+         |inst AS (SELECT doc_id, token FROM ti WHERE token != ''),
+         |c AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM inst GROUP BY token),
+         |v AS (
+         |  SELECT token FROM c ORDER BY cnt DESC, token LIMIT 200),
+         |j AS (
+         |  SELECT i.doc_id,
+         |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM inst i LEFT JOIN v USING (token))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_frac
+         |FROM j GROUP BY doc_id""".stripMargin
   )
 }

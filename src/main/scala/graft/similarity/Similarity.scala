@@ -60,9 +60,19 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
 
-  /** Cosine from fixed-point parts — deterministic double. */
+  /** Cosine from fixed-point parts — deterministic double, and TOTAL:
+    * when either norm is zero the cosine is undefined and the −2
+    * sentinel (below any real cosine) is returned, so degenerate
+    * vectors rank last, never clear a similarity threshold, and
+    * tie-break deterministically in assignments. The guard is not
+    * cosmetic: under Spark's default ANSI mode an unguarded 0/0 does
+    * not produce NaN — it THROWS DIVIDE_BY_ZERO and kills the whole
+    * job on the first corrupt row.
+    */
   def cosine(dot: Column, n1: Column, n2: Column): Column =
-    dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
+    when(n1 > 0 && n2 > 0,
+      dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double")))
+      .otherwise(lit(-2.0))
 
   /** Brute-force cosine top-k: for every query vector, the k most
     * similar non-identical vectors. Queries are broadcast; candidates
@@ -651,6 +661,10 @@ object Similarity {
         normFp(col("embedding")).as("_norm"))
       .join(broadcast(cent), Seq(groupCol))
       .select(col("vec_id"), col(groupCol),
+        // a zero (corrupt) vector has no defined cosine; [[cosine]]'s
+        // −2 sentinel lands it below every minCosine — flagged, which
+        // is exactly what outlier detection is FOR (an unguarded 0/0
+        // would instead throw under ANSI mode and kill the query)
         cosine(dotFp(col("embedding"), col("c_emb")),
           col("_norm"), col("c_norm")).as("cos_centroid"))
       .withColumn("is_outlier", col("cos_centroid") < minCosine)

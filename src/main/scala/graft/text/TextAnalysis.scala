@@ -455,4 +455,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
         col("df"), col("score_s"))
   }
+
+  /** Vocabulary construction — the tokenizer-training step: the top
+    * `maxVocab` whitespace tokens by corpus frequency, with dense
+    * contiguous vocab ids in (count desc, token asc) order. Returns
+    * (token, cnt, vocab_id), vocab_id ∈ [0, maxVocab).
+    *
+    * Scale shape: one partial-aggregated groupBy on the token string;
+    * the top-V cut plans as TakeOrdered (bounded by the parameter, no
+    * full sort), and the id window runs over the V RETAINED rows only —
+    * a single partition of maxVocab rows, bounded by the knob, not the
+    * corpus.
+    */
+  def buildVocab(docs: DataFrame, maxVocab: Int): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(maxVocab)
+      .withColumn("vocab_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary measurement: per document,
+    * total token instances, instances whose token is absent from
+    * `vocab`, and the OOV fraction — the go/no-go metric read before
+    * freezing a tokenizer. Documents with no tokens produce no row
+    * (coverage of nothing is undefined).
+    *
+    * Scale shape: the vocab is maxVocab-bounded by construction and
+    * broadcasts; token instances flow map-side through the broadcast
+    * left join into ONE partial-aggregated per-doc count — the only
+    * shuffle is on doc_id.
+    */
+  def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(vocab.select(col("token"), lit(true).as("in_vocab"))),
+        Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
 }

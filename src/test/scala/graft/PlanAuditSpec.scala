@@ -68,6 +68,19 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     assert(partitionKeys(s.head) == Seq("canon_hash"))
   }
 
+  test("shard shuffle is ONE exchange on shard; inference plans no exchange") {
+    // shuffleToShards' contract: the only data movement is the hash
+    // shuffle on shard (the window sort happens inside the shard
+    // partition — the same layout the sharded write needs anyway)
+    val s = shuffles(plan("q_sample_shards"))
+    assert(s.size == 1, s"q_sample_shards expected 1 shuffle, got ${s.size}")
+    assert(partitionKeys(s.head) == Seq("shard"))
+    // batch inference is a pure projection — a shuffle appearing here
+    // means the argmax regressed to an aggregate/window formulation
+    assert(shuffles(plan("q_infer_linear")).isEmpty,
+      "q_infer_linear must stay map-only")
+  }
+
   test("coverages: both island sides window on (trs1_id, trs2_id) over one exchange each") {
     val p = plan("q_coverages")
     val w = windows(p)

@@ -187,6 +187,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(out === Map(0L -> false, 1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("centroidOutliers flags zero vectors (undefined cosine → sentinel)") {
+    import spark.implicits._
+    // a corrupt all-zero embedding has no defined cosine to any
+    // centroid; NaN < minCosine would be FALSE, silently passing the
+    // exact row outlier detection exists to catch — the −2 sentinel
+    // flags it instead
+    val d = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0f, 0f), 0))   // corrupt: all-zero
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.centroidOutliers(d, "label", minCosine = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(rows(2L) === ((-2.0, true)), "zero vector must be flagged")
+    assert(!rows(0L)._2 && !rows(1L)._2)
+    assert(!rows.values.exists(_._1.isNaN), "no NaN may escape the operator")
+  }
+
   test("semanticDedup keeps the lowest-id representative per neighborhood") {
     // cells seed from ids 0 and 1; v2 is a near-dup of v0 (same cell),
     // v3 is orthogonal to everything (cell tie → lowest cell id) and kept

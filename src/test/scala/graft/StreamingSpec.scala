@@ -325,6 +325,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("linear inference runs unchanged on streams (stateless map-only face)") {
+    // linearClassify is a pure projection — the same function drives
+    // the batch oracle query and a streaming embedding feed
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.tabulate(6)(d => ((i * 11 + d * 5) % 17 - 8).toFloat / 3f)))
+    def collectC(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(rows: _*)
+    val q = graft.ml.Inference.linearClassify(
+        input.toDF().toDF("vec_id", "embedding"), nClasses = 4)
+      .writeStream.format("memory").queryName("infer_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = collectC(spark.table("infer_stream"))
+      val exp = collectC(graft.ml.Inference.linearClassify(
+        rows.toDF("vec_id", "embedding"), nClasses = 4))
+      assert(got === exp)
+      assert(got.size === 40)
+    } finally q.stop()
+  }
+
   test("the native frequent-items aggregate runs in a streaming aggregation") {
     // TypedImperativeAggregate buffers must serialize across streaming
     // state-store boundaries (the percentile_approx protocol) — this

@@ -243,4 +243,37 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(p >= 0.0 && p <= 1.0); assert(q >= 0.0 && q <= 1.0)
     }
   }
+
+  test("buildVocab: frequency-ranked dense ids, token tie-break, hard cut") {
+    val d = docs(
+      1L -> "b b b a a c",
+      2L -> "a b z")
+    // counts: b=4, a=3, z=1, c=1 → ids b:0 a:1 c:2 z:3 (count desc,
+    // token asc on the tie)
+    val full = TextAnalysis.buildVocab(d, maxVocab = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full === Map("b" -> ((4L, 0L)), "a" -> ((3L, 1L)),
+      "c" -> ((1L, 2L)), "z" -> ((1L, 3L))))
+    // the cut keeps exactly the top-V by the same ordering
+    val cut = TextAnalysis.buildVocab(d, maxVocab = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(cut === Set("b", "a"))
+  }
+
+  test("oovStats counts instances outside the vocab, skips empty docs") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "a b a q",  // q is OOV → 1/4
+      2L -> "q r",      // all OOV → 2/2
+      3L -> "a b",      // none OOV
+      4L -> "")         // no tokens → no row
+    val vocab = Seq("a", "b").toDF("token")
+    val out = TextAnalysis.oovStats(d, vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((4L, 1L, 0.25)),
+      2L -> ((2L, 2L, 1.0)),
+      3L -> ((2L, 0L, 0.0))))
+  }
 }
