@@ -67,6 +67,20 @@ object SamplingQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // incremental shard assignment (daily drop): docs < 300 are the
+    // already-exported history (only its per-shard counts load); the
+    // rest append after each shard's high-water mark, same salt
+    "q_sample_shards_inc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val counts = Sampling.shuffleToShards(docs.where(col("doc_id") < 300),
+          keyCol = "doc_id", nShards = 8, salt = 19)
+        .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      Sampling.shuffleToShardsIncremental(docs.where(col("doc_id") >= 300),
+          counts, keyCol = "doc_id", nShards = 8, salt = 19)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // export pipeline COMPOSITION (the sampling-family flagship, peer of
     // q_pipeline_curation/_dedup/_embeddings): exact-dedup keep →
     // deterministic shuffle-to-shards (salt 23) → per-shard manifest
@@ -132,6 +146,29 @@ object SamplingQueries {
          |  arg_min(doc_id, pos) AS first_doc,
          |  arg_max(doc_id, pos) AS last_doc
          |FROM p GROUP BY shard""".stripMargin
+    },
+
+    // mirrors the incremental composition: history contributes only its
+    // per-shard counts; the batch ranks within itself and offsets
+    "q_sample_shards_inc" -> {
+      val a = TextAnalysis.hashA(19)
+      val b = TextAnalysis.hashB(19)
+      s"""WITH hh AS (
+         |  SELECT doc_id, ((doc_id % $P) * $a + $b) % $P AS h FROM documents),
+         |hist AS (
+         |  SELECT CAST(h % 8 AS BIGINT) AS shard,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM hh WHERE doc_id < 300 GROUP BY 1),
+         |b AS (
+         |  SELECT doc_id, h, CAST(h % 8 AS BIGINT) AS shard
+         |  FROM hh WHERE doc_id >= 300),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos0
+         |  FROM b)
+         |SELECT p.doc_id, p.shard,
+         |  CAST(p.pos0 + coalesce(hist.n_rows, 0) AS BIGINT) AS pos
+         |FROM p LEFT JOIN hist USING (shard)""".stripMargin
     },
 
     // mirrors Sampling.shuffleToShards: same full-range salted hash,

@@ -228,4 +228,25 @@ object Sampling {
     withH.withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_h")
   }
+
+  /** Incremental shard assignment — the daily-drop face of
+    * [[shuffleToShards]] (the placement member of the incremental
+    * family next to `Dedup.exactIncremental` and
+    * `Ids.extendDictionary`): rows already exported NEVER move — their
+    * (shard, pos) is on disk — and the new batch appends after each
+    * shard's high-water mark. `shardCounts(shard, n_rows)` is the
+    * persisted per-shard manifest of everything already placed (the
+    * export pipeline's manifest carries exactly this); only the counts
+    * load, never the placed rows. The hash is salt-stable, so a key's
+    * shard never changes across drops; pos continues at
+    * n_rows + rank-within-batch. The manifest is nShards rows —
+    * always broadcast.
+    */
+  def shuffleToShardsIncremental(df: DataFrame, shardCounts: DataFrame,
+      keyCol: String, nShards: Int, salt: Int = 0): DataFrame =
+    shuffleToShards(df, keyCol, nShards, salt)
+      .join(broadcast(shardCounts.select(col("shard"), col("n_rows"))),
+        Seq("shard"), "left")
+      .withColumn("pos", col("pos") + coalesce(col("n_rows"), lit(0L)))
+      .drop("n_rows")
 }

@@ -160,4 +160,35 @@ class SamplingSpec extends SparkTestBase {
     // a different salt draws a different permutation
     assert(run(d, salt = 2) !== p1)
   }
+
+  test("incremental shards: history never moves, batch appends per shard") {
+    val d = docs(400)
+    val history = d.where(col("doc_id") <= 300)
+    val batch = d.where(col("doc_id") > 300)
+    val placedHist = Sampling.shuffleToShards(history, "doc_id", nShards = 4, salt = 3)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val counts = Sampling.shuffleToShards(history, "doc_id", nShards = 4, salt = 3)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+    val placedInc = Sampling.shuffleToShardsIncremental(batch, counts,
+        "doc_id", nShards = 4, salt = 3)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same hash → a key's shard matches what a full run would assign
+    val fullShards = Sampling.shuffleToShards(d, "doc_id", nShards = 4, salt = 3)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    placedInc.foreach { case (id, shard, _) =>
+      assert(shard === fullShards(id), s"doc $id changed shard")
+    }
+    // batch pos continues at each shard's high-water mark, no collisions
+    val histByShard = placedHist.groupBy(_._2)
+    placedInc.groupBy(_._2).foreach { case (shard, rows) =>
+      val histN = histByShard.get(shard).map(_.length).getOrElse(0)
+      val ps = rows.map(_._3).sorted
+      assert(ps.head === histN.toLong, s"shard $shard must append at $histN")
+      assert(ps.toSeq === (histN.toLong until (histN + ps.length).toLong),
+        s"shard $shard increment pos not contiguous")
+    }
+  }
 }
