@@ -221,6 +221,11 @@ object Sampling {
   def shuffleToShards(df: DataFrame, keyCol: String, nShards: Int,
       salt: Int = 0): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // same guard as capPerGroup's rankCol: silently overwriting an
+    // existing shard/pos column would corrupt caller data
+    Seq("shard", "pos", "_h").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column")
+    }
     val withH = df.withColumn("_h", saltedKeyHash(col(keyCol), salt))
       .withColumn("shard", (col("_h") % nShards).cast("long"))
     // hash ties are broken by the key, so pos is total and reproducible
