@@ -100,6 +100,51 @@ class PropertySpec extends SparkTestBase {
     assert(got === label.toMap)
   }
 
+  test("repeatedSpans == brute-force gram count + span merge on random corpora") {
+    val rnd = new Random(21)
+    // a 4-token vocabulary over 40 docs (≤64 distinct 3-grams vs ~600
+    // occurrences) guarantees corpus-frequent grams AND rare ones
+    val corpus = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(28)
+      id -> Seq.fill(n)("t" + rnd.nextInt(4)).mkString(" ")
+    }
+    val got = graft.dedup.Dedup.repeatedSpans(corpus.toDF("doc_id", "text"),
+        n = 3, minCount = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force over token STRINGS (the engine works on hashes; a
+    // collision between distinct grams mod 1e9+7 would fail this)
+    val occ = corpus.flatMap { case (id, t) =>
+      val toks = t.split(" ")
+      (0 to toks.length - 3).map(i => (id, i, toks.slice(i, i + 3).toSeq))
+    }
+    val counts = occ.groupBy(_._3).map { case (g, os) => g -> os.size }
+    val hits = occ.filter(o => counts(o._3) >= 4).map(o => (o._1, o._2, o._2 + 2))
+    val want = hits.groupBy(_._1).flatMap { case (id, hs) =>
+      val sorted = hs.map(h => (h._2, h._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, (s, e)) => List((s, e))
+        case ((cs, ce) :: rest, (s, e)) =>
+          if (s <= ce + 1) (cs, math.max(ce, e)) :: rest
+          else (s, e) :: (cs, ce) :: rest
+      }
+      merged.map { case (s, e) => (id, s.toLong, e.toLong, (e - s + 1).toLong) }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must produce repeated spans")
+  }
+
+  test("shuffleToShards spreads a sequential keyspace near-uniformly") {
+    // sequential ids are the common (worst) input — the multiplicative
+    // hash must still balance shards, or one output file gets the corpus
+    val d = (1L to 2000L).toDF("doc_id")
+    val sizes = graft.sampling.Sampling.shuffleToShards(d, "doc_id", nShards = 8, salt = 5)
+      .groupBy("shard").count().collect().map(r => r.getLong(1))
+    assert(sizes.length === 8, "every shard must receive rows")
+    assert(sizes.max.toDouble / sizes.min <= 1.5,
+      s"shard skew too high: ${sizes.mkString(",")}")
+  }
+
   test("coverage percentages stay in [0,100] when lengths cover offsets") {
     val rnd = new Random(29)
     val tr = (1 to 300).map { _ =>
