@@ -42,7 +42,11 @@ object ScaleSmoke {
     "q_graph_pagerank",
     // the composed dedup pipeline: bands + pair join + 4 label rounds —
     // the query where a hot bucket or label-round skew would compound
-    "q_pipeline_dedup")
+    "q_pipeline_dedup",
+    // round-6 riders: sliding-gram explode + corpus count + join-back
+    // (the biggest new explode volume), the export composition's shard
+    // shuffle, and the vocab-build + broadcast OOV join
+    "q_dedup_repeated_spans", "q_pipeline_export", "q_text_oov")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -196,11 +196,11 @@ object Multimodal {
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
       features: Array[Long], decoded: Boolean)
 
-  /** The video-decode seam: the JDK ships no video codec, so video
-    * always stubs UNLESS a decoder is injected here — an ffmpeg-JNI (or
-    * any other) implementation plugs into [[extractFeatures]] without
-    * touching the pipeline shape. Must be Serializable: it is shipped
-    * inside the task closure and called executor-side, once per asset.
+  /** The video-decode seam: any decoder (an ffmpeg-JNI implementation,
+    * or the built-in [[MjpegAviDecoder]]) plugs into [[extractFeatures]]
+    * without touching the pipeline shape. Must be Serializable: it is
+    * shipped inside the task closure and called executor-side, once per
+    * asset.
     */
   trait VideoDecoder extends Serializable {
     /** `dims` stripe features for a decodable video payload, or None to
@@ -209,15 +209,75 @@ object Multimodal {
     def decode(payload: Array[Byte], dims: Int): Option[Array[Long]]
   }
 
+  /** REAL video decode for the one container family the JDK can fully
+    * handle: MJPEG-in-AVI. AVI is a documented RIFF container, and in
+    * the MJPEG variant every frame chunk (`##dc`/`##db` inside the
+    * `movi` LIST) is a standalone JPEG — which ImageIO decodes
+    * natively, no external codec. The parser walks the RIFF chunk tree
+    * with pure bounds-checked byte arithmetic (malformed input → None →
+    * stub fallback, never an exception), runs each frame through
+    * [[decodeImage]]'s luminance stripes, and averages per-stripe
+    * across frames with floor division — frame-order-fixed, so features
+    * are deterministic. Inter-frame codecs (H.264, VP9, …) still have
+    * no JDK decoder and keep riding the stub through the same seam.
+    */
+  object MjpegAviDecoder extends VideoDecoder {
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Frame chunk payloads from the RIFF tree; Nil when not an AVI. */
+    private[graft] def frames(b: Array[Byte]): Seq[Array[Byte]] = {
+      if (b == null || b.length < 12 ||
+        fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Nil
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def walk(start: Int, end: Int): Unit = {
+        var o = start
+        var ok = true
+        while (ok && o + 8 <= end) {
+          val id = fourcc(b, o)
+          val sz = le32(b, o + 4).toInt
+          val dataStart = o + 8
+          val dataEnd = dataStart + sz
+          if (sz < 0 || dataEnd > end) ok = false // malformed: stop here
+          else {
+            if (id == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
+            else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+              (id(3) == 'c' || id(3) == 'b') && sz > 0)
+              out += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
+            o = dataEnd + (sz & 1) // RIFF chunks are even-padded
+          }
+        }
+      }
+      walk(12, b.length)
+      out.toSeq
+    }
+
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Long]] = {
+      val fs = frames(payload)
+      if (fs.isEmpty) None
+      else {
+        val per = fs.flatMap(f => decodeImage(f, dims).map(_._3))
+        // container parsed but frames are not JDK-decodable images
+        // (a non-MJPEG AVI) → stub fallback
+        if (per.isEmpty) None
+        else Some(Array.tabulate(dims)(i => per.map(_(i)).sum / per.length))
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction — the mapInPandas-shaped
     * stage: one iterator in, one iterator out, constant memory per batch.
     * Dispatches to the real JDK decoder for the asset's modality and
-    * falls back to the stub for undecodable payloads; video goes through
-    * the injected [[VideoDecoder]] when one is provided, the stub
-    * otherwise (no JDK video codec exists).
+    * falls back to the stub for undecodable payloads; video decodes for
+    * real when the payload is an MJPEG AVI (the default
+    * [[MjpegAviDecoder]]) — inject another [[VideoDecoder]] for
+    * inter-frame codecs, or None to force the stub.
     */
   def extractFeatures(assets: DataFrame, dims: Int = 8,
-      videoDecoder: Option[VideoDecoder] = None): Dataset[AssetFeatures] = {
+      videoDecoder: Option[VideoDecoder] = Some(MjpegAviDecoder)): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "modality", "payload")
@@ -250,6 +310,29 @@ object Multimodal {
           i => substring(col("payload"), (i * frameBytes * stride) + 1, lit(frameBytes)))))
       .select(col("asset_id"), col("pos").as("frame_idx"),
         col("col").as("frame_payload"), length(col("col")).cast("long").as("frame_bytes"))
+  }
+
+  /** REAL frame sampling for MJPEG-AVI payloads — the decoded twin of
+    * [[sampleFrames]]: every `stride`-th ACTUAL video frame (a
+    * standalone JPEG, directly decodable downstream) instead of a byte
+    * window. Non-AVI payloads contribute no rows — the caller decides
+    * whether to fall back to the byte-window face. Same scale shape:
+    * per-asset flatMap inside mapPartitions, frames never shuffle
+    * unless the caller moves them.
+    */
+  def sampleFramesMjpeg(assets: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("modality") === "video")
+      .select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MjpegAviDecoder.frames(payload).zipWithIndex
+          .collect { case (f, i) if i % stride == 0 =>
+            (id, i.toLong, f, f.length.toLong)
+          }
+      })
+      .toDF("asset_id", "frame_idx", "frame_payload", "frame_bytes")
   }
 
   /** Byte-budget repartitioning: size partitions so that

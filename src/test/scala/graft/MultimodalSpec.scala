@@ -155,11 +155,85 @@ class MultimodalSpec extends SparkTestBase {
     assert(!out(1).decoded && out(1).features.toSeq ===
       Multimodal.decodeStub("opaque".getBytes).toSeq)
     assert(!out(2).decoded) // "VID0..." is not a real image → stub
-    // and with no decoder injected, the same video payload stubs —
-    // extractFeatures' behavior today, proven to flow through the seam
+    // and under the DEFAULT decoder (MjpegAviDecoder), a non-AVI video
+    // payload still stubs — the fallback flows through the same seam
     val plain = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
     assert(!plain(0).decoded && plain(0).features.toSeq ===
       Multimodal.decodeStub("VID0frames".getBytes).toSeq)
+  }
+
+  /** A real JPEG via the JDK encoder: constant gray at `level`. */
+  private def jpgBytes(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (level << 16) | (level << 8) | level)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** A minimal MJPEG AVI: RIFF('AVI ') holding one LIST('movi') of
+    * '00dc' JPEG frame chunks, even-padded — the container shape every
+    * MJPEG tool emits (the frame parser does not need hdrl).
+    */
+  private def mjpegAviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val chunks = frames.flatMap { f =>
+      val pad: Seq[Byte] = if (f.length % 2 == 1) Seq(0.toByte) else Seq.empty
+      "00dc".getBytes.toSeq ++ le32(f.length) ++ f.toSeq ++ pad
+    }
+    val movi = "movi".getBytes.toSeq ++ chunks
+    val list = "LIST".getBytes.toSeq ++ le32(movi.length) ++ movi
+    val body = "AVI ".getBytes.toSeq ++ list
+    ("RIFF".getBytes.toSeq ++ le32(body.length) ++ body).toArray
+  }
+
+  test("MjpegAviDecoder REALLY decodes MJPEG-AVI frames through ImageIO") {
+    val f1 = jpgBytes(32, 8, 40)
+    val f2 = jpgBytes(32, 8, 200)
+    val avi = mjpegAviBytes(Seq(f1, f2))
+    // the RIFF walk recovers both frame payloads byte-for-byte
+    assert(Multimodal.MjpegAviDecoder.frames(avi).map(_.toSeq) ===
+      Seq(f1.toSeq, f2.toSeq))
+    // features are the floor-averaged per-frame luminance stripes
+    val e1 = Multimodal.decodeImage(f1, 8).get._3
+    val e2 = Multimodal.decodeImage(f2, 8).get._3
+    val want = Array.tabulate(8)(i => (e1(i) + e2(i)) / 2).toSeq
+    assert(Multimodal.MjpegAviDecoder.decode(avi, 8).get.toSeq === want)
+    // and it is the DEFAULT video path of extractFeatures: a real AVI
+    // decodes for real, a non-AVI payload stubs
+    import spark.implicits._
+    val assets = Seq((0L, "video", avi), (1L, "video", "opaque".getBytes))
+      .toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(out(0).decoded && out(0).features.toSeq === want)
+    assert(!out(1).decoded)
+    // malformed input degrades, never throws: truncated mid-chunk, and
+    // a well-formed AVI whose frames are not JPEG (an inter-frame codec)
+    assert(Multimodal.MjpegAviDecoder.decode(avi.take(30), 8).isEmpty)
+    assert(Multimodal.MjpegAviDecoder
+      .decode(mjpegAviBytes(Seq("h264 nal units".getBytes)), 8).isEmpty)
+  }
+
+  test("sampleFramesMjpeg emits every stride-th REAL frame, skips non-AVI") {
+    import spark.implicits._
+    val fs = (0 until 5).map(l => jpgBytes(16, 8, 30 + l * 40))
+    val assets = Seq(
+      (0L, "video", mjpegAviBytes(fs)),
+      (1L, "video", "opaque".getBytes),       // not AVI → no rows
+      (2L, "image", mjpegAviBytes(fs)))       // not video → excluded
+      .toDF("asset_id", "modality", "payload")
+    val out = Multimodal.sampleFramesMjpeg(assets, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq))
+    assert(out.map(o => (o._1, o._2)).toSeq === Seq((0L, 0L), (0L, 2L), (0L, 4L)))
+    // emitted frames are the ORIGINAL JPEGs, byte-for-byte decodable
+    assert(out.map(_._3) === Seq(fs(0).toSeq, fs(2).toSeq, fs(4).toSeq))
+    out.foreach { case (_, _, f) =>
+      assert(Multimodal.decodeImage(f.toArray).isDefined)
+    }
   }
 
   test("repartitionByBytes sizes partitions by byte budget") {
