@@ -93,6 +93,40 @@ object Ingest {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").orc(path)
 
+  /** CSV write with header, gzip — the export twin of [[readCsv]], for
+    * consumers that want flat interchange files (spreadsheets, legacy
+    * loaders). Quoting/escaping stays at Spark's RFC-4180 defaults so
+    * commas/quotes/newlines in text round-trip — but records with
+    * embedded NEWLINES need [[readCsvMultiline]] on the way back in.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(path)
+
+  /** CSV read for files whose quoted fields may span lines. Named apart
+    * from [[readCsv]] deliberately: multiLine parsing cannot split a
+    * file across tasks (record boundaries are no longer line
+    * boundaries), so each FILE becomes one task — fine for interchange
+    * drops, wrong as the default for bulk scans.
+    */
+  def readCsvMultiline(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("multiLine", "true").csv(path)
+
+  /** XML read via Spark 4's NATIVE xml source (the spark-xml donation —
+    * in the core distribution, no external package): one row per
+    * `rowTag` element, schema inferred or caller-supplied. The format
+    * XML-era metadata corpora (TEI, METS/ALTO, library catalogs)
+    * actually arrive in.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.option("rowTag", rowTag).xml(path)
+
+  /** XML write, one `rowTag` element per row under `rootTag`. */
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+      rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag)
+      .option("rootTag", rootTag).xml(path)
+
   /** Schema-evolution parquet read: merge the per-file schemas into
     * their union instead of trusting the first footer sampled. The
     * long-corpus reality is that drops accumulate columns over months;

@@ -192,6 +192,41 @@ class IngestSpec extends SparkTestBase {
     assert(new File(path).listFiles().exists(_.getName.contains(".zstd.orc")))
   }
 
+  test("CSV round-trip: header + RFC-4180 quoting survives hostile text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/t.csv"
+    val src = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" value"),
+      (4L, "line\nbreak"))
+      .toDF("id", "s")
+    Ingest.writeCsv(src, path)
+    // embedded newlines require the multiLine reader (readCsv is the
+    // fast line-splittable face and would break such records apart)
+    val back = Ingest.readCsvMultiline(spark, path)
+      .select(col("id").cast("long").as("id"), col("s"))
+    assert(back.orderBy("id").collect().toSeq ===
+      src.orderBy("id").collect().toSeq)
+    assert(new File(path).listFiles().exists(_.getName.endsWith(".csv.gz")))
+  }
+
+  test("XML round-trip via Spark 4's native xml source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/t.xml"
+    val src = Seq((1L, "alpha & <beta>", 1.5), (2L, "ü 九", -0.5))
+      .toDF("id", "s", "v")
+    Ingest.writeXml(src, path, rowTag = "doc")
+    val back = Ingest.readXml(spark, path, rowTag = "doc")
+      .select(col("id").cast("long"), col("s"), col("v").cast("double"))
+    // entity escaping (&, <, >) and unicode must survive the round-trip
+    assert(back.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
+  }
+
   test("readParquetMerged unions evolved schemas; absent columns read null") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toFile
