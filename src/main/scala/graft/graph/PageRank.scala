@@ -100,7 +100,20 @@ object PageRank {
     require(scale > 0, s"scale must be positive, got $scale")
 
     val e = weightCol match {
-      case Some(w) => edges.select(col("src"), col("dst"), col(w).cast("long").as("w"))
+      case Some(w) =>
+        // weight contract, enforced in-plan: a ZERO-weight edge carries
+        // rank 0, so dropping it is exact — and it can then never zero a
+        // node's out-weight sum, which would crash ANSI `div` for the
+        // whole job on one degenerate row. A NEGATIVE weight has no
+        // PageRank semantics at all — that is corrupt data, and the
+        // filter's own predicate raises with the offending value (a
+        // guard the optimizer cannot reorder away, unlike a raise
+        // hidden in a projected column).
+        edges.select(col("src"), col("dst"), col(w).cast("long").as("w"))
+          .where(when(col("w") >= 0L, lit(true))
+            .otherwise(raise_error(concat(
+              lit("negative edge weight: "), col("w").cast("string")))))
+          .where(col("w") > 0L)
       case None => edges.select(col("src"), col("dst"), lit(1L).as("w"))
     }
     val deg = e.groupBy("src").agg(sum(col("w")).as("sw"))

@@ -89,6 +89,27 @@ class PageRankSpec extends SparkTestBase {
     assert(out === Map(1L -> 1000000L, 2L -> 787500L, 3L -> 362500L))
   }
 
+  test("zero-weight edges behave as absent; negative weights raise") {
+    import spark.implicits._
+    // without the guard, node 4's out-weight sum would be 0 and the
+    // ANSI `div` would kill the job; with it, a w=0 edge IS no edge
+    val withZero = Seq((1L, 2L, 3L), (1L, 3L, 1L), (3L, 1L, 2L), (4L, 1L, 0L))
+      .toDF("src", "dst", "w")
+    val without = Seq((1L, 2L, 3L), (1L, 3L, 1L), (3L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    assert(ranks(PageRank.run(withZero, iters = 2, weightCol = Some("w"))) ===
+      ranks(PageRank.run(without, iters = 2, weightCol = Some("w"))))
+    // a negative weight is corrupt data: loud failure naming the value
+    val neg = Seq((1L, 2L, 3L), (2L, 1L, -7L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      PageRank.run(neg, iters = 1, weightCol = Some("w")).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("negative edge weight")),
+      s"expected the weight-contract error, got: ${messages(ex)}")
+  }
+
   test("weight 1 everywhere reproduces the unweighted ranks exactly") {
     import spark.implicits._
     val pairs = (1L to 30L).flatMap(i => Seq(i -> (i % 30 + 1), i -> ((i + 11) % 30 + 1)))
