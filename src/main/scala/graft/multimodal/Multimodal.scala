@@ -340,6 +340,8 @@ object Multimodal {
     * batches inside executor memory at 100 TB.
     */
   def repartitionByBytes(assets: DataFrame, bytesPerPartition: Long): DataFrame = {
+    require(bytesPerPartition > 0,
+      s"bytesPerPartition must be positive, got $bytesPerPartition")
     val total = Option(assets.agg(sum("n_bytes")).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, math.ceil(total.toDouble / bytesPerPartition).toInt)

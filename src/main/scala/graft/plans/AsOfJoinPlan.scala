@@ -232,5 +232,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    // the native expressions as SQL functions (graft_rolling_hash, …)
+    graft.expressions.SqlFunctions.register(ext)
   }
 }

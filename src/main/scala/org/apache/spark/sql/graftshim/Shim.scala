@@ -41,4 +41,16 @@ object Shim {
     if (!exp.extraOptimizations.contains(r))
       exp.extraOptimizations = exp.extraOptimizations :+ r
   }
+
+  /** Runtime SQL-function registration on a live session (the
+    * counterpart of `SparkSessionExtensions.injectFunction` for
+    * sessions built without graft's extensions). registerFunction
+    * replaces an existing entry, so re-registration is idempotent.
+    */
+  def registerFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
 }
