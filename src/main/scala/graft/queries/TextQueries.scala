@@ -170,6 +170,22 @@ object TextQueries {
     "q_text_oov" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       TextAnalysis.oovStats(docs, TextAnalysis.buildVocab(docs, maxVocab = 200))
+    }),
+
+    // the SQL-surface face of the native expressions: the same three
+    // codegen'd loops the DataFrame queries use, called through
+    // spark.sql via the injected graft_* functions — oracle-checked so
+    // the SQL registration sits under the driver's gate, not only specs
+    "q_text_sql_functions" -> ((s, dir) => {
+      graft.expressions.SqlFunctions.ensureRegistered(s)
+      Tables(s, dir, "documents")
+        .createOrReplaceTempView("graft_sqlfns_documents")
+      s.sql("""
+        SELECT doc_id,
+          graft_rolling_hash(text) AS h,
+          graft_token_count(text) AS n_tokens,
+          graft_unicode_normalize(text, 'NFC') AS text_nfc
+        FROM graft_sqlfns_documents""")
     })
   )
 
@@ -462,6 +478,14 @@ object TextQueries {
          |  array_to_string(t[chunk_id * 32 + 1 : least(chunk_id * 32 + 64, n)], ' ')
          |    AS chunk_text
          |FROM c""".stripMargin,
+
+    // mirrors the SQL-function face: rolling hash = the charHash twin,
+    // token count = len of the whitespace split, NFC = nfc_normalize
+    "q_text_sql_functions" ->
+      s"""SELECT doc_id, ${charHash("text")} AS h,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  nfc_normalize(text) AS text_nfc
+         |FROM documents""".stripMargin,
 
     // mirrors TextAnalysis.buildVocab: same whitespace tokens, count
     // desc + token asc ordering, dense 0-based vocab ids over the cut
