@@ -228,30 +228,34 @@ object Multimodal {
     private def fourcc(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Frame chunk payloads from the RIFF tree; Nil when not an AVI. */
+    /** Frame chunk payloads from the RIFF tree; Nil when not an AVI.
+      * The walk uses an explicit worklist, not recursion: LIST nesting
+      * depth is attacker-controlled bytes, and a crafted
+      * deeply-nested payload must not overflow an executor stack.
+      */
     private[graft] def frames(b: Array[Byte]): Seq[Array[Byte]] = {
       if (b == null || b.length < 12 ||
         fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Nil
       val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      def walk(start: Int, end: Int): Unit = {
-        var o = start
-        var ok = true
-        while (ok && o + 8 <= end) {
+      // (cursor, end) regions still to scan; each iteration consumes one
+      // chunk and pushes at most one nested region — O(chunks) total
+      val work = scala.collection.mutable.Stack[(Int, Int)]((12, b.length))
+      while (work.nonEmpty) {
+        val (o, end) = work.pop()
+        if (o + 8 <= end) {
           val id = fourcc(b, o)
           val sz = le32(b, o + 4).toInt
           val dataStart = o + 8
           val dataEnd = dataStart + sz
-          if (sz < 0 || dataEnd > end) ok = false // malformed: stop here
-          else {
-            if (id == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
+          if (sz >= 0 && dataEnd <= end) { // else malformed: drop region
+            work.push((dataEnd + (sz & 1), end)) // continue after chunk
+            if (id == "LIST" && sz >= 4) work.push((dataStart + 4, dataEnd))
             else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
               (id(3) == 'c' || id(3) == 'b') && sz > 0)
               out += java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
-            o = dataEnd + (sz & 1) // RIFF chunks are even-padded
           }
         }
       }
-      walk(12, b.length)
       out.toSeq
     }
 

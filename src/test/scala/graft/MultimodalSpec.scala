@@ -217,6 +217,26 @@ class MultimodalSpec extends SparkTestBase {
       .decode(mjpegAviBytes(Seq("h264 nal units".getBytes)), 8).isEmpty)
   }
 
+  test("RIFF walk survives 50k-deep adversarial LIST nesting (no recursion)") {
+    // nesting depth is attacker-controlled bytes; a recursive walker
+    // would overflow the executor stack here
+    val depth = 50000
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // t(k) = bytes of k LIST wrappers around a 2-byte '00dc' chunk
+    def t(k: Int): Int = 10 + 12 * k
+    val baos = new java.io.ByteArrayOutputStream()
+    baos.write("RIFF".getBytes); baos.write(le32(4 + t(depth))); baos.write("AVI ".getBytes)
+    for (k <- depth to 1 by -1) {
+      baos.write("LIST".getBytes); baos.write(le32(4 + t(k - 1))); baos.write("movi".getBytes)
+    }
+    baos.write("00dc".getBytes); baos.write(le32(2)); baos.write(Array[Byte](1, 2))
+    val fs = Multimodal.MjpegAviDecoder.frames(baos.toByteArray)
+    assert(fs.map(_.toSeq) === Seq(Seq[Byte](1, 2)))
+    // and the frame is not a JPEG → decode falls back cleanly
+    assert(Multimodal.MjpegAviDecoder.decode(baos.toByteArray, 8).isEmpty)
+  }
+
   test("sampleFramesMjpeg emits every stride-th REAL frame, skips non-AVI") {
     import spark.implicits._
     val fs = (0 until 5).map(l => jpgBytes(16, 8, 30 + l * 40))
