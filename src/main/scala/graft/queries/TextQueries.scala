@@ -172,6 +172,18 @@ object TextQueries {
       TextAnalysis.oovStats(docs, TextAnalysis.buildVocab(docs, maxVocab = 200))
     }),
 
+    // probe-side contamination report: even-id docs stand in for the
+    // corpus, ids ≡ 1 (mod 10) for the benchmark probes — per probe:
+    // distinct grams, leaked grams, hit docs, leaked fraction (the
+    // "is this benchmark still valid" direction; q_text_contamination
+    // is the drop-documents direction)
+    "q_text_contamination_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.contaminationReport(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 10 === 1))
+    }),
+
     // the SQL-surface face of the native expressions: the same three
     // codegen'd loops the DataFrame queries use, called through
     // spark.sql via the injected graft_* functions — oracle-checked so
@@ -408,6 +420,34 @@ object TextQueries {
          |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |  coalesce(h.n_contaminated, 0) > 0 AS is_contaminated
          |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin
+    },
+
+    // mirrors TextAnalysis.contaminationReport: distinct probe grams,
+    // hash-join against corpus grams, distinct-gram/distinct-doc
+    // aggregates, one BIGINT/BIGINT→DOUBLE division
+    "q_text_contamination_report" -> {
+      val sh3 =
+        s"""CASE WHEN len(th) >= 3
+           |  THEN list_transform(range(len(th) - 2),
+           |    i -> (((th[i+1] * 131 + th[i+2]) % $P) * 131 + th[i+3]) % $P)
+           |  ELSE [] END""".stripMargin
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |cg AS (SELECT doc_id, unnest($sh3) AS g FROM tht WHERE doc_id % 2 = 0),
+         |pg AS (SELECT DISTINCT doc_id AS probe_id, unnest($sh3) AS g
+         |       FROM tht WHERE doc_id % 10 = 1),
+         |tot AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_grams
+         |        FROM pg GROUP BY probe_id),
+         |hits AS (
+         |  SELECT p.probe_id,
+         |    CAST(count(DISTINCT p.g) AS BIGINT) AS n_leaked_grams,
+         |    CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_hit_docs
+         |  FROM pg p JOIN cg c USING (g) GROUP BY p.probe_id)
+         |SELECT t.probe_id, t.n_grams,
+         |  CAST(coalesce(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+         |  CAST(coalesce(h.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+         |  CAST(coalesce(h.n_leaked_grams, 0) AS DOUBLE) /
+         |    CAST(t.n_grams AS DOUBLE) AS leaked_frac
+         |FROM tot t LEFT JOIN hits h USING (probe_id)""".stripMargin
     },
 
     "q_text_tfidf" ->

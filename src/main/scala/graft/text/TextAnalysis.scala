@@ -297,6 +297,40 @@ object TextAnalysis {
         (coalesce(col("n_contaminated"), lit(0L)) > 0L).as("is_contaminated"))
   }
 
+  /** The PROBE-side contamination report — the direction leakage is
+    * actually quantified in: for each benchmark item, how much of it
+    * leaked into the corpus. Per probe: its distinct n-gram count, how
+    * many of those grams appear anywhere in the corpus, the leaked
+    * fraction, and how many distinct corpus documents share at least
+    * one gram ([[contaminationScan]] is the corpus-side twin used to
+    * DROP documents; this one decides whether a benchmark is still
+    * valid to evaluate on).
+    *
+    * Scale shape: probe grams are the small side but corpus grams are
+    * not — the gram join shuffles on the 8-byte hash; both aggregates
+    * are partial (distinct-gram and distinct-doc counts collapse
+    * map-side). No text shuffles.
+    */
+  def contaminationReport(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
+    val corpusGrams = tokenHashTable(docs)
+      .select(col("doc_id"), explode(shingleHashes(col("th"), n)).as("g"))
+    val probeGrams = tokenHashTable(probes)
+      .select(col("doc_id").as("probe_id"),
+        explode(shingleHashes(col("th"), n)).as("g"))
+      .distinct()
+    val hits = probeGrams.join(corpusGrams, Seq("g"))
+      .groupBy("probe_id")
+      .agg(countDistinct(col("g")).as("n_leaked_grams"),
+        countDistinct(col("doc_id")).as("n_hit_docs"))
+    probeGrams.groupBy("probe_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+        (coalesce(col("n_leaked_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("leaked_frac"))
+  }
+
   /** Hashes of word n-gram shingles, derived from per-token hashes by
     * polynomial combination: h = fold(h*131 + th_j) mod p — an
     * engine-defined shingle hash that avoids re-hashing overlapping

@@ -244,6 +244,24 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationReport: leaked fraction per probe, unseen probes at 0") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six")
+    val probes = docs(
+      10L -> "alpha beta gamma delta epsilon", // fully leaked (copy of doc 1)
+      11L -> "nothing here matches corpus text at all",
+      12L -> "zz yy one two three four xx ww") // partial: "one two three","two three four"
+    val out = TextAnalysis.contaminationReport(corpus, probes)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(10L) === ((3L, 3L, 1L, 1.0)))
+    assert(out(11L)._2 === 0L)
+    assert(out(11L)._4 === 0.0)
+    assert(out(12L) === ((6L, 2L, 1L, 2.0 / 6.0)))
+  }
+
   test("buildVocab: frequency-ranked dense ids, token tie-break, hard cut") {
     val d = docs(
       1L -> "b b b a a c",
