@@ -553,6 +553,42 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
+  /** The REMOVAL face of [[repeatedSpans]] (detect → remediate, the
+    * same pairing as piiScan → redactPii): tokens covered by any
+    * maximal repeated region are cut and the survivors reassemble in
+    * order. Returns (doc_id, text_clean, n_tokens, n_removed) for EVERY
+    * input document — fully-repeated documents come back with empty
+    * text_clean, the all-boilerplate case a cleaning pass must surface,
+    * not drop.
+    *
+    * Scale shape: on top of the span pipeline, spans explode to their
+    * covered positions (output ≤ token count), one anti-join on
+    * (doc_id, pos), and one per-doc ordered reassembly — the same
+    * bounded collect_list the fixed-block [[dedupSpans]] carries.
+    */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 3,
+      minCount: Int = 4): DataFrame = {
+    val spans = repeatedSpans(docs, n, minCount)
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = toks
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** SimHash fingerprints via explode + grouped per-bit vote sums: bit j
     * of the fingerprint is the sign of sum over tokens of (bit j set in
     * the token hash ? +1 : -1). The token hash is computed once per

@@ -46,12 +46,45 @@ object Inference {
     */
   def linearClassify(vectors: DataFrame, nClasses: Int): DataFrame = {
     require(nClasses >= 2, s"nClasses must be >= 2, got $nClasses")
+    classifyByScores(vectors,
+      (0 until nClasses).map(c => classScore(col("embedding"), c)))
+  }
+
+  /** The TRAINED-model face: the caller supplies the weight matrix
+    * (class → per-dimension integer weights, e.g. a quantized logistic
+    * head), which ships as literal arrays in the plan — the broadcast-
+    * variable pattern without even a broadcast, since a classifier head
+    * is a few KB. Same fixed-point term contract as [[linearClassify]]
+    * (floor(x_d · w_cd) summed as BIGINT), same map-only plan, same
+    * output shape. Rows whose embedding is shorter than a weight row
+    * score only the shared prefix (zip_with pads with null → those
+    * terms drop out of the sum via coalesce-to-zero).
+    */
+  def linearClassifyWeights(vectors: DataFrame,
+      weights: Seq[Seq[Long]]): DataFrame = {
+    require(weights.size >= 2, s"need >= 2 classes, got ${weights.size}")
+    require(weights.forall(_.size == weights.head.size),
+      "all weight rows must have the same width")
+    val scores = weights.map { w =>
+      val wCol = array(w.map(lit): _*)
+      aggregate(
+        zip_with(col("embedding"), wCol, (x, wv) =>
+          coalesce(floor(x.cast("double") * wv.cast("double")).cast("long"),
+            lit(0L))),
+        lit(0L), (acc, t) => acc + t)
+    }
+    classifyByScores(vectors, scores)
+  }
+
+  /** Shared argmax/margin projection over per-class score columns. */
+  private def classifyByScores(vectors: DataFrame,
+      scores: Seq[Column]): DataFrame = {
     // struct sort order: score desc, then negc desc = class asc — the
     // array_sort(desc) pulls (highest score, lowest class) to slot 1
-    val scores = (0 until nClasses).map(c =>
-      struct(classScore(col("embedding"), c).as("score_s"),
-        lit(-c.toLong).as("negc")))
-    val sorted = sort_array(array(scores: _*), asc = false)
+    val tagged = scores.zipWithIndex.map { case (s, c) =>
+      struct(s.as("score_s"), lit(-c.toLong).as("negc"))
+    }
+    val sorted = sort_array(array(tagged: _*), asc = false)
     vectors.select(col("vec_id"),
       (-element_at(sorted, 1).getField("negc")).as("pred_class"),
       element_at(sorted, 1).getField("score_s").as("pred_score_s"),

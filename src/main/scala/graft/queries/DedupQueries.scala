@@ -189,7 +189,13 @@ object DedupQueries {
     // frequent 3-grams mark their token positions; marks merge into
     // islands
     "q_dedup_repeated_spans" -> ((s, dir) =>
-      Dedup.repeatedSpans(Tables(s, dir, "documents"), n = 3, minCount = 4))
+      Dedup.repeatedSpans(Tables(s, dir, "documents"), n = 3, minCount = 4)),
+
+    // the removal face: tokens under any maximal repeated region are
+    // cut, survivors reassemble in order (detect → remediate, like
+    // piiScan → redactPii)
+    "q_dedup_repeated_clean" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(Tables(s, dir, "documents"), n = 3, minCount = 4))
   )
 
   // MinHash signature as SQL: k salted minima over shingle hashes, with
@@ -201,6 +207,35 @@ object DedupQueries {
 
   private def simhashMaskSql(bits: Int): String =
     (0 until bits).map(j => 1L << j).mkString("[", ", ", "]")
+
+  /** Shared CTE chain of the repeated-spans family (token hashes →
+    * sliding 3-gram hashes with positions → corpus-frequent hits →
+    * islands): the detection oracle aggregates `spans` directly; the
+    * removal oracle extends the same chain — one definition, no twin
+    * drift.
+    */
+  private val repeatedSpansChainSql: String =
+    s"""th AS (SELECT doc_id, $thSql AS th FROM documents),
+       |sh AS (SELECT doc_id, $shingleHashSql AS sh FROM th),
+       |occ AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, sh[CAST(u.i AS INT) + 1] AS g
+       |  FROM sh, unnest(range(len(sh))) AS u(i)),
+       |freq AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 4),
+       |hits AS (
+       |  SELECT o.doc_id, o.pos AS start_tok, o.pos + 2 AS end_tok
+       |  FROM occ o JOIN freq USING (g)),
+       |flagged AS (
+       |  SELECT doc_id, start_tok, end_tok,
+       |    CASE WHEN start_tok > coalesce(max(end_tok) OVER (
+       |        PARTITION BY doc_id ORDER BY start_tok
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_id, start_tok, end_tok,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start_tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM flagged)""".stripMargin
 
   /** Exact-dedup twin — its own oracle key, and embedded as a derived
     * table by the cross-family q_curation_report oracle (TextQueries).
@@ -624,31 +659,35 @@ object DedupQueries {
     // count >= 4 on the 3-gram hash, the same running-max islands merge
     // (adjacent coverage merges: new span iff start > prev_max_end + 1)
     "q_dedup_repeated_spans" ->
-      s"""WITH th AS (SELECT doc_id, $thSql AS th FROM documents),
-         |sh AS (SELECT doc_id, $shingleHashSql AS sh FROM th),
-         |occ AS (
-         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, sh[CAST(u.i AS INT) + 1] AS g
-         |  FROM sh, unnest(range(len(sh))) AS u(i)),
-         |freq AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 4),
-         |hits AS (
-         |  SELECT o.doc_id, o.pos AS start_tok, o.pos + 2 AS end_tok
-         |  FROM occ o JOIN freq USING (g)),
-         |flagged AS (
-         |  SELECT doc_id, start_tok, end_tok,
-         |    CASE WHEN start_tok > coalesce(max(end_tok) OVER (
-         |        PARTITION BY doc_id ORDER BY start_tok
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-         |      THEN 1 ELSE 0 END AS new_span
-         |  FROM hits),
-         |spans AS (
-         |  SELECT doc_id, start_tok, end_tok,
-         |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start_tok
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |  FROM flagged)
+      s"""WITH $repeatedSpansChainSql
          |SELECT doc_id, CAST(min(start_tok) AS BIGINT) AS span_start,
          |  CAST(max(end_tok) AS BIGINT) AS span_end,
          |  CAST(max(end_tok) - min(start_tok) + 1 AS BIGINT) AS span_len
          |FROM spans GROUP BY doc_id, span_id""".stripMargin,
+
+    // mirrors Dedup.removeRepeatedSpans: the shared span chain, spans
+    // exploded to covered positions, token anti-join, ordered
+    // reassembly (the dedupSpans list ORDER BY pattern)
+    "q_dedup_repeated_clean" ->
+      s"""WITH $repeatedSpansChainSql,
+         |merged AS (
+         |  SELECT doc_id, min(start_tok) AS s, max(end_tok) AS e
+         |  FROM spans GROUP BY doc_id, span_id),
+         |covered AS (
+         |  SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM merged),
+         |tw AS (SELECT doc_id, $toks AS t FROM documents),
+         |tk AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[CAST(u.i AS INT) + 1] AS tok
+         |  FROM tw, unnest(range(len(t))) AS u(i)),
+         |kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+         |  FROM tk ANTI JOIN covered USING (doc_id, pos) GROUP BY doc_id),
+         |tot AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT t.doc_id, coalesce(k.text_clean, '') AS text_clean, t.n_tokens,
+         |  t.n_tokens - coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_removed
+         |FROM tot t LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // the cosine is the TOTAL form (zero-norm pair → −2 sentinel, same
     // as Similarity.cosine) so a degenerate vector can never pair

@@ -248,5 +248,15 @@ class DedupSpec extends SparkTestBase {
       (2L, 0L, 3L, 4L),
       (3L, 1L, 4L, 4L),
       (4L, 2L, 5L, 4L)))
+    // the removal face cuts exactly those regions, survivors in order
+    val cleaned = Dedup.removeRepeatedSpans(d, n = 3, minCount = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cleaned === Map(
+      1L -> (("x y z q", 12L, 8L)),
+      2L -> (("k k2 k3", 7L, 4L)),
+      3L -> (("p r rr", 7L, 4L)),
+      4L -> (("m mm", 6L, 4L))))
   }
 }

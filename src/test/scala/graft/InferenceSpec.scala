@@ -43,6 +43,26 @@ class InferenceSpec extends SparkTestBase {
     assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((0L, 0L, 0L)))
   }
 
+  test("linearClassifyWeights with the grid weights == linearClassify") {
+    import spark.implicits._
+    val d = (0L until 20L).map(i =>
+        i -> Seq.tabulate(5)(dd => ((i * 13 + dd * 7) % 19 - 9).toFloat / 4f))
+      .toDF("vec_id", "embedding")
+    // handing the deterministic grid in as an explicit weight matrix
+    // must reproduce the built-in face exactly
+    val grid = (0 until 4).map(c => (0 until 5).map(dd => w(c, dd)))
+    def collectC(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(collectC(Inference.linearClassifyWeights(d, grid)) ===
+      collectC(Inference.linearClassify(d, nClasses = 4)))
+    // weight rows of mismatched width are rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Inference.linearClassifyWeights(d, Seq(Seq(1L, 2L), Seq(1L)))
+    }
+    assert(ex.getMessage.contains("same width"))
+  }
+
   test("batch inference is map-only: no exchange in the plan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Inference.linearClassify(emb, nClasses = 4)
