@@ -128,6 +128,13 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
+  /** The literal weight matrix behind q_infer_weights — ONE Scala value
+    * feeds both the Spark face and the oracle's SQL lists. 4 classes ×
+    * 8 dims, small centered integers: w(c,d) = ((c·7 + d·3) mod 11) − 5.
+    */
+  private val inferWeights: Seq[Seq[Long]] =
+    (0 until 4).map(c => (0 until 8).map(d => ((c * 7 + d * 3) % 11 - 5).toLong))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-5 for 8 query vectors over all candidates
@@ -236,6 +243,14 @@ object SimilarityQueries {
     "q_infer_linear" -> ((s, dir) =>
       graft.ml.Inference.linearClassify(Tables(s, dir, "embeddings"),
         nClasses = 4)),
+
+    // the trained-model face: an explicit 4×8 integer weight matrix as
+    // plan literals (8-wide rows score the embedding prefix — the
+    // documented zip_with contract); the SAME Scala value generates the
+    // oracle's literal lists, so the two cannot drift
+    "q_infer_weights" -> ((s, dir) =>
+      graft.ml.Inference.linearClassifyWeights(Tables(s, dir, "embeddings"),
+        inferWeights)),
 
     // reciprocal-rank fusion of the LSH and IVF retriever rankings —
     // consensus top-k, fixed-point RRF scores
@@ -526,6 +541,30 @@ object SimilarityQueries {
          |      ORDER BY hamming ASC, vec_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    // mirrors Inference.linearClassifyWeights over the shared literal
+    // matrix: list_zip pads the 8-wide weight rows against the full
+    // embedding with NULLs, coalesced to 0 exactly like the Spark face
+    "q_infer_weights" -> {
+      val scoreRows = inferWeights.zipWithIndex.map { case (w, c) =>
+        val wList = w.mkString("[", ", ", "]")
+        s"""SELECT vec_id, CAST($c AS BIGINT) AS c,
+           |  CAST(list_sum(list_transform(list_zip(embedding, $wList),
+           |    p -> coalesce(CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))
+           |      AS BIGINT), 0))) AS BIGINT) AS score_s
+           |FROM embeddings""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |$scoreRows),
+         |r AS (
+         |  SELECT vec_id, c, score_s,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score_s DESC, c) AS rk
+         |  FROM s)
+         |SELECT a.vec_id, a.c AS pred_class,
+         |  a.score_s AS pred_score_s, a.score_s - b.score_s AS margin_s
+         |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2""".stripMargin
     },
 
     // mirrors Inference.linearClassify: same integer weight grid
