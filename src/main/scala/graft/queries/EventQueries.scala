@@ -73,6 +73,18 @@ object EventQueries {
           col("r_event_id"), col("r_ts").cast("long").as("r_ts_s"))
     }),
 
+    // ordered funnel: earliest view → first click within 7d → first
+    // purchase within 7d of the click; one row per user who viewed,
+    // with the stage reached (conversion analysis)
+    "q_events_funnel" -> ((s, dir) =>
+      Events.funnel(Tables.events(s, dir),
+        steps = Seq("view", "click", "purchase"), horizonSeconds = 604800L)),
+
+    // trailing 1h RANGE-frame rolling features per user (count + cents
+    // sum) — the frame follows each row, which no tumbling window can do
+    "q_events_rolling" -> ((s, dir) =>
+      Events.rollingCounts(Tables.events(s, dir), windowSeconds = 3600L)),
+
     // Spark 4 VARIANT: parse the JSON once into the binary
     // semi-structured type, then typed-path extraction — the engine's
     // modern answer to schemaless columns (one parse, shredded
@@ -189,6 +201,46 @@ object EventQueries {
         |  count(*) AS n_events,
         |  sum(CAST(floor(value * 100.0) AS BIGINT)) / 100.0 AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // min-per-stage chain: each stage's min is unique, so the funnel is
+    // exactly reproducible in ANSI SQL
+    "q_events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= CAST(floor(epoch(s1.t1)) AS BIGINT)
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= CAST(floor(epoch(s1.t1)) AS BIGINT) + 604800
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= CAST(floor(epoch(s2.t2)) AS BIGINT)
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= CAST(floor(epoch(s2.t2)) AS BIGINT) + 604800
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  CAST(floor(epoch(s1.t1)) AS BIGINT) AS t1_s,
+        |  CAST(floor(epoch(s2.t2)) AS BIGINT) AS t2_s,
+        |  CAST(floor(epoch(s3.t3)) AS BIGINT) AS t3_s,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |  LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    // integer-second RANGE frame: tied seconds are peers on both
+    // engines, cents sums are exact integers
+    "q_events_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS sum_value_c
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the composed operator
     "q_events_asof" ->

@@ -173,6 +173,67 @@ object Events {
       .drop(s"r_$key")
   }
 
+  /** Ordered-funnel analysis: per user, the earliest completion of the
+    * `steps` chain (step i+1 is the FIRST matching event at-or-after
+    * the user's step-i time, within `horizonSeconds` of it). Returns
+    * one row per user who reached step 1, with each reached step's
+    * epoch-second time (later steps null once the chain breaks) and the
+    * 1-based `stage` reached — the conversion-analysis shape (how far
+    * did each user get, and when).
+    *
+    * Earliest-first semantics make the result deterministic and
+    * oracle-expressible: min(t1) is unique, then min(t2 | t2 ∈ [t1,
+    * t1+h]) is unique, and so on. Each stage is one partial-aggregated
+    * groupBy on user_id plus a user_id equi-join — at scale the stages
+    * co-partition on the same key, and no stage ever shuffles event
+    * payloads, only (user, ts) pairs.
+    */
+  def funnel(events: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val staged = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = events.where(col("event_type") === step)
+        .select(col("user_id"), col("ts"))
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .where(col("ts").cast("long") >= col(prev).cast("long") &&
+          col("ts").cast("long") <= col(prev).cast("long") + horizonSeconds)
+        .groupBy(col("user_id")).agg(min(col("ts")).as(cur))
+      acc.join(next, Seq("user_id"), "left")
+    }
+    val stageCols = steps.indices.map(i => col(s"t${i + 1}"))
+    staged.select(
+      col("user_id") +:
+        stageCols.zipWithIndex.map { case (c, i) => c.cast("long").as(s"t${i + 1}_s") } :+
+        stageCols.map(c => when(c.isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _).as("stage"): _*)
+  }
+
+  /** Trailing time-range rolling features: for every event, the count
+    * and (fixed-point) value sum of the SAME user's events in the
+    * trailing `windowSeconds` — a RANGE-frame window on epoch seconds,
+    * the per-entity velocity/feature shape (events-per-hour, spend in
+    * the last hour) that tumbling windows cannot express because the
+    * frame follows each row.
+    *
+    * RANGE (not ROWS) makes tied timestamps peers on both engines, so
+    * the result is order-independent and exactly reproducible. One
+    * shuffle on user_id; the frame is evaluated with a sliding two-
+    * pointer pass over each user's sorted run, not a per-row rescan.
+    */
+  def rollingCounts(events: DataFrame, windowSeconds: Long = 3600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").cast("long"))
+      .rangeBetween(-windowSeconds, 0)
+    events.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("ts_s"),
+      count(lit(1)).over(w).as("n_trailing"),
+      sum(floor(col("value") * 100.0).cast("long")).over(w).as("sum_value_c"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -12,6 +12,9 @@ trait SparkTestBase extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // driver testdata generations have stored TIMESTAMP(NANOS), which is
+    // unreadable without this flag (TestdataSmokeSpec reads the real files)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
