@@ -28,7 +28,7 @@ object CoverageQueries {
 
   /** Release every memoized entry (see QueryCaches.clearAll). */
   def clearCache(): Unit = {
-    trCache.values().forEach(df => df.unpersist())
+    trCache.values().forEach(QueryCaches.safeUnpersist)
     trCache.clear()
   }
 

@@ -166,7 +166,7 @@ object DomainQueries {
     * stages, and dead-session entries would pin DataFrames JVM-long.
     */
   def clearCache(): Unit = {
-    stageCache.values().forEach(df => df.unpersist())
+    stageCache.values().forEach(QueryCaches.safeUnpersist)
     stageCache.clear()
   }
 

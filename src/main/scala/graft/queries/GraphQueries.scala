@@ -36,7 +36,7 @@ object GraphQueries {
 
   /** Release memoized edge lists (see QueryCaches.clearAll). */
   def clearCache(): Unit = {
-    stageCache.values().forEach(df => df.unpersist())
+    stageCache.values().forEach(QueryCaches.safeUnpersist)
     stageCache.clear()
   }
 

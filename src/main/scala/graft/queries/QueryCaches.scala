@@ -9,6 +9,18 @@ package graft.queries
   * session would be served stale from the memo.
   */
 object QueryCaches {
+
+  /** Unpersist a memoized stage unless its owning SparkContext is
+    * already stopped. The memos are keyed by session; if a harness or
+    * spec stopped that session, the cached blocks died with its
+    * BlockManager and `unpersist()` NPEs on the null driver endpoint —
+    * there is nothing left to free, so dead-session entries are simply
+    * dropped from the map.
+    */
+  def safeUnpersist(df: org.apache.spark.sql.DataFrame): Unit =
+    try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist() }
+    catch { case scala.util.control.NonFatal(_) => () }
+
   def clearAll(): Unit = {
     DomainQueries.clearCache()
     CoverageQueries.clearCache()
