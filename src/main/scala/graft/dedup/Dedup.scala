@@ -121,6 +121,65 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** EXACT threshold similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): every pair with n-gram Jaccard >= tNum/tDen, with ZERO
+    * false negatives — the exact counterpart of MinHash banding, whose
+    * recall is probabilistic. Returns the verified pairs
+    * (doc_id_a < doc_id_b, n_common, n_union, jaccard).
+    *
+    * Shingles order globally by (document frequency asc, hash asc);
+    * doc d keeps only its first |d| − ceil(t·|d|) + 1 shingles as its
+    * PREFIX. J(a,b) >= t implies |a∩b| >= ceil(t·max(|a|,|b|)), and by
+    * the prefix-filtering lemma two sets with overlap >= α must share
+    * an element within their (size − α + 1)-prefixes — so joining
+    * prefixes on the shingle hash loses nothing. The standard size
+    * filter (t·|a| <= |b| and t·|b| <= |a|, integer cross-multiplied)
+    * prunes inside the join; exact verification ([[ngramJaccard]])
+    * then keeps n_common·tDen >= n_union·tNum.
+    *
+    * The threshold is a RATIONAL tNum/tDen: prefix lengths use integer
+    * ceil-division and the final filter cross-multiplies, so no IEEE
+    * rounding ever decides membership — bit-identical across engines
+    * (ceil(0.3·n) on doubles is a cross-engine hash hazard).
+    *
+    * Scale shape: shuffles key on the shingle hash (document-frequency
+    * aggregate + prefix self-join) and on (doc_id_a, doc_id_b) (pair
+    * dedup) — never on text. The df-ASCENDING prefix order is also the
+    * skew defense: corpus-frequent shingles are pushed out of every
+    * prefix, so the self-join only ever meets on RARE keys — the
+    * opposite skew profile of a naive shared-shingle join. The per-doc
+    * ranking window partitions on doc_id (bounded by one document's
+    * distinct shingles, never corpus-scale).
+    */
+  def prefixFilterNearDups(docs: DataFrame, tNum: Int = 3, tDen: Int = 10,
+      n: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold tNum/tDen must be in (0, 1]")
+    val sh = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingleHashes(col("th"), n)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
+      .where(col("n_sh") > 0)
+    val occ = sh.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("g"))
+    val dfreq = occ.groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+    // prefix length |d| − ceil(t·|d|) + 1, exact integer ceil-division
+    // (SQL `div`: integer division on BIGINT — no IEEE rounding in play)
+    val prefLen = expr(s"n_sh - ((n_sh * $tNum + ${tDen - 1}) div $tDen) + 1")
+    val pref = occ.join(dfreq, Seq("g"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df_g"), col("g"))))
+      .where(col("rnk") <= prefLen)
+      .select(col("doc_id"), col("n_sh"), col("g"))
+    val cands = pref.select(col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"), col("g"))
+      .join(pref.select(col("doc_id").as("doc_id_b"), col("n_sh").as("n_b"), col("g")), Seq("g"))
+      .where(col("doc_id_a") < col("doc_id_b") &&
+        col("n_b") * tDen >= col("n_a") * tNum &&
+        col("n_a") * tDen >= col("n_b") * tNum)
+      .select(col("doc_id_a"), col("doc_id_b")).distinct()
+    ngramJaccard(docs, cands, n)
+      .where(col("n_common") * tDen >= col("n_union") * tNum)
+  }
+
   /** Exact edit-distance verification of candidate pairs — the final
     * filter after any approximate candidate generator (LSH bands,
     * SimHash blocks, fingerprints): Levenshtein is exact but O(len²)

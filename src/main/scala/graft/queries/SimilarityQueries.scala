@@ -143,6 +143,14 @@ object SimilarityQueries {
       Similarity.bruteTopK(emb.where(col("vec_id") < 8), emb, k = 5)
     }),
 
+    // hard-negative mining for contrastive training: per query, the 5
+    // most-similar DIFFERENT-label vectors (the negatives nearest the
+    // decision boundary — where the training signal is)
+    "q_sim_hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.where(col("vec_id") < 8), emb, k = 5)
+    }),
+
     // multi-table hyperplane-LSH ANN (hash-checked: integer
     // pseudo-hyperplanes make bucketing deterministic; recall vs brute
     // force additionally asserted in SimilaritySpec)
@@ -424,6 +432,31 @@ object SimilarityQueries {
          |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_hard_negatives" -> {
+      val dotQC = dotSql.format("q.embedding", "c.embedding")
+      val normQ = dotSql.format("q.embedding", "q.embedding")
+      val normC = dotSql.format("c.embedding", "c.embedding")
+      val normSelf = dotSql.format("embedding", "embedding")
+      // same zero-norm guard as the brute oracle; the join predicate is
+      // label inequality instead of id inequality
+      s"""WITH nz AS (
+         |  SELECT * FROM embeddings WHERE $normSelf > 0),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS query_label,
+         |    c.vec_id AS vec_id, c.label AS neg_label,
+         |    CAST($dotQC AS DOUBLE) /
+         |      sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS cosine
+         |  FROM (SELECT * FROM nz WHERE vec_id < 8) q
+         |  JOIN nz c ON q.label != c.label),
+         |ranked AS (
+         |  SELECT query_id, query_label, vec_id, neg_label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, query_label, vec_id, neg_label, cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
     "q_sim_lsh_topk" -> lshOracle,

@@ -101,6 +101,42 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training data: for every
+    * query vector, the k most cosine-similar candidates carrying a
+    * DIFFERENT label — the negatives closest to the decision boundary,
+    * which a contrastive/triplet loss learns most from (a uniformly
+    * random negative is usually already far away and contributes ~zero
+    * gradient). Returns (query_id, query_label, vec_id, neg_label,
+    * cosine, rank).
+    *
+    * Same contracts as [[bruteTopK]]: queries broadcast, candidates
+    * stream, zero-norm rows dropped on both sides, (cosine desc,
+    * vec_id) ranking is total so results are deterministic. The
+    * label-inequality predicate rides the broadcast join itself, so
+    * same-label pairs never reach the ranking window. Scale path: this
+    * is the exact face; over a full corpus compose with [[assignCells]]
+    * exactly like [[ivfTopK]] — probe nearest cells, then apply the
+    * cross-label filter inside the probed cells only.
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("query_label"), col("embedding").as("q_emb"),
+      normFp(col("embedding")).as("q_norm"))
+      .where(col("q_norm") > 0)
+    val c = candidates.select(col("vec_id"), col(labelCol).as("neg_label"),
+      col("embedding").as("c_emb"), normFp(col("embedding")).as("c_norm"))
+      .where(col("c_norm") > 0)
+    val scored = c.join(broadcast(q), col("query_label") =!= col("neg_label"))
+      .select(col("query_id"), col("query_label"), col("vec_id"), col("neg_label"),
+        cosine(dotFp(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * Knuth multiplicative hash centered on zero. Pure integer math —
     * identical in any engine.

@@ -259,4 +259,34 @@ class DedupSpec extends SparkTestBase {
       3L -> (("p r rr", 7L, 4L)),
       4L -> (("m mm", 6L, 4L))))
   }
+
+  test("prefix-filter join finds near-dups, skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.prefixFilterNearDups(d, tNum = 3, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("prefix-filter join is EXACT: equals brute-force all-pairs at the threshold") {
+    // the operator's defining contract — zero false negatives (unlike
+    // MinHash banding): on the real corpus the prefix-filtered result
+    // must equal the full quadratic join filtered at the same rational
+    // threshold, decided by the same integer cross-multiplication
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = d.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("doc_id_a"))
+      .join(ids.select(col("doc_id").as("doc_id_b")),
+        col("doc_id_a") < col("doc_id_b"))
+    val brute = Dedup.ngramJaccard(d, allPairs)
+      .where(col("n_common") * 10 >= col("n_union") * 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.prefixFilterNearDups(d, tNum = 3, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain pairs above the threshold")
+    assert(pf === brute)
+  }
 }

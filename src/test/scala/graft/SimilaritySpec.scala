@@ -442,4 +442,39 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("[1, 62]"))
   }
+
+  test("hardNegatives returns only cross-label pairs, nearest first") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1f, 0f), "a"),
+      (1L, Seq(1f, 0.01f), "a"),   // same label: nearest overall, EXCLUDED
+      (2L, Seq(1f, 0.2f), "b"),    // hardest negative
+      (3L, Seq(0f, 1f), "b"),      // orthogonal negative
+      (4L, Seq(-1f, 0f), "c"))     // opposite negative
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(d.where(col("vec_id") === 0), d, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getLong(5)))
+    assert(out.toSeq === Seq((2L, "b", 1L), (3L, "b", 2L)))
+  }
+
+  test("hardNegatives == bruteTopK restricted to cross-label candidates") {
+    // the operator is exactly "brute-force top-k over the other-label
+    // candidate set": mining per-query against pre-filtered candidates
+    // must reproduce it (determinism + ranking contract shared)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 4)
+    val mined = Similarity.hardNegatives(q, emb, k = 5)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val perQuery = q.select("vec_id", "label").collect().flatMap { r =>
+      val (qid, qlabel) = (r.getLong(0), r.getInt(1))
+      Similarity.bruteTopK(emb.where(col("vec_id") === qid),
+          emb.where(col("label") =!= qlabel), k = 5)
+        .select("query_id", "vec_id", "rank").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    }.toSet
+    assert(mined.nonEmpty, "fixture must yield negatives")
+    assert(mined === perQuery)
+  }
 }
