@@ -328,7 +328,11 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // designed centroid attaches
       "q_sim_hamming_topk", "q_sim_rrf", "q_pipeline_embeddings",
       // skew diagnostic's 1-row corpus-total attach
-      "q_profile_skew")
+      "q_profile_skew",
+      // hard-negative mining is the brute-force broadcast scan with a
+      // label-inequality predicate — the same designed shape as
+      // q_sim_brute_topk (its scale path composes with IVF cells)
+      "q_sim_hard_negatives")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
@@ -338,6 +342,47 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
         assert(bnlj.isEmpty, s"$name plans an unintended BroadcastNestedLoopJoin")
       }
     }
+  }
+
+  test("prefix-filter join: equi-joins only, windows partition per-doc") {
+    // the exact similarity join must never degrade to a cartesian (its
+    // whole point is joining on rare prefix shingles), and its only
+    // window is the per-doc prefix rank — partitioned on doc_id, never
+    // whole-partition
+    val p = plan("q_dedup_prefix_join")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      "prefix join grew a cartesian product")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "prefix join grew a nested-loop join")
+    windows(p).foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "prefix rank window must partition (per-doc), found a global window")
+    }
+  }
+
+  test("snapshot merge is one join on the key, no extra exchanges") {
+    // merge's contract: one full-outer sort-merge join on the key —
+    // one exchange per side, nothing else (the classified projection
+    // is map-only)
+    val p = plan("q_merge_snapshot")
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(smj.size == 1, s"merge expected 1 sort-merge join, got ${smj.size}")
+    assert(smj.head.joinType.toString == "FullOuter",
+      s"merge join must be FullOuter, got ${smj.head.joinType}")
+    val s = shuffles(p)
+    assert(s.size <= 2, s"merge expected <=2 exchanges (one per side), got ${s.size}")
+    s.foreach(e => assert(partitionKeys(e) == Seq("doc_id"),
+      s"merge exchange must key on doc_id, got ${partitionKeys(e)}"))
+  }
+
+  test("hard-negative mining ranks through a map-side WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val nodes = plan("q_sim_hard_negatives")
+      .collect { case w: WindowGroupLimitExec => w }
+    assert(nodes.size >= 2,
+      s"hard negatives expected Partial+Final WindowGroupLimit, got ${nodes.size}")
+    assert(nodes.exists(_.mode.toString == "Partial"),
+      s"hard negatives missing the map-side Partial: ${nodes.map(_.mode)}")
   }
 
   test("shuffle-count snapshots for the headline plans") {
