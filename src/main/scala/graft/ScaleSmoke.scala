@@ -46,7 +46,12 @@ object ScaleSmoke {
     // round-6 riders: sliding-gram explode + corpus count + join-back
     // (the biggest new explode volume), the export composition's shard
     // shuffle, and the vocab-build + broadcast OOV join
-    "q_dedup_repeated_spans", "q_pipeline_export", "q_text_oov")
+    "q_dedup_repeated_spans", "q_pipeline_export", "q_text_oov",
+    // round-7 riders: the exact prefix-filter join (candidate volume is
+    // the quadratic risk an approximate generator caps away — here the
+    // df-ascending prefix order must do that job), and BPE training
+    // (per-round pair-count shuffle + checkpointed rewrite volume)
+    "q_dedup_prefix_join", "q_text_bpe_apply")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

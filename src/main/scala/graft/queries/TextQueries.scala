@@ -28,6 +28,16 @@ object TextQueries {
     "q_text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables(s, dir, "documents"))),
 
+    // distributed BPE tokenizer training, 3 rounds: the learned merge
+    // table (winning adjacent pair per round + minted symbol)
+    "q_text_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.bpeMerges(Tables(s, dir, "documents"), rounds = 3)),
+
+    // the corpus segmented by those 3 merges, exploded (doc_id, pos,
+    // sym) for exact comparison — greedy leftmost apply semantics
+    "q_text_bpe_apply" -> ((s, dir) =>
+      graft.text.Bpe.bpeApply(Tables(s, dir, "documents"), rounds = 3)),
+
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
 
@@ -206,7 +216,76 @@ object TextQueries {
     s"CAST(len(list_filter($toks, t -> t IN ($inList))) AS BIGINT) AS votes_$lang"
   }.mkString(",\n        |  ")
 
+  /** Unrolled BPE training chain, one CTE block set per round (the same
+    * fixed-round oracle pattern as the k-means chain): pair counts →
+    * deterministic top-1 (count desc, pair asc) → matched positions →
+    * greedy-leftmost selection via gaps-and-islands (overlap only
+    * happens in same-symbol runs, where greedy = even offsets within
+    * each island) → rewrite with dense re-numbered positions. Minted
+    * symbol for round r is HashMod + r, mirroring Bpe.MergeSymBase.
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    val base = graft.text.Bpe.MergeSymBase
+    val roundBlocks = (0 until rounds).map { r =>
+      s"""p_$r AS (
+         |  SELECT l.sym AS a, rr.sym AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM s_$r l JOIN s_$r rr
+         |    ON l.doc_id = rr.doc_id AND rr.pos = l.pos + 1
+         |  GROUP BY 1, 2),
+         |top_$r AS (SELECT a, b, c FROM p_$r ORDER BY c DESC, a, b LIMIT 1),
+         |m_$r AS (
+         |  SELECT l.doc_id, l.pos
+         |  FROM s_$r l JOIN s_$r rr
+         |    ON l.doc_id = rr.doc_id AND rr.pos = l.pos + 1
+         |  JOIN top_$r t ON l.sym = t.a AND rr.sym = t.b),
+         |isl_$r AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM m_$r),
+         |sel_$r AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      pos - min(pos) OVER (PARTITION BY doc_id, isl) AS off
+         |    FROM isl_$r) WHERE off % 2 = 0),
+         |s_${r + 1} AS (
+         |  SELECT s.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) - 1
+         |      AS BIGINT) AS pos,
+         |    CASE WHEN sel.pos IS NOT NULL THEN CAST(${base + r} AS BIGINT)
+         |      ELSE s.sym END AS sym
+         |  FROM s_$r s
+         |  LEFT JOIN sel_$r sel
+         |    ON sel.doc_id = s.doc_id AND sel.pos = s.pos
+         |  LEFT JOIN sel_$r prev
+         |    ON prev.doc_id = s.doc_id AND prev.pos = s.pos - 1
+         |  WHERE prev.pos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+       |s_0 AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |    th[CAST(u.i AS INT) + 1] AS sym
+       |  FROM tht, unnest(range(len(th))) AS u(i)),
+       |$roundBlocks""".stripMargin
+  }
+
+  private def bpeMergesOracle(rounds: Int): String = {
+    val base = graft.text.Bpe.MergeSymBase
+    val selects = (0 until rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b,
+         |  c AS pair_count, CAST(${base + r} AS BIGINT) AS new_sym
+         |FROM top_$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"${bpeChainSql(rounds)}\n$selects"
+  }
+
+  private def bpeApplyOracle(rounds: Int): String =
+    s"${bpeChainSql(rounds)}\nSELECT doc_id, pos, sym FROM s_$rounds"
+
   val oracles: Map[String, String] = Map(
+    "q_text_bpe_merges" -> bpeMergesOracle(3),
+
+    "q_text_bpe_apply" -> bpeApplyOracle(3),
+
     // chr(769)=U+0301 combining acute, chr(64257)=U+FB01 ﬁ ligature
     // (NFC-invariant), chr(778)=U+030A combining ring — the same
     // decorated string the Spark face builds

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+/** BPE trainer semantics on crafted corpora: deterministic top-pair
+  * selection, greedy leftmost merge (incl. same-symbol runs), minted
+  * symbols composing across rounds. The hash math is oracle-checked by
+  * q_text_bpe_merges / q_text_bpe_apply.
+  */
+class BpeSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("two rounds: dominant pair wins, minted symbol merges again") {
+    // round 0: (a, b) appears 3x (vs bc 1x) -> minted M0
+    // round 1: the ONLY remaining pair is (M0, c) -> minted M1 = M0+1,
+    // proving minted symbols participate in later rounds
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a b c")
+    val (merges, state) = Bpe.train(d, rounds = 2)
+    assert(merges.map(_.round) === Seq(0, 1))
+    assert(merges(0).pairCount === 3L)
+    assert(merges(0).newSym === Bpe.MergeSymBase)
+    assert(merges(1).symA === Bpe.MergeSymBase,
+      "round-1 pair must start with the round-0 minted symbol")
+    assert(merges(1).pairCount === 1L)
+    assert(merges(1).newSym === Bpe.MergeSymBase + 1)
+    val out = state.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out(1L) === List(Bpe.MergeSymBase))
+    assert(out(2L) === List(Bpe.MergeSymBase))
+    assert(out(3L) === List(Bpe.MergeSymBase + 1))
+  }
+
+  test("greedy leftmost inside same-symbol runs: even offsets merge") {
+    // 'a a a a a' with top pair (a,a): positions 0 and 2 merge, the
+    // fifth 'a' survives -> [M, M, a]
+    val d = docs(1L -> "a a a a a")
+    val (merges, state) = Bpe.train(d, rounds = 1)
+    assert(merges.size === 1)
+    assert(merges(0).symA === merges(0).symB, "top pair must be the run pair")
+    assert(merges(0).pairCount === 4L)
+    val syms = state.collect().head.getSeq[Long](1).toList
+    assert(syms.take(2) === List(Bpe.MergeSymBase, Bpe.MergeSymBase))
+    assert(syms.size === 3)
+    assert(syms(2) < Bpe.MergeSymBase, "trailing run element stays a base symbol")
+  }
+
+  test("short documents pass through; training stops when pairs run out") {
+    val d = docs(1L -> "solo", 2L -> "x y")
+    // round 0 merges (x, y); afterwards no adjacent pairs exist at all,
+    // so rounds 1-2 learn nothing and the merge table stays at 1 row
+    val (merges, state) = Bpe.train(d, rounds = 3)
+    assert(merges.size === 1)
+    val out = state.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out(1L).size === 1, "single-token doc unchanged")
+    assert(out(2L) === List(Bpe.MergeSymBase))
+  }
+
+  test("apply face explodes dense positions in order") {
+    val d = docs(1L -> "a b c d", 2L -> "a b")
+    val rows = Bpe.bpeApply(d, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (a, b) dominates (2x) -> doc 1 = [M, c, d], doc 2 = [M]
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._2).toList === List(0L, 1L, 2L), "positions dense from 0")
+    assert(doc1.head._3 === Bpe.MergeSymBase)
+    assert(rows.filter(_._1 == 2L).map(_._3).toList === List(Bpe.MergeSymBase))
+  }
+}
