@@ -38,6 +38,16 @@ object TextQueries {
     "q_text_bpe_apply" -> ((s, dir) =>
       graft.text.Bpe.bpeApply(Tables(s, dir, "documents"), rounds = 3)),
 
+    // the FROZEN-tokenizer inference face: train once, then re-tokenize
+    // the corpus through applyLearned (stateless fold chain, no
+    // checkpoints, streaming-safe) — must reproduce training's own
+    // segmentation exactly, so it shares the apply oracle
+    "q_text_bpe_frozen" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (merges, _) = graft.text.Bpe.train(docs, rounds = 3)
+      graft.text.Bpe.applyLearned(docs, merges)
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
 
@@ -285,6 +295,9 @@ object TextQueries {
     "q_text_bpe_merges" -> bpeMergesOracle(3),
 
     "q_text_bpe_apply" -> bpeApplyOracle(3),
+
+    // the frozen-tokenizer face must reproduce training's segmentation
+    "q_text_bpe_frozen" -> bpeApplyOracle(3),
 
     // chr(769)=U+0301 combining acute, chr(64257)=U+FB01 ﬁ ligature
     // (NFC-invariant), chr(778)=U+030A combining ring — the same

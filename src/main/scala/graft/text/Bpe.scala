@@ -142,6 +142,49 @@ object Bpe {
     (merges.result(), state)
   }
 
+  /** Greedy-leftmost merge as ONE fold that references its input column
+    * exactly once: state carries (emitted, pending) where pending is the
+    * last unmerged symbol (−2 = none). Chaining k of these nests the
+    * expression LINEARLY (unlike [[mergeOnce]]'s multi-reference form,
+    * which needs a per-round checkpoint) — the price is the concat-copy
+    * fold, O(n²) per document, so this is the inference-time form for
+    * typical documents; pre-chunk pathological ones
+    * ([[TextAnalysis.chunkDocuments]]).
+    */
+  private def mergeOnceFold(syms: Column, a: Long, b: Long, newSym: Long): Column =
+    aggregate(
+      syms,
+      struct(array().cast("array<bigint>").as("out"), lit(-2L).as("last")),
+      (st, x) => {
+        val out = st.getField("out")
+        val last = st.getField("last")
+        when(last === a && x === b,
+          struct(concat(out, array(lit(newSym))).as("out"), lit(-2L).as("last")))
+          .otherwise(struct(
+            when(last === -2L, out).otherwise(concat(out, array(last))).as("out"),
+            x.as("last")))
+      },
+      st => when(st.getField("last") === -2L, st.getField("out"))
+        .otherwise(concat(st.getField("out"), array(st.getField("last")))))
+
+  /** Apply an already-learned merge table to NEW documents — the
+    * inference-time tokenization a pipeline ships once the tokenizer is
+    * frozen. Merges apply in learned order with the same greedy
+    * leftmost semantics as training, as a STATELESS map-only projection:
+    * no shuffles, no collects, runs unchanged on streaming DataFrames.
+    * Returns (doc_id, pos, sym) like [[bpeApply]].
+    */
+  def applyLearned(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val init = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"), col("th").as("syms"))
+    val fin = merges.sortBy(_.round).foldLeft(init) { (df, m) =>
+      df.select(col("doc_id"),
+        mergeOnceFold(col("syms"), m.symA, m.symB, m.newSym).as("syms"))
+    }
+    fin.select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
+  }
+
   /** The learned merge table: (round, sym_a, sym_b, pair_count, new_sym). */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession

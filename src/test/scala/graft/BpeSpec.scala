@@ -62,6 +62,30 @@ class BpeSpec extends SparkTestBase {
     assert(out(2L) === List(Bpe.MergeSymBase))
   }
 
+  test("applyLearned on the training corpus reproduces training's final state") {
+    // the inference-time face (stateless fold chain, no checkpoints)
+    // must agree exactly with the training rewrite it will stand in for
+    val d = docs(1L -> "a b c a b", 2L -> "a a a a a", 3L -> "x y z")
+    val (merges, state) = Bpe.train(d, rounds = 3)
+    val trained = state
+      .select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    val applied = Bpe.applyLearned(d, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applied === trained)
+  }
+
+  test("applyLearned tokenizes UNSEEN documents with the frozen merges") {
+    val train = docs(1L -> "a b", 2L -> "a b", 3L -> "a b c")
+    val (merges, _) = Bpe.train(train, rounds = 1)
+    // a new doc containing the learned pair twice, in a fresh context
+    val fresh = docs(10L -> "q a b a b r")
+    val out = Bpe.applyLearned(fresh, merges).orderBy("pos").collect()
+      .map(_.getLong(2)).toList
+    assert(out.size === 4, s"expected [q, M, M, r], got $out")
+    assert(out(1) === Bpe.MergeSymBase && out(2) === Bpe.MergeSymBase)
+  }
+
   test("apply face explodes dense positions in order") {
     val d = docs(1L -> "a b c d", 2L -> "a b")
     val rows = Bpe.bpeApply(d, rounds = 1).collect()
