@@ -42,8 +42,12 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL references only tables the driver registers") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val known = ("""\bFROM\s+([a-z_0-9]+)""".r)
-    for ((name, sql) <- SparkEntry.oracleSql) {
+    // (?!\.) skips qualified column refs; the null-safe comparison
+    // operator "IS [NOT] DISTINCT FROM x" is rewritten away first so
+    // its FROM keyword is not mistaken for a table reference
+    val known = ("""\bFROM\s+([a-z_0-9]+)\b(?!\.)""".r)
+    for ((name, rawSql) <- SparkEntry.oracleSql) {
+      val sql = rawSql.replaceAll("(?i)IS\\s+(NOT\\s+)?DISTINCT\\s+FROM", "<=>")
       val ctes = ("""(?i)\b([a-z_0-9]+)\s+AS\s*\(""".r)
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = known.findAllMatchIn(sql).map(_.group(1)).toSet
