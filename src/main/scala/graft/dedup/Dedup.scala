@@ -416,10 +416,14 @@ object Dedup {
             .as("group_id"))
       // each round's plan references the previous labels TWICE (the
       // neighbour-min derivation and the join-back), so the lazy plan
-      // doubles per round; truncate lineage periodically or a
-      // large-diameter graph (long dup chains) would need a 2^rounds
-      // plan. Small default-round runs stay fully lazy.
-      if (r % 8 == 0 && r < rounds) labels = labels.localCheckpoint()
+      // doubles per round — 2^r subtree copies. Exchange reuse USUALLY
+      // deduplicates them, but when AQE re-plans subtrees divergently
+      // the reuse misses and the recompute goes exponential (observed:
+      // the same 4-round run bimodal at 7 s vs 22 s in one bench).
+      // Truncate every 2 rounds so at most 4 copies ever exist between
+      // barriers — two extra narrow (id, id) materializations, a
+      // deterministic plan size at ANY round count.
+      if (r % 2 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     // materialize the result (cuts lineage off the edge cache), then
     // release the per-call edge cache — the returned DataFrame is

@@ -25,6 +25,7 @@ object QueryCaches {
     DomainQueries.clearCache()
     CoverageQueries.clearCache()
     GraphQueries.clearCache()
+    TextQueries.clearCache()
   }
 
   /** Build + materialize every memoized shared stage (Bench warm-up):
@@ -35,5 +36,6 @@ object QueryCaches {
     DomainQueries.prebuild(s, dir)
     CoverageQueries.prebuild(s, dir)
     GraphQueries.prebuild(s, dir)
+    TextQueries.prebuild(s, dir)
   }
 }

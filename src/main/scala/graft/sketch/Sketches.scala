@@ -57,4 +57,33 @@ object Sketches {
       .agg(approx_percentile(col(valueCol), pArr, lit(accuracy)).as("quantiles"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Per-group HLL sketch BYTES (Apache DataSketches, Spark's native
+    * hll_sketch_agg) — the PERSISTABLE form of a distinct count. This
+    * is the incremental-analytics face the one-shot
+    * [[approxDistinct]] cannot provide: materialize one sketch row per
+    * (group, batch), and any later union answers "distinct over any
+    * subset of batches" without rescanning a byte of history.
+    * `lgK` trades size for error (2^lgK registers; 12 ≈ ±1.6% rsd).
+    */
+  def distinctSketches(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union persisted sketches per group and read the estimate — the
+    * query-time face over [[distinctSketches]] output. HLL union is a
+    * per-register max: commutative, associative, order-independent —
+    * so the union of per-batch sketches is BIT-IDENTICAL to a
+    * single-pass sketch of the union (SketchSpec asserts exact
+    * estimate equality, not a tolerance).
+    */
+  def unionDistinctEstimate(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(hll_union_agg(col("sketch")).as("merged"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col(groupCol),
+        hll_sketch_estimate(col("merged")).as("distinct_est"),
+        col("n_rows"))
 }

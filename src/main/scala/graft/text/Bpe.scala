@@ -185,10 +185,10 @@ object Bpe {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
   }
 
-  /** The learned merge table: (round, sym_a, sym_b, pair_count, new_sym). */
-  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val (merges, _) = train(docs, rounds)
+  /** Learned merges as a DataFrame: (round, sym_a, sym_b, pair_count,
+    * new_sym) — the persistable artifact [[applyLearned]] consumes.
+    */
+  def mergesToDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     val schema = StructType(Seq(
       StructField("round", LongType, nullable = false),
       StructField("sym_a", LongType, nullable = false),
@@ -201,12 +201,24 @@ object Bpe {
       schema)
   }
 
+  /** Explode a (doc_id, syms) state for exact comparison:
+    * (doc_id, pos, sym) with pos dense from 0 in array order.
+    */
+  def explodeState(state: DataFrame): DataFrame =
+    state.select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
+
+  /** The learned merge table: (round, sym_a, sym_b, pair_count, new_sym). */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val (merges, _) = train(docs, rounds)
+    mergesToDf(docs.sparkSession, merges)
+  }
+
   /** The segmented corpus after `rounds` merges, exploded for exact
     * comparison: (doc_id, pos, sym) with pos dense from 0 in order.
     */
   def bpeApply(docs: DataFrame, rounds: Int): DataFrame = {
     val (_, state) = train(docs, rounds)
-    state.select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "sym")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
+    explodeState(state)
   }
 }

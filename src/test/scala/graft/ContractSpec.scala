@@ -21,7 +21,8 @@ class ContractSpec extends AnyFunSuite {
     "q_dedup_groups_conv",       // observed-convergence label rounds
     "q_graph_pagerank_conv",     // observed-convergence PageRank
     "q_graph_kcore_conv",        // observed-convergence k-core peel
-    "q_sketch_heavy_hitters")    // sketch output is eviction-order-dependent
+    "q_sketch_heavy_hitters",    // sketch output is eviction-order-dependent
+    "q_sketch_distinct_union")   // DataSketches HLL bytes have no DuckDB twin
 
   test("every oracle names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

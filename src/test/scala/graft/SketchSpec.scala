@@ -70,4 +70,31 @@ class SketchSpec extends SparkTestBase {
     // partial-aggregate both columns through ONE exchange
     assert(!plan.contains("Expand"), s"sketch plan grew an Expand:\n$plan")
   }
+
+  test("union of per-batch sketches == single-pass sketch, exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 overlapping batches of values; HLL union is a per-register max
+    // so the merged estimate must EQUAL the single-pass estimate — not
+    // just approximate it
+    val rows = (0 until 3).flatMap(b =>
+      (b * 300 until b * 300 + 600).map(v => (s"batch$b", s"v$v")))
+    val df = rows.toDF("batch", "v")
+    val perBatch = Sketches.distinctSketches(df, "batch", "v")
+    val merged = Sketches.unionDistinctEstimate(
+      perBatch.withColumn("all", lit("all"))
+        .select(col("all"), col("sketch"), col("n_rows")), "all")
+      .collect().head
+    val single = Sketches.unionDistinctEstimate(
+      Sketches.distinctSketches(df.withColumn("all", lit("all")), "all", "v")
+        .select(col("all"), col("sketch"), col("n_rows")), "all")
+      .collect().head
+    assert(merged.getLong(1) === single.getLong(1),
+      "merged and single-pass estimates must be identical")
+    assert(merged.getLong(2) === 1800L, "row counts sum across batches")
+    // and the estimate honors the documented error bound vs exact
+    val exact = df.select("v").distinct().count()
+    assert(math.abs(merged.getLong(1) - exact).toDouble / exact < 0.05,
+      s"estimate ${merged.getLong(1)} too far from exact $exact")
+  }
 }
