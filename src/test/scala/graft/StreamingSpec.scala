@@ -299,6 +299,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("frozen BPE tokenization runs unchanged on streams (stateless fold face)") {
+    // applyLearned is a chain of per-row array folds — the same frozen
+    // merge table tokenizes a streaming document feed identically to
+    // the batch face (the shipped-tokenizer deployment shape)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a b"), (2L, "a a a a"), (3L, "x y a b"))
+    val (merges, _) = graft.text.Bpe.train(corpus.toDF("doc_id", "text"), rounds = 2)
+    def collectT(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(corpus: _*)
+    val q = graft.text.Bpe.applyLearned(
+        input.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_frozen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = collectT(spark.table("bpe_frozen"))
+      val exp = collectT(graft.text.Bpe.applyLearned(
+        corpus.toDF("doc_id", "text"), merges))
+      assert(got === exp)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("int8 quantization runs unchanged on streams (stateless map-only face)") {
     // quantizeInt8 is pure per-row column logic — the same function
     // drives the batch oracle query and a streaming embedding feed
