@@ -89,6 +89,109 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     f.delete(new Path(old), true)
   }
 
+  // ---------------------------------------------------------------------
+  // Versioned materialization: publish KEEPS history — every publish is
+  // an immutable `v<n>` directory plus a tiny `_CURRENT` pointer file,
+  // so time travel is "read an old dir" and rollback is "repoint", with
+  // no data movement. The poor-man's table-format layer a re-materialized
+  // asset pipeline needs for "yesterday's model was better" incidents;
+  // versions never mutate, so concurrent readers of any version are safe.
+  // Crash contract: versions are written whole before the pointer moves;
+  // if a crash loses the pointer, currentVersion falls back to the
+  // newest complete version on disk.
+  // ---------------------------------------------------------------------
+
+  private def versionsDir(name: String): String = s"$baseDir/$name.versions"
+  private def versionPath(name: String, v: Long): String =
+    f"${versionsDir(name)}/v$v%05d.parquet"
+  private def pointerPath(name: String): String = s"${versionsDir(name)}/_CURRENT"
+
+  /** All complete versions of `name`, ascending. */
+  def versions(name: String): Seq[Long] = {
+    val dir = versionsDir(name)
+    val f = fs(dir)
+    if (!f.exists(new Path(dir))) Seq.empty
+    else f.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".parquet") =>
+        s.stripPrefix("v").stripSuffix(".parquet").toLong }
+      .sorted
+  }
+
+  /** The pointer target, or the newest version on disk when the pointer
+    * is missing (crash between version write and pointer move).
+    */
+  def currentVersion(name: String): Option[Long] = {
+    val p = pointerPath(name)
+    val f = fs(p)
+    if (f.exists(new Path(p))) {
+      val in = f.open(new Path(p))
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    } else versions(name).lastOption
+  }
+
+  private def writePointer(name: String, v: Long): Unit = {
+    val p = pointerPath(name)
+    val tmp = s"${pointerPath(name)}_tmp"
+    val f = fs(p)
+    val out = f.create(new Path(tmp), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(new Path(p), false)
+    if (!f.rename(new Path(tmp), new Path(p)))
+      throw new java.io.IOException(s"pointer rename failed for $name -> v$v")
+  }
+
+  /** Read the CURRENT version and register it as the `name` view. */
+  def getVersioned(name: String): DataFrame = {
+    val v = currentVersion(name).getOrElse(
+      throw new java.util.NoSuchElementException(s"$name has no versions"))
+    val df = spark.read.parquet(versionPath(name, v))
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Publish `df` as the next version of `name` and point `_CURRENT` at
+    * it. Returns (registered current DataFrame, new version id).
+    */
+  def materializeVersioned(name: String, df: DataFrame): (DataFrame, Long) = {
+    val v = versions(name).lastOption.getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(versionPath(name, v))
+    writePointer(name, v)
+    (getVersioned(name), v)
+  }
+
+  /** Read `name` at an explicit version (time travel); does not move the
+    * pointer or re-register the current view.
+    */
+  def getVersion(name: String, v: Long): DataFrame = {
+    require(versions(name).contains(v), s"$name has no version $v")
+    spark.read.parquet(versionPath(name, v))
+  }
+
+  /** Repoint `_CURRENT` at an existing version — no data movement; the
+    * abandoned versions stay on disk for [[vacuumVersions]] to reap.
+    */
+  def rollback(name: String, v: Long): DataFrame = {
+    require(versions(name).contains(v), s"$name has no version $v to roll back to")
+    writePointer(name, v)
+    getVersioned(name)
+  }
+
+  /** Delete all but the newest `keep` versions — never the pointer
+    * target, whatever its age. Returns the versions deleted.
+    */
+  def vacuumVersions(name: String, keep: Int = 3): Seq[Long] = {
+    require(keep >= 1, "must keep at least one version")
+    val all = versions(name)
+    val cur = currentVersion(name)
+    val reap = all.dropRight(keep).filterNot(cur.contains)
+    reap.foreach(v => fs(baseDir).delete(new Path(versionPath(name, v)), true))
+    reap
+  }
+
   /** Write-audit-publish: write `df` to the `_tmp` directory, evaluate
     * every audit as a boolean aggregate over the WRITTEN rows (one
     * scan, one row — e.g. `count(*) > 0`, `count(CASE WHEN id IS NULL

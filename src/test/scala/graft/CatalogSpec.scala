@@ -201,4 +201,61 @@ class CatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ba")
     spark.sql("DROP TABLE IF EXISTS bb")
   }
+
+  test("versioned publish: history kept, time travel, rollback, vacuum") {
+    val cat = newCatalog()
+    import spark.implicits._
+    def batch(n: Int) = (1 to n).map(i => (i.toLong, s"v$n")).toDF("id", "tag")
+
+    val (_, v1) = cat.materializeVersioned("vt", batch(3))
+    val (_, v2) = cat.materializeVersioned("vt", batch(5))
+    val (cur3, v3) = cat.materializeVersioned("vt", batch(7))
+    assert((v1, v2, v3) === (1L, 2L, 3L))
+    assert(cat.versions("vt") === Seq(1L, 2L, 3L))
+    assert(cat.currentVersion("vt") === Some(3L))
+    assert(cur3.count() === 7L)
+    assert(spark.table("vt").count() === 7L, "view tracks the current version")
+
+    // time travel reads an old version without moving the pointer
+    assert(cat.getVersion("vt", 1L).count() === 3L)
+    assert(cat.currentVersion("vt") === Some(3L))
+
+    // rollback repoints, no data moves; versions all still present
+    val rolled = cat.rollback("vt", 1L)
+    assert(rolled.count() === 3L)
+    assert(cat.currentVersion("vt") === Some(1L))
+    assert(cat.versions("vt") === Seq(1L, 2L, 3L))
+
+    // the NEXT publish continues the version sequence past the rollback
+    val (_, v4) = cat.materializeVersioned("vt", batch(9))
+    assert(v4 === 4L)
+    assert(cat.getVersioned("vt").count() === 9L)
+
+    // vacuum keeps the newest `keep` and never the pointer target
+    cat.rollback("vt", 2L)
+    val reaped = cat.vacuumVersions("vt", keep = 1)
+    assert(reaped === Seq(1L, 3L), s"expected to reap 1 and 3, got $reaped")
+    assert(cat.versions("vt") === Seq(2L, 4L))
+    assert(cat.getVersioned("vt").count() === 5L, "pointer target survived vacuum")
+
+    // unknown versions fail loudly
+    intercept[IllegalArgumentException](cat.getVersion("vt", 42L))
+    intercept[IllegalArgumentException](cat.rollback("vt", 42L))
+  }
+
+  test("versioned pointer loss recovers to the newest complete version") {
+    val cat = newCatalog()
+    import spark.implicits._
+    val df = (1L to 4L).map(i => (i, i)).toDF("id", "x")
+    cat.materializeVersioned("pt", df)
+    cat.materializeVersioned("pt", df.limit(2))
+    // simulate a crash that lost the pointer between write and repoint
+    val dir = new java.io.File(cat.path("pt")).getParentFile
+    val pointer = new java.io.File(s"${dir}/pt.versions/_CURRENT")
+    assert(pointer.exists())
+    pointer.delete()
+    assert(cat.currentVersion("pt") === Some(2L),
+      "missing pointer falls back to newest version on disk")
+    assert(cat.getVersioned("pt").count() === 2L)
+  }
 }
