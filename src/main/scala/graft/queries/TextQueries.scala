@@ -203,6 +203,11 @@ object TextQueries {
     "q_text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), k = 5)),
 
+    // Okapi BM25 per-doc top-5 terms — the ranked-retrieval twin of
+    // TF-IDF with doc-length normalization (k1=1.2, b=0.75)
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables(s, dir, "documents"), k = 5)),
+
     // per-language length-distribution stats (exact interpolated
     // percentiles, floor-scaled)
     "q_text_quantiles" -> ((s, dir) =>
@@ -603,6 +608,42 @@ object TextQueries {
         |    ORDER BY score_s DESC, tok) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, tok, tf, df, score_s FROM r
+        |WHERE rank <= 5""".stripMargin,
+
+    // the score expression mirrors the Spark association order exactly:
+    // ln(1 + (N - df + 0.5)/(df + 0.5)) * tf * (k1+1) / (tf + k1*(1-b +
+    // b*dl*N/tot_len)) * 100, floor-quantized — identical IEEE ops
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot_len
+        |  FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, dl.dl,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(tot.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+        |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+        |      * CAST(tf.tf AS DOUBLE) * 2.2
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+        |        + 0.75 * CAST(dl.dl AS DOUBLE) * CAST(tot.n_docs AS DOUBLE)
+        |          / CAST(tot.tot_len AS DOUBLE)))
+        |      * 100.0) AS BIGINT) AS score_s
+        |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_s DESC, tok) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, tok, tf, df, dl, score_s FROM r
         |WHERE rank <= 5""".stripMargin,
 
     "q_text_quantiles" ->

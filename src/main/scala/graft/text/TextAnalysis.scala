@@ -490,6 +490,47 @@ object TextAnalysis {
         col("df"), col("score_s"))
   }
 
+  /** Okapi BM25 per-document top-k terms — the ranked-retrieval scoring
+    * face next to [[tfidfTopK]] (Robertson & Zaragoza, the standard
+    * probabilistic weighting): idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    * Same scale shape as TF-IDF: token explode → partial-aggregated tf /
+    * df / doc-length groupBys, the corpus totals as a designed 1-row
+    * broadcast attach, rank filter planned as a map-side partial
+    * WindowGroupLimit. Scores are floor-quantized to 0.01 (the proven
+    * cross-engine log determinism pattern); the expression is written in
+    * one fixed association order so both engines evaluate bit-identical
+    * IEEE operations. Documents with zero tokens have no terms to rank
+    * and drop out (same convention as the oracle).
+    */
+  def bm25TopK(docs: DataFrame, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val totals = dlen.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val norm = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") * col("n_docs").cast("double") /
+          col("tot_len").cast("double"))
+    val scored = tf.join(dfreq, "tok").join(dlen, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_s",
+        floor(idf * col("tf").cast("double") * lit(k1 + 1.0) / norm * 100.0)
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_s").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("df"), col("dl"), col("score_s"))
+  }
+
   /** Vocabulary construction — the tokenizer-training step: the top
     * `maxVocab` whitespace tokens by corpus frequency, with dense
     * contiguous vocab ids in (count desc, token asc) order. Returns

@@ -147,7 +147,7 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     def wgl(q: String): Seq[WindowGroupLimitExec] =
       plan(q).collect { case w: WindowGroupLimitExec => w }
     for (q <- Seq("q_sample_cap", "q_sim_brute_topk", "q_sim_lsh_topk",
-        "q_text_tfidf", "q_sample_group_uniform",
+        "q_text_tfidf", "q_text_bm25", "q_sample_group_uniform",
         // the compressed-search family ranks with the same rank<=k shape
         "q_sim_quantized_topk", "q_sim_pq_topk", "q_sim_ivfpq_topk",
         "q_sim_hamming_topk", "q_sim_rrf")) {
@@ -317,7 +317,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     // query/vector for rank-1 assignment — same designed shape
     // q_dedup_semantic shares the IVF bounded-centroid attach;
     // q_sim_quantized_topk is the brute-force baseline over int8 codes
-    val intendedBnlj = Set("q_text_perplexity", "q_text_tfidf", "q_dict_extend",
+    // bm25's corpus-totals attach is the same 1-row bounded-aggregate
+    // shape as tfidf's
+    val intendedBnlj = Set("q_text_perplexity", "q_text_tfidf", "q_text_bm25",
+      "q_dict_extend",
       "q_sim_brute_topk", "q_sim_ivf_topk", "q_sim_ivf_kmeans", "q_sim_ivf_kmeans2",
       "q_dedup_semantic", "q_sim_quantized_topk", "q_sim_ivfpq_topk",
       // temperature mixing's grand-total attach is the same 1-row
