@@ -162,4 +162,65 @@ class PropertySpec extends SparkTestBase {
       assert(c2 >= 0.0 && c2 <= 100.0, r.toString)
     }
   }
+
+  test("BPE training == straight-line reference trainer on random corpora") {
+    // Independent in-memory implementation of the SAME contract —
+    // per-round global pair count, (count desc, pair asc) winner,
+    // greedy leftmost merge — driven over small random corpora with a
+    // repeat-heavy vocabulary (2 symbols) so same-symbol runs and ties
+    // are constantly exercised. Symbols are compared as HASHES (the
+    // engine's alphabet), derived with the same rolling hash.
+    val rnd = new Random(33)
+    def hash(tok: String): Long =
+      tok.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+
+    def refMerge(seq: List[Long], a: Long, b: Long, m: Long): List[Long] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Long]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+          out += m; i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.toList
+    }
+
+    def refTrain(corpus: Map[Long, List[Long]], rounds: Int)
+        : (List[(Long, Long, Long, Long)], Map[Long, List[Long]]) = {
+      var state = corpus
+      val merges = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val pairs = state.values.toList.flatMap(s => s.zip(s.drop(1)))
+        if (pairs.isEmpty) done = true
+        else {
+          val ((a, b), c) = pairs.groupBy(identity).view.mapValues(_.size).toList
+            .maxBy { case ((a, b), c) => (c, -a, -b) } // count desc, pair asc
+          val m = graft.text.Bpe.MergeSymBase + r
+          merges += ((a, b, c.toLong, m))
+          state = state.map { case (id, s) => id -> refMerge(s, a, b, m) }
+        }
+        r += 1
+      }
+      (merges.toList, state)
+    }
+
+    for (trial <- 0 until 4) {
+      val corpus = (1L to 25L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id -> List.fill(n)("w" + rnd.nextInt(2))
+      }.toMap
+      val docsDf = corpus.toSeq.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val (gotMerges, gotState) = graft.text.Bpe.train(docsDf, rounds = 3)
+      val (wantMerges, wantState) =
+        refTrain(corpus.map { case (id, ts) => id -> ts.map(hash) }, rounds = 3)
+      assert(gotMerges.map(m => (m.symA, m.symB, m.pairCount, m.newSym)) ===
+        wantMerges, s"trial $trial merge tables differ")
+      val got = gotState.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      assert(got === wantState, s"trial $trial segmentations differ")
+    }
+  }
 }
