@@ -69,6 +69,13 @@ object TextQueries {
       graft.text.Bpe.applyLearned(Tables(s, dir, "documents"),
         trainedBpe(s, dir)._1)),
 
+    // the NATIVE-expression frozen face (expressions.BpeApplyExpr):
+    // whole merge table in one codegen'd kernel — the form that
+    // carries a real vocabulary; same oracle as training's output
+    "q_text_bpe_native" -> ((s, dir) =>
+      graft.text.Bpe.applyLearnedNative(Tables(s, dir, "documents"),
+        trainedBpe(s, dir)._1)),
+
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
 
@@ -344,6 +351,9 @@ object TextQueries {
 
     // the frozen-tokenizer face must reproduce training's segmentation
     "q_text_bpe_frozen" -> bpeApplyOracle(3),
+
+    // so must the native-expression face
+    "q_text_bpe_native" -> bpeApplyOracle(3),
 
     // chr(769)=U+0301 combining acute, chr(64257)=U+FB01 ﬁ ligature
     // (NFC-invariant), chr(778)=U+030A combining ring — the same

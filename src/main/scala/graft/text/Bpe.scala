@@ -185,6 +185,20 @@ object Bpe {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sym"))
   }
 
+  /** The native-expression twin of [[applyLearned]]: the whole merge
+    * table bakes into ONE codegen'd imperative kernel per row
+    * (expressions.BpeApplyExpr) — linear plan size at ANY merge count,
+    * the form that carries a real vocabulary (tens of thousands of
+    * merges) where a fold per merge cannot. Same output contract:
+    * (doc_id, pos, sym).
+    */
+  def applyLearnedNative(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val init = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"), col("th").as("syms"))
+    explodeState(init.select(col("doc_id"),
+      graft.expressions.BpeApplyExpr(col("syms"), merges).as("syms")))
+  }
+
   /** Learned merges as a DataFrame: (round, sym_a, sym_b, pair_count,
     * new_sym) — the persistable artifact [[applyLearned]] consumes.
     */

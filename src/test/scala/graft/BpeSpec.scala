@@ -86,6 +86,42 @@ class BpeSpec extends SparkTestBase {
     assert(out(1) === Bpe.MergeSymBase && out(2) === Bpe.MergeSymBase)
   }
 
+  test("native BpeApplyExpr == fold-chain applyLearned, incl. random corpora") {
+    // the rank-ordered imperative kernel must reproduce the sequential
+    // fold chain exactly — including same-symbol runs and merges whose
+    // minted symbols feed later merges
+    val rnd = new scala.util.Random(91)
+    val train = docs((1L to 20L).map(id =>
+      id -> Seq.fill(2 + rnd.nextInt(10))("s" + rnd.nextInt(2)).mkString(" ")): _*)
+    val (merges, _) = Bpe.train(train, rounds = 3)
+    assert(merges.nonEmpty)
+    val fresh = docs((100L to 119L).map(id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))("s" + rnd.nextInt(3)).mkString(" ")): _*)
+    for (d <- Seq(train, fresh)) {
+      val fold = Bpe.applyLearned(d, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val native = Bpe.applyLearnedNative(d, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(native === fold)
+    }
+  }
+
+  test("native BPE apply participates in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val (merges, _) = Bpe.train(docs(1L -> "a b a b"), rounds = 1)
+    val df = spark.range(10)
+      .select(array(col("id"), col("id") + 1, col("id")).as("syms"))
+      .select(graft.expressions.BpeApplyExpr(col("syms"), merges).as("out"))
+    val stages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    val inStage = stages.exists(_.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec => p
+    }.nonEmpty)
+    assert(inStage, "BpeApplyExpr fell out of whole-stage codegen")
+    assert(df.collect().length === 10)
+  }
+
   test("apply face explodes dense positions in order") {
     val d = docs(1L -> "a b c d", 2L -> "a b")
     val rows = Bpe.bpeApply(d, rounds = 1).collect()
