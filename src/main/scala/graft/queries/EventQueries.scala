@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Scd
 import graft.streaming.Events
 
 /** Batch faces of the event-stream operators (graft.streaming.Events),
@@ -100,6 +101,18 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // SCD Type-2 dimension build: per-user event_type histories as
+    // versioned validity intervals (epoch-second faces, the
+    // q_events_sessionize output convention)
+    "q_scd2_intervals" -> ((s, dir) =>
+      Scd.buildType2(Tables.events(s, dir), Seq("user_id"),
+          stateCol = "event_type", tsCol = "ts", tieCol = "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("version"),
+          col("effective_from").cast("long").as("from_s"),
+          col("effective_to").cast("long").as("to_s"),
+          col("is_current"))),
+
     // §2.8 JSON scalar functions over the events props column, both
     // extraction forms: path-based get_json_object (no schema needed,
     // per-field) and schema-based from_json (one parse for the whole
@@ -123,6 +136,29 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors Scd.buildType2: collapse consecutive repeats (null-safe
+    // via IS DISTINCT FROM), version + close intervals over one
+    // (user, ts, event_id) ordering
+    "q_scd2_intervals" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS from_s,
+        |    CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS to_s
+        |  FROM f
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, event_id, version, from_s, to_s,
+        |  to_s IS NULL AS is_current FROM v""".stripMargin,
+
     "q_events_variant" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -13,6 +13,47 @@ object SamplingQueries {
 
   private val P = TextAnalysis.HashMod
 
+  /** DuckDB twin of the per-token rolling hash (TextAnalysis.rollingHash)
+    * — same fragment family as DedupQueries.charHash. */
+  private def charHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $P)"
+
+  /** Shared CTE prefix for the DSIR importance oracles: per-token hash
+    * buckets, smoothed bucket stats, and the fixed-point probability
+    * ratios — mirroring Sampling.importanceWeights term for term (every
+    * factor cast to DOUBLE before multiplying, same association).
+    */
+  private val importanceCtes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang = 'en' AS is_t,
+       |    unnest(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |      tk -> ${charHash("tk")})) % 256 AS b
+       |  FROM documents),
+       |bs AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+       |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS c_t
+       |  FROM tok GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+       |    CAST(sum(c_t) AS BIGINT) AS n_t
+       |  FROM bs),
+       |ratios AS (
+       |  SELECT b,
+       |    CAST(floor(1000000.0 *
+       |      (CAST(c_t + 1 AS DOUBLE) * CAST(n_r + 256 AS DOUBLE)) /
+       |      (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 256 AS DOUBLE)))
+       |      AS BIGINT) AS ratio_fp
+       |  FROM bs CROSS JOIN tot),
+       |dtf AS (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf * ratio_fp) AS BIGINT) AS importance_fp
+       |  FROM dtf JOIN ratios USING (b) GROUP BY 1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 30% deterministic Bernoulli sample keyed on doc_id (salt 3)
@@ -81,6 +122,21 @@ object SamplingQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // DSIR-style importance weights: target slice = English docs,
+    // 256 hash buckets, fixed-point probability-ratio scores
+    "q_sample_importance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.importanceWeights(Tables(s, dir, "documents"),
+        isTarget = col("lang") === "en", buckets = 256)
+    }),
+
+    // importance selection: top 64 docs by length-normalized score
+    "q_sample_importance_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.selectByImportance(Tables(s, dir, "documents"),
+        isTarget = col("lang") === "en", k = 64, buckets = 256)
+    }),
+
     // export pipeline COMPOSITION (the sampling-family flagship, peer of
     // q_pipeline_curation/_dedup/_embeddings): exact-dedup keep →
     // deterministic shuffle-to-shards (salt 23) → per-shard manifest
@@ -121,6 +177,21 @@ object SamplingQueries {
         |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
         |  FROM documents)
         |WHERE rank <= 8""".stripMargin,
+
+    // mirrors Sampling.importanceWeights bucket-for-bucket (shared CTEs)
+    "q_sample_importance" ->
+      s"""$importanceCtes
+         |SELECT doc_id, n_tokens, importance_fp FROM w""".stripMargin,
+
+    // selection face: floor of double division (both engines' `/` on
+    // BIGINT is double division), ties by doc_id
+    "q_sample_importance_topk" ->
+      s"""$importanceCtes
+         |SELECT doc_id, n_tokens, importance_fp,
+         |  CAST(floor(importance_fp / n_tokens) AS BIGINT) AS score_per_token
+         |FROM w
+         |ORDER BY score_per_token DESC, doc_id
+         |LIMIT 64""".stripMargin,
 
     // mirrors the export composition: the exact-dedup twin embeds
     // verbatim from DedupQueries (one definition for both faces), then

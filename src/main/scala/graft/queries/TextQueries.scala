@@ -237,6 +237,11 @@ object TextQueries {
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(Tables(s, dir, "documents"), maxVocab = 500)),
 
+    // inverted-index build (flat posting rows): tf + first position per
+    // (token, doc), lexicon df/cf, hapax pruned at df >= 2
+    "q_text_invindex" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables(s, dir, "documents"), minDf = 2L)),
+
     // OOV coverage vs a deliberately small (200-token) vocab so the
     // out-of-vocabulary tail is non-trivial — the freeze-the-tokenizer
     // go/no-go metric
@@ -710,6 +715,27 @@ object TextQueries {
          |  CAST(len($toks) AS BIGINT) AS n_tokens,
          |  nfc_normalize(text) AS text_nfc
          |FROM documents""".stripMargin,
+
+    // mirrors TextAnalysis.invertedIndex: first_pos via list_position
+    // (1-based first occurrence == Spark's min(posexplode pos) + 1)
+    "q_text_invindex" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS token FROM d),
+         |postings AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token != '' GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT p.token, p.doc_id, p.tf,
+         |    CAST(list_position(d.toks, p.token) AS BIGINT) AS first_pos
+         |  FROM postings p JOIN d USING (doc_id)),
+         |lex AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM postings GROUP BY token)
+         |SELECT f.token, f.doc_id, f.tf, f.first_pos, l.df, l.cf
+         |FROM fp f JOIN lex l USING (token) WHERE l.df >= 2""".stripMargin,
 
     // mirrors TextAnalysis.buildVocab: same whitespace tokens, count
     // desc + token asc ordering, dense 0-based vocab ids over the cut

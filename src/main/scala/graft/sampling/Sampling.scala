@@ -234,6 +234,81 @@ object Sampling {
       .drop("_h")
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more its hashed-unigram profile looks like a TARGET
+    * corpus slice than like the raw corpus. Features are rolling token
+    * hashes folded into `buckets` hash buckets; each bucket gets a
+    * Laplace-smoothed probability under the target and raw token
+    * distributions, and a document's weight is the token-frequency-
+    * weighted sum of per-bucket probability ratios.
+    *
+    * Determinism contract (the engine-exactness adaptation, like the
+    * fixed-k dedup-groups contract): the canonical DSIR weight is a sum
+    * of log-likelihood ratios, but `ln` is not IEEE correctly-rounded
+    * and differs across engines in the last ulp — so the per-bucket
+    * statistic here is the smoothed probability RATIO in fixed point,
+    *   ratio_fp(b) = floor(scale · ((c_t+1)·(N_r+B)) / ((c_r+1)·(N_t+B)))
+    * with every factor cast to double BEFORE multiplying (each count is
+    * exactly representable below 2^53 and *, / are exactly rounded, so
+    * the identical expression tree is bit-exact in any engine), and the
+    * document weight Σ tf_b · ratio_fp(b) is an exact integer sum. A
+    * monotone per-bucket surrogate of the log ratio — same ordering of
+    * buckets, oracle-checkable end-to-end.
+    *
+    * Scale shape: explode shares the exchange-barriered token-hash
+    * scan; bucket stats are one partial-agged groupBy of ≤`buckets`
+    * rows; corpus totals attach via a 1-row broadcast (the
+    * [[sampleTemperature]] shape); the ratio table broadcasts back onto
+    * per-(doc, bucket) term frequencies. Shuffle keys are (doc_id,
+    * bucket) longs — token strings never shuffle.
+    *
+    * Output: (doc_id, n_tokens, importance_fp); higher = more
+    * target-like. Divide by n_tokens for a length-normalized score
+    * ([[selectByImportance]] does).
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 256, scale: Double = 1000000.0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tht = docs.select(col("doc_id"), isTarget.as("_is_target"),
+        transform(TextAnalysis.tokens(col("text")),
+          t => TextAnalysis.rollingHash(t)).as("th"))
+      .repartition(col("doc_id"))
+    val tok = tht.select(col("doc_id"), col("_is_target"),
+        explode(col("th")).as("_h"))
+      .withColumn("_b", col("_h") % buckets.toLong).drop("_h")
+    val bucketStats = tok.groupBy("_b").agg(
+      count(lit(1)).as("c_r"),
+      count_if(col("_is_target")).as("c_t"))
+    val totals = bucketStats.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+    val b = lit(buckets.toLong)
+    val ratios = bucketStats.join(broadcast(totals))
+      .select(col("_b"),
+        floor(lit(scale) *
+            ((col("c_t") + 1L).cast("double") * (col("n_r") + b).cast("double")) /
+            ((col("c_r") + 1L).cast("double") * (col("n_t") + b).cast("double")))
+          .cast("long").as("_ratio_fp"))
+    tok.groupBy(col("doc_id"), col("_b")).agg(count(lit(1)).as("_tf"))
+      .join(broadcast(ratios), Seq("_b"))
+      .groupBy("doc_id")
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf") * col("_ratio_fp")).as("importance_fp"))
+  }
+
+  /** Importance selection: the top `k` documents by length-normalized
+    * importance ([[importanceWeights]] per token, floor-divided so the
+    * score stays an exact long), ties broken by doc_id. Plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-row driver
+    * merge, no global sort, no single hot reducer.
+    */
+  def selectByImportance(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 256, scale: Double = 1000000.0): DataFrame =
+    importanceWeights(docs, isTarget, buckets, scale)
+      .withColumn("score_per_token",
+        floor(col("importance_fp") / col("n_tokens")).cast("long"))
+      .orderBy(col("score_per_token").desc, col("doc_id"))
+      .limit(k)
+
   /** Incremental shard assignment — the daily-drop face of
     * [[shuffleToShards]] (the placement member of the incremental
     * family next to `Dedup.exactIncremental` and

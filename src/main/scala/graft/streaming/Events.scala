@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.ids.Ids
 
@@ -370,5 +371,81 @@ object Events {
             closed.result().iterator
           }
       }
+  }
+
+  /** Per-key session processor for [[streamingSessionizeTws]] — the
+    * Spark 4 `transformWithState` formulation of the exact logic in
+    * [[streamingSessionize]]'s flatMapGroupsWithState closure: merge
+    * in-gap events into the open session, close it on a gap, and let an
+    * event-time TIMER (the arbitrary-timer generalization of
+    * GroupStateTimeout) flush the open session once the watermark
+    * passes last + gap. Timers are re-registered per update and the
+    * stale one deleted — transformWithState allows many timers per key,
+    * so an unremoved stale timer would double-emit.
+    */
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val prevState = if (state.exists()) Some(state.get()) else None
+      var cur = prevState
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        prevState.foreach(p => getHandle.deleteTimer(p.last + gapMs))
+        state.update(s)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] =
+      (if (state.exists()) Some(state.get()) else None) match {
+        // guard: only flush if THIS timer is the session's live horizon
+        // (a racing update re-registered a later one)
+        case Some(s) if expired.getExpiryTimeInMs() >= s.last + gapMs =>
+          state.clear()
+          Iterator(Session(userId, new Timestamp(s.start),
+            new Timestamp(s.last), s.n, s.sum))
+        case _ => Iterator.empty
+      }
+  }
+
+  /** Streaming sessionization on the Spark 4 `transformWithState` API —
+    * the third face of the session operator (batch islands /
+    * flatMapGroupsWithState / StatefulProcessor). Same emission
+    * contract as [[streamingSessionize]]; spec-tested equal. Runs on
+    * the RocksDB state store (the API requires it), which is also the
+    * right provider at 100 TB state sizes — changelog checkpointing,
+    * no JVM-heap state.
+    */
+  def streamingSessionizeTws(stream: Dataset[Event], gapMinutes: Int = 30)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    stream
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -573,4 +573,42 @@ object TextAnalysis {
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_frac",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
+  /** Inverted-index build (flat posting rows) — the retrieval-side dual
+    * of [[tfidfTopK]]/[[bm25TopK]]: one row per (token, document)
+    * posting with term frequency, the token's 1-based first position,
+    * and the lexicon stats every ranker needs (document frequency `df`,
+    * collection frequency `cf`). `minDf` prunes hapax noise and bounds
+    * the output (a production index prunes exactly this way before
+    * sharding posting lists).
+    *
+    * Scale shape: posexplode streams positions out of the scan (no
+    * per-token array re-scan — first_pos is min(pos), O(1) per
+    * instance); two partial-aggregated groupBys ((token, doc) then
+    * token) and one token-key join back. Empty tokens (whitespace-only
+    * documents) are dropped, matching [[buildVocab]].
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2L): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val postings = tok.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), (min(col("pos")) + 1L).as("first_pos"))
+    val lexicon = postings.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .where(col("df") >= minDf)
+    postings.join(lexicon, Seq("token"))
+  }
+
+  /** Posting-LIST face of [[invertedIndex]]: one row per token with the
+    * doc_id-sorted postings array — the A8 collect_list shape, for
+    * writing index shards where a term's postings must be contiguous.
+    * Spec-tested equal to the flat face after explode.
+    */
+  def postingsLists(docs: DataFrame, minDf: Long = 2L): DataFrame =
+    invertedIndex(docs, minDf)
+      .groupBy("token")
+      .agg(first(col("df")).as("df"), first(col("cf")).as("cf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"),
+          col("first_pos")))).as("postings"))
 }

@@ -324,8 +324,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_sim_brute_topk", "q_sim_ivf_topk", "q_sim_ivf_kmeans", "q_sim_ivf_kmeans2",
       "q_dedup_semantic", "q_sim_quantized_topk", "q_sim_ivfpq_topk",
       // temperature mixing's grand-total attach is the same 1-row
-      // bounded-aggregate shape as q_dict_extend
-      "q_sample_temperature",
+      // bounded-aggregate shape as q_dict_extend; the importance
+      // weighters attach their 1-row token-total the same way
+      "q_sample_temperature", "q_sample_importance", "q_sample_importance_topk",
       // hamming is a brute-force sketch scan; rrf and the embedding
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
@@ -400,6 +401,35 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       val n = shuffles(plan(q)).size
       assert(n <= bound, s"$q shuffle count regressed: $n > $bound")
     }
+  }
+
+  test("SCD2 build: one exchange on user_id serves every window pass") {
+    val p = plan("q_scd2_intervals")
+    val s = shuffles(p)
+    assert(s.size == 1, s"q_scd2_intervals expected 1 shuffle, got ${s.size}")
+    assert(partitionKeys(s.head) == Seq("user_id"))
+    windows(p).foreach { w =>
+      assert(w.partitionSpec.flatMap(_.references.map(_.name)) == Seq("user_id"),
+        "every SCD2 window must partition on the dimension key")
+    }
+  }
+
+  test("importance weights: no Window, stats attach by broadcast only") {
+    val p = plan("q_sample_importance")
+    assert(windows(p).isEmpty, "importance weighting must stay window-free")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(bhj(p).nonEmpty,
+      "the bucket-ratio table must broadcast back onto per-doc term counts")
+    val n = shuffles(p).size
+    assert(n <= 6, s"q_sample_importance shuffle count regressed: $n > 6")
+  }
+
+  test("inverted index: aggregation exchanges only, no window, no cartesian") {
+    val p = plan("q_text_invindex")
+    assert(windows(p).isEmpty)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val n = shuffles(p).size
+    assert(n <= 5, s"q_text_invindex shuffle count regressed: $n > 5")
   }
 
   // release the memoized domain-chain stages this suite materialized

@@ -191,4 +191,45 @@ class SamplingSpec extends SparkTestBase {
         s"shard $shard increment pos not contiguous")
     }
   }
+
+  test("importanceWeights separates target-like from raw-only vocabulary") {
+    // disjoint vocabularies: target docs speak A-words, the rest B-words
+    val d = ((1L to 40L).map(i => (i, "alpha beta gamma delta", "en")) ++
+        (41L to 80L).map(i => (i, "omega psi chi phi", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val w = Sampling.importanceWeights(d, col("lang") === "en", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.length === 80)
+    val (target, raw) = w.partition(_._1 <= 40L)
+    // every target doc outscores every raw doc (disjoint vocab)
+    assert(target.map(_._3).min > raw.map(_._3).max,
+      "target-vocabulary docs must carry higher importance")
+    // weights are per-content: identical texts score identically
+    assert(target.map(_._3).distinct.length === 1)
+    assert(w.forall(_._2 === 4L), "n_tokens must count whitespace tokens")
+  }
+
+  test("importanceWeights is partitioning-independent and selection is top-k") {
+    val d = (1L to 60L)
+      .map(i => (i, if (i % 3 == 0) "apple pie" else "rock dust stone", 
+        if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val a = Sampling.importanceWeights(d, col("lang") === "en", buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.importanceWeights(d.repartition(7), col("lang") === "en",
+        buckets = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b, "weights must not depend on the input partitioning")
+    val sel = Sampling.selectByImportance(d, col("lang") === "en", k = 10,
+      buckets = 32).collect()
+    assert(sel.length === 10)
+    val scores = sel.map(_.getAs[Long]("score_per_token"))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq, "selection is score-ordered")
+    // the returned set IS the global top-10 under (score desc, doc_id)
+    val all = Sampling.importanceWeights(d, col("lang") === "en", buckets = 32)
+      .withColumn("spt", floor(col("importance_fp") / col("n_tokens")).cast("long"))
+      .collect().map(r => (-r.getAs[Long]("spt"), r.getAs[Long]("doc_id")))
+      .sorted.take(10).map(_._2).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet === all)
+  }
 }

@@ -451,4 +451,47 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(out === Set((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (8L, 1L, 1L, 8.0)))
   }
+
+  test("streamingSessionizeTws (transformWithState) matches the fMGWS face") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Events.streamingSessionizeTws(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same drive as the flatMapGroupsWithState case: a 2-event
+      // session, a 40-min gap, then far-future rows to advance the
+      // watermark past both horizons (timers fire a batch later)
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(45), 7, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(5, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "view", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sessions_tws")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got.contains((7L, ts(0), ts(5), 2L, 3.0)), s"first session: $got")
+      assert(got.contains((7L, ts(45), ts(45), 1L, 4.0)), s"second session: $got")
+      assert(got.contains((8L, Timestamp.valueOf("2024-01-01 12:00:00"),
+        Timestamp.valueOf("2024-01-01 12:00:00"), 1L, 0.5)), s"user-8 session: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -294,4 +294,51 @@ class TextAnalysisSpec extends SparkTestBase {
       2L -> ((2L, 2L, 1.0)),
       3L -> ((2L, 0L, 0.0))))
   }
+
+  test("invertedIndex: tf, first_pos, df/cf lexicon, hapax pruning") {
+    val d = docs(
+      1L -> "to be or not to be",
+      2L -> "be quick",
+      3L -> "or else")
+    val flat = TextAnalysis.invertedIndex(d, minDf = 2L)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("first_pos"),
+          r.getAs[Long]("df"), r.getAs[Long]("cf"))))
+      .toMap
+    assert(flat === Map(
+      ("be", 1L) -> ((2L, 2L, 2L, 3L)),
+      ("be", 2L) -> ((1L, 1L, 2L, 3L)),
+      ("or", 1L) -> ((1L, 3L, 2L, 2L)),
+      ("or", 3L) -> ((1L, 1L, 2L, 2L))),
+      "df=1 tokens (to/not/quick/else) must be pruned; positions 1-based")
+  }
+
+  test("postingsLists face explodes back to the flat index") {
+    val d = docs(
+      1L -> "x y x z",
+      2L -> "y z z",
+      3L -> "x q")
+    val flat = TextAnalysis.invertedIndex(d, minDf = 2L)
+      .select("token", "doc_id", "tf", "first_pos", "df", "cf")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val lists = TextAnalysis.postingsLists(d, minDf = 2L)
+    val exploded = lists
+      .select(col("token"), col("df"), col("cf"),
+        explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id"), col("p.tf"), col("p.first_pos"),
+        col("df"), col("cf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(exploded === flat)
+    // postings arrays are doc_id-sorted (shard-contiguity contract)
+    lists.collect().foreach { r =>
+      val ids = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("postings")
+        .map(_.getAs[Long]("doc_id"))
+      assert(ids.toSeq === ids.toSeq.sorted, s"postings not sorted for ${r.get(0)}")
+    }
+  }
 }
