@@ -7,7 +7,8 @@ object MicroBench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     graft.queries.QueryCaches.prebuildAll(spark, sfDir)
-    val names = Seq("q_domain_book_coverage", "q_domain_cluster", "q_pipeline_dedup", "q_dedup_prefix_join", "q_join_self")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_domain_book_coverage", "q_domain_cluster", "q_pipeline_dedup", "q_dedup_prefix_join", "q_join_self")
     for (round <- 1 to 2; name <- names) {
       val t0 = System.nanoTime()
       run(SparkEntry.queries(name))

@@ -38,4 +38,33 @@ object Profiler {
     }
     wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
+
+  /** Equi-width histogram of an integral column — the distribution
+    * companion to [[profile]]'s min/max. Bin edges derive from the
+    * observed [lo, hi] range; every row maps to
+    * bin = ((v − lo) · bins) div (hi − lo + 1), which lands in
+    * [0, bins−1] by construction (no clamp needed) and is EXACT: the
+    * division uses the subtract-remainder form, all in long arithmetic,
+    * so the DuckDB twin reproduces bins bit-for-bit — equi-width is the
+    * scale-safe histogram (equi-DEPTH needs a global rank; for that use
+    * the quantile operator).
+    *
+    * Scale shape: one 1-row bounded min/max aggregate attaches by
+    * broadcast (the designed BNLJ shape), then a map-only bin
+    * expression and one partial-aggregated groupBy on ≤`bins` keys.
+    * Nulls are excluded (a null has no position in the range).
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("long")
+    val bounds = df.where(v.isNotNull)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    val x = (v - col("_lo")) * bins
+    val d = col("_hi") - col("_lo") + lit(1L)
+    df.where(v.isNotNull)
+      .join(broadcast(bounds))
+      .withColumn("bin", ((x - pmod(x, d)) / d).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min(v).as("min_v"), max(v).as("max_v"))
+  }
 }

@@ -101,6 +101,17 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // cohort retention triangle: weekly epochs, users keyed to their
+    // first-seen week, distinct actives per (cohort, offset)
+    "q_events_retention" -> ((s, dir) =>
+      Events.cohortRetention(Tables.events(s, dir))),
+
+    // last-touch attribution: purchases credited to the latest
+    // preceding click by the same user within 1 hour (as-of join
+    // composition + horizon filter)
+    "q_events_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(Tables.events(s, dir))),
+
     // SCD Type-2 dimension build: per-user event_type histories as
     // versioned validity intervals (epoch-second faces, the
     // q_events_sessionize output convention)
@@ -136,6 +147,43 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors Events.cohortRetention: integer-div weekly buckets,
+    // first-bucket cohorts, distinct actives per (cohort, offset)
+    "q_events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS bucket
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, min(bucket) AS cohort FROM e GROUP BY 1)
+        |SELECT cohort, bucket - cohort AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Events.lastTouchAttribution: per-(user, ts) max-id touch
+    // dedupe (the asof tie guard), DuckDB native ASOF, horizon nulling
+    "q_events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, max(event_id) AS touch_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.user_id, c.event_id,
+        |    CAST(floor(epoch(c.ts)) AS BIGINT) AS conv_ts_s, c.value,
+        |    t.touch_event_id,
+        |    CAST(floor(epoch(c.ts)) AS BIGINT)
+        |      - CAST(floor(epoch(t.ts)) AS BIGINT) AS latency_s
+        |  FROM c ASOF LEFT JOIN t
+        |    ON c.user_id = t.user_id AND c.ts >= t.ts)
+        |SELECT user_id, event_id, conv_ts_s, value,
+        |  CASE WHEN latency_s <= 3600 THEN touch_event_id END AS touch_event_id,
+        |  CASE WHEN latency_s <= 3600 THEN latency_s END AS latency_s
+        |FROM j""".stripMargin,
+
     // mirrors Scd.buildType2: collapse consecutive repeats (null-safe
     // via IS DISTINCT FROM), version + close intervals over one
     // (user, ts, event_id) ordering

@@ -401,6 +401,12 @@ object RelationalQueries {
       graft.core.Profiler.profile(Tables(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Equi-width histogram of document lengths: 16 exact integer bins
+    // over the observed [lo, hi] range (core.Profiler.histogram)
+    "q_profile_histogram" -> ((s, dir) =>
+      graft.core.Profiler.histogram(Tables(s, dir, "documents"),
+        "n_chars", bins = 16)),
+
     // Join-key skew diagnostic (core.Skew.diagnoseKey): the 20 heaviest
     // event users with exact counts + fixed-point corpus fraction — the
     // measurement behind the salt-or-not decision
@@ -712,6 +718,19 @@ object RelationalQueries {
         |  FROM fresh)
         |SELECT lang_id, lang FROM app
         |UNION ALL SELECT lang_id, lang FROM ex""".stripMargin,
+
+    // mirrors Profiler.histogram: same subtract-remainder exact
+    // integer bin division over the observed range
+    "q_profile_histogram" ->
+      """WITH b AS (
+        |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+        |  WHERE n_chars IS NOT NULL)
+        |SELECT ((n_chars - lo) * 16) // (hi - lo + 1) AS bin,
+        |  count(*) AS n_rows,
+        |  min(n_chars) AS min_v, max(n_chars) AS max_v
+        |FROM documents CROSS JOIN b
+        |WHERE n_chars IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_profile_skew" ->
       """WITH counts AS (

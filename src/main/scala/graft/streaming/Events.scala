@@ -373,6 +373,69 @@ object Events {
       }
   }
 
+  /** Cohort retention: bucket every event into fixed UTC epochs (weeks
+    * by default), assign each user to the cohort of their FIRST bucket,
+    * and count per (cohort, bucket-offset) the distinct users still
+    * active and their events — the standard product-analytics retention
+    * triangle, and for a training-data pipeline the contributor-churn
+    * view of a streaming corpus.
+    *
+    * Scale shape: first-bucket is one partial-aggregated min per user;
+    * the join back is user_id-keyed on both sides (no broadcast needed,
+    * |users| is unbounded); the final distinct-count aggregates on
+    * (cohort, offset) — a bounded grid (weeks × weeks). Epoch-quotient
+    * bucketing (integer `div`) keeps both engines exact.
+    */
+  def cohortRetention(events: DataFrame,
+      bucketSeconds: Long = 604800L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive")
+    // exact integer division: (a - a%b)/b has an exactly-divisible
+    // numerator, so the double quotient is exact — a bare a/b can
+    // round UP across an integer boundary (b is not a power of two)
+    // and then truncate to the wrong bucket
+    val tsl = col("ts").cast("long")
+    val e = events.select(col("user_id"),
+      ((tsl - pmod(tsl, lit(bucketSeconds))) / bucketSeconds)
+        .cast("long").as("bucket"))
+    val firsts = e.groupBy("user_id").agg(min("bucket").as("cohort"))
+    e.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * LATEST preceding touch event by the same user within `horizonS`
+    * seconds — an as-of join ([[graft.operators.AsOf.asOfJoin]]) with a
+    * horizon filter on top. If the latest preceding touch is outside
+    * the horizon, every earlier one is too (they are older), so the
+    * conversion is correctly unattributed (null touch columns) — the
+    * post-join filter loses nothing.
+    *
+    * Scale shape: inherits the as-of join's single (user_id) exchange +
+    * one ordered window pass; the horizon check is a map-only epoch
+    * subtraction.
+    */
+  def lastTouchAttribution(events: DataFrame, convType: String = "purchase",
+      touchType: String = "click", horizonS: Long = 3600L): DataFrame = {
+    val conversions = events.where(col("event_type") === convType)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // unique per (user, ts): on timestamp ties the as-of window's
+    // last() is order-ambiguous among right rows, so collapse to the
+    // max event_id first (the same guard the asof query faces use)
+    val touches = events.where(col("event_type") === touchType)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("touch_event_id"))
+      .withColumn("touch_ts_s", col("ts").cast("long"))
+    graft.operators.AsOf.asOfJoin(conversions, touches, Seq("user_id"),
+        "ts", Seq("touch_event_id", "touch_ts_s"))
+      .withColumn("latency_s", col("ts").cast("long") - col("touch_ts_s"))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("conv_ts_s"), col("value"),
+        when(col("latency_s") <= horizonS, col("touch_event_id")).as("touch_event_id"),
+        when(col("latency_s") <= horizonS, col("latency_s")).as("latency_s"))
+  }
+
   /** Per-key session processor for [[streamingSessionizeTws]] — the
     * Spark 4 `transformWithState` formulation of the exact logic in
     * [[streamingSessionize]]'s flatMapGroupsWithState closure: merge

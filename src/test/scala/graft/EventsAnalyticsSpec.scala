@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Events
+
+/** Batch event-analytics operators (retention, attribution) and the
+  * histogram profiler — semantics the oracle hash can't articulate:
+  * cohort assignment, horizon cuts, tie handling, bin edges.
+  */
+class EventsAnalyticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ev(id: Long, day: Int, user: Long, typ: String, v: Double = 1.0) =
+    (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), user, typ, v)
+
+  test("cohortRetention keys users to their first bucket") {
+    // week buckets; 2024-01-01..07 is one epoch week, 08..14 the next
+    val events = Seq(
+      ev(1, 2, 100, "click"), ev(2, 9, 100, "click"),  // cohort w, active w+1
+      ev(3, 9, 200, "click"),                          // cohort w+1 only
+      ev(4, 2, 300, "click"), ev(5, 3, 300, "click")   // cohort w, twice in-week
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Events.cohortRetention(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w0 = rows.map(_._1).min
+    val got = rows.map { case (c, o, u, e) => (c - w0, o, u, e) }.toSet
+    // users 100+300 share the first cohort (offset 0: 2 users, 3
+    // events; user 100 returns at offset 1); user 200's FIRST event is
+    // a week later, so it seeds the NEXT cohort at offset 0 — cohorts
+    // key on first-seen bucket, not on calendar weeks events fall in
+    assert(got === Set((0L, 0L, 2L, 3L), (0L, 1L, 1L, 1L), (1L, 0L, 1L, 1L)))
+  }
+
+  test("lastTouchAttribution: horizon cut, latest wins, tie on max id") {
+    def at(id: Long, hhmm: String, user: Long, typ: String, v: Double = 0.0) =
+      (id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, typ, v)
+    val events = Seq(
+      at(1, "10:00", 7, "click"),
+      at(2, "10:30", 7, "click"),          // latest in-horizon touch
+      at(3, "10:45", 7, "purchase", 9.0),  // → touch 2, latency 15 min
+      at(4, "13:00", 7, "purchase", 5.0),  // 2.5h since touch 2 → null
+      at(5, "09:00", 8, "purchase", 1.0),  // no touch at all → null
+      // user 9: two clicks at the SAME ts — max event_id must win
+      at(6, "11:00", 9, "click"), at(7, "11:00", 9, "click"),
+      at(8, "11:10", 9, "purchase", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.lastTouchAttribution(events)
+      .select("event_id", "touch_event_id", "latency_s")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+    assert(got === Map(
+      3L -> ((Some(2L), Some(900L))),
+      4L -> ((None, None)),
+      5L -> ((None, None)),
+      8L -> ((Some(7L), Some(600L)))))
+  }
+
+  test("histogram: exact equi-width bins, extremes in first/last bin") {
+    val d = (0L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val got = graft.core.Profiler.histogram(d, "n_chars", bins = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // range [0,100], width 101/4: bin = v*4 div 101
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L)._2 === 0L && got(3L)._3 === 100L)
+    assert(got.values.map(_._1).sum === 101L, "every non-null row lands in a bin")
+    // bin boundaries are exactly v*4 div 101
+    assert(got(0L)._3 === 25L && got(1L)._2 === 26L)
+    // single-value degenerate range: everything in bin 0
+    val one = Seq((1L, 42L), (2L, 42L)).toDF("doc_id", "n_chars")
+    val deg = graft.core.Profiler.histogram(one, "n_chars", bins = 8).collect()
+    assert(deg.length === 1 && deg.head.getLong(0) === 0L)
+  }
+
+  test("histogram excludes nulls from range and counts") {
+    val d = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
+      .toDF("doc_id", "n_chars")
+    val got = graft.core.Profiler.histogram(d, "n_chars", bins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.sum === 2L)
+  }
+}

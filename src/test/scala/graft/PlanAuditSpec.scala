@@ -331,8 +331,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
       "q_sim_hamming_topk", "q_sim_rrf", "q_pipeline_embeddings",
-      // skew diagnostic's 1-row corpus-total attach
-      "q_profile_skew",
+      // skew diagnostic's 1-row corpus-total attach; the histogram's
+      // 1-row min/max bounds attach is the same designed shape
+      "q_profile_skew", "q_profile_histogram",
       // hard-negative mining is the brute-force broadcast scan with a
       // label-inequality predicate — the same designed shape as
       // q_sim_brute_topk (its scale path composes with IVF cells)
