@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the Deequ-style "expectations"
+  * gate a production pipeline runs between ingest and publish: row-level
+  * rules, key uniqueness, and referential integrity, each reported as
+  * (check_name, n_rows, n_violations, passed) so a single report drives
+  * the go/no-go. The reference pipeline relies on count-parity asserts
+  * at JDBC load time (`sink.Jdbc`); this generalizes that posture to
+  * arbitrary declared constraints on any table.
+  *
+  * Scale shape, per face:
+  *  - [[checkRules]]: ALL rules evaluate in ONE aggregate over ONE scan
+  *    (rule count is metadata-bounded); violations are `count_if(NOT p)`
+  *    with null-safe semantics — a NULL predicate result is a
+  *    violation, because "unknown" must never pass a gate silently.
+  *  - [[checkUnique]]: one partial-aggregated groupBy on the key.
+  *  - [[checkReferential]]: a left anti-join child→parent on the key —
+  *    the orphan count; parent side is whatever join strategy the
+  *    optimizer picks (broadcast when small).
+  */
+object Quality {
+
+  /** Evaluate row-level rules in one pass. A rule's predicate states
+    * what GOOD rows satisfy; rows where it is false OR NULL count as
+    * violations.
+    */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
+      count_if(!coalesce(p, lit(false))).as(s"_v_$i")
+    } :+ count(lit(1)).as("_total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"),
+        col("_total").as("n_rows"),
+        col(s"_v_$i").as("n_violations"),
+        (col(s"_v_$i") === 0L).as("passed"))
+    }
+    wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** Key-uniqueness check: n_violations counts the ROWS carrying a
+    * duplicated key (a key seen k>1 times contributes k), so the number
+    * is directly "rows you would have to drop or merge".
+    */
+  def checkUnique(df: DataFrame, keyCols: Seq[String],
+      checkName: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_k"))
+      .agg(sum(col("_k")).as("n_rows"),
+        sum(when(col("_k") > 1L, col("_k")).otherwise(0L)).as("n_violations"))
+      .select(lit(checkName).as("check_name"), col("n_rows"),
+        col("n_violations"), (col("n_violations") === 0L).as("passed"))
+  }
+
+  /** Referential-integrity check: n_violations counts child rows whose
+    * key has no parent (orphans). Null child keys are orphans too — a
+    * null foreign key that should be enforced is declared here, not
+    * silently skipped (model a nullable FK by filtering the child
+    * first).
+    */
+  def checkReferential(child: DataFrame, childKeys: Seq[String],
+      parent: DataFrame, parentKeys: Seq[String],
+      checkName: String): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
+      "child and parent key lists must be non-empty and same length")
+    val p = parent.select(parentKeys.zip(childKeys)
+      .map { case (pk, ck) => col(pk).as(s"_p_$ck") }: _*).distinct()
+    val joinCond = childKeys.map(ck => col(ck) <=> col(s"_p_$ck")).reduce(_ && _)
+    val c = child.select(childKeys.map(col): _*)
+    val orphanFree = c.join(p, joinCond, "left_semi")
+    val total = c.groupBy().agg(count(lit(1)).as("n_rows"))
+    val matched = orphanFree
+      .where(childKeys.map(ck => col(ck).isNotNull).reduce(_ && _))
+      .groupBy().agg(count(lit(1)).as("_n_matched"))
+    total.join(matched)
+      .select(lit(checkName).as("check_name"), col("n_rows"),
+        (col("n_rows") - col("_n_matched")).as("n_violations"),
+        (col("n_rows") === col("_n_matched")).as("passed"))
+  }
+
+  /** Compose any number of check faces into one report (unionByName —
+    * all faces share the (check_name, n_rows, n_violations, passed)
+    * schema).
+    */
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    checks.reduce(_.unionByName(_))
+  }
+}

@@ -401,6 +401,30 @@ object RelationalQueries {
       graft.core.Profiler.profile(Tables(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
 
+    // Declarative data-quality report (core.Quality): row rules (two
+    // designed to fail), key uniqueness (one designed to fail — m:1
+    // lineitem keys), referential integrity — one (check, counts,
+    // passed) row per declared expectation
+    "q_quality_report" -> ((s, dir) => {
+      val q = graft.core.Quality
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      q.report(Seq(
+        q.checkRules(li, Seq(
+          "lineitem.quantity_positive" -> (col("l_quantity") > 0),
+          "lineitem.quantity_le_30" -> (col("l_quantity") <= 30),
+          "lineitem.discount_range" ->
+            (col("l_discount") >= 0.0 && col("l_discount") <= 0.3),
+          "lineitem.shipdate_not_null" -> col("l_shipdate").isNotNull)),
+        q.checkUnique(ord, Seq("o_orderkey"), "orders.pk_unique"),
+        q.checkUnique(li, Seq("l_orderkey"), "lineitem.orderkey_unique"),
+        q.checkReferential(li, Seq("l_orderkey"), ord, Seq("o_orderkey"),
+          "lineitem.fk_orders"),
+        q.checkReferential(ord, Seq("o_custkey"), cust, Seq("c_custkey"),
+          "orders.fk_customer")))
+    }),
+
     // Equi-width histogram of document lengths: 16 exact integer bins
     // over the observed [lo, hi] range (core.Profiler.histogram)
     "q_profile_histogram" -> ((s, dir) =>
@@ -718,6 +742,42 @@ object RelationalQueries {
         |  FROM fresh)
         |SELECT lang_id, lang FROM app
         |UNION ALL SELECT lang_id, lang FROM ex""".stripMargin,
+
+    // mirrors Quality.checkRules/checkUnique/checkReferential face by
+    // face: NULL predicate = violation, duplicate keys count rows,
+    // null FKs are orphans
+    "q_quality_report" -> {
+      def rule(name: String, pred: String) =
+        s"""SELECT '$name' AS check_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) FILTER (WHERE NOT coalesce($pred, FALSE)) AS BIGINT)
+           |    AS n_violations,
+           |  count(*) FILTER (WHERE NOT coalesce($pred, FALSE)) = 0 AS passed
+           |FROM lineitem""".stripMargin
+      def uniq(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS check_name, CAST(sum(k) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS n_violations,
+           |  sum(CASE WHEN k > 1 THEN k ELSE 0 END) = 0 AS passed
+           |FROM (SELECT $key, count(*) AS k FROM $table GROUP BY 1)""".stripMargin
+      def fk(name: String, child: String, ck: String, parent: String, pk: String) =
+        s"""SELECT '$name' AS check_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count(*) FILTER (WHERE c.$ck IS NOT NULL
+           |    AND pr.k IS NOT NULL) AS BIGINT) AS n_violations,
+           |  count(*) = count(*) FILTER (WHERE c.$ck IS NOT NULL
+           |    AND pr.k IS NOT NULL) AS passed
+           |FROM (SELECT $ck FROM $child) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) pr
+           |  ON c.$ck = pr.k""".stripMargin
+      Seq(
+        rule("lineitem.quantity_positive", "l_quantity > 0"),
+        rule("lineitem.quantity_le_30", "l_quantity <= 30"),
+        rule("lineitem.discount_range", "l_discount >= 0.0 AND l_discount <= 0.3"),
+        rule("lineitem.shipdate_not_null", "l_shipdate IS NOT NULL"),
+        uniq("orders.pk_unique", "orders", "o_orderkey"),
+        uniq("lineitem.orderkey_unique", "lineitem", "l_orderkey"),
+        fk("lineitem.fk_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fk("orders.fk_customer", "orders", "o_custkey", "customer", "c_custkey")
+      ).mkString("\nUNION ALL\n")
+    },
 
     // mirrors Profiler.histogram: same subtract-remainder exact
     // integer bin division over the observed range

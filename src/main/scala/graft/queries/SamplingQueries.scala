@@ -137,6 +137,32 @@ object SamplingQueries {
         isTarget = col("lang") === "en", k = 64, buckets = 256)
     }),
 
+    // mixture-weighting COMPOSITION: quality gate × importance score →
+    // per-(lang, source) mixture accounting — the "how much of each
+    // slice does the target-like, quality-passing corpus hold" table a
+    // mixture designer reads before setting sampling rates
+    "q_pipeline_weighting" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score"),
+          col("n_tokens").as("q_n_tokens"))
+      val imp = Sampling.importanceWeights(docs,
+          isTarget = col("lang") === "en", buckets = 256)
+        .select(col("doc_id"),
+          floor(col("importance_fp") / col("n_tokens")).cast("long").as("spt"))
+      val eligible = col("quality_score") >= 0.3 && col("q_n_tokens") >= 8
+      docs.select("doc_id", "lang", "source")
+        .join(quality, Seq("doc_id"))
+        .join(imp, Seq("doc_id"))
+        .withColumn("w", when(eligible, col("spt")).otherwise(0L))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(eligible).as("n_eligible"),
+          sum(col("w")).as("sum_weight"),
+          max(col("w")).as("max_weight"))
+    }),
+
     // export pipeline COMPOSITION (the sampling-family flagship, peer of
     // q_pipeline_curation/_dedup/_embeddings): exact-dedup keep →
     // deterministic shuffle-to-shards (salt 23) → per-shard manifest
@@ -192,6 +218,31 @@ object SamplingQueries {
          |FROM w
          |ORDER BY score_per_token DESC, doc_id
          |LIMIT 64""".stripMargin,
+
+    // mirrors the weighting composition: importance CTEs + the
+    // q_text_quality formula verbatim, joined per doc, CASE-gated
+    "q_pipeline_weighting" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      s"""$importanceCtes,
+         |q AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len($toks) AS BIGINT) AS q_n_tokens,
+         |    least(1.0, CAST(len($toks) AS DOUBLE) / 64.0)
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text,
+         |          '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |        / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality_score
+         |  FROM documents),
+         |j AS (
+         |  SELECT q.lang, q.source,
+         |    q.quality_score >= 0.3 AND q.q_n_tokens >= 8 AS eligible,
+         |    CAST(floor(w.importance_fp / w.n_tokens) AS BIGINT) AS spt
+         |  FROM q JOIN w USING (doc_id))
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE eligible) AS BIGINT) AS n_eligible,
+         |  CAST(sum(CASE WHEN eligible THEN spt ELSE 0 END) AS BIGINT) AS sum_weight,
+         |  max(CASE WHEN eligible THEN spt ELSE 0 END) AS max_weight
+         |FROM j GROUP BY 1, 2""".stripMargin
+    },
 
     // mirrors the export composition: the exact-dedup twin embeds
     // verbatim from DedupQueries (one definition for both faces), then
