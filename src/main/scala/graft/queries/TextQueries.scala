@@ -172,6 +172,22 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // incremental quantiles: per-(lang, source) KLL sketches persist
+    // as bytes; the union face answers per-lang length quantiles
+    // without rescanning — rows-only (randomized compaction has no
+    // DuckDB twin); SketchSpec asserts the rank-error bound vs exact
+    "q_sketch_quantile_union" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("g", concat_ws("|", col("lang"), col("source")))
+      val sketches = graft.sketch.Sketches.quantileSketches(docs, "g", "n_chars")
+        .withColumn("lang", split(col("g"), "\\|").getItem(0))
+      graft.sketch.Sketches.unionQuantileEstimate(
+          sketches.select(col("lang"), col("sketch"), col("n_rows")), "lang",
+          ranks = Seq(0.25, 0.5, 0.9))
+        .orderBy(col("lang"))
+    }),
+
     // Unicode NFC normalization (native expression). The synthetic
     // corpus is ASCII, so the face appends decomposed accents
     // (e+U+0301, A+U+030A) and an NFC-invariant ligature — the oracle

@@ -86,4 +86,31 @@ object Sketches {
       .select(col(groupCol),
         hll_sketch_estimate(col("merged")).as("distinct_est"),
         col("n_rows"))
+
+  /** Per-(group) KLL quantile sketch BYTES — the QUANTILES member of
+    * the persisted-sketch family ([[distinctSketches]] is distincts,
+    * `FreqItemsAgg` frequencies): materialize one sketch row per
+    * (group, batch); any later union answers "quantiles over any batch
+    * subset" without rescanning history. k=200 ≈ 1.65% single-sided
+    * rank error; KLL compaction is randomized, so the contract is a
+    * rank-error tolerance (SketchSpec), not bit-stability.
+    */
+  def quantileSketches(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 200): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.KllAgg.sketch(col(valueCol).cast("double"), k)
+          .as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+
+  /** Union persisted quantile sketches per group and read quantiles at
+    * `ranks` — the query-time face over [[quantileSketches]] output.
+    */
+  def unionQuantileEstimate(sketches: DataFrame, groupCol: String,
+      ranks: Seq[Double], k: Int = 200): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(graft.expressions.KllAgg.union(col("sketch"), k).as("merged"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col(groupCol),
+        graft.expressions.KllAgg.quantiles(col("merged"), ranks).as("quantiles"),
+        col("n_rows"))
 }

@@ -97,4 +97,46 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(merged.getLong(1) - exact).toDouble / exact < 0.05,
       s"estimate ${merged.getLong(1)} too far from exact $exact")
   }
+
+  test("KLL: merged per-batch quantile sketches honor the rank-error bound") {
+    import spark.implicits._
+    // value space == rank space (v = 1..n): the realized rank of a
+    // reported quantile is the value itself
+    val n = 40000
+    val df = (1 to n).map(i => ((i % 8).toString, i.toLong)).toDF("batch", "v")
+    val sketches = Sketches.quantileSketches(df
+        .withColumn("g", lit("all")), "g", "v")
+    // trivially one group; now the batched path: one sketch per batch,
+    // union per constant group
+    val perBatch = Sketches.quantileSketches(df, "batch", "v")
+      .withColumn("g", lit("all"))
+      .select(col("g"), col("sketch"), col("n_rows"))
+    val merged = Sketches.unionQuantileEstimate(perBatch, "g",
+      ranks = Seq(0.25, 0.5, 0.9)).head()
+    val qs = merged.getSeq[Double](1)
+    assert(merged.getLong(2) === n.toLong)
+    // k=200 -> ~1.65% single-sided rank error; allow 3%
+    val eps = 0.03 * n
+    assert(math.abs(qs(0) - 0.25 * n) <= eps, s"p25 ${qs(0)}")
+    assert(math.abs(qs(1) - 0.50 * n) <= eps, s"p50 ${qs(1)}")
+    assert(math.abs(qs(2) - 0.90 * n) <= eps, s"p90 ${qs(2)}")
+    // the single-pass sketch obeys the same bound (merge loses only
+    // the published accuracy, not correctness)
+    val single = Sketches.unionQuantileEstimate(
+      sketches.select(col("g"), col("sketch"), col("n_rows")), "g",
+      ranks = Seq(0.5)).head().getSeq[Double](1)
+    assert(math.abs(single(0) - 0.5 * n) <= eps, s"single-pass p50 ${single(0)}")
+  }
+
+  test("KLL sketches survive shuffle-boundary serialization") {
+    import spark.implicits._
+    // many partitions force partial->final merges through
+    // serialize/deserialize; nulls must be ignored, not crash
+    val df = (1 to 5000).map(i => ("g", if (i % 100 == 0) None else Some(i.toLong)))
+      .toDF("g", "v").repartition(13)
+    val out = Sketches.quantileSketches(df, "g", "v")
+    val merged = Sketches.unionQuantileEstimate(out, "g", ranks = Seq(0.5)).head()
+    assert(merged.getLong(2) === 4950L, "nulls excluded from n_rows")
+    assert(math.abs(merged.getSeq[Double](1)(0) - 2500.0) <= 200.0)
+  }
 }
