@@ -124,6 +124,31 @@ object EventQueries {
           col("effective_to").cast("long").as("to_s"),
           col("is_current"))),
 
+    // windowed trending: top-3 event types per hour with rank
+    "q_events_trending" -> ((s, dir) =>
+      Events.trendingTopK(Tables.events(s, dir))),
+
+    // rolling z-score anomaly flags: exact integer (n, Σx, Σx²) over
+    // the previous 16 events per user, cross-multiplied |x−μ| > 3σ
+    "q_events_zscore" -> ((s, dir) =>
+      Events.rollingZScore(Tables.events(s, dir))),
+
+    // first-order Markov transitions over per-user event sequences,
+    // fixed-point row-normalized probabilities
+    "q_events_transitions" -> ((s, dir) =>
+      Events.transitionMatrix(Tables.events(s, dir))),
+
+    // SCD2 point-in-time read: the dimension as of mid-January,
+    // composed on the interval build (the time-travel read face)
+    "q_scd2_asof" -> ((s, dir) =>
+      Scd.asOfSnapshot(
+          Scd.buildType2(Tables.events(s, dir), Seq("user_id"),
+            stateCol = "event_type", tsCol = "ts", tieCol = "event_id"),
+          at = to_timestamp(lit("2024-01-16 00:00:00")))
+        .select(col("user_id"), col("event_type"), col("version"),
+          col("effective_from").cast("long").as("from_s"),
+          col("effective_to").cast("long").as("to_s"))),
+
     // §2.8 JSON scalar functions over the events props column, both
     // extraction forms: path-based get_json_object (no schema needed,
     // per-field) and schema-based from_json (one parse for the whole
@@ -147,6 +172,85 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors Events.trendingTopK: hour-truncated windows, count desc
+    // + type asc rank, top 3
+    "q_events_trending" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |      AS window_start_s,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start_s, event_type, n_events,
+        |  CAST(row_number() OVER (PARTITION BY window_start_s
+        |    ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+        |FROM c
+        |QUALIFY rank <= 3""".stripMargin,
+
+    // mirrors Events.rollingZScore: same integer window sums; sum over
+    // an empty frame stays NULL on both engines (first event per user)
+    "q_events_zscore" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS x
+        |  FROM events),
+        |wnd AS (
+        |  SELECT event_id, user_id, ts_s, x,
+        |    CAST(count(x) OVER w AS BIGINT) AS n,
+        |    CAST(sum(x) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS s2
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_s, x, n, s1, s2,
+        |  CASE WHEN n < 8 THEN NULL
+        |    ELSE (x * n - s1) * (x * n - s1) > 9 * (n * s2 - s1 * s1)
+        |  END AS is_anomaly
+        |FROM wnd""".stripMargin,
+
+    // mirrors Events.transitionMatrix: lag adjacency, pair counts,
+    // exact integer row normalization
+    "q_events_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT prev, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT c.prev, c.cur, c.cnt, t.total,
+        |  CAST((c.cnt * 1000000) // t.total AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (prev)""".stripMargin,
+
+    // mirrors q_scd2_intervals filtered to the probe instant
+    // (1705363200 = 2024-01-16T00:00:00Z)
+    "q_scd2_asof" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM c WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id, event_type,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS from_s,
+        |    CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS to_s,
+        |    epoch_us(ts) AS from_us,
+        |    epoch_us(lead(ts) OVER w2) AS to_us
+        |  FROM f
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, version, from_s, to_s
+        |FROM v
+        |WHERE from_us <= 1705363200000000
+        |  AND (to_us IS NULL OR 1705363200000000 < to_us)""".stripMargin,
+
     // mirrors Events.cohortRetention: integer-div weekly buckets,
     // first-bucket cohorts, distinct actives per (cohort, offset)
     "q_events_retention" ->

@@ -235,6 +235,97 @@ object Events {
       sum(floor(col("value") * 100.0).cast("long")).over(w).as("sum_value_c"))
   }
 
+  /** Windowed trending top-k: the k most frequent event types per
+    * tumbling window, rank-stamped — "what is trending this hour". The
+    * rank filter (`row_number <= k`) plans a map-side partial
+    * WindowGroupLimit (plan-gated), so a hot window never sorts its
+    * full type distribution on one reducer; counts underneath are the
+    * same partial-aggregated tumbling shape as [[tumblingCounts]].
+    * Streaming composition: run [[streamingTumblingCounts]] and apply
+    * this rank inside foreachBatch — windows-over-aggregates do not
+    * stream in append mode.
+    */
+  def trendingTopK(events: DataFrame, width: String = "1 hour",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("w.start").cast("long").as("window_start_s"),
+        col("event_type"), col("n_events"), col("rank"))
+  }
+
+  /** Rolling z-score anomaly detection in EXACT integer arithmetic —
+    * the outlier flag a metrics pipeline raises per event against the
+    * user's own trailing history. Values enter as cent fixed-point
+    * (floor(value·100)); the trailing window (previous `lag` events,
+    * current row EXCLUDED — a spike must not mask itself) carries
+    * integer (n, Σx, Σx²), and the flag is the cross-multiplied form of
+    * |x−μ| > k·σ:
+    *   (x·n − Σx)² > k² · (n·Σx² − (Σx)²)
+    * — z-score squared with every division cleared, so no IEEE rounding
+    * decides a flag on either engine. Events with fewer than `minN`
+    * predecessors report null (no baseline, not "normal").
+    *
+    * Scale shape: one exchange + sort on user_id serves all three
+    * window sums; everything after is a map-only integer expression.
+    * Overflow headroom: |x| ≤ 10^6 cents and lag ≤ 10^3 keeps every
+    * term under 2^62.
+    */
+  def rollingZScore(events: DataFrame, lag: Int = 16, k: Int = 3,
+      minN: Int = 8): DataFrame = {
+    require(lag >= 2 && minN >= 2 && minN <= lag && k >= 1,
+      s"need 2 <= minN <= lag and k >= 1, got lag=$lag minN=$minN k=$k")
+    val x = floor(col("value") * 100.0).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lag, -1)
+    val dev = col("x") * col("n") - col("s1")
+    val varN2 = col("n") * col("s2") - col("s1") * col("s1")
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        col("ts").cast("long").as("ts_s"), x.as("x"))
+      .withColumn("n", count(col("x")).over(w))
+      .withColumn("s1", sum(col("x")).over(w))
+      .withColumn("s2", sum(col("x") * col("x")).over(w))
+      .withColumn("is_anomaly",
+        when(col("n") < minN, lit(null).cast("boolean"))
+          .otherwise(dev * dev > lit(k.toLong * k) * varN2))
+      .drop("ts")
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the sequence-modeling prep step (next-event
+    * prediction, funnel leak analysis): count (prev_type → type)
+    * adjacencies along each user's timeline, then per-row transition
+    * probabilities in exact fixed point (subtract-remainder division:
+    * floor(10^6·cnt / total) with no IEEE rounding). Each user's first
+    * event has no predecessor and is excluded.
+    *
+    * Scale shape: one exchange + sort on user_id for the lag, one
+    * partial-aggregated groupBy on the (prev, cur) pair grid (|types|²
+    * — bounded), row totals attach by a |types|-row broadcast.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("cur"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull)
+    val counts = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("prev").agg(sum("cnt").as("total"))
+    val scaled = col("cnt") * 1000000L
+    counts.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("cur"), col("cnt"), col("total"),
+        ((scaled - pmod(scaled, col("total"))) / col("total"))
+          .cast("long").as("p_ppm"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

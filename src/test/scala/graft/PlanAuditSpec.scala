@@ -150,7 +150,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
         "q_text_tfidf", "q_text_bm25", "q_sample_group_uniform",
         // the compressed-search family ranks with the same rank<=k shape
         "q_sim_quantized_topk", "q_sim_pq_topk", "q_sim_ivfpq_topk",
-        "q_sim_hamming_topk", "q_sim_rrf")) {
+        "q_sim_hamming_topk", "q_sim_rrf",
+        // windowed trending ranks per tumbling window, same shape
+        "q_events_trending")) {
       val nodes = wgl(q)
       assert(nodes.size >= 2,
         s"$q expected Partial+Final WindowGroupLimit, got ${nodes.size}")
@@ -327,6 +329,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // bounded-aggregate shape as q_dict_extend; the importance
       // weighters attach their 1-row token-total the same way
       "q_sample_temperature", "q_sample_importance", "q_sample_importance_topk",
+      // the weighting composition embeds the importance weighter; the
+      // quality report's referential face joins two 1-row aggregates
+      // (total × matched) — the same bounded-aggregate attach
+      "q_pipeline_weighting", "q_quality_report",
       // hamming is a brute-force sketch scan; rrf and the embedding
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
