@@ -494,4 +494,102 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("streamingSessionizeTws state survives a checkpointed restart") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    val input = MemoryStream[Event]
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Timestamp, Timestamp, Long, Double)]()
+    def start() = Events.streamingSessionizeTws(input.toDS(), gapMinutes = 30)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Events.Session], _: Long) =>
+        val rows = batch.collect()
+          .map(x => (x.user_id, x.session_start, x.session_end, x.n_events, x.sum_value))
+        sunk.synchronized { sunk ++= rows }
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      // open a session, then KILL the query with the session unflushed
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: the open session (and its
+    // timer) must come back from RocksDB, extend with in-gap data, and
+    // flush as ONE session when the watermark passes
+    val q2 = start()
+    try {
+      input.addData(Event(3, ts(20), 7, "click", 4.0)) // in-gap: extends
+      q2.processAllAvailable()
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 13:00:00"), 8, "view", 0.5))
+      q2.processAllAvailable()
+      input.addData(Event(5, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "view", 0.5))
+      q2.processAllAvailable()
+      val got = sunk.synchronized {
+        sunk.filter(_._1 == 7L).map(x => (x._2, x._3, x._4, x._5)).toSeq
+      }
+      assert(got === Seq((ts(0), ts(20), 3L, 7.0)),
+        s"restart must resume the open session, not fragment it: $got")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("trending: streamingTumblingCounts + foreachBatch rank == batch face") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 2, "click", 0),
+      Event(3, ts(2), 3, "click", 0), Event(4, ts(3), 1, "view", 0),
+      Event(5, ts(4), 2, "view", 0), Event(6, ts(5), 1, "buy", 0),
+      Event(7, ts(6), 1, "refund", 0))
+    val input = MemoryStream[Event]
+    input.addData(rows: _*)
+    // the documented streaming composition: windowed counts stream;
+    // the rank (top-3 per window) applies per sink batch in
+    // foreachBatch, where windows-over-aggregates ARE allowed
+    val sink = scala.collection.mutable.Set[(Long, String, Long, Long)]()
+    val q = Events.streamingTumblingCounts(input.toDF(), width = "1 hour")
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("n_events").desc, col("event_type"))
+        sink.synchronized {
+          sink.clear()
+          sink ++= batch
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .where(col("rank") <= 3)
+            .select(col("window_start").cast("long").as("window_start_s"),
+              col("event_type"), col("n_events"), col("rank"))
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val exp = Events.trendingTopK(rows.toDF(), width = "1 hour", k = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(sink.synchronized(sink.toSet) === exp)
+      assert(exp.size === 3, s"fixture must rank exactly 3 of 4 types: $exp")
+    } finally q.stop()
+  }
 }
