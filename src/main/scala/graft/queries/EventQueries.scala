@@ -124,6 +124,18 @@ object EventQueries {
           col("effective_to").cast("long").as("to_s"),
           col("is_current"))),
 
+    // per-type value drift: exact OLS slope of cent-value over epoch
+    // days (rational numerator/denominator reported as integers)
+    "q_events_trend_fit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tsl = col("ts").cast("long")
+      graft.ml.Regression.fitLineExact(
+        ev.select(col("event_type"),
+          ((tsl - pmod(tsl, lit(86400L))) / 86400L).cast("long").as("x_day"),
+          floor(col("value") * 100.0).cast("long").as("y_cents")),
+        Seq("event_type"), "x_day", "y_cents")
+    }),
+
     // windowed trending: top-3 event types per hour with rank
     "q_events_trending" -> ((s, dir) =>
       Events.trendingTopK(Tables.events(s, dir))),
@@ -172,6 +184,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors Regression.fitLineExact: five integer sums, rational
+    // slope, single long/long→double division for the double face
+    "q_events_trend_fit" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x_day,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS y_cents
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x_day) AS BIGINT) AS sum_x,
+        |    CAST(sum(y_cents) AS BIGINT) AS sum_y,
+        |    CAST(sum(x_day * y_cents) AS BIGINT) AS sum_xy,
+        |    CAST(sum(x_day * x_day) AS BIGINT) AS sum_x2
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2,
+        |  n * sum_xy - sum_x * sum_y AS slope_num,
+        |  n * sum_x2 - sum_x * sum_x AS slope_den,
+        |  CASE WHEN n * sum_x2 - sum_x * sum_x = 0 THEN NULL
+        |    ELSE CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+        |      / CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE)
+        |  END AS slope
+        |FROM a""".stripMargin,
+
     // mirrors Events.trendingTopK: hour-truncated windows, count desc
     // + type asc rank, top 3
     "q_events_trending" ->
