@@ -20,7 +20,7 @@ def canon(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -38,6 +38,10 @@ def main(sf_dir, out_dir):
     # crashed in Verify (no dir) or an orphan oracle entry is a failure,
     # never silently skipped
     names = sorted(dumped | declared | set(oracle))
+    # optional CLI prefixes: check only matching queries (dev iteration
+    # on a single oracle; the driver-equivalent full gate passes none)
+    if prefixes:
+        names = [n for n in names if any(n.startswith(p) for p in prefixes)]
     for name in names:
         if name not in dumped:
             print(f"{name:40s} MISSING OUTPUT (crashed in Verify or orphan oracle)")
@@ -87,4 +91,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))

@@ -1,0 +1,65 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-source breadth-first search: minimum hop distance from a seed
+  * set over an undirected edge list — the reachability primitive the
+  * graph family was missing (PageRank ranks, k-core filters, CC labels;
+  * none answers "how FAR is this node from the sources").
+  *
+  * BFS is inherently one shuffle round per hop — that is the algorithm,
+  * not an implementation accident — so the design centers on making each
+  * round cheap and the loop safe:
+  *   - the frontier SHRINKS monotonically (visited nodes are anti-joined
+  *     out), so round cost tracks the expanding wave, not the graph;
+  *   - the symmetric adjacency is built once and persisted
+  *     MEMORY_AND_DISK, hash-partitioned by the join key — each round
+  *     reshuffles only the frontier side;
+  *   - per-round localCheckpoint truncates lineage (labels otherwise
+  *     accumulate one union per hop and the plan grows linearly, which
+  *     at hop 50 is a 50-deep union tree re-analyzed every round);
+  *   - termination is EXACT (empty frontier), with `maxHops` as the
+  *     loud upper bound — matching the capped recursive-CTE oracle.
+  *
+  * Hop distances, unlike PageRank scores, are schedule-independent (the
+  * BFS level of a node is the length of its shortest path, however the
+  * wave was scheduled), so the DuckDB recursive-CTE twin re-derives
+  * them exactly and the driver hash-checks this convergence loop.
+  */
+object Bfs {
+
+  /** (node, hops) for every node within `maxHops` of `seeds` (single
+    * column `node`; hops 0). Unreached nodes are absent — reachability
+    * IS the result; callers wanting nulls left-join it back.
+    */
+  def hopDistance(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val adj = sym.unionAll(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint()
+    var frontier = labels
+    var hop = 0L
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(adj, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(labels, Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      labels = labels.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    adj.unpersist()
+    labels
+  }
+}

@@ -163,10 +163,12 @@ object DedupQueries {
 
     // the convergence face of the same operator: identical pair graph,
     // min-label rounds until an Observation-counted zero-change round.
-    // No oracle by design (a convergence loop is not expressible as a
-    // fixed CTE unrolling — same contract as q_domain_cluster); the
-    // fixed-k/converged agreement on k-sufficient graphs and the
-    // past-the-horizon merge are both spec-asserted in DedupSpec.
+    // Oracle-checked EXACTLY (unlike the other convergence loops): the
+    // converged label is the component minimum — a fixpoint, not a
+    // round-count artifact — so a DuckDB recursive-CTE transitive
+    // closure re-derives it without mirroring the iteration schedule.
+    // DedupSpec additionally asserts the fixed-k/converged agreement
+    // on k-sufficient graphs and the past-the-horizon merge contrast.
     "q_dedup_groups_conv" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val ids = docs.select(col("doc_id"))
@@ -176,6 +178,28 @@ object DedupQueries {
       val pairs = Dedup.ngramJaccard(docs, cands).where(col("jaccard") >= 0.2)
         .select("doc_id_a", "doc_id_b")
       Dedup.dedupGroupsConverged(docs, pairs)
+    }),
+
+    // the O(log n)-round face of the same operator: identical pair
+    // graph, labels from alternating large-star/small-star contraction
+    // (graph.ConnectedComponents) instead of min-label rounds. Same
+    // fixpoint (component minimum) ⇒ same recursive-CTE oracle; the
+    // difference is pure scale posture — round count logarithmic in
+    // component SIZE, not linear in DIAMETER, which is what survives
+    // the 10k-hop duplicate chains a crawl corpus actually produces.
+    "q_dedup_groups_cc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("doc_id_a"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 25)).as("doc_id_b"))
+        .join(ids.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_semi")
+      val pairs = Dedup.ngramJaccard(docs, cands).where(col("jaccard") >= 0.2)
+        .select("doc_id_a", "doc_id_b")
+      graft.graph.ConnectedComponents.largeStarSmallStar(
+          pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst")),
+          nodes = Some(ids.select(col("doc_id").as("node"))))
+        .select(col("node").as("doc_id"), col("component").as("group_id"),
+          (col("node") === col("component")).as("is_canonical"))
     }),
 
     // EXACT threshold similarity join (AllPairs/PPJoin prefix
@@ -262,6 +286,47 @@ object DedupQueries {
        |  CAST(count(*) OVER (PARTITION BY canon_hash) AS BIGINT) AS group_size,
        |  doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
        |FROM h""".stripMargin
+
+  // Same pair graph as q_dedup_groups, but the label is the EXACT
+  // component minimum from a recursive-CTE transitive closure — the
+  // fixpoint both convergence engine faces (min-label rounds, star
+  // contraction) reach regardless of iteration schedule.
+  private val dedupGroupsFixpointSql: String =
+    s"""WITH RECURSIVE tht AS (SELECT doc_id, $thSql AS th FROM documents),
+       |hs AS (
+       |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+       |  FROM tht),
+       |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM (SELECT doc_id FROM documents) a
+       |  JOIN (SELECT doc_id FROM documents) b
+       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
+       |j AS (
+       |  SELECT doc_id_a, doc_id_b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+       |    sa.n_sh + sb.n_sh AS n_a_b
+       |  FROM cand
+       |  JOIN hn sa ON sa.doc_id = doc_id_a
+       |  JOIN hn sb ON sb.doc_id = doc_id_b),
+       |p AS (
+       |  SELECT doc_id_a, doc_id_b FROM j
+       |  WHERE n_a_b - n_common > 0
+       |    AND CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) >= 0.2),
+       |e AS (
+       |  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM p
+       |  UNION ALL
+       |  SELECT doc_id_b, doc_id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT doc_id, nbr FROM e
+       |  UNION
+       |  SELECT r.a, e.nbr FROM reach r JOIN e ON r.b = e.doc_id),
+       |comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS group_id
+       |  FROM reach GROUP BY a)
+       |SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id,
+       |  d.doc_id = coalesce(c.group_id, d.doc_id) AS is_canonical
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -556,6 +621,14 @@ object DedupQueries {
          |$rounds
          |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin
     },
+
+    // same pair graph as q_dedup_groups, but the label is the EXACT
+    // component minimum from a recursive-CTE transitive closure — the
+    // fixpoint BOTH convergence engine faces reach (min-label rounds
+    // and large-star/small-star contraction) regardless of iteration
+    // schedule, so the two queries share one oracle
+    "q_dedup_groups_conv" -> dedupGroupsFixpointSql,
+    "q_dedup_groups_cc" -> dedupGroupsFixpointSql,
 
     // band values depend only on each doc's text, so the twin computes
     // bands over ALL docs and applies the at-least-one-new filter; the

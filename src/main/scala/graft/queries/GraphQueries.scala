@@ -80,7 +80,44 @@ object GraphQueries {
     // the under-peel contrast)
     "q_graph_kcore_conv" -> ((s, dir) =>
       graft.graph.KCore.peelConverged(
-        coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 3))
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 3)),
+
+    // exact connected components via alternating large-star/small-star
+    // (O(log n) rounds) on the customer co-purchase graph: customers
+    // linked when they bought the same part from the same supplier at
+    // high quantity — a naturally sparse multi-component graph (~100
+    // components at sf0.01). Unlike the other convergence loops this
+    // one IS exactly oracle-checkable: the component-minimum label is
+    // round-count-independent, so a DuckDB recursive-CTE transitive
+    // closure re-derives it without mirroring the iteration schedule.
+    "q_graph_cc" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
+      val cp = li.join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+        .distinct()
+      val e = cp.as("a").join(cp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
+            col("a.ck") < col("b.ck"))
+        .select(col("a.ck").as("src"), col("b.ck").as("dst"))
+        .distinct()
+      graft.graph.ConnectedComponents.largeStarSmallStar(e)
+    }),
+
+    // multi-source BFS on the >=49 co-supply graph: minimum hop count
+    // from the top-balance suppliers. Hop distance is the shortest-path
+    // length — schedule-independent like the CC label — so this
+    // convergence loop is oracle-checked exactly against a capped
+    // recursive-CTE wave (both sides cap at 30 hops; the graph's
+    // diameter is far below it, and Bfs stops at the empty frontier)
+    "q_graph_bfs" -> ((s, dir) => {
+      val seeds = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") >= 9000.0)
+        .select(col("s_suppkey").as("node"))
+      graft.graph.Bfs.hopDistance(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")), seeds)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,6 +218,53 @@ object GraphQueries {
         |  UNION ALL SELECT c FROM tri),
         |cnt AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1)
         |SELECT n.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
-        |FROM nodes n LEFT JOIN cnt USING (node)""".stripMargin
+        |FROM nodes n LEFT JOIN cnt USING (node)""".stripMargin,
+
+    // capped recursive-CTE wave: UNION dedups (node, d) pairs and the
+    // d < 30 guard bounds cycle walks; min(d) over the wave is the
+    // shortest-path length — the same 30-hop cap as the engine's
+    // maxHops, though the graph's diameter sits far below both
+    "q_graph_bfs" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |seeds AS (
+        |  SELECT DISTINCT s_suppkey AS node FROM supplier
+        |  WHERE s_acctbal >= 9000.0),
+        |walk(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.d < 30)
+        |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY 1""".stripMargin,
+
+    // transitive closure by recursive CTE (UNION deduplicates, so the
+    // recursion terminates at the reachability fixpoint); the component
+    // label is least(self, min reachable) — exactly the star-contraction
+    // result, independent of either engine's iteration order
+    "q_graph_cc" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 45.0),
+        |e0 AS (
+        |  SELECT DISTINCT a.ck AS src, b.ck AS dst
+        |  FROM cp a JOIN cp b
+        |    ON a.pk = b.pk AND a.sk = b.sk AND a.ck < b.ck),
+        |e AS (
+        |  SELECT src, dst FROM e0
+        |  UNION
+        |  SELECT dst, src FROM e0),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a)
+        |SELECT node, CAST(component AS BIGINT) AS component FROM comp""".stripMargin
   )
 }

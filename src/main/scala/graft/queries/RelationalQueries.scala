@@ -178,6 +178,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // Bloom-pruned join (core.RuntimeFilter): the probe side (lineitem)
+    // is cut by a 256-word Bloom of the build side's keys BEFORE its
+    // shuffle — the cross-materialization runtime-filter shape. The
+    // result is EXACTLY the plain join (no false negatives; false
+    // positives die in the real join), so the oracle is the unpruned
+    // ANSI join — the pruning is invisible to correctness, by design.
+    "q_join_bloom_pruned" -> ((s, dir) => {
+      val build = Tables(s, dir, "supplier").where(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      val probe = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      graft.core.RuntimeFilter.bloomPrunedJoin(probe, build,
+          "l_suppkey", "s_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"),
+          col("s_acctbal"))
+    }),
+
     // J7: many-to-many key expansion (reference: reception.py:56-60)
     "q_join_m2m" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
@@ -580,6 +597,12 @@ object RelationalQueries {
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
         |GROUP BY 1, 2""".stripMargin,
+
+    // the plain join — Bloom pruning must be invisible to the result
+    "q_join_bloom_pruned" ->
+      """SELECT l_orderkey, l_linenumber, s_suppkey, s_acctbal
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3""".stripMargin,
 
     "q_join_m2m" ->
       """WITH big AS (SELECT l_partkey, l_orderkey FROM lineitem WHERE l_quantity >= 45.0)

@@ -188,6 +188,129 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // theta-sketch set algebra (the operation HLL cannot express):
+    // per-priority customer sketches for two half-corpus batches —
+    // early years vs late — then union / INTERSECTION / A-NOT-B
+    // estimates. Oracle-hashed EXACTLY: below the 2^12 nominal-entries
+    // threshold a theta sketch is in exact mode and every estimate is
+    // the exact integer (sf0.01 has ≤1500 customers per slice; ThetaSpec
+    // separately asserts the estimation-mode error bound past the
+    // threshold, where the oracle would no longer apply)
+    "q_sketch_theta_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.expressions.ThetaAgg
+      val k = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          when(year(col("o_orderdate")) <= 1997, "a").otherwise("b").as("batch"),
+          col("o_custkey").as("key"))
+      val sk = graft.sketch.Sketches.thetaSketches(k, Seq("g", "batch"), "key")
+      val a = sk.where(col("batch") === "a")
+        .select(col("g"), col("sketch").as("sk_a"))
+      val b = sk.where(col("batch") === "b")
+        .select(col("g"), col("sketch").as("sk_b"))
+      val uni = graft.sketch.Sketches.thetaUnionEstimate(
+          sk.select("g", "sketch", "n_rows"), "g")
+        .select(col("g"), col("distinct_est").as("n_union"))
+      val both = graft.sketch.Sketches.thetaIntersectEstimate(
+          sk.select("g", "sketch", "n_rows"), "g")
+        .select(col("g"), col("overlap_est").as("n_both"))
+      a.join(b, Seq("g")).join(uni, Seq("g")).join(both, Seq("g"))
+        .select(col("g"),
+          ThetaAgg.estimate(col("sk_a")).as("n_early"),
+          ThetaAgg.estimate(col("sk_b")).as("n_late"),
+          col("n_union"), col("n_both"),
+          ThetaAgg.estimate(ThetaAgg.aNotB(col("sk_a"), col("sk_b")))
+            .as("n_churned"))
+    }),
+
+    // count-min inner-product join-size estimation: |lineitem ⋈
+    // σ(part)| predicted from two persisted sketches (no scan of
+    // either side at estimation time) next to the exact count it
+    // upper-bounds. The est ≥ exact guarantee and the estimate itself
+    // are deterministic functions of portable sketch contents — both
+    // columns oracle-hashed
+    "q_sketch_join_size" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables(s, dir, "lineitem")
+        .select(lit("all").as("g"), col("l_partkey").as("key"))
+      val pt = Tables(s, dir, "part").where(col("p_size") <= 10)
+        .select(lit("all").as("g"), col("p_partkey").as("key"))
+      val est = graft.sketch.Sketches.cmsJoinSizeEstimate(
+        graft.sketch.Sketches.cmsCounts(li, "g", "key"),
+        graft.sketch.Sketches.cmsCounts(pt, "g", "key"), "g")
+      val exact = li.join(pt.select(col("key").as("pkey")),
+          col("key") === col("pkey"))
+        .groupBy("g").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("g"))
+        .select(col("g"), col("join_size_est"), col("n_exact"))
+    }),
+
+    // Bloom filter MEMBERSHIP sketch (engine-portable double hashing,
+    // 63-bit words): the sparse bits table of customers-with-orders per
+    // order priority. Exactly oracle-hashed — approximate semantics,
+    // exact bits (see Sketches.bloomBits)
+    "q_sketch_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val keys = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), col("o_custkey").as("key"))
+      graft.sketch.Sketches.bloomBits(keys, "g", "key")
+    }),
+
+    // the probe face + its honesty report: every customer probed
+    // against every priority's bloom, scored against exact membership —
+    // per priority: probes, true members, bloom-positive, false
+    // positives. The no-false-negative guarantee is implied by
+    // n_maybe - n_false_pos = n_members (oracle-hashed)
+    "q_sketch_bloom_fpr" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val keys = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), col("o_custkey").as("key"))
+      val bloom = graft.sketch.Sketches.bloomBits(keys, "g", "key")
+      val probes = keys.select("g").distinct()
+        .crossJoin(Tables(s, dir, "customer").select(col("c_custkey").as("key")))
+      val exact = keys.distinct().withColumn("is_member", lit(true))
+      graft.sketch.Sketches.bloomProbe(bloom, probes, "g", "key")
+        .join(exact, Seq("g", "key"), "left")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_probes"),
+          count(when(col("is_member"), 1)).as("n_members"),
+          count(when(col("maybe_present"), 1)).as("n_maybe"),
+          count(when(col("maybe_present") && col("is_member").isNull, 1))
+            .as("n_false_pos"))
+    }),
+
+    // count-min FREQUENCY sketch (same portable hashing): the sparse
+    // depth×width count table of part-key multiplicities per return
+    // flag — the mergeable form unions by summing cnt (oracle-hashed)
+    "q_sketch_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val keys = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_partkey").as("key"))
+      graft.sketch.Sketches.cmsCounts(keys, "g", "key")
+    }),
+
+    // the estimate face scored against exact counts: every part probed
+    // under every flag — per flag: keys, exact hits, total and max
+    // overestimate. est >= exact ALWAYS (collisions only add); the
+    // oracle re-derives the same minima, so the bound is hash-checked
+    "q_sketch_cms_est" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val keys = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_partkey").as("key"))
+      val cms = graft.sketch.Sketches.cmsCounts(keys, "g", "key")
+      val probes = keys.select("g").distinct()
+        .crossJoin(Tables(s, dir, "part").select(col("p_partkey").as("key")))
+      val exact = keys.groupBy("g", "key").agg(count(lit(1)).as("exact"))
+      graft.sketch.Sketches.cmsEstimate(cms, probes, "g", "key")
+        .join(exact, Seq("g", "key"), "left")
+        .withColumn("exact", coalesce(col("exact"), lit(0L)))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("est") === col("exact"), 1)).as("n_exact"),
+          sum(col("est") - col("exact")).as("sum_overestimate"),
+          max(col("est") - col("exact")).as("max_overestimate"))
+    }),
+
     // Unicode NFC normalization (native expression). The synthetic
     // corpus is ASCII, so the face appends decomposed accents
     // (e+U+0301, A+U+030A) and an NFC-invariant ligature — the oracle
@@ -365,6 +488,20 @@ object TextQueries {
   private def bpeApplyOracle(rounds: Int): String =
     s"${bpeChainSql(rounds)}\nSELECT doc_id, pos, sym FROM s_$rounds"
 
+  // Sketches.slot's engine-portable double hashing, as DuckDB SQL: all
+  // constants and the pmod ladder mirror the Spark expression exactly,
+  // so bloom/CMS sketch CONTENTS hash-compare (not just estimates)
+  private def pmodSql(a: String, b: Long): String = s"((($a) % $b + $b) % $b)"
+  private def slotSql(keyExpr: String, iExpr: String, size: Long): String = {
+    val P = 2147483647L
+    val x = pmodSql(keyExpr, P)
+    val h1a = pmodSql(s"$x * $x + 12345", P)
+    val h1 = pmodSql(s"$h1a * $h1a + 6789", P)
+    val h2a = pmodSql(s"($x + 40503) * ($x + 99991)", P)
+    val h2 = pmodSql(s"$h2a * $h2a + 987654321", P)
+    pmodSql(s"$h1 + ($iExpr) * $h2", size)
+  }
+
   val oracles: Map[String, String] = Map(
     "q_text_bpe_merges" -> bpeMergesOracle(3),
 
@@ -375,6 +512,149 @@ object TextQueries {
 
     // so must the native-expression face
     "q_text_bpe_native" -> bpeApplyOracle(3),
+
+    // exact-mode theta: every estimate is the exact distinct count as
+    // a double (retained entries ≪ 2^12 nominal at this SF)
+    "q_sketch_theta_overlap" ->
+      """WITH k AS (
+        |  SELECT o_orderpriority AS g,
+        |    CASE WHEN year(o_orderdate) <= 1997 THEN 'a' ELSE 'b' END AS batch,
+        |    o_custkey AS key
+        |  FROM orders),
+        |a AS (SELECT g, count(DISTINCT key) AS n FROM k WHERE batch = 'a' GROUP BY 1),
+        |b AS (SELECT g, count(DISTINCT key) AS n FROM k WHERE batch = 'b' GROUP BY 1),
+        |u AS (SELECT g, count(DISTINCT key) AS n FROM k GROUP BY 1),
+        |i AS (
+        |  SELECT g, count(*) AS n FROM (
+        |    SELECT g, key FROM k WHERE batch = 'a'
+        |    INTERSECT
+        |    SELECT g, key FROM k WHERE batch = 'b') GROUP BY 1),
+        |d AS (
+        |  SELECT g, count(*) AS n FROM (
+        |    SELECT g, key FROM k WHERE batch = 'a'
+        |    EXCEPT
+        |    SELECT g, key FROM k WHERE batch = 'b') GROUP BY 1)
+        |SELECT a.g, CAST(a.n AS DOUBLE) AS n_early, CAST(b.n AS DOUBLE) AS n_late,
+        |  CAST(u.n AS DOUBLE) AS n_union,
+        |  CAST(coalesce(i.n, 0) AS DOUBLE) AS n_both,
+        |  CAST(coalesce(d.n, 0) AS DOUBLE) AS n_churned
+        |FROM a JOIN b USING (g) JOIN u USING (g)
+        |LEFT JOIN i USING (g) LEFT JOIN d USING (g)""".stripMargin,
+
+    // the same two depth-4 × width-512 sketches, the same row-wise
+    // inner products, the same short-row-means-zero min — plus the
+    // exact join count the estimate upper-bounds
+    "q_sketch_join_size" ->
+      s"""WITH la AS (
+         |  SELECT 'all' AS g, l_partkey AS key FROM lineitem),
+         |pb AS (
+         |  SELECT 'all' AS g, p_partkey AS key FROM part WHERE p_size <= 10),
+         |ca AS (
+         |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot,
+         |    count(*) AS cnt_a
+         |  FROM la, unnest(range(4)) AS t(r) GROUP BY 1, 2, 3),
+         |cb AS (
+         |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot,
+         |    count(*) AS cnt_b
+         |  FROM pb, unnest(range(4)) AS t(r) GROUP BY 1, 2, 3),
+         |ip AS (
+         |  SELECT ca.g, ca.r, sum(cnt_a * cnt_b) AS ip
+         |  FROM ca JOIN cb ON ca.g = cb.g AND ca.r = cb.r AND ca.slot = cb.slot
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT g,
+         |    CASE WHEN count(*) < 4 THEN 0 ELSE min(ip) END AS e
+         |  FROM ip GROUP BY 1),
+         |g0 AS (
+         |  SELECT DISTINCT g FROM ca
+         |  INTERSECT
+         |  SELECT DISTINCT g FROM cb),
+         |ex AS (
+         |  SELECT la.g, count(*) AS n_exact
+         |  FROM la JOIN pb ON la.key = pb.key GROUP BY 1)
+         |SELECT g0.g, CAST(coalesce(est.e, 0) AS BIGINT) AS join_size_est,
+         |  n_exact
+         |FROM g0 LEFT JOIN est USING (g) JOIN ex USING (g)""".stripMargin,
+
+    // 256 words × 63 bits = 16128 slots, 4 probes — the same double
+    // hashing as the engine, so the bits table matches exactly
+    "q_sketch_bloom" ->
+      s"""WITH keys AS (
+         |  SELECT o_orderpriority AS g, o_custkey AS key FROM orders),
+         |p AS (
+         |  SELECT g, ${slotSql("key", "t.i", 16128L)} AS p
+         |  FROM keys, unnest(range(4)) AS t(i))
+         |SELECT g, p // 63 AS word_idx,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q_sketch_bloom_fpr" ->
+      s"""WITH keys AS (
+         |  SELECT o_orderpriority AS g, o_custkey AS key FROM orders),
+         |bp AS (
+         |  SELECT g, ${slotSql("key", "t.i", 16128L)} AS p
+         |  FROM keys, unnest(range(4)) AS t(i)),
+         |bloom AS (
+         |  SELECT g, p // 63 AS word_idx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+         |  FROM bp GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT d.g, c.c_custkey AS key
+         |  FROM (SELECT DISTINCT g FROM keys) d, customer c),
+         |pr AS (
+         |  SELECT g, key, ${slotSql("key", "t.i", 16128L)} AS p
+         |  FROM probes, unnest(range(4)) AS t(i)),
+         |hits AS (
+         |  SELECT pr.g, pr.key,
+         |    min(CASE WHEN b.bits IS NULL THEN 0
+         |        ELSE (b.bits >> CAST(pr.p % 63 AS INT)) & 1 END) AS all_set
+         |  FROM pr LEFT JOIN bloom b
+         |    ON b.g = pr.g AND b.word_idx = pr.p // 63
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT DISTINCT g, key, TRUE AS is_member FROM keys)
+         |SELECT h.g, count(*) AS n_probes,
+         |  count(*) FILTER (WHERE e.is_member) AS n_members,
+         |  count(*) FILTER (WHERE h.all_set = 1) AS n_maybe,
+         |  count(*) FILTER (WHERE h.all_set = 1 AND e.is_member IS NULL)
+         |    AS n_false_pos
+         |FROM hits h LEFT JOIN exact e ON e.g = h.g AND e.key = h.key
+         |GROUP BY 1""".stripMargin,
+
+    // depth 4 × width 512 count-min: same hashing, counts match exactly
+    "q_sketch_cms" ->
+      s"""WITH keys AS (
+         |  SELECT l_returnflag AS g, l_partkey AS key FROM lineitem),
+         |s AS (
+         |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot
+         |  FROM keys, unnest(range(4)) AS t(r))
+         |SELECT g, r, slot, count(*) AS cnt FROM s GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_sketch_cms_est" ->
+      s"""WITH keys AS (
+         |  SELECT l_returnflag AS g, l_partkey AS key FROM lineitem),
+         |cs AS (
+         |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot
+         |  FROM keys, unnest(range(4)) AS t(r)),
+         |cms AS (
+         |  SELECT g, r, slot, count(*) AS cnt FROM cs GROUP BY 1, 2, 3),
+         |probes AS (
+         |  SELECT d.g, p.p_partkey AS key
+         |  FROM (SELECT DISTINCT g FROM keys) d, part p),
+         |pr AS (
+         |  SELECT g, key, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot
+         |  FROM probes, unnest(range(4)) AS t(r)),
+         |est AS (
+         |  SELECT pr.g, pr.key, min(coalesce(c.cnt, 0)) AS est
+         |  FROM pr LEFT JOIN cms c
+         |    ON c.g = pr.g AND c.r = pr.r AND c.slot = pr.slot
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT g, key, count(*) AS exact FROM keys GROUP BY 1, 2)
+         |SELECT e.g, count(*) AS n_keys,
+         |  count(*) FILTER (WHERE e.est = coalesce(x.exact, 0)) AS n_exact,
+         |  CAST(sum(e.est - coalesce(x.exact, 0)) AS BIGINT) AS sum_overestimate,
+         |  CAST(max(e.est - coalesce(x.exact, 0)) AS BIGINT) AS max_overestimate
+         |FROM est e LEFT JOIN exact x ON x.g = e.g AND x.key = e.key
+         |GROUP BY 1""".stripMargin,
 
     // chr(769)=U+0301 combining acute, chr(64257)=U+FB01 ﬁ ligature
     // (NFC-invariant), chr(778)=U+030A combining ring — the same

@@ -113,4 +113,186 @@ object Sketches {
       .select(col(groupCol),
         graft.expressions.KllAgg.quantiles(col("merged"), ranks).as("quantiles"),
         col("n_rows"))
+
+  /** Per-group theta sketch BYTES of `keyCol` — the SET-ALGEBRA member
+    * of the persisted-sketch family (graft.expressions.ThetaAgg). HLL
+    * unions; theta also INTERSECTS and differences, which is the
+    * audience-overlap / retention / churn query class. `groupCols`
+    * typically ends with the batch column: one persisted sketch row
+    * per (slice, batch), set algebra later, no rescan.
+    */
+  def thetaSketches(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.ThetaAgg.sketch(col(keyCol), lgK).as("sketch"),
+        count(col(keyCol)).as("n_rows"))
+
+  /** Union persisted theta sketches per group → distinct estimate. */
+  def thetaUnionEstimate(sketches: DataFrame, groupCol: String,
+      lgK: Int = 12): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(graft.expressions.ThetaAgg.estimate(
+          graft.expressions.ThetaAgg.union(col("sketch"), lgK)).as("distinct_est"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** Intersect persisted theta sketches per group → "in EVERY batch"
+    * distinct estimate (null for empty groups — an empty intersection
+    * over zero sketches has no meaning).
+    */
+  def thetaIntersectEstimate(sketches: DataFrame, groupCol: String): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(graft.expressions.ThetaAgg.estimate(
+          graft.expressions.ThetaAgg.intersect(col("sketch"))).as("overlap_est"),
+        sum(col("n_rows")).as("n_rows"))
+
+  // ---- Bloom filter / count-min: the MEMBERSHIP and FREQUENCY members
+  // of the persisted-sketch family. Unlike HLL/KLL these use
+  // engine-portable double hashing (iterated mid-square mod 2^31-1 on
+  // the key, all intermediates < 2^62, no engine hash builtin), so
+  // sketch CONTENTS are exactly re-derivable in ANSI SQL and the
+  // DuckDB oracle checks them hash-exact — approximate answers, exact
+  // bits.
+  // Words carry 63 data bits (never the sign bit): every stored value
+  // stays positive, sidestepping two-engine two's-complement edge
+  // cases in shifts and compares.
+
+  private val KeyPrime = 2147483647L          // 2^31 - 1: every mix stage
+  private[graft] val BitsPerWord = 63
+
+  /** i-th double-hash position of `key` in a table of `size` slots:
+    * (h1 + i·h2) mod size, h1/h2 iterated mid-square hashes of the key
+    * folded to 31 bits — each stage squares mod the Mersenne prime
+    * 2³¹−1, so every intermediate stays under 2⁶² (no 64-bit overflow
+    * in either engine) and the mixing is NONLINEAR. An affine stage
+    * (k·x+c mod p) is not enough here: slot(x) would be affine in x
+    * mod `size`, so sequential key ranges — customer ids, dense doc
+    * ids — sweep arithmetic progressions that collide with each other
+    * and inflate the false-positive rate ~10⁴× over theory (measured:
+    * 6.5% vs 1e-8 on a 50-member/10k-probe fixture; the squared ladder
+    * measures 0). pmod keeps every step non-negative for any long key
+    * (shingle hashes are signed).
+    */
+  private[graft] def slot(key: Column, i: Column, size: Long): Column = {
+    val x = pmod(key, lit(KeyPrime))
+    val h1a = pmod(x * x + lit(12345L), lit(KeyPrime))
+    val h1 = pmod(h1a * h1a + lit(6789L), lit(KeyPrime))
+    val h2a = pmod((x + lit(40503L)) * (x + lit(99991L)), lit(KeyPrime))
+    val h2 = pmod(h2a * h2a + lit(987654321L), lit(KeyPrime))
+    pmod(h1 + i.cast("long") * h2, lit(size))
+  }
+
+  /** Per-group Bloom filter over `keyCol` (any integral type), as the
+    * sparse (group, word_idx, bits) table — nWords 63-bit words,
+    * k probe positions per key. Build is one explode(k) + one
+    * bit_or aggregation: partial map-side combine collapses each
+    * partition to ≤ nWords rows per group before the shuffle, so the
+    * build cost is independent of key multiplicity — the right shape
+    * for "bloom of 100 TB of shingles". The sparse table IS the
+    * persisted mergeable form: blooms of disjoint batches union by
+    * bit_or on (group, word_idx).
+    */
+  def bloomBits(df: DataFrame, groupCol: String, keyCol: String,
+      nWords: Int = 256, k: Int = 4): DataFrame = {
+    val nBits = nWords.toLong * BitsPerWord
+    val p = slot(col(keyCol).cast("long"), col("i"), nBits)
+    df.select(col(groupCol), col(keyCol))
+      .select(col(groupCol), col(keyCol),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col(groupCol), p.as("p"))
+      .groupBy(col(groupCol), (col("p") / BitsPerWord).cast("long").as("word_idx"))
+      .agg(bit_or(
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BitsPerWord AS INT))"))
+        .as("bits"))
+  }
+
+  /** Probe `probes`' keys against a [[bloomBits]] table: one row per
+    * (group, key) with `maybe_present` — false is DEFINITE absence (no
+    * false negatives; SketchSpec asserts it), true is presence up to
+    * the standard (1 − e^(−kn/m))^k false-positive rate. The bloom side
+    * is ≤ nWords rows per group — a broadcast join however large the
+    * probe stream is; this is the decontamination shape when the
+    * reference corpus is too big to broadcast raw but its bloom isn't.
+    */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, groupCol: String,
+      keyCol: String, nWords: Int = 256, k: Int = 4): DataFrame = {
+    val nBits = nWords.toLong * BitsPerWord
+    val pr = probes.select(col(groupCol), col(keyCol)).distinct()
+      .select(col(groupCol), col(keyCol),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("p", slot(col(keyCol).cast("long"), col("i"), nBits))
+      .withColumn("word_idx", (col("p") / BitsPerWord).cast("long"))
+    pr.join(broadcast(bloom), Seq(groupCol, "word_idx"), "left")
+      .withColumn("hit",
+        coalesce(expr(s"shiftright(bits, CAST(p % $BitsPerWord AS INT)) & 1"),
+          lit(0L)))
+      .groupBy(col(groupCol), col(keyCol))
+      .agg((min(col("hit")) === 1L).as("maybe_present"))
+  }
+
+  /** Per-group count-min sketch of `keyCol` multiplicities, as the
+    * sparse (group, row, slot, cnt) table — depth independent hash
+    * rows × width slots. Build is one explode(depth) + one partial-
+    * aggregated count; like [[bloomBits]] the result unions across
+    * batches by summing cnt on (group, row, slot).
+    */
+  def cmsCounts(df: DataFrame, groupCol: String, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame =
+    df.select(col(groupCol), col(keyCol))
+      .select(col(groupCol), col(keyCol),
+        // long row index: matches the BIGINT the oracle's range() emits
+        explode(sequence(lit(0L), lit(depth - 1L))).as("r"))
+      .groupBy(col(groupCol), col("r"),
+        slot(col(keyCol).cast("long"), col("r"), width).as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Equi-join SIZE estimate from two [[cmsCounts]] tables — the
+    * count-min inner-product estimator: for each hash row r,
+    * Σ_slot a[r][slot]·b[r][slot] upper-bounds Σ_key f_a(key)·f_b(key)
+    * (the true join cardinality; collisions only add cross terms), and
+    * the min over the depth rows is the estimate. This is plan-time
+    * cardinality estimation from PERSISTED sketches: deciding broadcast
+    * vs shuffle, or pre-sizing shuffle partitions, for a join of two
+    * 100 TB tables costs a join of two ≤ depth·width sketch tables —
+    * no scan of either side. Both the estimate and its never-under
+    * guarantee are deterministic functions of the sketch contents, so
+    * the DuckDB oracle re-derives them exactly.
+    */
+  def cmsJoinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame,
+      groupCol: String, depth: Int = 4): DataFrame = {
+    val a = cmsA.select(col(groupCol), col("r"), col("slot"), col("cnt").as("cnt_a"))
+    val b = cmsB.select(col(groupCol), col("r"), col("slot"), col("cnt").as("cnt_b"))
+    val mins = a.join(b, Seq(groupCol, "r", "slot"))
+      .groupBy(col(groupCol), col("r"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .groupBy(col(groupCol))
+      // a hash row with NO occupied-slot overlap has inner product 0 —
+      // it is absent from the join, so min over present rows alone
+      // would overestimate; a short row count means the true min is 0
+      .agg(min(col("ip")).as("min_ip"), count(lit(1)).as("n_r"))
+    // anchor on groups present in BOTH sketch tables, so a group whose
+    // sketches never collide reports 0 instead of vanishing
+    a.select(groupCol).distinct()
+      .join(b.select(groupCol).distinct(), Seq(groupCol))
+      .join(mins, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(when(col("n_r") === depth, col("min_ip")), lit(0L))
+          .as("join_size_est"))
+  }
+
+  /** Read frequency estimates for `probes`' keys from a [[cmsCounts]]
+    * table: min over the depth rows of the landed slot's count — never
+    * an underestimate (collisions only add), overestimate bounded by
+    * 2n/width at 1 − (1/2)^depth confidence. The sketch side is
+    * ≤ depth·width rows per group: broadcast-joined against any probe
+    * cardinality.
+    */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, groupCol: String,
+      keyCol: String, depth: Int = 4, width: Int = 512): DataFrame =
+    probes.select(col(groupCol), col(keyCol)).distinct()
+      .select(col(groupCol), col(keyCol),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("r"))
+      .withColumn("slot", slot(col(keyCol).cast("long"), col("r"), width))
+      .join(broadcast(cms), Seq(groupCol, "r", "slot"), "left")
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.Bfs
+
+/** Multi-source BFS hop distances: exactness against an in-test queue
+  * BFS on seeded random graphs, multi-source minimum semantics, the
+  * maxHops cap, and reachability-only output.
+  */
+class BfsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    var frontier = seeds.distinct.toSet
+    var hop = 0L
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> hop)
+      frontier = next
+    }
+    dist
+  }
+
+  private def got(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int = 30): Map[Long, Long] =
+    Bfs.hopDistance(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .as[(Long, Long)].collect().toMap
+
+  test("matches queue BFS on seeded random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val n = 50 + trial * 25
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val seeds = Seq.fill(3)(rnd.nextInt(n).toLong)
+      assert(got(edges, seeds) === refBfs(edges, seeds, 30), s"trial $trial")
+    }
+  }
+
+  test("multi-source takes the MINIMUM hop count") {
+    // chain 0-1-2-3-4-5 with seeds at both ends: node 3 is 3 from the
+    // left seed but 2 from the right one
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    val d = got(chain, Seq(0L, 5L))
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("maxHops caps the wave; unreached nodes are absent") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val d = got(chain, Seq(0L), maxHops = 3)
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("isolated seeds label themselves 0; disconnected nodes stay out") {
+    val d = got(Seq((1L, 2L), (7L, 8L)), Seq(1L, 99L))
+    assert(d === Map(1L -> 0L, 2L -> 1L, 99L -> 0L))
+  }
+}

@@ -18,11 +18,14 @@ class ContractSpec extends AnyFunSuite {
     "q_domain_cluster",          // Chinese Whispers (seeded iteration)
     "q_domain_defrag_pieces",    // window-UDAF defrag (recursive-CTE dead end)
     "q_domain_defrag_textreuses",
-    "q_dedup_groups_conv",       // observed-convergence label rounds
+    // q_dedup_groups_conv and q_graph_cc are NOT here: converged
+    // component labels are a fixpoint, re-derivable by a recursive-CTE
+    // transitive closure — those two convergence loops ARE oracle-checked
     "q_graph_pagerank_conv",     // observed-convergence PageRank
     "q_graph_kcore_conv",        // observed-convergence k-core peel
     "q_sketch_heavy_hitters",    // sketch output is eviction-order-dependent
-    "q_sketch_distinct_union")   // DataSketches HLL bytes have no DuckDB twin
+    "q_sketch_distinct_union",   // DataSketches HLL bytes have no DuckDB twin
+    "q_sketch_quantile_union")   // KLL compaction is randomized (SketchSpec bounds)
 
   test("every oracle names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -49,7 +52,9 @@ class ContractSpec extends AnyFunSuite {
     val known = ("""\bFROM\s+([a-z_0-9]+)\b(?!\.)""".r)
     for ((name, rawSql) <- SparkEntry.oracleSql) {
       val sql = rawSql.replaceAll("(?i)IS\\s+(NOT\\s+)?DISTINCT\\s+FROM", "<=>")
-      val ctes = ("""(?i)\b([a-z_0-9]+)\s+AS\s*\(""".r)
+      // the optional (col, ...) group admits recursive-CTE headers like
+      // "reach(a, b) AS ("
+      val ctes = ("""(?i)\b([a-z_0-9]+)\s*(?:\([a-z_0-9, ]*\))?\s+AS\s*\(""".r)
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = known.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = refs -- tables -- ctes

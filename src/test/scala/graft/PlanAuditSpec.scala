@@ -343,7 +343,12 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // hard-negative mining is the brute-force broadcast scan with a
       // label-inequality predicate — the same designed shape as
       // q_sim_brute_topk (its scale path composes with IVF cells)
-      "q_sim_hard_negatives")
+      "q_sim_hard_negatives",
+      // the sketch scoring faces probe EVERY (group, key) pair by
+      // design — a bounded distinct-group set (≤5 rows, broadcast)
+      // fanned across the probe corpus; the sketch lookups themselves
+      // stay broadcast hash equi-joins
+      "q_sketch_bloom_fpr", "q_sketch_cms_est")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.RuntimeFilter
+
+/** Bloom-pruned join: exact equivalence to the plain join (no false
+  * negatives survive to the result), real pruning power on a selective
+  * build side, and a single-join physical plan (the Bloom is a literal
+  * filter, not a second join).
+  */
+class RuntimeFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pruned join == plain join, exactly (signed keys)") {
+    val rnd = new scala.util.Random(21)
+    val probe = Seq.fill(4000)((rnd.nextLong() % 500L, rnd.nextInt(100)))
+      .toDF("k", "v")
+    val build = Seq.fill(60)((rnd.nextLong() % 500L, rnd.nextInt(100)))
+      .distinct.toDF("bk", "w")
+    val pruned = RuntimeFilter.bloomPrunedJoin(probe, build, "k", "bk")
+      .select("k", "v", "w").as[(Long, Int, Int)].collect().sorted.toSeq
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "v", "w").as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(pruned === plain)
+    assert(plain.nonEmpty, "vacuous fixture: plain join matched nothing")
+  }
+
+  test("the Bloom actually prunes: survivors ≈ members, not the corpus") {
+    // 50 member keys in [0,100); 10k probe keys in [1M, 1M+10k) — zero
+    // members. At m=16128, n=50·4 set bits the FPR is ~1e-8; even 3
+    // orders of magnitude of slack keeps survivors under 1%.
+    val members = (0L until 50L).toDF("bk")
+    val words = RuntimeFilter.buildBloom(members, "bk")
+    val probes = (1000000L until 1010000L).toDF("k")
+    val survivors = probes
+      .where(RuntimeFilter.mightContain(col("k"), words)).count()
+    assert(survivors < 100, s"$survivors of 10000 non-members passed")
+    // and every member passes (no false negatives)
+    val kept = members.select(col("bk").as("k"))
+      .where(RuntimeFilter.mightContain(col("k"), words)).count()
+    assert(kept === 50L)
+  }
+
+  test("physical plan has ONE join and the filter below it") {
+    // spark.range, not a LocalRelation — ConvertToLocalRelation would
+    // fold the pruning filter away and make the assertion vacuous
+    val probe = spark.range(1000).toDF("k")
+    val build = spark.range(10).toDF("bk")
+    val qe = RuntimeFilter.bloomPrunedJoin(probe, build, "k", "bk")
+      .queryExecution
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.length === 1,
+      s"bloom probe leaked a join into the plan:\n${qe.sparkPlan}")
+    assert(qe.sparkPlan.toString.contains("Filter"),
+      s"no pruning filter in plan:\n${qe.sparkPlan}")
+  }
+}

@@ -139,4 +139,98 @@ class SketchSpec extends SparkTestBase {
     assert(merged.getLong(2) === 4950L, "nulls excluded from n_rows")
     assert(math.abs(merged.getSeq[Double](1)(0) - 2500.0) <= 200.0)
   }
+
+  test("bloom: zero false negatives, bounded false-positive rate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // NEGATIVE keys exercise the pmod folding (shingle hashes are signed)
+    val members = Seq.fill(900)(rnd.nextLong()).distinct
+    val df = members.map(("g", _)).toDF("g", "key")
+    val bloom = Sketches.bloomBits(df, "g", "key", nWords = 256, k = 4)
+    val nonMembers = Seq.fill(3000)(rnd.nextLong()).distinct
+      .filterNot(members.toSet)
+    val probes = (members ++ nonMembers).map(("g", _)).toDF("g", "key")
+    val got = Sketches.bloomProbe(bloom, probes, "g", "key", nWords = 256, k = 4)
+      .as[(String, Long, Boolean)].collect().map(r => r._2 -> r._3).toMap
+    // membership guarantee: EVERY inserted key probes true
+    assert(members.forall(got(_)), "bloom false negative")
+    // FPR at n=900, m=16128, k=4: (1-e^(-kn/m))^4 ≈ 1.6%; allow 3x slack
+    val fp = nonMembers.count(got(_))
+    assert(fp.toDouble / nonMembers.size < 0.05,
+      s"$fp false positives in ${nonMembers.size}")
+  }
+
+  test("bloom: per-batch bit_or union == single-pass bloom, exactly") {
+    import spark.implicits._
+    val keys = (0L until 600L).map(i => (s"b${i % 3}", i * 7919L))
+    val whole = keys.map { case (_, k) => ("g", k) }.toDF("g", "key")
+    val single = Sketches.bloomBits(whole, "g", "key")
+      .select("word_idx", "bits").as[(Long, Long)].collect().toMap
+    // three batch blooms, merged by bit_or on word_idx — the persisted
+    // incremental form
+    val batches = keys.map { case (b, k) => (b, k) }.toDF("b", "key")
+    val merged = Sketches.bloomBits(batches.withColumn("g", col("b")), "g", "key")
+      .groupBy("word_idx").agg(bit_or(col("bits")).as("bits"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === single)
+  }
+
+  test("count-min join-size estimate: never under; exact when collision-free; 0 on disjoint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val a = Seq.fill(4000)(("g", rnd.nextInt(200).toLong)).toDF("g", "key")
+    val b = Seq.fill(300)(("g", rnd.nextInt(400).toLong)).toDF("g", "key")
+    val exact = a.join(b.select(col("key").as("k2")), col("key") === col("k2"))
+      .count()
+    val est = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsCounts(a, "g", "key", width = 128),
+      Sketches.cmsCounts(b, "g", "key", width = 128), "g")
+      .select("join_size_est").as[Long].head()
+    assert(est >= exact, s"inner product underestimated: $est < $exact")
+    // width 8192: residual cross-key slot coincidences inflate each
+    // row by ≈ |a|·|b|/width in expectation — the published AMS-style
+    // additive bound; assert twice it (exact equality is NOT the
+    // contract, even far below capacity — birthday collisions remain)
+    val estWide = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsCounts(a, "g", "key", width = 8192),
+      Sketches.cmsCounts(b, "g", "key", width = 8192), "g")
+      .select("join_size_est").as[Long].head()
+    assert(estWide >= exact)
+    assert(estWide - exact <= 2L * 4000L * 300L / 8192L,
+      s"overestimate ${estWide - exact} past the additive bound")
+    // disjoint key ranges in a wide table: no common slot → short rows → 0
+    val d1 = Seq(("g", 1L)).toDF("g", "key")
+    val d2 = Seq(("g", 2L)).toDF("g", "key")
+    val z = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsCounts(d1, "g", "key", width = 8192),
+      Sketches.cmsCounts(d2, "g", "key", width = 8192), "g")
+      .select("join_size_est").as[Long].head()
+    assert(z === 0L)
+  }
+
+  test("count-min: never underestimates; batch-sum union == single pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val keys = Seq.fill(5000)(rnd.nextInt(300).toLong - 150L) // signed, skewed
+    val df = keys.map(("g", _)).toDF("g", "key")
+    val cms = Sketches.cmsCounts(df, "g", "key", depth = 4, width = 128)
+    val probes = keys.distinct.map(("g", _)).toDF("g", "key")
+    val est = Sketches.cmsEstimate(cms, probes, "g", "key", depth = 4, width = 128)
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, n) <- exact) assert(est(k) >= n, s"cms underestimated key $k")
+    // width 128 << 300 distinct keys forces collisions; the estimate
+    // must still be within the 2n/width Markov bound most of the time
+    val over = exact.count { case (k, n) => est(k) > n + 2 * 5000 / 128 }
+    assert(over < exact.size / 4, s"$over far overestimates")
+    // mergeability: per-batch counts summed on (r, slot) == single pass
+    val batched = keys.zipWithIndex.map { case (k, i) => (s"b${i % 4}", k) }
+      .toDF("g", "key")
+    val mergedCms = Sketches.cmsCounts(batched, "g", "key", depth = 4, width = 128)
+      .groupBy("r", "slot").agg(sum(col("cnt")).as("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    val singleCms = Sketches.cmsCounts(df, "g", "key", depth = 4, width = 128)
+      .select("r", "slot", "cnt").as[(Long, Long, Long)].collect().toSet
+    assert(mergedCms === singleCms)
+  }
 }
