@@ -62,4 +62,56 @@ object Bfs {
     adj.unpersist()
     labels
   }
+
+  /** Weighted single/multi-source shortest paths by frontier-limited
+    * Bellman-Ford: per round, only nodes whose tentative distance
+    * IMPROVED last round relax their out-edges (the delta-stepping-less
+    * delta optimization — identical to Chinese Whispers' changed-nodes
+    * trick), so a settled graph costs nothing and round count is the
+    * max edge count of any shortest path, capped loudly by `maxRounds`.
+    *
+    * Weights are LONG costs (callers pre-scale; integer arithmetic is
+    * what lets the DuckDB twin re-derive distances exactly — float
+    * accumulation order would decide ties differently per engine).
+    * Negative weights are rejected: with non-negative costs the
+    * monotone-relaxation argument makes the fixpoint schedule-
+    * independent, which is the whole oracle-checkability story.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val sym0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost"))
+    val adj = sym0
+      .unionAll(sym0.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("cost").as("cost"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(adj.where(col("cost") < 0).isEmpty,
+      "shortestPaths requires non-negative costs")
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    var r = 0
+    while (r < maxRounds && !frontier.isEmpty) {
+      r += 1
+      val relaxed = frontier.join(adj, col("node") === col("src"))
+        .groupBy(col("dst").as("cand"))
+        .agg(min(col("dist") + col("cost")).as("cand_dist"))
+      // improvements only: strictly better than the current label (or
+      // first label) — these are the next frontier
+      val improved = relaxed.join(dist, col("cand") === col("node"), "left")
+        .where(col("dist").isNull || col("cand_dist") < col("dist"))
+        .select(col("cand").as("node"), col("cand_dist").as("dist"))
+        .localCheckpoint()
+      dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionAll(improved)
+        .localCheckpoint()
+      frontier = improved
+    }
+    require(frontier.isEmpty,
+      s"shortestPaths still improving after $maxRounds rounds; raise maxRounds")
+    adj.unpersist()
+    dist
+  }
 }

@@ -117,6 +117,20 @@ object GraphQueries {
         .select(col("s_suppkey").as("node"))
       graft.graph.Bfs.hopDistance(
         coSupply(s, dir, 49.0).select(col("src"), col("dst")), seeds)
+    }),
+
+    // weighted shortest paths from the same seeds: strong co-supply
+    // ties are cheap (cost = max(1, 10 − shared-part count), integer).
+    // Frontier-limited Bellman-Ford; non-negative integer costs make
+    // the fixpoint schedule-independent, so the capped recursive-CTE
+    // twin re-derives every distance exactly
+    "q_graph_sssp" -> ((s, dir) => {
+      val seeds = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") >= 9000.0)
+        .select(col("s_suppkey").as("node"))
+      val e = coSupply(s, dir, 49.0).select(col("src"), col("dst"),
+        greatest(lit(1L), lit(10L) - col("w")).as("cost"))
+      graft.graph.Bfs.shortestPaths(e, seeds)
     })
   )
 
@@ -240,6 +254,30 @@ object GraphQueries {
         |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.d < 30)
         |SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY 1""".stripMargin,
+
+    // weighted wave: (node, accumulated cost) pairs, UNION-deduped,
+    // bounded by the 300-cost guard (max edge cost 9, so any true
+    // shortest distance sits far below it); min over the wave is the
+    // exact distance — same schedule-independence as hops
+    "q_graph_sssp" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e0 AS (
+        |  SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst, greatest(1, 10 - w) AS cost FROM e0),
+        |seeds AS (
+        |  SELECT DISTINCT s_suppkey AS node FROM supplier
+        |  WHERE s_acctbal >= 9000.0),
+        |walk(node, d) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.d + e.cost FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.d + e.cost <= 300)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY 1""".stripMargin,
 
     // transitive closure by recursive CTE (UNION deduplicates, so the
     // recursion terminates at the reachability fixpoint); the component

@@ -178,6 +178,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // incremental aggregate maintenance (core.Incremental): three
+    // per-batch states built independently, merged in a batch order the
+    // single-pass oracle never sees — the merged read face must equal
+    // the full groupBy EXACTLY (fixed-point sums make the equality
+    // bit-true; double sums would drift with association order)
+    "q_agg_incremental" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"),
+          pmod(col("l_orderkey"), lit(3)).as("b"))
+      val states = (0 to 2).map(i =>
+        graft.core.Incremental.aggState(li.where(col("b") === i), Seq("flag"), "v"))
+      graft.core.Incremental.readAggregates(
+        graft.core.Incremental.mergeStates(
+          Seq(states(2), states(0), states(1)), Seq("flag")),
+        Seq("flag"))
+    }),
+
     // Bloom-pruned join (core.RuntimeFilter): the probe side (lineitem)
     // is cut by a 256-word Bloom of the build side's keys BEFORE its
     // shuffle — the cross-materialization runtime-filter shape. The
@@ -597,6 +614,24 @@ object RelationalQueries {
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
         |GROUP BY 1, 2""".stripMargin,
+
+    // the single-pass aggregate the batch-merged state must equal
+    // bit-for-bit; avg is the subtract-remainder exact division
+    "q_agg_incremental" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_quantity * 100.0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT flag, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(cents) AS min_cents, max(cents) AS max_cents
+        |  FROM c GROUP BY 1)
+        |SELECT flag, n_rows, sum_cents, min_cents, max_cents,
+        |  CAST((sum_cents * 100 -
+        |    ((sum_cents * 100 % n_rows + n_rows) % n_rows)) / n_rows AS BIGINT)
+        |    AS avg_x10000
+        |FROM s""".stripMargin,
 
     // the plain join — Bloom pruning must be invisible to the result
     "q_join_bloom_pruned" ->

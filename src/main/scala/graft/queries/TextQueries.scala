@@ -231,10 +231,16 @@ object TextQueries {
     // columns oracle-hashed
     "q_sketch_join_size" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      // group = key shard (pmod 3): per-shard join sizes — the number
+      // a range/hash partitioner reads to size reducers. A constant
+      // literal group would constant-fold the anchor join's equi-key
+      // into a (1-row) cartesian; a real group keeps every join keyed
       val li = Tables(s, dir, "lineitem")
-        .select(lit("all").as("g"), col("l_partkey").as("key"))
+        .select(pmod(col("l_partkey"), lit(3L)).as("g"),
+          col("l_partkey").as("key"))
       val pt = Tables(s, dir, "part").where(col("p_size") <= 10)
-        .select(lit("all").as("g"), col("p_partkey").as("key"))
+        .select(pmod(col("p_partkey"), lit(3L)).as("g"),
+          col("p_partkey").as("key"))
       val est = graft.sketch.Sketches.cmsJoinSizeEstimate(
         graft.sketch.Sketches.cmsCounts(li, "g", "key"),
         graft.sketch.Sketches.cmsCounts(pt, "g", "key"), "g")
@@ -380,6 +386,30 @@ object TextQueries {
     // (token, doc), lexicon df/cf, hapax pruned at df >= 2
     "q_text_invindex" -> ((s, dir) =>
       TextAnalysis.invertedIndex(Tables(s, dir, "documents"), minDf = 2L)),
+
+    // conjunctive (AND) retrieval over the index: two data-derived
+    // queries — the 2 highest-df terms, then terms ranked 3-5 — each
+    // returning exactly the docs containing every term
+    "q_text_search_and" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val idx = TextAnalysis.invertedIndex(Tables(s, dir, "documents"), minDf = 2L)
+      // lexicon-sized global window: bounded by vocabulary, not corpus
+      val ranked = idx.select("token", "df").distinct()
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df").desc, col("token"))))
+        .where(col("r") <= 5)
+      val queries = ranked.select(
+        when(col("r") <= 2, 1L).otherwise(2L).as("query_id"), col("token"))
+      TextAnalysis.searchAll(idx, queries)
+    }),
+
+    // sparse rarity-weighted "more like this": top-3 most similar docs
+    // per doc over shared rare tokens (df cut at 50) — integer scores,
+    // hash-exact
+    "q_text_more_like_this" -> ((s, dir) =>
+      TextAnalysis.moreLikeThis(Tables(s, dir, "documents"),
+        k = 3, maxDf = 50L, minDf = 2L)),
 
     // OOV coverage vs a deliberately small (200-token) vocab so the
     // out-of-vocabulary tail is non-trivial — the freeze-the-tokenizer
@@ -546,9 +576,10 @@ object TextQueries {
     // exact join count the estimate upper-bounds
     "q_sketch_join_size" ->
       s"""WITH la AS (
-         |  SELECT 'all' AS g, l_partkey AS key FROM lineitem),
+         |  SELECT (l_partkey % 3 + 3) % 3 AS g, l_partkey AS key FROM lineitem),
          |pb AS (
-         |  SELECT 'all' AS g, p_partkey AS key FROM part WHERE p_size <= 10),
+         |  SELECT (p_partkey % 3 + 3) % 3 AS g, p_partkey AS key
+         |  FROM part WHERE p_size <= 10),
          |ca AS (
          |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot,
          |    count(*) AS cnt_a
@@ -1032,6 +1063,65 @@ object TextQueries {
          |  FROM postings GROUP BY token)
          |SELECT f.token, f.doc_id, f.tf, f.first_pos, l.df, l.cf
          |FROM fp f JOIN lex l USING (token) WHERE l.df >= 2""".stripMargin,
+
+    // same postings + lexicon as the index oracle; query terms ranked
+    // by (df desc, token), arity matched by count-equals-arity
+    "q_text_search_and" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS token FROM d),
+         |postings AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token != '' GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM postings GROUP BY token),
+         |ranked AS (
+         |  SELECT token, row_number() OVER (ORDER BY df DESC, token) AS r
+         |  FROM lex WHERE df >= 2),
+         |qs AS (
+         |  SELECT CASE WHEN r <= 2 THEN 1 ELSE 2 END AS query_id, token
+         |  FROM ranked WHERE r <= 5),
+         |ar AS (SELECT query_id, count(*) AS n FROM qs GROUP BY 1),
+         |cand AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+         |    CAST(sum(p.tf) AS BIGINT) AS sum_tf
+         |  FROM postings p JOIN qs q USING (token)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, sum_tf
+         |FROM cand JOIN ar USING (query_id) WHERE n_matched = n""".stripMargin,
+
+    // integer rarity = (N·1000) // df; the rank window mirrors the
+    // engine's (score desc, doc_id_sim) QUALIFY cut
+    "q_text_more_like_this" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS token FROM d),
+         |postings AS (
+         |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE token != '' GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM postings GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT p.token, p.doc_id, p.tf,
+         |    CAST((n.n_docs * 1000) // l.df AS BIGINT) AS rarity
+         |  FROM postings p JOIN lex l USING (token), n
+         |  WHERE l.df BETWEEN 2 AND 50),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_sim,
+         |    CAST(sum(a.tf * b.tf * a.rarity) AS BIGINT) AS score
+         |  FROM w a JOIN w b
+         |    ON a.token = b.token AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, doc_id_sim, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, doc_id_sim) AS BIGINT) AS rank
+         |FROM pairs
+         |QUALIFY rank <= 3""".stripMargin,
 
     // mirrors TextAnalysis.buildVocab: same whitespace tokens, count
     // desc + token asc ordering, dense 0-based vocab ids over the cut

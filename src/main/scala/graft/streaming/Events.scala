@@ -585,6 +585,82 @@ object Events {
       }
   }
 
+  /** Per-bucket Bloom state for [[streamingBloomDedup]]: the bucket's
+    * filter as one Long array in a ValueState. Mirrors
+    * [[graft.sketch.Sketches]]' iterated mid-square double hashing on
+    * the JVM side (same constants), so a persisted batch bloom and the
+    * streaming state agree bit-for-bit on what "seen" means.
+    */
+  private class BloomDedupProcessor(nWords: Int, k: Int)
+      extends StatefulProcessor[Long, Event, Event] {
+    @transient private var state: ValueState[Array[Long]] = _
+    private val nBits = nWords.toLong * 63L
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Long]]("bloom",
+        org.apache.spark.sql.Encoders.javaSerialization[Array[Long]],
+        TTLConfig.NONE)
+
+    private def slots(key: Long): Array[Long] = {
+      val P = 2147483647L
+      val x = ((key % P) + P) % P
+      val h1a = (x * x + 12345L) % P
+      val h1 = (h1a * h1a + 6789L) % P
+      val h2a = ((x + 40503L) * (x + 99991L)) % P
+      val h2 = (h2a * h2a + 987654321L) % P
+      Array.tabulate(k)(i => (h1 + i.toLong * h2) % nBits)
+    }
+
+    override def handleInputRows(bucket: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Event] = {
+      val words = if (state.exists()) state.get() else new Array[Long](nWords)
+      var dirty = false
+      // deterministic intra-batch order, so replays emit the same
+      // representative of an intra-batch duplicate pair
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).filter { e =>
+        val ss = slots(e.event_id)
+        val fresh = ss.exists(p => (words((p / 63L).toInt) >>> (p % 63L).toInt & 1L) == 0L)
+        if (fresh) {
+          ss.foreach(p => words((p / 63L).toInt) |= 1L << (p % 63L).toInt)
+          dirty = true
+        }
+        fresh
+      }
+      if (dirty) state.update(words)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(bucket: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Event] =
+      Iterator.empty
+  }
+
+  /** Streaming APPROXIMATE dedup with BOUNDED state — the shape
+    * [[streamingDedup]] cannot reach: dropDuplicatesWithinWatermark
+    * stores one state row per key, so "dedup event ids forever" grows
+    * state with the key count; at corpus scale that is unbounded. Here
+    * the key space hashes into `nBuckets` Bloom filters of `nWords`
+    * 63-bit words each — state is nBuckets·nWords·8 bytes, FOREVER,
+    * regardless of how many keys flow through.
+    *
+    * The trade is explicit and one-sided: a true duplicate is ALWAYS
+    * dropped (no false negatives in the filter ⇒ no duplicate ever
+    * emitted — the guarantee dedup consumers rely on), while a novel
+    * key can be falsely dropped at the standard (1−e^(−kn/m))^k rate
+    * as buckets fill. Size nWords for the expected key volume, or
+    * rotate buckets by re-keying with an epoch when loss budgets reset.
+    * StreamingSpec pins both sides of the contract.
+    */
+  def streamingBloomDedup(stream: Dataset[Event], nBuckets: Int = 64,
+      nWords: Int = 256, k: Int = 4)(
+      implicit spark: SparkSession): Dataset[Event] = {
+    import spark.implicits._
+    stream
+      .groupByKey(e => ((e.event_id % nBuckets) + nBuckets) % nBuckets)
+      .transformWithState(new BloomDedupProcessor(nWords, k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming sessionization on the Spark 4 `transformWithState` API —
     * the third face of the session operator (batch islands /
     * flatMapGroupsWithState / StatefulProcessor). Same emission

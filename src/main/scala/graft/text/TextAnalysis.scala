@@ -600,6 +600,62 @@ object TextAnalysis {
     postings.join(lexicon, Seq("token"))
   }
 
+  /** Conjunctive (AND) retrieval over [[invertedIndex]]: per query, the
+    * documents containing EVERY query term, with the summed term
+    * frequency as a tiebreak score. `queries` is a (query_id, token)
+    * table. The term filter rides the index join (postings of query
+    * terms only reach the aggregation), the match test is the classic
+    * count-equals-arity trick over the per-(token, doc) unique posting
+    * rows, and the query-arity table — bounded by the query workload,
+    * not the corpus — broadcasts.
+    */
+  def searchAll(index: DataFrame, queries: DataFrame): DataFrame = {
+    val q = queries.select(col("query_id"), col("token")).distinct()
+    val arity = q.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    index.join(q, Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("sum_tf"))
+      .join(broadcast(arity), Seq("query_id"))
+      .where(col("n_matched") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), col("sum_tf"))
+  }
+
+  /** Sparse "more like this": top-k most similar documents per document
+    * by a rarity-weighted shared-token score over the inverted index —
+    * the text-side sibling of the dense embedding top-k
+    * (graft.similarity). Score = Σ_shared tf_a·tf_b·rarity(token),
+    * rarity the INTEGER fixed-point (N·1000) div df — integer sums make
+    * the score engine-exact where tf-idf doubles would hash-diverge
+    * with aggregation order.
+    *
+    * Scale shape: the self-join meets only on tokens with df ≤ `maxDf`
+    * — the standard df cut; common tokens carry no similarity signal
+    * AND quadratic posting expansion, so one knob removes both. Pair
+    * volume is Σ_rare df² instead of |corpus|². Rank cut is a per-doc
+    * window → map-side WindowGroupLimit.
+    */
+  def moreLikeThis(docs: DataFrame, k: Int = 3, maxDf: Long = 50L,
+      minDf: Long = 2L): DataFrame = {
+    val idx = invertedIndex(docs, minDf)
+      .where(col("df") <= maxDf)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val weighted = idx.join(broadcast(n),
+        org.apache.spark.sql.functions.lit(true))
+      .withColumn("rarity",
+        ((col("n_docs") * 1000L - pmod(col("n_docs") * 1000L, col("df")))
+          / col("df")).cast("long"))
+      .select(col("token"), col("doc_id"), col("tf"), col("rarity"))
+    val pairs = weighted.as("a").join(weighted.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_id_sim"))
+      .agg(sum(col("a.tf") * col("b.tf") * col("a.rarity")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("doc_id_sim"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Posting-LIST face of [[invertedIndex]]: one row per token with the
     * doc_id-sorted postings array — the A8 collect_list shape, for
     * writing index shards where a term's postings must be contiguous.

@@ -62,4 +62,55 @@ class BfsSpec extends SparkTestBase {
     val d = got(Seq((1L, 2L), (7L, 8L)), Seq(1L, 99L))
     assert(d === Map(1L -> 0L, 2L -> 1L, 99L -> 0L))
   }
+
+  /** Reference: Dijkstra over the symmetrized weighted edge list. */
+  private def refDijkstra(edges: Seq[(Long, Long, Long)],
+      seeds: Seq[Long]): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+      .filter(e => e._1 != e._2)
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val dist = scala.collection.mutable.Map(seeds.distinct.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      seeds.distinct.map(s => (-0L, s)): _*)(Ordering.by(_._1))
+    while (pq.nonEmpty) {
+      val (nd, n) = pq.dequeue()
+      if (-nd == dist(n))
+        adj.getOrElse(n, Nil).foreach { case (m, c) =>
+          if (!dist.contains(m) || dist(m) > -nd + c) {
+            dist(m) = -nd + c
+            pq.enqueue((nd - c, m))
+          }
+        }
+    }
+    dist.toMap
+  }
+
+  test("shortestPaths matches Dijkstra on seeded random weighted graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val edges = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        1L + rnd.nextInt(9)))
+      val seeds = Seq.fill(2)(rnd.nextInt(n).toLong)
+      val gotD = Bfs.shortestPaths(edges.toDF("src", "dst", "cost"),
+          seeds.toDF("node"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotD === refDijkstra(edges, seeds), s"trial $trial")
+    }
+  }
+
+  test("shortestPaths: weighted detour beats the direct heavy edge") {
+    // 0-2 costs 10 direct, but 0-1-2 costs 2+3=5
+    val e = Seq((0L, 2L, 10L), (0L, 1L, 2L), (1L, 2L, 3L))
+    val d = Bfs.shortestPaths(e.toDF("src", "dst", "cost"), Seq(0L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 2L, 2L -> 5L))
+  }
+
+  test("shortestPaths rejects negative costs loudly") {
+    val e = Seq((0L, 1L, -1L)).toDF("src", "dst", "cost")
+    intercept[IllegalArgumentException] {
+      Bfs.shortestPaths(e, Seq(0L).toDF("node")).count()
+    }
+  }
 }

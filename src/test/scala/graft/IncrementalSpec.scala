@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Incremental
+
+/** Incremental aggregate state: batch-merged state equals the
+  * single-pass aggregate exactly, in any merge order, through repeated
+  * delta absorption.
+  */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rows = {
+    val rnd = new scala.util.Random(31)
+    Seq.fill(5000)((s"g${rnd.nextInt(7)}", rnd.nextDouble() * 100.0 - 20.0))
+  }
+
+  private def collectState(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "n_rows", "sum_cents", "min_cents", "max_cents")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  test("any batch split + any merge order == single pass, exactly") {
+    val full = collectState(
+      Incremental.aggState(rows.toDF("g", "v"), Seq("g"), "v"))
+    for (nBatches <- Seq(2, 5); seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val tagged = rows.map { case (g, v) => (g, v, rnd.nextInt(nBatches)) }
+      val states = (0 until nBatches).map(i =>
+        Incremental.aggState(
+          tagged.filter(_._3 == i).map(t => (t._1, t._2)).toDF("g", "v"),
+          Seq("g"), "v"))
+      val shuffled = new scala.util.Random(seed + 7).shuffle(states)
+      assert(collectState(Incremental.mergeStates(shuffled, Seq("g"))) === full,
+        s"nBatches=$nBatches seed=$seed")
+    }
+  }
+
+  test("state absorbs deltas one at a time (the daily-ingest loop)") {
+    val batches = rows.grouped(1000).toSeq
+    var state = Incremental.aggState(batches.head.toDF("g", "v"), Seq("g"), "v")
+    for (b <- batches.tail)
+      state = Incremental.mergeStates(
+        Seq(state, Incremental.aggState(b.toDF("g", "v"), Seq("g"), "v")),
+        Seq("g"))
+    assert(collectState(state) ===
+      collectState(Incremental.aggState(rows.toDF("g", "v"), Seq("g"), "v")))
+  }
+
+  test("read face derives the exact fixed-point average") {
+    val st = Incremental.aggState(
+      Seq(("a", 1.0), ("a", 2.0), ("a", 2.005)).toDF("g", "v"), Seq("g"), "v")
+    val r = Incremental.readAggregates(st, Seq("g"))
+      .select("n_rows", "sum_cents", "avg_x10000").as[(Long, Long, Long)].head()
+    // cents: 100 + 200 + 200 (floor) = 500; avg = 500*100/3 = 16666 exactly
+    assert(r === ((3L, 500L, 16666L)))
+  }
+}

@@ -348,7 +348,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // design — a bounded distinct-group set (≤5 rows, broadcast)
       // fanned across the probe corpus; the sketch lookups themselves
       // stay broadcast hash equi-joins
-      "q_sketch_bloom_fpr", "q_sketch_cms_est")
+      "q_sketch_bloom_fpr", "q_sketch_cms_est",
+      // more-like-this attaches the 1-row corpus count for its integer
+      // rarity weights — the q_text_tfidf bounded-aggregate shape
+      "q_text_more_like_this")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

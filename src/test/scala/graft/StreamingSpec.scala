@@ -592,4 +592,83 @@ class StreamingSpec extends SparkTestBase {
       assert(exp.size === 3, s"fixture must rank exactly 3 of 4 types: $exp")
     } finally q.stop()
   }
+
+  test("streamingBloomDedup: no duplicate ever emitted, cross-batch, bounded state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Events.streamingBloomDedup(input.toDS(), nBuckets = 8)
+      .writeStream.format("memory").queryName("bloom_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: ids 1..40 with 3 intra-batch duplicates
+      input.addData((1L to 40L).map(i => Event(i, ts(0), i, "c", 1.0)) ++
+        Seq(Event(5, ts(1), 99, "dup", 9.0), Event(6, ts(1), 99, "dup", 9.0),
+          Event(7, ts(1), 99, "dup", 9.0)): _*)
+      q.processAllAvailable()
+      // batch 2: cross-batch replays of 1..10 (must ALL drop — no
+      // watermark horizon protects them; this is the forever contract)
+      // plus novel ids 41..60
+      input.addData((1L to 10L).map(i => Event(i, ts(2), 98, "replay", 2.0)) ++
+        (41L to 60L).map(i => Event(i, ts(2), i, "c", 1.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_dedup")
+        .select("event_id", "event_type").as[(Long, String)].collect()
+      assert(got.map(_._1).distinct.length === got.length,
+        s"duplicate event_id emitted: ${got.toSeq.sorted}")
+      assert(!got.exists(_._2 == "replay"), "cross-batch duplicate leaked")
+      assert(!got.exists(_._2 == "dup"), "intra-batch duplicate leaked")
+      // at 8 buckets × 256 words the filter is far under capacity for
+      // 60 keys: every novel id must have survived (no false drops)
+      assert(got.map(_._1).toSet === (1L to 60L).toSet,
+        s"novel ids falsely dropped: ${(1L to 60L).toSet -- got.map(_._1).toSet}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streamingBloomDedup: an over-capacity filter loses novelty, never emits dups") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    // ONE bucket of ONE 63-bit word: 500 keys × 4 probes cannot fit —
+    // false drops are arithmetically guaranteed, duplicates still never
+    // pass. This is the documented degradation mode, pinned.
+    val q = Events.streamingBloomDedup(input.toDS(), nBuckets = 1, nWords = 1)
+      .writeStream.format("memory").queryName("bloom_dedup_tiny")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L to 500L).map(i => Event(i, ts(0), i, "c", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((1L to 500L).map(i => Event(i, ts(1), i, "r", 1.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_dedup_tiny")
+        .select("event_id", "event_type").as[(Long, String)].collect()
+      assert(got.map(_._1).distinct.length === got.length, "duplicate emitted")
+      assert(!got.exists(_._2 == "r"), "replayed key emitted")
+      val kept = got.length
+      assert(kept < 500 && kept > 0,
+        s"1-word filter must drop some of 500 novel keys and keep some early ones, kept $kept")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

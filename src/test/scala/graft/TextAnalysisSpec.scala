@@ -341,4 +341,37 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(ids.toSeq === ids.toSeq.sorted, s"postings not sorted for ${r.get(0)}")
     }
   }
+
+  test("searchAll: conjunctive semantics — every term or nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "alpha gamma"),
+      (4L, "beta gamma alpha alpha"), (5L, "delta alpha beta")).toDF("doc_id", "text")
+    val idx = graft.text.TextAnalysis.invertedIndex(docs, minDf = 1L)
+    val queries = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"),
+      (2L, "delta"), (2L, "beta")).toDF("query_id", "token")
+    val got = graft.text.TextAnalysis.searchAll(idx, queries)
+      .as[(Long, Long, Long)].collect().toSet
+    // q1 needs all of alpha+beta+gamma: docs 1 and 4 (4 has tf sum 4)
+    // q2 needs delta+beta: doc 5 only
+    assert(got === Set((1L, 1L, 3L), (1L, 4L, 4L), (2L, 5L, 2L)))
+  }
+
+  test("moreLikeThis: rare shared tokens drive rank; df cut removes stopwords") {
+    import spark.implicits._
+    // "the" appears everywhere (df 4 > maxDf 3 → no signal); docs 1/2
+    // share two rare tokens, 1/3 share one
+    val docs = Seq(
+      (1L, "the zebra quokka"), (2L, "the zebra quokka"),
+      (3L, "the zebra"), (4L, "the llama")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .moreLikeThis(docs, k = 2, maxDf = 3L, minDf = 1L)
+      .select("doc_id", "doc_id_sim", "rank").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got(1L) === Seq(2L, 3L), s"doc 1 neighbors: $got")
+    assert(got(2L) === Seq(1L, 3L))
+    assert(got(3L) === Seq(1L, 2L))
+    assert(!got.contains(4L), "llama shares only the stopword — no pairs")
+  }
 }
