@@ -128,4 +128,50 @@ object ConnectedComponents {
     e.unpersist()
     result
   }
+
+  /** Incrementally absorb a new edge batch into an existing labelling —
+    * the maintenance face of [[largeStarSmallStar]]: yesterday's
+    * 100 TB corpus keeps its labels; today's batch only moves the
+    * components it actually touches.
+    *
+    * Components are CONTRACTED first: both endpoints map through the
+    * current labels (unknown endpoints label themselves — new nodes),
+    * intra-component edges drop, and what remains is a graph over
+    * component roots — |touched components| nodes, not |corpus|. Star
+    * contraction runs on that contracted graph only; the result is a
+    * root→root relabelling joined back over the full labelling (one
+    * broadcast-size map in practice). Exactness is the contraction
+    * argument: collapsing a connected set to one vertex preserves the
+    * component structure of the union graph, so the output equals
+    * [[largeStarSmallStar]] over (old edges ∪ batch) — the oracle
+    * checks exactly that, against the full recursive-CTE closure.
+    *
+    * One invariant carries the correctness: incoming labels must be
+    * component MINIMA (largeStarSmallStar's own contract), so the
+    * contracted graph's minima are the union graph's minima.
+    */
+  def addEdges(labels: DataFrame, newEdges: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val l = labels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val e = newEdges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // endpoints of the batch that are NEW nodes join the labelling as
+    // their own singleton components before contraction
+    val newNodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .join(l.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val all = l.unionAll(newNodes).localCheckpoint()
+    val contracted = e
+      .join(all.select(col("node").as("src"), col("component").as("src_c")), Seq("src"))
+      .join(all.select(col("node").as("dst"), col("component").as("dst_c")), Seq("dst"))
+      .select(col("src_c").as("src"), col("dst_c").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val rel = largeStarSmallStar(contracted, maxRounds = maxRounds)
+      .select(col("node").as("component"), col("component").as("new_c"))
+    all.join(rel, Seq("component"), "left")
+      .select(col("node"), coalesce(col("new_c"), col("component")).as("component"))
+  }
 }

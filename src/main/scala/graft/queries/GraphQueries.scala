@@ -105,6 +105,31 @@ object GraphQueries {
       graft.graph.ConnectedComponents.largeStarSmallStar(e)
     }),
 
+    // the incremental-maintenance face: the same co-purchase edges land
+    // as two batches (part-key parity); batch 1 is labelled from
+    // scratch, batch 2 is absorbed by component contraction — only
+    // touched components move. Must equal the from-scratch labelling
+    // over the union, so it shares q_graph_cc's transitive-closure
+    // oracle verbatim
+    "q_graph_cc_inc" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
+      val cp = li.join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+        .distinct()
+      val e = cp.as("a").join(cp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
+            col("a.ck") < col("b.ck"))
+        .select(col("a.ck").as("src"), col("b.ck").as("dst"),
+          col("a.pk").as("pk"))
+        .distinct()
+      val batch1 = e.where(pmod(col("pk"), lit(2)) === 0).select("src", "dst")
+      val batch2 = e.where(pmod(col("pk"), lit(2)) === 1).select("src", "dst")
+      val labels1 = graft.graph.ConnectedComponents.largeStarSmallStar(batch1)
+      graft.graph.ConnectedComponents.addEdges(labels1, batch2)
+    }),
+
     // multi-source BFS on the >=49 co-supply graph: minimum hop count
     // from the top-balance suppliers. Hop distance is the shortest-path
     // length — schedule-independent like the CC label — so this
@@ -282,8 +307,14 @@ object GraphQueries {
     // transitive closure by recursive CTE (UNION deduplicates, so the
     // recursion terminates at the reachability fixpoint); the component
     // label is least(self, min reachable) — exactly the star-contraction
-    // result, independent of either engine's iteration order
-    "q_graph_cc" ->
+    // result, independent of either engine's iteration order. The
+    // incremental face must land on the same fixpoint, so both engine
+    // queries share this oracle
+    "q_graph_cc" -> ccClosureSql,
+    "q_graph_cc_inc" -> ccClosureSql
+  )
+
+  private lazy val ccClosureSql: String =
       """WITH RECURSIVE cp AS (
         |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk, l.l_suppkey AS sk
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -304,5 +335,4 @@ object GraphQueries {
         |  SELECT a AS node, least(a, min(b)) AS component
         |  FROM reach GROUP BY a)
         |SELECT node, CAST(component AS BIGINT) AS component FROM comp""".stripMargin
-  )
 }

@@ -87,6 +87,38 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 9L -> 9L))
   }
 
+  test("addEdges: incremental batches == from-scratch labelling, any split") {
+    val rnd = new scala.util.Random(11)
+    val n = 150
+    val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    for (nBatches <- Seq(2, 4)) {
+      val batches = edges.zipWithIndex.groupBy(_._2 % nBatches)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      var labels = ConnectedComponents.largeStarSmallStar(
+        batches.head.toDF("src", "dst"))
+      for (b <- batches.tail)
+        labels = ConnectedComponents.addEdges(labels, b.toDF("src", "dst"))
+      val scratch = ConnectedComponents.largeStarSmallStar(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(labels.as[(Long, Long)].collect().toMap === scratch,
+        s"nBatches=$nBatches")
+    }
+  }
+
+  test("addEdges: a bridge edge merges two settled components to the union minimum") {
+    val labels = ConnectedComponents.largeStarSmallStar(
+      Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"))
+    val merged = ConnectedComponents.addEdges(labels, Seq((2L, 10L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // and brand-new nodes in the batch join as their own component
+    val withNew = ConnectedComponents.addEdges(labels, Seq((50L, 51L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(withNew === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      50L -> 50L, 51L -> 50L))
+  }
+
   test("empty edge list labels every node as itself") {
     val labels = ConnectedComponents.largeStarSmallStar(
       spark.emptyDataset[(Long, Long)].toDF("src", "dst"),
