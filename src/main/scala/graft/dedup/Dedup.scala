@@ -342,6 +342,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
 
+  /** FUZZY decontamination — the near-duplicate face of
+    * `TextAnalysis.contaminationScan`: a corpus document is flagged
+    * when it shares at least one MinHash band with any benchmark probe,
+    * catching the paraphrased / reformatted / partially-overlapping
+    * leaks exact shingle matching misses (the Jaccard s-curve of
+    * (k, bands) sets the sensitivity; calibrate with
+    * [[minhashCalibration]]).
+    *
+    * Scale shape mirrors exact decontamination: the PROBE side is the
+    * benchmark — thousands of docs, not the corpus — so its distinct
+    * band table broadcasts; the corpus streams once through signature
+    * computation and a left-semi band join, then a left join back
+    * marks every document. No corpus self-join anywhere.
+    */
+  def fuzzyContamination(docs: DataFrame, probes: DataFrame, k: Int = 16,
+      bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val hits = minhashBands(docs, k, bands, shingleN)
+      .join(broadcast(
+          minhashBands(probes, k, bands, shingleN)
+            .select("band", "band_key").distinct()),
+        Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("is_contaminated", lit(true))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+  }
+
   /** LSH calibration diagnostic — measure, don't guess: for every
     * candidate pair, the signature agreement count (the quantity the
     * banding s-curve is built on; E[n_match/k] = true Jaccard) next to

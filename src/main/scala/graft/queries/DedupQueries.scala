@@ -202,6 +202,21 @@ object DedupQueries {
           (col("node") === col("component")).as("is_canonical"))
     }),
 
+    // fuzzy (MinHash-band) decontamination: near-match leaks the exact
+    // shingle scan misses; probe bands broadcast, corpus never
+    // self-joins
+    // width-1 bands (16 of them): flag on ANY shared minhash — the
+    // sensitive end of the s-curve (P = 1−(1−J)^16), which is where a
+    // decontamination screen should sit; the strict 4-wide default is
+    // the dedup operating point, not the leak-screen one
+    "q_dedup_fuzzy_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.fuzzyContamination(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 10 === 1),
+        k = 16, bands = 16)
+    }),
+
     // EXACT threshold similarity join (AllPairs/PPJoin prefix
     // filtering): every pair with 3-gram Jaccard >= 4/5, zero false
     // negatives — the exact counterpart of the MinHash-banding
@@ -474,6 +489,38 @@ object DedupQueries {
          |    THEN CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
          |    ELSE 0.0 END AS jaccard
          |FROM j WHERE n_common * 5 >= n_union * 4""".stripMargin,
+
+    // corpus = even ids, probes = ids ≡ 1 (mod 10) — the same split as
+    // the exact contamination faces; a doc is flagged on ANY shared
+    // band. Band values are pure functions of each doc's text, so the
+    // twin recomputes both band tables and the semi-join exactly
+    "q_dedup_fuzzy_contamination" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |hh AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hh
+         |  FROM tht WHERE len(th) >= 3),
+         |sig AS (SELECT doc_id, ${sigSql(16)} AS sig FROM hh),
+         |bands AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_slice(sig, b + 1, b + 1), '_') AS band_key
+         |  FROM sig, unnest(range(16)) AS t(b)),
+         |ptht AS (SELECT doc_id, $thSql AS th FROM documents
+         |  WHERE doc_id % 10 = 1),
+         |phh AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hh
+         |  FROM ptht WHERE len(th) >= 3),
+         |psig AS (SELECT doc_id, ${sigSql(16)} AS sig FROM phh),
+         |pbands AS (
+         |  SELECT DISTINCT b,
+         |    array_to_string(list_slice(sig, b + 1, b + 1), '_') AS band_key
+         |  FROM psig, unnest(range(16)) AS t(b)),
+         |hit AS (
+         |  SELECT DISTINCT c.doc_id FROM bands c
+         |  JOIN pbands p ON p.b = c.b AND p.band_key = c.band_key)
+         |SELECT d.doc_id, h.doc_id IS NOT NULL AS is_contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+         |LEFT JOIN hit h USING (doc_id)""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),

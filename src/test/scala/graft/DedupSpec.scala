@@ -289,4 +289,21 @@ class DedupSpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture must contain pairs above the threshold")
     assert(pf === brute)
   }
+
+  test("fuzzyContamination: near-match flags, unrelated passes, every doc reported") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val corpus = Seq(
+      (2L, base + " with one extra clause appended"), // near-dup of the probe
+      (4L, "entirely different content about spark catalyst optimizer internals and plans"),
+      (6L, "")).toDF("doc_id", "text") // empty text: no shingles, must still report
+    val probes = Seq((1L, base)).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .fuzzyContamination(corpus, probes, k = 16, bands = 16)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.keySet === Set(2L, 4L, 6L), "every corpus doc must be reported")
+    assert(got(2L), "near-duplicate of the probe must flag")
+    assert(!got(4L), "unrelated doc must pass")
+    assert(!got(6L), "shingle-less doc must pass, not crash")
+  }
 }

@@ -447,6 +447,59 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     assert(n <= 5, s"q_text_invindex shuffle count regressed: $n > 5")
   }
 
+  test("bloom/CMS sketch builds: one aggregation exchange, no window, no join") {
+    // the build side of a persisted sketch must stay explode + ONE
+    // partial-aggregated groupBy — a join or window in the build path
+    // would defeat the multiplicity-independent cost contract
+    for (q <- Seq("q_sketch_bloom", "q_sketch_cms")) {
+      val p = plan(q)
+      assert(windows(p).isEmpty, s"$q grew a window")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"$q grew a join in the build path")
+      val n = shuffles(p).size
+      assert(n <= 1, s"$q sketch build expected <=1 exchange, got $n")
+    }
+  }
+
+  test("bloom-pruned join: pruning filter present, single equi-join, no extra exchange") {
+    val p = plan("q_join_bloom_pruned")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected 1 join (the real one), got ${joins.size}")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    // the membership conjunction must sit in a Filter below the join —
+    // shiftright over the word-array literal is its signature
+    assert(p.toString.contains("shiftright"),
+      "bloom membership filter missing from the probe side")
+  }
+
+  test("conjunctive search: arity attaches by broadcast; index joins stay equi") {
+    val p = plan("q_text_search_and")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(bhj(p).nonEmpty, "query-arity table must broadcast")
+    // the term-ranking window subtree is referenced twice (index join +
+    // arity side), so it appears twice pre-CSE; both copies are
+    // lexicon-sized. Anything beyond that is a corpus-sized global sort
+    assert(windows(p).count(_.partitionSpec.isEmpty) <= 2,
+      "only the two copies of the lexicon-sized term-ranking window may be global")
+  }
+
+  test("CC / BFS / SSSP queries: equi-joins only, no window, no cartesian") {
+    // eager (localCheckpoint) faces have truncated top plans; the gate
+    // still catches a cartesian/window sneaking into the FINAL stage,
+    // and costs one sf0.001 materialization each
+    for (q <- Seq("q_graph_cc", "q_graph_cc_inc", "q_graph_bfs",
+        "q_graph_sssp", "q_dedup_groups_cc")) {
+      val p = plan(q)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a cartesian")
+      assert(windows(p).isEmpty, s"$q grew a window")
+    }
+  }
+
   // release the memoized domain-chain stages this suite materialized
   // under the spec-local scan conf, and restore the defaults
   override def afterAll(): Unit = {
