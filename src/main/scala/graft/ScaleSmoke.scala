@@ -51,7 +51,14 @@ object ScaleSmoke {
     // the quadratic risk an approximate generator caps away — here the
     // df-ascending prefix order must do that job), and BPE training
     // (per-round pair-count shuffle + checkpointed rewrite volume)
-    "q_dedup_prefix_join", "q_text_bpe_apply")
+    "q_dedup_prefix_join", "q_text_bpe_apply",
+    // late round-7 riders: star-contraction CC (round count must stay
+    // logarithmic as components replicate), its dedup-pair-graph face,
+    // the sparse more-like-this (the df-cut is what must keep the
+    // posting self-join subquadratic), and the bloom sketch build
+    // (cost must track nWords, not key multiplicity)
+    "q_graph_cc", "q_dedup_groups_cc", "q_text_more_like_this",
+    "q_sketch_bloom")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

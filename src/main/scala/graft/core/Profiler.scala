@@ -67,4 +67,70 @@ object Profiler {
       .groupBy("bin")
       .agg(count(lit(1)).as("n_rows"), min(v).as("min_v"), max(v).as("max_v"))
   }
+
+  /** Robust per-group statistics — the outlier-proof face of the
+    * moment profiler (mean/stddev move with a single corrupted row;
+    * median/MAD don't, which is why corpus length/quality monitoring
+    * wants these): doubled exact median (2·median of an integer column
+    * is an integer — the ×2 keeps the even-count midpoint exact where
+    * a half would need a double), doubled MAD on the same trick, and
+    * the 10-90% trimmed mean in fixed-point ×100.
+    *
+    * Scale shape: two aggregation passes over the value column (the
+    * MAD is a median OF deviations FROM the median — inherently two
+    * dependent passes), each a sort-based exact percentile per group;
+    * group medians attach back by broadcast (|groups| rows). Exact
+    * medians sort within groups — that is the operator's contract; the
+    * sketch family (`Sketches.approxQuantiles`/KLL) is the scale path
+    * when rank error is acceptable.
+    */
+  def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val rows = df.where(v.isNotNull).select(col(groupCol), v.as("v"))
+
+    // doubled median of `c` by TWO ORDER STATISTICS: ranks (n+1)/2 and
+    // n/2+1 (1-based) — for odd n both hit the middle row (summing it
+    // twice), for even n the two middle rows; their sum is exactly
+    // 2·median, all integer. Ties order arbitrarily under row_number,
+    // but tied rows carry equal values, so the sum is order-free.
+    def med2(in: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy(col(c))
+      in.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+        .groupBy(groupCol)
+        // Spark's `/` on longs is a DOUBLE divide; the cast truncates
+        // back to the floor rank (3.5 → 3), which is exactly the
+        // lower/upper-middle pair for both parities
+        .agg((sum(when(col("_rn") === ((col("_n") + 1) / 2).cast("long"), col(c))) +
+          sum(when(col("_rn") === (col("_n") / 2).cast("long") + 1, col(c))))
+          .as("med2"),
+          max(col("_n")).as("n_rows"))
+    }
+
+    val m = med2(rows, "v")
+    val dev = rows.join(broadcast(m.select(col(groupCol), col("med2"))), Seq(groupCol))
+      .withColumn("dev2", abs(col("v") * 2L - col("med2")))
+    // median of doubled deviations, doubled again: mad4 = 4·MAD exact
+    val mad = med2(dev.select(col(groupCol), col("dev2")), "dev2")
+      .select(col(groupCol), col("med2").as("mad4"))
+
+    // 10-90% trimmed mean: drop floor(n/10) rows from EACH end by rank
+    // (pure integer cuts; a cut inside a tie run is value-neutral),
+    // fixed-point ×100 subtract-remainder division
+    val w = Window.partitionBy(groupCol).orderBy(col("v"))
+    val trimmed = rows.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("_cut", ((col("_n") - pmod(col("_n"), lit(10L))) / 10L).cast("long"))
+      .where(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
+      .groupBy(groupCol)
+      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_k"))
+      .select(col(groupCol),
+        ((col("_s") * 100L - pmod(col("_s") * 100L, col("_k"))) / col("_k"))
+          .cast("long").as("trimmed_mean_x100"))
+
+    m.join(mad, Seq(groupCol)).join(trimmed, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"), col("med2"), col("mad4"),
+        col("trimmed_mean_x100"))
+  }
 }

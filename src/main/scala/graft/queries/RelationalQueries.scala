@@ -471,6 +471,17 @@ object RelationalQueries {
     "q_profile_skew" -> ((s, dir) =>
       graft.core.Skew.diagnoseKey(Tables(s, dir, "events"), "user_id", topN = 20)),
 
+    // robust per-group statistics: exact doubled median (two order
+    // statistics — integer for both parities), 4x MAD by the same trick
+    // on deviations, rank-trimmed 10-90% mean in fixed-point. The
+    // outlier-proof profile face; all integer, hash-exact
+    "q_profile_robust" -> ((s, dir) =>
+      graft.core.Profiler.robustStats(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            floor(col("l_extendedprice") * 100.0).cast("long").as("cents")),
+        "flag", "cents")),
+
     // Correlated LATERAL subquery: top-2 suppliers per nation by
     // account balance — the SQL-surface face of per-group top-k
     // (Catalyst decorrelates it into the same window-rank plan)
@@ -849,6 +860,47 @@ object RelationalQueries {
         |FROM documents CROSS JOIN b
         |WHERE n_chars IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // the same two-order-statistic medians (// is DuckDB integer
+    // division = the engine's truncating cast), rank-based trim
+    "q_profile_robust" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM r),
+        |m AS (
+        |  SELECT flag,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v END) +
+        |      sum(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS med2,
+        |    max(n) AS n_rows
+        |  FROM rk GROUP BY 1),
+        |dev AS (
+        |  SELECT r.flag, abs(r.v * 2 - m.med2) AS dev2
+        |  FROM r JOIN m USING (flag)),
+        |dk AS (
+        |  SELECT flag, dev2,
+        |    row_number() OVER (PARTITION BY flag ORDER BY dev2) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT flag,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 END) +
+        |      sum(CASE WHEN rn = n // 2 + 1 THEN dev2 END) AS BIGINT) AS mad4
+        |  FROM dk GROUP BY 1),
+        |tr AS (
+        |  SELECT flag,
+        |    CAST((sum(v) * 100 - ((sum(v) * 100 % count(*)) + count(*)) % count(*))
+        |      // count(*) AS BIGINT) AS trimmed_mean_x100
+        |  FROM (SELECT flag, v, rn, n, n // 10 AS cut FROM rk)
+        |  WHERE rn > cut AND rn <= n - cut
+        |  GROUP BY 1)
+        |SELECT flag, n_rows, med2, mad4, trimmed_mean_x100
+        |FROM m JOIN mad USING (flag) JOIN tr USING (flag)""".stripMargin,
 
     "q_profile_skew" ->
       """WITH counts AS (

@@ -86,4 +86,33 @@ class EventsAnalyticsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.sum === 2L)
   }
+
+  test("robustStats: exact median/MAD both parities; outlier barely moves them") {
+    import spark.implicits._
+    /** Reference: doubled median by the same two-order-statistic rule. */
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s(n / 2)
+    }
+    def ref(xs: Seq[Long]): (Long, Long, Long) = {
+      val m2 = med2(xs)
+      val mad4 = med2(xs.map(v => math.abs(2 * v - m2)))
+      val cut = xs.length / 10
+      val kept = xs.sorted.slice(cut, xs.length - cut)
+      (m2, mad4, kept.sum * 100 / kept.length)
+    }
+    val odd = (1L to 9L).toSeq
+    val withOutlier = odd :+ 100000L // even count + a massive outlier
+    for ((name, xs) <- Seq("odd" -> odd, "outlier" -> withOutlier)) {
+      val d = xs.map(("g", _)).toDF("g", "v")
+      val row = graft.core.Profiler.robustStats(d, "g", "v")
+        .select("med2", "mad4", "trimmed_mean_x100")
+        .as[(Long, Long, Long)].head()
+      assert(row === ref(xs), name)
+    }
+    // robustness: the outlier moves the doubled median only 1 step
+    // (9→10: even-count upper middle) and MAD stays bounded
+    assert(math.abs(ref(withOutlier)._1 - ref(odd)._1) <= 1)
+    assert(ref(withOutlier)._2 <= ref(odd)._2 + 2)
+  }
 }
