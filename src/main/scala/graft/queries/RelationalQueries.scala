@@ -471,6 +471,23 @@ object RelationalQueries {
     "q_profile_skew" -> ((s, dir) =>
       graft.core.Skew.diagnoseKey(Tables(s, dir, "events"), "user_id", topN = 20)),
 
+    // snapshot reconciliation by order-independent bucket digests: the
+    // "which buckets differ" work-list between a snapshot and a
+    // perturbed twin (every 971st key's payload bumped, keys ≡5 mod 2003
+    // deleted — sparse, so MOST buckets match and the cut is visible) — row-level compare needed only where matches=false
+    "q_merge_digest_diff" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+      val changed = o
+        .withColumn("v",
+          when(pmod(col("k"), lit(971L)) === 0L, col("v") + 1L).otherwise(col("v")))
+        .where(pmod(col("k"), lit(2003L)) =!= 5L)
+      graft.core.Merge.digestDiff(
+        graft.core.Merge.bucketDigests(o, "k", "v", nBuckets = 64),
+        graft.core.Merge.bucketDigests(changed, "k", "v", nBuckets = 64))
+    }),
+
     // robust per-group statistics: exact doubled median (two order
     // statistics — integer for both parities), 4x MAD by the same trick
     // on deviations, rank-trimmed 10-90% mean in fixed-point. The
@@ -860,6 +877,35 @@ object RelationalQueries {
         |FROM documents CROSS JOIN b
         |WHERE n_chars IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // the identical mid-square fingerprint ladder (i = 0 term only) and
+    // bit_xor fold, re-derived over both snapshot variants
+    "q_merge_digest_diff" -> {
+      val P = 2147483647L
+      def pm(a: String, b: Long) = s"((($a) % $b + $b) % $b)"
+      val x = pm("k * 131 + v", P)
+      val h1a = pm(s"$x * $x + 12345", P)
+      val fp = pm(s"$h1a * $h1a + 6789", P)
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+         |  FROM orders),
+         |c AS (
+         |  SELECT k, CASE WHEN k % 971 = 0 THEN v + 1 ELSE v END AS v
+         |  FROM o WHERE k % 2003 <> 5),
+         |da AS (
+         |  SELECT k % 64 AS bucket, bit_xor($fp) AS digest_a,
+         |    count(*) AS n_rows_a
+         |  FROM o GROUP BY 1),
+         |db AS (
+         |  SELECT k % 64 AS bucket, bit_xor($fp) AS digest_b,
+         |    count(*) AS n_rows_b
+         |  FROM c GROUP BY 1)
+         |SELECT bucket, digest_a, n_rows_a, digest_b, n_rows_b,
+         |  (digest_a IS NOT DISTINCT FROM digest_b AND
+         |   n_rows_a IS NOT DISTINCT FROM n_rows_b) AS matches
+         |FROM da FULL JOIN db USING (bucket)""".stripMargin
+    },
 
     // the same two-order-statistic medians (// is DuckDB integer
     // division = the engine's truncating cast), rank-based trim

@@ -47,6 +47,35 @@ class IncrementalSpec extends SparkTestBase {
       collectState(Incremental.aggState(rows.toDF("g", "v"), Seq("g"), "v")))
   }
 
+  test("streaming face: foreachBatch-merged state == batch rebuild, exactly") {
+    // the daily-rollup loop as a stream: each micro-batch's aggState
+    // merges into the running state — proving the batch operator slots
+    // into foreachBatch unchanged (merge is associative, and micro-
+    // batch boundaries are just another batch split)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Double)]
+    @volatile var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDS().toDF("g", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = Incremental.aggState(batch, Seq("g"), "v")
+          .localCheckpoint() // detach from the transient batch plan
+        state = Some(state match {
+          case Some(prev) =>
+            Incremental.mergeStates(Seq(prev, s), Seq("g")).localCheckpoint()
+          case None => s
+        })
+      }
+      .start()
+    try {
+      val batches = rows.grouped(1700).toSeq
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+      assert(collectState(state.get) ===
+        collectState(Incremental.aggState(rows.toDF("g", "v"), Seq("g"), "v")))
+    } finally q.stop()
+  }
+
   test("read face derives the exact fixed-point average") {
     val st = Incremental.aggState(
       Seq(("a", 1.0), ("a", 2.0), ("a", 2.005)).toDF("g", "v"), Seq("g"), "v")

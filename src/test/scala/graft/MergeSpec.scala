@@ -49,4 +49,34 @@ class MergeSpec extends SparkTestBase {
     assert(out.count() === 3L)
     assert(out.select("id").distinct().count() === 3L)
   }
+
+  test("bucketDigests: order/partitioning-free; one changed row flips exactly its bucket") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, i * 7L))
+    val base = rows.toDF("k", "v")
+    val digest = Merge.bucketDigests(base, "k", "v", nBuckets = 16)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // partitioning independence: 13 shuffled partitions, same digests
+    val reparted = Merge.bucketDigests(
+      scala.util.Random.shuffle(rows).toDF("k", "v").repartition(13),
+      "k", "v", nBuckets = 16)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(reparted === digest)
+    // one payload change: only bucket 777 % 16 differs
+    val changed = rows.map { case (k, v) => (k, if (k == 777L) v + 1 else v) }
+    val diff = Merge.digestDiff(
+        Merge.bucketDigests(base, "k", "v", nBuckets = 16),
+        Merge.bucketDigests(changed.toDF("k", "v"), "k", "v", nBuckets = 16))
+      .select("bucket", "matches").as[(Long, Boolean)].collect().toMap
+    assert(diff.count(!_._2) === 1)
+    assert(!diff(777L % 16))
+    // a deleted row flips its bucket via n_rows even if digests XOR out
+    val dropped = Merge.digestDiff(
+        Merge.bucketDigests(base, "k", "v", nBuckets = 16),
+        Merge.bucketDigests(rows.filterNot(_._1 == 400L).toDF("k", "v"),
+          "k", "v", nBuckets = 16))
+      .select("bucket", "matches").as[(Long, Boolean)].collect().toMap
+    assert(dropped.count(!_._2) === 1)
+    assert(!dropped(400L % 16))
+  }
 }
