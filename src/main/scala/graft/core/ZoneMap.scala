@@ -34,13 +34,39 @@ object ZoneMap {
       nFiles: Int): Unit = {
     df.repartitionByRange(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    writeManifest(df.sparkSession, dir, keyCol)
+  }
+
+  /** (Re)derive the `<dir>.zonemap` manifest for an EXISTING parquet
+    * dir — also usable on tables written by someone else, which is how
+    * [[clusteringDepth]] diagnoses un-clustered layouts.
+    */
+  def writeManifest(spark: SparkSession, dir: String, keyCol: String): Unit =
+    spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).cast("long").as("min_key"),
         max(col(keyCol)).cast("long").as("max_key"),
         count(lit(1)).as("n_rows"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir.zonemap")
+
+  /** Clustering-health diagnostic — the number that says whether zone
+    * maps will actually prune BEFORE a query pays to find out: per
+    * file, how many files' key spans intersect its own (self
+    * included). Depth 1 everywhere = disjoint spans = a point query
+    * opens one file; depth ≈ nFiles = every file spans the domain =
+    * nothing prunes and the table wants re-clustering (the OPTIMIZE
+    * trigger metric of table formats). Manifest self-join only —
+    * nFiles² pairs of a tiny table, the corpus is never read.
+    */
+  def clusteringDepth(spark: SparkSession, dir: String): DataFrame = {
+    val m = spark.read.parquet(s"$dir.zonemap")
+    val a = m.select(col("file"), col("min_key"), col("max_key"))
+    val b = m.select(col("file").as("f2"), col("min_key").as("lo2"),
+      col("max_key").as("hi2"))
+    a.join(b, col("max_key") >= col("lo2") && col("min_key") <= col("hi2"))
+      .groupBy("file", "min_key", "max_key")
+      .agg(count(lit(1)).as("depth"))
   }
 
   /** Read rows with `keyCol` ∈ [lo, hi], opening only files whose

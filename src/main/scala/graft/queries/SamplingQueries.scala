@@ -61,6 +61,13 @@ object SamplingQueries {
       Sampling.sampleByHash(Tables(s, dir, "documents"), "doc_id",
         fraction = 0.3, salt = 3)),
 
+    // per-epoch deterministic dataloader ordering: 3 epochs, 8 shards —
+    // each epoch an independent permutation from (id, epoch) alone
+    "q_sample_epoch_order" -> ((s, dir) =>
+      Sampling.epochOrder(
+        Tables(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", epochs = 3, nShards = 8)),
+
     // domain mixing: at most 8 docs per (source, lang), longest first
     "q_sample_cap" -> ((s, dir) =>
       Sampling.capPerGroup(Tables(s, dir, "documents"),
@@ -190,6 +197,22 @@ object SamplingQueries {
   private val weightedRates = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
 
   val oracles: Map[String, String] = Map(
+    // the engine's mid-square double-hash ladder with the epoch as the
+    // probe index, mirrored term for term
+    "q_sample_epoch_order" -> {
+      val KP = 2147483647L
+      def pm(a: String, b: Long) = s"((($a) % $b + $b) % $b)"
+      val x = pm("doc_id", KP)
+      val h1a = pm(s"$x * $x + 12345", KP)
+      val h1 = pm(s"$h1a * $h1a + 6789", KP)
+      val h2a = pm(s"($x + 40503) * ($x + 99991)", KP)
+      val h2 = pm(s"$h2a * $h2a + 987654321", KP)
+      val sk = pm(s"$h1 + e.epoch * $h2", KP)
+      s"""SELECT doc_id, lang, e.epoch AS epoch, $sk AS sort_key,
+         |  $sk % 8 AS shard
+         |FROM documents, unnest(range(3)) AS e(epoch)""".stripMargin
+    },
+
     "q_sample_hash" -> {
       val a = TextAnalysis.hashA(3)
       val b = TextAnalysis.hashB(3)

@@ -234,6 +234,31 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Per-epoch deterministic dataloader ordering: every (row, epoch)
+    * pair gets a sort key from the double-hash ladder
+    * ([[graft.sketch.Sketches.slot]] with the EPOCH as the probe
+    * index), so each training epoch sees an independent pseudo-random
+    * permutation of the corpus derived purely from (id, epoch) — no
+    * materialized index, no driver-side shuffle state, bit-reproducible
+    * across reruns and cluster layouts. Workers read their `shard`
+    * (hash of the sort key) and sort locally by (sort_key, id); the
+    * tie column makes the order total.
+    *
+    * This is the 100 TB answer to "shuffle the dataset each epoch":
+    * a global sort per epoch is a full-corpus exchange ×epochs, while
+    * this is a map-only key assignment composed with the same
+    * range/shard write the export path already does once.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs >= 1 && nShards >= 1, "epochs and nShards must be >= 1")
+    df.withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("sort_key",
+        graft.sketch.Sketches.slot(col(idCol).cast("long"), col("epoch"),
+          2147483647L))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling"): score every document
     * by how much more its hashed-unigram profile looks like a TARGET

@@ -28,6 +28,24 @@ class ZoneMapSpec extends SparkTestBase {
     assert(got.as[(Long, String)].collect().toSet === expect)
   }
 
+  test("clusteringDepth: 1 everywhere when range-clustered, ~nFiles when shuffled") {
+    import spark.implicits._
+    ZoneMap.writeClustered(rows.toDF("k", "v"), dir, "k", nFiles = 20)
+    val clustered = ZoneMap.clusteringDepth(spark, dir)
+      .select("depth").as[Long].collect()
+    assert(clustered.forall(_ === 1L),
+      s"range-clustered spans must be disjoint: ${clustered.toSeq}")
+    // hash-shuffled layout: every file spans ~the whole domain
+    val shuffledDir = dir + "_shuffled"
+    rows.toDF("k", "v").repartition(20, col("v"))
+      .write.mode("overwrite").parquet(shuffledDir)
+    ZoneMap.writeManifest(spark, shuffledDir, "k")
+    val shuffled = ZoneMap.clusteringDepth(spark, shuffledDir)
+      .select("depth").as[Long].collect()
+    assert(shuffled.forall(_ >= 15L),
+      s"hash layout must overlap heavily: ${shuffled.toSeq}")
+  }
+
   test("point lookup opens one file; out-of-domain range opens zero") {
     ZoneMap.writeClustered(rows.toDF("k", "v"), dir, "k", nFiles = 20)
     val point = ZoneMap.readRange(spark, dir, "k", 7777L, 7777L)
