@@ -251,6 +251,36 @@ object TextQueries {
         .select(col("g"), col("join_size_est"), col("n_exact"))
     }),
 
+    // the join-planning ADVISOR composition: per key shard, the CMS
+    // join-size estimate next to exact build/probe cardinalities and
+    // the probe's heaviest key — folded into a strategy verdict
+    // (broadcast vs shuffle at a fixed build-rows threshold, skew flag
+    // when the top key carries >10% of probe rows). The table a
+    // pipeline owner reads BEFORE submitting the 100 TB join; every
+    // column is a deterministic integer — the whole report hash-checks
+    "q_advisor_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(3L)).as("g"),
+          col("l_partkey").as("key"))
+      val pt = Tables(s, dir, "part").where(col("p_size") <= 10)
+        .select(pmod(col("p_partkey"), lit(3L)).as("g"),
+          col("p_partkey").as("key"))
+      val est = graft.sketch.Sketches.cmsJoinSizeEstimate(
+        graft.sketch.Sketches.cmsCounts(li, "g", "key"),
+        graft.sketch.Sketches.cmsCounts(pt, "g", "key"), "g")
+      val probe = li.groupBy("g", "key").agg(count(lit(1)).as("c"))
+        .groupBy("g").agg(sum(col("c")).as("n_probe"),
+          max(col("c")).as("top_key_cnt"))
+      val build = pt.groupBy("g").agg(count(lit(1)).as("n_build"))
+      est.join(probe, Seq("g")).join(build, Seq("g"))
+        .select(col("g"), col("join_size_est"), col("n_build"),
+          col("n_probe"), col("top_key_cnt"),
+          when(col("n_build") <= 1000L, "broadcast")
+            .otherwise("shuffle_hash").as("strategy"),
+          (col("top_key_cnt") * 10L > col("n_probe")).as("skewed"))
+    }),
+
     // Bloom filter MEMBERSHIP sketch (engine-portable double hashing,
     // 63-bit words): the sparse bits table of customers-with-orders per
     // order priority. Exactly oracle-hashed — approximate semantics,
@@ -570,6 +600,48 @@ object TextQueries {
         |  CAST(coalesce(d.n, 0) AS DOUBLE) AS n_churned
         |FROM a JOIN b USING (g) JOIN u USING (g)
         |LEFT JOIN i USING (g) LEFT JOIN d USING (g)""".stripMargin,
+
+    // join-size CTEs shared with q_sketch_join_size, plus exact
+    // cardinalities/top-key and the fixed-threshold verdicts
+    "q_advisor_join" ->
+      s"""WITH la AS (
+         |  SELECT (l_partkey % 3 + 3) % 3 AS g, l_partkey AS key FROM lineitem),
+         |pb AS (
+         |  SELECT (p_partkey % 3 + 3) % 3 AS g, p_partkey AS key
+         |  FROM part WHERE p_size <= 10),
+         |ca AS (
+         |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot,
+         |    count(*) AS cnt_a
+         |  FROM la, unnest(range(4)) AS t(r) GROUP BY 1, 2, 3),
+         |cb AS (
+         |  SELECT g, t.r AS r, ${slotSql("key", "t.r", 512L)} AS slot,
+         |    count(*) AS cnt_b
+         |  FROM pb, unnest(range(4)) AS t(r) GROUP BY 1, 2, 3),
+         |ip AS (
+         |  SELECT ca.g, ca.r, sum(cnt_a * cnt_b) AS ip
+         |  FROM ca JOIN cb ON ca.g = cb.g AND ca.r = cb.r AND ca.slot = cb.slot
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT g,
+         |    CASE WHEN count(*) < 4 THEN 0 ELSE min(ip) END AS e
+         |  FROM ip GROUP BY 1),
+         |g0 AS (
+         |  SELECT DISTINCT g FROM ca
+         |  INTERSECT
+         |  SELECT DISTINCT g FROM cb),
+         |pr AS (
+         |  SELECT g, CAST(sum(c) AS BIGINT) AS n_probe,
+         |    CAST(max(c) AS BIGINT) AS top_key_cnt
+         |  FROM (SELECT g, key, count(*) AS c FROM la GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bu AS (SELECT g, count(*) AS n_build FROM pb GROUP BY 1)
+         |SELECT g0.g, CAST(coalesce(est.e, 0) AS BIGINT) AS join_size_est,
+         |  n_build, n_probe, top_key_cnt,
+         |  CASE WHEN n_build <= 1000 THEN 'broadcast'
+         |    ELSE 'shuffle_hash' END AS strategy,
+         |  top_key_cnt * 10 > n_probe AS skewed
+         |FROM g0 LEFT JOIN est USING (g)
+         |JOIN pr USING (g) JOIN bu USING (g)""".stripMargin,
 
     // the same two depth-4 × width-512 sketches, the same row-wise
     // inner products, the same short-row-means-zero min — plus the
