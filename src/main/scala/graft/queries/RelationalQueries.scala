@@ -488,6 +488,38 @@ object RelationalQueries {
         graft.core.Merge.bucketDigests(changed, "k", "v", nBuckets = 64))
     }),
 
+    // the digest-guided reconciliation PIPELINE: digest diff → dirty
+    // buckets only pay the row-level mergeSnapshot → clean buckets are
+    // declared unchanged wholesale. The composed per-change counts must
+    // equal a full-table compare (the oracle) — i.e. the >99% cut is
+    // EXACTLY lossless, not approximately; a digest collision that
+    // falsely cleared a dirty bucket would break the hash here
+    "q_pipeline_reconcile" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("v"))
+      val changed = o
+        .withColumn("v",
+          when(pmod(col("k"), lit(971L)) === 0L, col("v") + 1L).otherwise(col("v")))
+        .where(pmod(col("k"), lit(2003L)) =!= 5L)
+      val dirty = graft.core.Merge.digestDiff(
+          graft.core.Merge.bucketDigests(o, "k", "v", nBuckets = 64),
+          graft.core.Merge.bucketDigests(changed, "k", "v", nBuckets = 64))
+        .where(!col("matches")).select("bucket")
+      def withB(df: DataFrame) =
+        df.withColumn("bucket", pmod(col("k"), lit(64L)))
+      val rowLevel = graft.core.Merge.mergeSnapshot(
+          withB(o).join(dirty, Seq("bucket"), "left_semi").select("k", "v"),
+          withB(changed).join(dirty, Seq("bucket"), "left_semi").select("k", "v"),
+          "k", Seq("v"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+      val clean = withB(o).join(dirty, Seq("bucket"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("unchanged").as("change"), col("n"))
+      rowLevel.unionByName(clean)
+        .groupBy("change").agg(sum(col("n")).as("n"))
+    }),
+
     // robust per-group statistics: exact doubled median (two order
     // statistics — integer for both parities), 4x MAD by the same trick
     // on deviations, rank-trimmed 10-90% mean in fixed-point. The
@@ -906,6 +938,25 @@ object RelationalQueries {
          |   n_rows_a IS NOT DISTINCT FROM n_rows_b) AS matches
          |FROM da FULL JOIN db USING (bucket)""".stripMargin
     },
+
+    // the FULL-table compare the digest-guided pipeline must reproduce
+    "q_pipeline_reconcile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (
+        |  SELECT k, CASE WHEN k % 971 = 0 THEN v + 1 ELSE v END AS v
+        |  FROM o WHERE k % 2003 <> 5),
+        |j AS (
+        |  SELECT o.k AS ok, c.k AS ck, o.v AS ov, c.v AS cv
+        |  FROM o FULL JOIN c ON o.k = c.k)
+        |SELECT CASE WHEN ok IS NULL THEN 'insert'
+        |    WHEN ck IS NULL THEN 'carry'
+        |    WHEN ov IS NOT DISTINCT FROM cv THEN 'unchanged'
+        |    ELSE 'update' END AS change,
+        |  count(*) AS n
+        |FROM j GROUP BY 1""".stripMargin,
 
     // the same two-order-statistic medians (// is DuckDB integer
     // division = the engine's truncating cast), rank-based trim
