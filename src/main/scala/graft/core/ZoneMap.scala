@@ -69,6 +69,40 @@ object ZoneMap {
       .agg(count(lit(1)).as("depth"))
   }
 
+  /** Incrementally append a batch to a zone-mapped table WITHOUT
+    * rescanning history: the batch is range-clustered within itself
+    * and appended; only the NEWLY written files (filesystem listing
+    * diff — a metadata operation) are read back for their spans, and
+    * their manifest rows append to the existing manifest. The daily-
+    * ingest shape: at 100k files, rebuilding the manifest from scratch
+    * rescans 100 TB — this touches the batch alone.
+    *
+    * Batch spans may overlap older files' spans; [[readRange]] is
+    * overlap-based so pruning stays correct (just less sharp until a
+    * re-cluster — [[clusteringDepth]] is the metric that says when).
+    */
+  def appendClustered(df: DataFrame, dir: String, keyCol: String,
+      nFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hconf)
+    def dataFiles(): Set[String] =
+      if (!fs.exists(path)) Set.empty
+      else fs.listStatus(path).map(_.getPath.toString)
+        .filter(f => f.endsWith(".parquet") || f.contains("part-")).toSet
+    val before = dataFiles()
+    df.repartitionByRange(nFiles, col(keyCol))
+      .write.mode("append").parquet(dir)
+    val fresh = (dataFiles() -- before).toIndexedSeq
+    val newRows = spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).cast("long").as("min_key"),
+        max(col(keyCol)).cast("long").as("max_key"),
+        count(lit(1)).as("n_rows"))
+    newRows.coalesce(1).write.mode("append").parquet(s"$dir.zonemap")
+  }
+
   /** Read rows with `keyCol` ∈ [lo, hi], opening only files whose
     * manifest span intersects the range. The file-list collect is
     * bounded by the MATCHING file count (the point of pruning); the

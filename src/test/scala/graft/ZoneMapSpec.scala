@@ -46,6 +46,29 @@ class ZoneMapSpec extends SparkTestBase {
       s"hash layout must overlap heavily: ${shuffled.toSeq}")
   }
 
+  test("appendClustered: batches land without a history rescan; pruning stays exact") {
+    import spark.implicits._
+    val d2 = dir + "_inc"
+    val b1 = (0L until 5000L).map(i => (i, s"a$i"))
+    val b2 = (5000L until 10000L).map(i => (i, s"b$i"))
+    ZoneMap.appendClustered(b1.toDF("k", "v"), d2, "k", nFiles = 10)
+    ZoneMap.appendClustered(b2.toDF("k", "v"), d2, "k", nFiles = 10)
+    // manifest covers every file of both batches
+    val manifest = spark.read.parquet(s"$d2.zonemap")
+    assert(manifest.count() === spark.read.parquet(d2).inputFiles.length.toLong)
+    assert(manifest.agg(sum(col("n_rows"))).head().getLong(0) === 10000L)
+    // a range inside batch 2 opens only batch-2 files and reads exactly
+    val got = ZoneMap.readRange(spark, d2, "k", 7000L, 7499L)
+    assert(got.inputFiles.length <= 2, s"opened ${got.inputFiles.length}")
+    assert(got.as[(Long, String)].collect().toSet ===
+      b2.filter(r => r._1 >= 7000L && r._1 <= 7499L).toSet)
+    // overlapping appends stay CORRECT (pruning less sharp, never wrong)
+    ZoneMap.appendClustered(Seq((7100L, "dup")).toDF("k", "v"), d2, "k", 1)
+    val withDup = ZoneMap.readRange(spark, d2, "k", 7100L, 7100L)
+      .as[(Long, String)].collect().toSet
+    assert(withDup === Set((7100L, "b7100"), (7100L, "dup")))
+  }
+
   test("point lookup opens one file; out-of-domain range opens zero") {
     ZoneMap.writeClustered(rows.toDF("k", "v"), dir, "k", nFiles = 20)
     val point = ZoneMap.readRange(spark, dir, "k", 7777L, 7777L)
