@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -299,6 +299,55 @@ object Multimodal {
             real.getOrElse(decodeStub(p, dims)), real.isDefined)
         }
       }
+  }
+
+  /** Average-hash perceptual fingerprint from a feature vector: bit d
+    * set iff stripe d exceeds the vector MEAN — in integer
+    * cross-multiplied form (f_d·dims > Σf), so no division decides a
+    * bit. On decoded luminance grids (dims 64 via [[extractFeatures]])
+    * this is the classic aHash: brightness/scale/format changes move
+    * few bits, so Hamming distance is the media-similarity metric the
+    * text pipelines get from SimHash. On stub features it still
+    * buckets byte-identical payloads deterministically.
+    */
+  def perceptualHash(features: Column, dims: Int): Column = {
+    val total = aggregate(features, lit(0L), (a, x) => a + x)
+    aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
+      (acc, d) => acc.bitwiseOR(
+        when(element_at(features, d + 1) * dims > total,
+          call_function("shiftleft", lit(1L), d)).otherwise(lit(0L))))
+  }
+
+  /** Banded Hamming near-dup pairing over 64-bit perceptual hashes —
+    * the SimHash block scheme on media: candidates share one of
+    * `bits/blockBits` hash blocks, verified by exact popcount. The
+    * pigeonhole guarantee carries over: maxHamming < nBlocks means any
+    * qualifying pair has at least one intact block — ZERO false
+    * negatives. Scale shape identical to text SimHash: equi-join on
+    * (block, value), never a cross product; hash columns are single
+    * longs, payloads never shuffle.
+    */
+  def perceptualNearDups(hashes: DataFrame, maxHamming: Int = 6,
+      blockBits: Int = 8, bits: Int = 64): DataFrame = {
+    require(maxHamming < bits / blockBits,
+      "pigeonhole guarantee needs maxHamming < number of blocks")
+    val mask = (1L << blockBits) - 1L
+    val blocks = hashes.select(col("asset_id"), col("phash"),
+        explode(sequence(lit(0), lit(bits / blockBits - 1))).as("b"))
+      .withColumn("bv",
+        call_function("shiftright", col("phash"),
+          (col("b") * blockBits).cast("int")).bitwiseAND(lit(mask)))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_id_a"),
+        col("y.asset_id").as("asset_id_b"),
+        col("x.phash").as("ph_a"), col("y.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("asset_id_a", "asset_id_b", "hamming")
   }
 
   /** Frame sampling for video-like assets: emit every `stride`-th

@@ -27,6 +27,17 @@ object MultimodalQueries {
           (0 until 8).map(d => element_at(col("features"), d + 1).as(s"f$d"))): _*)
     }),
 
+    // 8-bit average-hash perceptual fingerprints over the stub feature
+    // vectors — the oracle-checkable face of the aHash machinery (the
+    // 64-bit real-image path is MultimodalSpec's, on actual PNG bytes)
+    "q_multimodal_phash" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val assets = Multimodal.assetsFromDocuments(Tables(s, dir, "documents"))
+      Multimodal.extractFeatures(assets).toDF()
+        .select(col("asset_id"), col("modality"),
+          Multimodal.perceptualHash(col("features"), 8).as("phash8"))
+    }),
+
     // frame sampling shape over video-modality assets
     "q_multimodal_frames" -> ((s, dir) => {
       val assets = Multimodal.assetsFromDocuments(Tables(s, dir, "documents"))
@@ -64,6 +75,24 @@ object MultimodalQueries {
          |  nb AS n_bytes,
          |  ${(0 until 8).map(stripeSql).mkString(",\n         |  ")}
          |FROM b""".stripMargin,
+
+    // the same 8 stripe hashes; bit d = cross-multiplied mean test
+    "q_multimodal_phash" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(stripeSql).mkString(",\n         |    ")}
+         |  FROM b)
+         |SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CAST(${(0 until 8).map(d =>
+             s"CASE WHEN f$d * 8 > (f0+f1+f2+f3+f4+f5+f6+f7) THEN ${1L << d} ELSE 0 END")
+             .mkString(" + ")} AS BIGINT) AS phash8
+         |FROM f""".stripMargin,
 
     // video assets (doc_id % 3 == 2): frames of 64 BYTES at stride 4;
     // n_frames = max(floor(n_bytes / 256), 1) frames (sequence 0..max(n-1,0)).

@@ -262,4 +262,66 @@ class MultimodalSpec extends SparkTestBase {
       .rdd.getNumPartitions
     assert(parts === 4) // ceil(1000/300)
   }
+
+  /** PNG with per-column brightness given by `levels` (one luminance
+    * level per column band) — lets tests craft controlled aHash bit
+    * patterns from REAL decoded images.
+    */
+  private def bandedPng(levels: Seq[Int], h: Int = 16): Array[Byte] = {
+    val w = levels.length * 4
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = levels(x / 4) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("perceptual hash: near-identical REAL images pair, contrasting ones don't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(64)(rnd.nextInt(256))
+    // near-dup: two bands nudged across the mean boundary → few bits
+    val near = base.updated(5, 255).updated(40, 0)
+    // contrast: the complement pattern → many bits differ
+    val contra = base.map(255 - _)
+    val assets = Seq(
+      (1L, "image", bandedPng(base)), (2L, "image", bandedPng(near)),
+      (3L, "image", bandedPng(contra)))
+      .toDF("asset_id", "modality", "payload")
+    val feats = Multimodal.extractFeatures(assets, dims = 64).toDF()
+    assert(feats.filter(col("decoded")).count() === 3L, "all PNGs must decode")
+    val hashes = feats.select(col("asset_id"),
+      Multimodal.perceptualHash(col("features"), 64).as("phash"))
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 6,
+      s"near-identical images far apart: ${java.lang.Long.bitCount(hs(1L) ^ hs(2L))}")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) >= 20,
+      s"complement images too close: ${java.lang.Long.bitCount(hs(1L) ^ hs(3L))}")
+    val pairs = Multimodal.perceptualNearDups(hashes, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)),
+      s"expected exactly the near-dup pair: $pairs")
+  }
+
+  test("perceptualNearDups: pigeonhole blocks give zero false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val hs = Seq.fill(300)(rnd.nextLong())
+    // plant qualifying pairs at known hamming distances 1..6
+    val planted = hs.take(6).zipWithIndex.map { case (h, i) =>
+      (0 until (i + 1)).foldLeft(h)((a, b) => a ^ (1L << ((b * 11 + i) % 64)))
+    }
+    val all = (hs ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("asset_id", "phash")
+    val got = Multimodal.perceptualNearDups(all, maxHamming = 6)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2)).toSet
+    for (i <- 0 until 6)
+      assert(got.contains((i.toLong, (300 + i).toLong)),
+        s"planted pair at hamming ${i + 1} missed")
+  }
 }
