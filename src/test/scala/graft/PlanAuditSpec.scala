@@ -487,6 +487,17 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "only the two copies of the lexicon-sized term-ranking window may be global")
   }
 
+  test("more-like-this ranks through a map-side partial WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val nodes = plan("q_text_more_like_this")
+      .collect { case w: WindowGroupLimitExec => w }
+    assert(nodes.size >= 2,
+      s"expected Partial+Final WindowGroupLimit, got ${nodes.size}")
+    assert(nodes.exists(_.mode.toString == "Partial"),
+      "rank cut must start map-side — a hot document must not sort its " +
+        "whole candidate set on one reducer")
+  }
+
   test("CC / BFS / SSSP queries: equi-joins only, no window, no cartesian") {
     // eager (localCheckpoint) faces have truncated top plans; the gate
     // still catches a cartesian/window sneaking into the FINAL stage,
