@@ -61,6 +61,23 @@ object SamplingQueries {
       Sampling.sampleByHash(Tables(s, dir, "documents"), "doc_id",
         fraction = 0.3, salt = 3)),
 
+    // curriculum-ordered export: a difficulty stage (length quartile by
+    // exact ntile; shorter-first is the classic curriculum) composed
+    // with the deterministic within-stage hash shuffle — stages feed
+    // the trainer in order, each internally shuffled, all reproducible
+    "q_pipeline_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents").select("doc_id", "n_chars")
+      val staged = docs.withColumn("stage",
+        ntile(4).over(Window.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long"))
+      val h = Sampling.saltedKeyHash(col("doc_id"), salt = 19)
+      staged.withColumn("pos",
+        (row_number().over(Window.partitionBy(col("stage"))
+          .orderBy(h, col("doc_id"))) - 1).cast("long"))
+    }),
+
     // per-epoch deterministic dataloader ordering: 3 epochs, 8 shards —
     // each epoch an independent permutation from (id, epoch) alone
     "q_sample_epoch_order" -> ((s, dir) =>
@@ -197,6 +214,22 @@ object SamplingQueries {
   private val weightedRates = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
 
   val oracles: Map[String, String] = Map(
+    // ntile + the salted hash, both mirrored; the global stage window
+    // is corpus-rank-exact in both engines
+    "q_pipeline_curriculum" -> {
+      val a = TextAnalysis.hashA(19)
+      val b = TextAnalysis.hashB(19)
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage,
+         |    (((doc_id % $P) * $a + $b) % $P) AS h
+         |  FROM documents)
+         |SELECT doc_id, n_chars, stage,
+         |  CAST(row_number() OVER (PARTITION BY stage ORDER BY h, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM s""".stripMargin
+    },
+
     // the engine's mid-square double-hash ladder with the epoch as the
     // probe index, mirrored term for term
     "q_sample_epoch_order" -> {
