@@ -208,6 +208,45 @@ class SketchSpec extends SparkTestBase {
     assert(z === 0L)
   }
 
+  test("streaming faces: foreachBatch-merged bloom and CMS == single pass, exactly") {
+    // the persisted-sketch family's streaming story: every member's
+    // merge (bit_or / cnt-sum) is associative, so per-micro-batch
+    // sketches folded in foreachBatch equal the batch build bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val keys = (0L until 3000L).map(i => ("g", i % 700L))
+    val input = MemoryStream[(String, Long)]
+    @volatile var bloom: Option[org.apache.spark.sql.DataFrame] = None
+    @volatile var cms: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDS().toDF("g", "key")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = Sketches.bloomBits(batch, "g", "key").localCheckpoint()
+        val c = Sketches.cmsCounts(batch, "g", "key").localCheckpoint()
+        bloom = Some(bloom.fold(b)(prev => prev.unionByName(b)
+          .groupBy("g", "word_idx").agg(bit_or(col("bits")).as("bits"))
+          .localCheckpoint()))
+        cms = Some(cms.fold(c)(prev => prev.unionByName(c)
+          .groupBy("g", "r", "slot").agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()))
+      }
+      .start()
+    try {
+      for (b <- keys.grouped(800)) { input.addData(b: _*); q.processAllAvailable() }
+      val bloomStream = bloom.get.select("word_idx", "bits")
+        .as[(Long, Long)].collect().toSet
+      val bloomBatch = Sketches.bloomBits(keys.toDF("g", "key"), "g", "key")
+        .select("word_idx", "bits").as[(Long, Long)].collect().toSet
+      assert(bloomStream === bloomBatch)
+      val cmsStream = cms.get.select("r", "slot", "cnt")
+        .as[(Long, Long, Long)].collect().toSet
+      val cmsBatch = Sketches.cmsCounts(keys.toDF("g", "key"), "g", "key")
+        .select("r", "slot", "cnt").as[(Long, Long, Long)].collect().toSet
+      assert(cmsStream === cmsBatch)
+    } finally q.stop()
+  }
+
   test("count-min: never underestimates; batch-sum union == single pass") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
