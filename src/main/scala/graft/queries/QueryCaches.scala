@@ -26,6 +26,7 @@ object QueryCaches {
     CoverageQueries.clearCache()
     GraphQueries.clearCache()
     TextQueries.clearCache()
+    DedupQueries.clearCache()
   }
 
   /** Build + materialize every memoized shared stage (Bench warm-up):
@@ -37,5 +38,6 @@ object QueryCaches {
     CoverageQueries.prebuild(s, dir)
     GraphQueries.prebuild(s, dir)
     TextQueries.prebuild(s, dir)
+    DedupQueries.prebuild(s, dir)
   }
 }
