@@ -281,6 +281,26 @@ object TextQueries {
           (col("top_key_cnt") * 10L > col("n_probe")).as("skewed"))
     }),
 
+    // theta retention over THREE batches: distinct customers per
+    // priority active in (a) any period — union — and (b) EVERY period
+    // — the n-way intersection the fold-order-free Intersection agg
+    // exists for. Same exact-mode oracle contract as the overlap query
+    "q_sketch_theta_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val k = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          (year(col("o_orderdate")) % 3).cast("long").as("batch"),
+          col("o_custkey").as("key"))
+      val sk = graft.sketch.Sketches.thetaSketches(k, Seq("g", "batch"), "key")
+      val uni = graft.sketch.Sketches.thetaUnionEstimate(
+          sk.select("g", "sketch", "n_rows"), "g")
+        .select(col("g"), col("distinct_est").as("n_any"))
+      val all = graft.sketch.Sketches.thetaIntersectEstimate(
+          sk.select("g", "sketch", "n_rows"), "g")
+        .select(col("g"), col("overlap_est").as("n_every"))
+      uni.join(all, Seq("g"))
+    }),
+
     // Bloom filter MEMBERSHIP sketch (engine-portable double hashing,
     // 63-bit words): the sparse bits table of customers-with-orders per
     // order priority. Exactly oracle-hashed — approximate semantics,
@@ -572,6 +592,21 @@ object TextQueries {
 
     // so must the native-expression face
     "q_text_bpe_native" -> bpeApplyOracle(3),
+
+    // exact-mode 3-way intersection: customers in EVERY year-third
+    "q_sketch_theta_retention" ->
+      """WITH k AS (
+        |  SELECT o_orderpriority AS g, year(o_orderdate) % 3 AS batch,
+        |    o_custkey AS key
+        |  FROM orders),
+        |u AS (SELECT g, count(DISTINCT key) AS n FROM k GROUP BY 1),
+        |e AS (
+        |  SELECT g, key FROM k GROUP BY g, key
+        |  HAVING count(DISTINCT batch) = 3),
+        |i AS (SELECT g, count(*) AS n FROM e GROUP BY 1)
+        |SELECT u.g, CAST(u.n AS DOUBLE) AS n_any,
+        |  CAST(coalesce(i.n, 0) AS DOUBLE) AS n_every
+        |FROM u LEFT JOIN i USING (g)""".stripMargin,
 
     // exact-mode theta: every estimate is the exact distinct count as
     // a double (retained entries ≪ 2^12 nominal at this SF)
