@@ -56,6 +56,9 @@ object Incremental {
   def readAggregates(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state.select(groupCols.map(col) ++ Seq(
       col("n_rows"), col("sum_cents"), col("min_cents"), col("max_cents"),
-      ((col("sum_cents") * 100L - pmod(col("sum_cents") * 100L, col("n_rows")))
-        / col("n_rows")).cast("long").as("avg_x10000")): _*)
+      // `div` (integral divide) keeps the quotient in LONG arithmetic;
+      // Column `/` is double division, which past 2^53 numerators would
+      // round the exactly-divisible quotient off by one
+      expr("(sum_cents * 100 - pmod(sum_cents * 100, n_rows)) div n_rows")
+        .as("avg_x10000")): _*)
 }

@@ -121,13 +121,14 @@ object Profiler {
     val w = Window.partitionBy(groupCol).orderBy(col("v"))
     val trimmed = rows.withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
-      .withColumn("_cut", ((col("_n") - pmod(col("_n"), lit(10L))) / 10L).cast("long"))
+      .withColumn("_cut", expr("_n div 10"))
       .where(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
       .groupBy(groupCol)
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_k"))
+      // `div` keeps the exactly-divisible quotient in LONG arithmetic
+      // (double `/` would round it off by one past 2^53 numerators)
       .select(col(groupCol),
-        ((col("_s") * 100L - pmod(col("_s") * 100L, col("_k"))) / col("_k"))
-          .cast("long").as("trimmed_mean_x100"))
+        expr("(_s * 100 - pmod(_s * 100, _k)) div _k").as("trimmed_mean_x100"))
 
     m.join(mad, Seq(groupCol)).join(trimmed, Seq(groupCol))
       .select(col(groupCol), col("n_rows"), col("med2"), col("mad4"),

@@ -42,8 +42,13 @@ object RuntimeFilter {
     */
   def buildBloom(df: DataFrame, keyCol: String, nWords: Int = 256,
       k: Int = 4): Array[Long] = {
+    // null build keys never match an inner equi-join, so dropping them
+    // here keeps bloomPrunedJoin a drop-in replacement on nullable keys
+    // (slot(null) would otherwise propagate null into the bit fold and
+    // crash the getLong below)
     val sparse = graft.sketch.Sketches.bloomBits(
-        df.select(lit("").as("g"), col(keyCol).cast("long").as("key")),
+        df.where(col(keyCol).isNotNull)
+          .select(lit("").as("g"), col(keyCol).cast("long").as("key")),
         "g", "key", nWords, k)
       .select("word_idx", "bits").collect()
     val words = new Array[Long](nWords)

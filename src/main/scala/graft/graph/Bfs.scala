@@ -20,8 +20,14 @@ import org.apache.spark.storage.StorageLevel
   *   - per-round localCheckpoint truncates lineage (labels otherwise
   *     accumulate one union per hop and the plan grows linearly, which
   *     at hop 50 is a 50-deep union tree re-analyzed every round);
-  *   - termination is EXACT (empty frontier), with `maxHops` as the
-  *     loud upper bound — matching the capped recursive-CTE oracle.
+  *   - termination is exact (empty frontier) below `maxHops`; the cap
+  *     itself is a SILENT truncation — nodes beyond it are absent from
+  *     the output, indistinguishable from unreachable — and that is
+  *     the contract: the recursive-CTE oracle caps its wave at the
+  *     same hop count, and BfsSpec pins the truncated output. Unlike
+  *     [[shortestPaths]] (where a capped Bellman-Ford would return
+  *     WRONG distances, hence its loud require), a capped BFS returns
+  *     correct distances for everything it does return.
   *
   * Hop distances, unlike PageRank scores, are schedule-independent (the
   * BFS level of a node is the length of its shortest path, however the

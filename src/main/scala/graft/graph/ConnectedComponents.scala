@@ -72,11 +72,18 @@ object ConnectedComponents {
     *
     * Convergence is detected EXACTLY, not by fixed-point hashing: the
     * edge set is a fixed point of both stars iff it is a star forest,
-    * i.e. no node appears as both a child (src) and a parent (dst).
-    * Each round therefore runs one left-anti count of parents against
-    * children — a (long) set intersection test, empty exactly at
-    * convergence. Like dedupGroupsConverged, falling out of the loop
-    * while still contracting fails loudly rather than returning a
+    * which for the src > dst orientation the rounds maintain means BOTH
+    * (a) no node appears as both a child (src) and a parent (dst) and
+    * (b) every child has exactly one parent. Condition (a) alone is NOT
+    * sufficient — a child with two parents (e.g. the four-edge graph
+    * (10,1),(10,5),(11,5),(11,2), where 5 ends up under both 1 and 2)
+    * passes it while another contraction round can still merge the two
+    * stars; declaring convergence there returns duplicate, wrong
+    * labels. Each round therefore runs one left-semi emptiness test of
+    * parents against children plus one child-multiplicity groupBy — two
+    * (long)-keyed aggregations, both empty exactly at convergence. Like
+    * dedupGroupsConverged, falling out of the loop while still
+    * contracting fails loudly rather than returning a
     * partially-contracted labelling.
     *
     * `nodes` (optional, single column `node`) adds isolated nodes —
@@ -102,11 +109,15 @@ object ConnectedComponents {
       val prev = e
       e = next.persist(StorageLevel.MEMORY_AND_DISK)
       prev.unpersist()
-      // star-forest test: a parent that is also a child means another
-      // contraction round can still shrink a tree — not converged
-      converged = e.select(col("dst").as("n")).distinct()
+      // star-forest test, both halves load-bearing: a parent that is
+      // also a child means a deeper tree remains, and a child with TWO
+      // parents means two stars that a further round will merge —
+      // either way, not converged
+      val noSharedNode = e.select(col("dst").as("n")).distinct()
         .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_semi")
         .isEmpty
+      converged = noSharedNode &&
+        e.groupBy("src").count().where(col("count") > 1).isEmpty
     }
     require(converged,
       s"largeStarSmallStar did not reach a star forest within $maxRounds " +

@@ -641,9 +641,10 @@ object TextAnalysis {
     val n = docs.select(count(lit(1)).as("n_docs"))
     val weighted = idx.join(broadcast(n),
         org.apache.spark.sql.functions.lit(true))
+      // `div` keeps the exactly-divisible quotient in LONG arithmetic
+      // (double `/` would round it off by one past 2^53 numerators)
       .withColumn("rarity",
-        ((col("n_docs") * 1000L - pmod(col("n_docs") * 1000L, col("df")))
-          / col("df")).cast("long"))
+        expr("(n_docs * 1000 - pmod(n_docs * 1000, df)) div df"))
       .select(col("token"), col("doc_id"), col("tf"), col("rarity"))
     val pairs = weighted.as("a").join(weighted.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") =!= col("b.doc_id"))

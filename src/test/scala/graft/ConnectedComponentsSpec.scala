@@ -50,6 +50,17 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("child-with-two-parents intermediate state is not declared converged") {
+    // Regression: after one alternation, (10,1),(10,5),(11,5),(11,2)
+    // leaves node 5 under BOTH 1 and 2 — src and dst sets are disjoint,
+    // so the parent∩child emptiness test alone wrongly declares a star
+    // forest and returns duplicate labels (5→1 AND 5→2). The
+    // single-parent half of the convergence test forces another round;
+    // the whole graph is one component with minimum 1.
+    val got = ccLabels(Seq((10L, 1L), (10L, 5L), (11L, 5L), (11L, 2L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("a 4096-node chain converges within 12 alternations") {
     // component diameter 4095: min-label propagation needs ~4095 rounds,
     // star contraction halves tree heights per alternation — 12 rounds

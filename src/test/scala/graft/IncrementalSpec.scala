@@ -84,4 +84,17 @@ class IncrementalSpec extends SparkTestBase {
     // cents: 100 + 200 + 200 (floor) = 500; avg = 500*100/3 = 16666 exactly
     assert(r === ((3L, 500L, 16666L)))
   }
+
+  test("read face stays exact past 2^53 (long division, not double)") {
+    // sum_cents·100 = 2^55·100 ≈ 3.6e18 — far beyond double's 2^53
+    // integer range, so a double-division path would be off by one.
+    // Expected quotient from BigInt arithmetic.
+    val big = 1L << 55
+    val st = Seq(("a", 3L, big, big, big))
+      .toDF("g", "n_rows", "sum_cents", "min_cents", "max_cents")
+    val got = Incremental.readAggregates(st, Seq("g"))
+      .select("avg_x10000").as[Long].head()
+    val expected = ((BigInt(big) * 100) / 3).toLong
+    assert(got === expected)
+  }
 }

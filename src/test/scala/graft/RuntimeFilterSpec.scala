@@ -26,6 +26,23 @@ class RuntimeFilterSpec extends SparkTestBase {
     assert(plain.nonEmpty, "vacuous fixture: plain join matched nothing")
   }
 
+  test("null keys on either side: pruned join still == plain join") {
+    // null build keys must not crash the sketch build (slot(null) would
+    // propagate null into the collected bits), and null probe keys must
+    // be dropped exactly as an inner equi-join drops them
+    def nullable(xs: Seq[java.lang.Long]): Seq[java.lang.Long] = xs
+    val probe = nullable(Seq(1L, 2L, null, 3L, null)).zipWithIndex
+      .toDF("k", "v")
+    val build = nullable(Seq(2L, null, 3L, 9L)).zipWithIndex
+      .toDF("bk", "w")
+    val pruned = RuntimeFilter.bloomPrunedJoin(probe, build, "k", "bk")
+      .select("k", "v", "w").as[(Long, Int, Int)].collect().sorted.toSeq
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "v", "w").as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(pruned === plain)
+    assert(plain === Seq((2L, 1, 0), (3L, 3, 2)))
+  }
+
   test("the Bloom actually prunes: survivors ≈ members, not the corpus") {
     // 50 member keys in [0,100); 10k probe keys in [1M, 1M+10k) — zero
     // members. At m=16128, n=50·4 set bits the FPR is ~1e-8; even 3
