@@ -182,9 +182,19 @@ object TextQueries {
         .withColumn("g", concat_ws("|", col("lang"), col("source")))
       val sketches = graft.sketch.Sketches.quantileSketches(docs, "g", "n_chars")
         .withColumn("lang", split(col("g"), "\\|").getItem(0))
+      // the engine face returns `quantiles array<double>`; the QUERY
+      // face must flatten to scalar rank columns — the driver's
+      // rows-only canonicalizer sorts output columns with pandas and
+      // cannot hash array cells (ContractSpec lints this for every
+      // registered query)
       graft.sketch.Sketches.unionQuantileEstimate(
           sketches.select(col("lang"), col("sketch"), col("n_rows")), "lang",
           ranks = Seq(0.25, 0.5, 0.9))
+        .select(col("lang"),
+          element_at(col("quantiles"), 1).as("q25"),
+          element_at(col("quantiles"), 2).as("q50"),
+          element_at(col("quantiles"), 3).as("q90"),
+          col("n_rows"))
         .orderBy(col("lang"))
     }),
 

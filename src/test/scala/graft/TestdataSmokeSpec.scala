@@ -30,10 +30,40 @@ class TestdataSmokeSpec extends SparkTestBase {
       s"events.ts surfaced as $t — downstream epoch casts/window fns will fail analysis")
   }
 
+  /** Column types the driver's canonicalizer cannot sort/hash: its
+    * pandas `sort_values` dies on array cells (`TypeError: unhashable
+    * type: 'numpy.ndarray'` — the round-7 `q_sketch_quantile_union`
+    * red row), and map/struct cells fail the same way. Registered
+    * query FACES must flatten to scalar columns (`element_at`,
+    * `explode`, struct field projection); only engine APIs may return
+    * nested types.
+    */
+  private def unhashableColumns(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+    }.toSeq
+  }
+
+  test("the nested-output lint itself rejects an array-returning query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val offender = Seq(1).toDF("x").select(array(col("x")).as("xs"))
+    assert(unhashableColumns(offender.schema) === Seq("xs: ARRAY<INT>"))
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name executes on driver testdata") {
       assume(have, s"$dir not present on this machine")
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val df = fn(spark, dir)
+      val nested = unhashableColumns(df.schema)
+      assert(nested.isEmpty,
+        s"$name emits nested-typed columns the driver canon cannot " +
+          s"sort/hash — flatten them in the query face: $nested")
+      df.write.format("noop").mode("overwrite").save()
     }
   }
 }
