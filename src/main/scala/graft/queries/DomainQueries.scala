@@ -645,6 +645,19 @@ object DomainQueries {
           col("work_label"), col("work_id_i"))
     }),
 
+    // reception_edges_denorm (reception.py:73-102): the reference's
+    // flagship denormalized table — reception edges carrying both
+    // sides' spans so downstream coverage/point queries never re-join
+    // pieces. Standalone face of the function q_domain_inception_coverage
+    // consumes; row count equals q_domain_reception_edges by
+    // construction (same src × dst expansion, wider payload)
+    "q_domain_reception_edges_denorm" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val earliest = spEarliest2(clustered)
+      val nonSource = Reception.nonSourcePieces(clustered, earliest)
+      Reception.receptionEdgesDenorm(earliest, nonSource)
+    }),
+
     // reception_inception_coverages (coverages.py:173-308): denormalized
     // reception edges → gaps-and-islands over destination intervals →
     // coverage of the destination text per (src, dst) pair
@@ -1196,6 +1209,23 @@ object DomainQueries {
           |JOIN edd ON edd.edition_label = ed.edition_label
           |JOIN wk ON wk.edition_label = ed.edition_label
           |JOIN wkd ON wkd.work_label = wk.work_label""".stripMargin),
+
+    "q_domain_reception_edges_denorm" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
+        """, earliest2 AS (
+          |  SELECT piece_id, trs_id, trs_start, trs_end, cluster_id FROM (
+          |    SELECT piece_id, trs_id, trs_start, trs_end, cluster_id, publication_date,
+          |      min(publication_date) OVER (PARTITION BY cluster_id) AS min_date
+          |    FROM clustered) WHERE publication_date = min_date)
+          |SELECT e.cluster_id,
+          |  e.trs_id AS src_trs_id, e.trs_start AS src_trs_start,
+          |  e.trs_end AS src_trs_end,
+          |  n.trs_id AS dst_trs_id, n.trs_start AS dst_trs_start,
+          |  n.trs_end AS dst_trs_end
+          |FROM earliest2 e
+          |JOIN (SELECT c.* FROM clustered c WHERE NOT EXISTS
+          |      (SELECT 1 FROM earliest2 x WHERE x.piece_id = c.piece_id)) n
+          |  ON n.cluster_id = e.cluster_id""".stripMargin),
 
     "q_domain_inception_coverage" ->
       (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
