@@ -99,11 +99,19 @@ object GraphQueries {
       graft.graph.KCore.peel(coSupply(s, dir, 49.0).select(col("src"), col("dst")),
         k = 3, rounds = 2)),
 
-    // converged peel (rows-only; KCoreSpec proves face agreement and
-    // the under-peel contrast)
+    // converged peel. Unlike the damping-schedule-dependent PageRank
+    // fixpoint, the k-core is UNIQUE (the maximal induced subgraph of
+    // min degree ≥ k) and schedule-independent, so it IS exactly
+    // oracle-checkable: the DuckDB twin unrolls the peel far past the
+    // fixture's convergence depth — extra rounds past the fixpoint are
+    // no-ops, so any unroll ≥ the true depth reproduces the converged
+    // set exactly (depth here: 3 rounds at sf0.01, 4 at sf0.1, vs the
+    // 24-round unroll). k = 16 sits inside the fixture's degree
+    // distribution at every SF (min degree ~8-11, median ~26-28), so
+    // the peel genuinely cascades — k = 3 peeled NOTHING on this graph
     "q_graph_kcore_conv" -> ((s, dir) =>
       graft.graph.KCore.peelConverged(
-        coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 3)),
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 16)),
 
     // exact connected components via alternating large-star/small-star
     // (O(log n) rounds) on the customer co-purchase graph: customers
@@ -160,7 +168,44 @@ object GraphQueries {
     })
   )
 
+  /** Unrolled k-core peel to a fixed depth: aR = survivors after R
+    * rounds. Rounds past the fixpoint are no-ops (the alive set stops
+    * changing), so any depth ≥ the fixture's convergence depth yields
+    * the converged core EXACTLY — the same bounded-unroll-past-
+    * convergence trick the dedup-groups oracle uses, valid here
+    * because the k-core fixpoint is unique and schedule-independent.
+    */
+  private def kcoreConvOracle(k: Int, depth: Int): String = {
+    val rounds = (1 to depth).map { r =>
+      s""",
+         |i$r AS (
+         |  SELECT e.src, e.dst FROM e
+         |  JOIN a${r - 1} x ON x.node = e.src
+         |  JOIN a${r - 1} y ON y.node = e.dst),
+         |a$r AS (SELECT src AS node FROM i$r GROUP BY 1 HAVING count(*) >= $k)"""
+        .stripMargin
+    }.mkString
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    // unrolled rounds would otherwise re-expand `e` (and its parquet
+    // scan) twice per round — at depth 12 that exhausts the open-file
+    // limit before it exhausts patience
+    s"""WITH sp AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity >= 49.0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+       |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |a0 AS (SELECT node FROM nodes)$rounds
+       |SELECT n.node, (a.node IS NOT NULL) AS in_core
+       |FROM nodes n LEFT JOIN a$depth a ON n.node = a.node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // converged peel: 12-round unroll, 3-4× the fixture's measured
+    // convergence depth (3 rounds at sf0.01, 4 at sf0.1)
+    "q_graph_kcore_conv" -> kcoreConvOracle(16, 12),
+
     // 2-iteration unroll; all integer math (// is DuckDB floor
     // division, identical to Spark's `div` on positive longs), so the
     // compare is hash-exact with no float tolerance

@@ -22,7 +22,9 @@ class ContractSpec extends AnyFunSuite {
     // component labels are a fixpoint, re-derivable by a recursive-CTE
     // transitive closure — those two convergence loops ARE oracle-checked
     "q_graph_pagerank_conv",     // observed-convergence PageRank
-    "q_graph_kcore_conv",        // observed-convergence k-core peel
+    // q_graph_kcore_conv is NOT here: the k-core fixpoint is unique and
+    // schedule-independent, so a bounded unroll past convergence
+    // re-derives it exactly (kcoreConvOracle)
     "q_sketch_heavy_hitters",    // sketch output is eviction-order-dependent
     "q_sketch_distinct_union",   // DataSketches HLL bytes have no DuckDB twin
     "q_sketch_quantile_union")   // KLL compaction is randomized (SketchSpec bounds)
@@ -53,8 +55,9 @@ class ContractSpec extends AnyFunSuite {
     for ((name, rawSql) <- SparkEntry.oracleSql) {
       val sql = rawSql.replaceAll("(?i)IS\\s+(NOT\\s+)?DISTINCT\\s+FROM", "<=>")
       // the optional (col, ...) group admits recursive-CTE headers like
-      // "reach(a, b) AS ("
-      val ctes = ("""(?i)\b([a-z_0-9]+)\s*(?:\([a-z_0-9, ]*\))?\s+AS\s*\(""".r)
+      // "reach(a, b) AS ("; the MATERIALIZED group admits DuckDB's
+      // inlining-suppression hint ("e AS MATERIALIZED (")
+      val ctes = ("""(?i)\b([a-z_0-9]+)\s*(?:\([a-z_0-9, ]*\))?\s+AS\s*(?:(?:NOT\s+)?MATERIALIZED\s*)?\(""".r)
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = known.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = refs -- tables -- ctes
