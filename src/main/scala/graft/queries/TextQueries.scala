@@ -62,9 +62,10 @@ object TextQueries {
       graft.text.Bpe.explodeState(trainedBpe(s, dir)._2)),
 
     // the FROZEN-tokenizer inference face: re-tokenize the corpus
-    // through applyLearned (stateless fold chain, no checkpoints,
-    // streaming-safe) — must reproduce training's own segmentation
-    // exactly, so it shares the apply oracle
+    // through the public applyLearned API (map-only, no checkpoints,
+    // streaming-safe; delegates to the native kernel — the fold chain
+    // is a spec-only parity witness) — must reproduce training's own
+    // segmentation exactly, so it shares the apply oracle
     "q_text_bpe_frozen" -> ((s, dir) =>
       graft.text.Bpe.applyLearned(Tables(s, dir, "documents"),
         trainedBpe(s, dir)._1)),

@@ -173,8 +173,25 @@ object Bpe {
     * leftmost semantics as training, as a STATELESS map-only projection:
     * no shuffles, no collects, runs unchanged on streaming DataFrames.
     * Returns (doc_id, pos, sym) like [[bpeApply]].
+    *
+    * Delegates to the native kernel ([[applyLearnedNative]]): the
+    * fold-chain formulation below plans one whole-array higher-order
+    * fold PER MERGE, which is a constant-factor hazard at toy merge
+    * counts (~5× slower at 3 merges) and unplannable at a real vocab
+    * (30k merges → a 30k-deep expression chain). The chain survives as
+    * [[applyLearnedFold]], the independent-formulation parity witness
+    * BpeSpec pins against the kernel.
     */
-  def applyLearned(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def applyLearned(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    applyLearnedNative(docs, merges)
+
+  /** The HOF fold-chain formulation of [[applyLearned]] — spec-only:
+    * an aggregate-per-merge reference implementation whose independent
+    * semantics guard the imperative kernel (BpeSpec asserts equality on
+    * random corpora and merge tables). Not for production merge tables;
+    * see [[applyLearned]].
+    */
+  private[graft] def applyLearnedFold(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val init = TextAnalysis.tokenHashTable(docs)
       .select(col("doc_id"), col("th").as("syms"))
     val fin = merges.sortBy(_.round).foldLeft(init) { (df, m) =>

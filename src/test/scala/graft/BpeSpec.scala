@@ -98,11 +98,36 @@ class BpeSpec extends SparkTestBase {
     val fresh = docs((100L to 119L).map(id =>
       id -> Seq.fill(1 + rnd.nextInt(12))("s" + rnd.nextInt(3)).mkString(" ")): _*)
     for (d <- Seq(train, fresh)) {
-      val fold = Bpe.applyLearned(d, merges).collect()
+      val fold = Bpe.applyLearnedFold(d, merges).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val native = Bpe.applyLearnedNative(d, merges).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(native === fold)
+    }
+  }
+
+  test("fold chain == native kernel on a deep merge table (≥8 merges)") {
+    // the public applyLearned now always delegates to the kernel; this
+    // case keeps the spec-only fold chain honest as its independent
+    // formulation at a depth where minted symbols feed later merges
+    // several generations down
+    val rnd = new scala.util.Random(173)
+    val train = docs((1L to 40L).map(id =>
+      id -> Seq.fill(6 + rnd.nextInt(20))("s" + rnd.nextInt(4)).mkString(" ")): _*)
+    val (merges, _) = Bpe.train(train, rounds = 10)
+    assert(merges.size >= 8, s"fixture too poor: learned ${merges.size} merges")
+    val fresh = docs((200L to 229L).map(id =>
+      id -> Seq.fill(1 + rnd.nextInt(24))("s" + rnd.nextInt(5)).mkString(" ")): _*)
+    for (d <- Seq(train, fresh)) {
+      val fold = Bpe.applyLearnedFold(d, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val native = Bpe.applyLearnedNative(d, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(native === fold)
+      // and the public face IS the kernel path
+      val pub = Bpe.applyLearned(d, merges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pub === native)
     }
   }
 
