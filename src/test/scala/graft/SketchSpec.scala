@@ -247,6 +247,56 @@ class SketchSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming KLL: stream-persisted sketches union to exact n/min/max, bounded interior") {
+    // Why this is NOT the bit-equality the bloom/CMS case above pins:
+    // KLL compaction draws its offset coin from an unseeded shared
+    // Random, so two sketches built from IDENTICAL input in the same
+    // JVM already differ byte-for-byte — witnessed here, so the dead
+    // end is checked-in evidence rather than a comment:
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val w1 = KllDoublesSketch.newHeapInstance(200)
+    val w2 = KllDoublesSketch.newHeapInstance(200)
+    for (i <- 0 until 50000) { w1.update((i % 9173).toDouble); w2.update((i % 9173).toDouble) }
+    assert(!java.util.Arrays.equals(w1.toByteArray(), w2.toByteArray()),
+      "KLL became input-deterministic — upgrade this spec to full bit-equality")
+    // What IS deterministic across any build/merge schedule: n (exact
+    // count), min (rank 0) and max (rank 1) — KLL retains them exactly
+    // through every compaction. The streaming face must agree with the
+    // batch build EXACTLY on those, and within the published rank
+    // error on interior ranks.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val n = 30000
+    val rows = (1 to n).map(i => ("all", i.toLong))
+    val input = MemoryStream[(String, Long)]
+    @volatile var persisted: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDS().toDF("g", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the real streaming pattern for persisted sketches: APPEND one
+        // sketch row per micro-batch; union happens at read time
+        val sk = Sketches.quantileSketches(batch, "g", "v").localCheckpoint()
+        persisted = Some(persisted.fold(sk)(_.unionByName(sk).localCheckpoint()))
+      }
+      .start()
+    try {
+      for (b <- rows.grouped(7000)) { input.addData(b: _*); q.processAllAvailable() }
+      val ranks = Seq(0.0, 0.5, 1.0)
+      val stream = Sketches.unionQuantileEstimate(persisted.get, "g", ranks).head()
+      val batch = Sketches.unionQuantileEstimate(
+        Sketches.quantileSketches(rows.toDF("g", "v"), "g", "v"), "g", ranks).head()
+      assert(stream.getLong(2) === n.toLong)
+      assert(batch.getLong(2) === n.toLong)
+      val (sq, bq) = (stream.getSeq[Double](1), batch.getSeq[Double](1))
+      assert(sq(0) === 1.0 && bq(0) === 1.0, "rank-0 min is exact")
+      assert(sq(2) === n.toDouble && bq(2) === n.toDouble, "rank-1 max is exact")
+      val eps = 0.03 * n
+      assert(math.abs(sq(1) - 0.5 * n) <= eps, s"stream p50 ${sq(1)}")
+      assert(math.abs(bq(1) - 0.5 * n) <= eps, s"batch p50 ${bq(1)}")
+    } finally q.stop()
+  }
+
   test("count-min: never underestimates; batch-sum union == single pass") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
