@@ -645,6 +645,45 @@ object DomainQueries {
           col("work_label"), col("work_id_i"))
     }),
 
+    // cluster time spans (scratch.py:57-68): per-cluster publication
+    // min/max and span, widest first — the reference's sanity query for
+    // runaway clusters. Deterministic top-100 via the (span, cluster)
+    // tie-break; one groupBy shuffle on cluster_id, top-k is a
+    // TakeOrdered, never a global sort materialization
+    "q_domain_cluster_spans" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      clustered.groupBy("cluster_id")
+        .agg(max("publication_date").as("max_pub_date"),
+          min("publication_date").as("min_pub_date"),
+          datediff(max("publication_date"), min("publication_date"))
+            .cast("long").as("span_days"))
+        .orderBy(col("span_days").desc, col("cluster_id"))
+        .limit(100)
+    }),
+
+    // cluster consistency check (scratch.py:46-52): clusters where the
+    // earliest-by-WORK-date pieces name a different trs than the
+    // earliest-trs-by-cluster pick — the reference's cross-table
+    // agreement probe between earliest_work_and_pieces_by_cluster and
+    // earliest_textreuse_by_cluster. The work date is a second
+    // synthetic attribution (trs_id·7 mod 4000 days) so the two
+    // earliest notions genuinely disagree on some clusters, like the
+    // two independently-derived date tables do in the reference
+    "q_domain_cluster_consistency" -> ((s, dir) => {
+      val clustered = spClustered(pieces(s, dir))
+      val workDated = clustered.drop("publication_date")
+        .withColumn("publication_date",
+          date_add(lit(java.sql.Date.valueOf("1700-01-01")),
+            ((col("trs_id") * 7) % 4000).cast("int")))
+      val ewapbc = Reception.earliestPieces(workDated)
+      val etbc = clustered.groupBy("cluster_id")
+        .agg(min_by(col("trs_id"),
+          struct(col("publication_date"), col("trs_id"))).as("etbc_trs_id"))
+      ewapbc.join(etbc, Seq("cluster_id"))
+        .where(col("trs_id") =!= col("etbc_trs_id"))
+        .select("cluster_id").distinct()
+    }),
+
     // reception_edges_denorm (reception.py:73-102): the reference's
     // flagship denormalized table — reception edges carrying both
     // sides' spans so downstream coverage/point queries never re-join
@@ -1209,6 +1248,37 @@ object DomainQueries {
           |JOIN edd ON edd.edition_label = ed.edition_label
           |JOIN wk ON wk.edition_label = ed.edition_label
           |JOIN wkd ON wkd.work_label = wk.work_label""".stripMargin),
+
+    "q_domain_cluster_spans" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
+        """SELECT cluster_id, max(publication_date) AS max_pub_date,
+          |  min(publication_date) AS min_pub_date,
+          |  CAST(max(publication_date) - min(publication_date) AS BIGINT)
+          |    AS span_days
+          |FROM clustered GROUP BY 1
+          |ORDER BY span_days DESC, cluster_id LIMIT 100""".stripMargin),
+
+    "q_domain_cluster_consistency" ->
+      (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
+        """, workdated AS (
+          |  SELECT piece_id, trs_id, cluster_id,
+          |    DATE '1700-01-01' + CAST((trs_id * 7) % 4000 AS INT)
+          |      AS publication_date
+          |  FROM clustered),
+          |ew AS (
+          |  SELECT * FROM (
+          |    SELECT *, min(publication_date) OVER (PARTITION BY cluster_id)
+          |      AS md
+          |    FROM workdated) WHERE publication_date = md),
+          |etbc AS (
+          |  SELECT cluster_id, trs_id AS etbc_trs_id FROM (
+          |    SELECT cluster_id, trs_id, row_number() OVER (
+          |      PARTITION BY cluster_id ORDER BY publication_date, trs_id)
+          |      AS rn
+          |    FROM clustered) WHERE rn = 1)
+          |SELECT DISTINCT e.cluster_id
+          |FROM ew e JOIN etbc t USING (cluster_id)
+          |WHERE e.trs_id <> t.etbc_trs_id""".stripMargin),
 
     "q_domain_reception_edges_denorm" ->
       (chain(rawCte, trsIdsCte, textreusesCte, piecesCte, clusteredCte) +
