@@ -58,7 +58,15 @@ object ScaleSmoke {
     // posting self-join subquadratic), and the bloom sketch build
     // (cost must track nWords, not key multiplicity)
     "q_graph_cc", "q_dedup_groups_cc", "q_text_more_like_this",
-    "q_sketch_bloom")
+    "q_sketch_bloom",
+    // round-8 riders: theta n-way retention (per-period sketch rows
+    // must stay |periods|-bounded, not key-bounded), the curriculum
+    // export composition (sample ladder + epoch order + shard shuffle
+    // end-to-end), perceptual near-dup (block-keyed pair volume is the
+    // quadratic risk), and the advisor/reconcile ops compositions
+    // (digest diff must touch dirty buckets, not the corpus)
+    "q_sketch_theta_retention", "q_pipeline_curriculum",
+    "q_multimodal_phash", "q_advisor_join", "q_pipeline_reconcile")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 
