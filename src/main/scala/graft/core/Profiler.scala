@@ -76,62 +76,74 @@ object Profiler {
     * a half would need a double), doubled MAD on the same trick, and
     * the 10-90% trimmed mean in fixed-point ×100.
     *
-    * Scale shape: two aggregation passes over the value column (the
-    * MAD is a median OF deviations FROM the median — inherently two
-    * dependent passes), each a sort-based exact percentile per group;
-    * group medians attach back by broadcast (|groups| rows). Exact
-    * medians sort within groups — that is the operator's contract; the
-    * sketch family (`Sketches.approxQuantiles`/KLL) is the scale path
-    * when rank error is acceptable.
+    * Scale shape — selection over the VALUE HISTOGRAM, never a per-row
+    * rank: the only full-data shuffle is a (group, value) frequency
+    * count (partial map-side combine); medians, MAD and the trimmed
+    * mean all read off the histogram's running counts. The windows
+    * therefore run over |distinct values| rows per group, not |rows| —
+    * a per-row rank window (`row_number` partitioned by a 3-value
+    * group column) funnels each group's ENTIRE value column through
+    * one task's sort, the single-reducer collapse that killed this
+    * operator's first formulation at scale. The MAD histogram derives
+    * from the value histogram arithmetically (|2v − med2| preserves
+    * multiplicity), so the second "pass" never rescans rows at all.
     */
   def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast("long")
     val rows = df.where(v.isNotNull).select(col(groupCol), v.as("v"))
+    // the one full-data aggregation; everything below is histogram-
+    // sized (left lazy: its consumers evaluate as parallel stages of
+    // one job, and a checkpoint here measured slower than the
+    // recompute at every tested scale)
+    val hist = rows.groupBy(col(groupCol), col("v"))
+      .agg(count(lit(1)).as("_cnt"))
 
-    // doubled median of `c` by TWO ORDER STATISTICS: ranks (n+1)/2 and
-    // n/2+1 (1-based) — for odd n both hit the middle row (summing it
-    // twice), for even n the two middle rows; their sum is exactly
-    // 2·median, all integer. Ties order arbitrarily under row_number,
-    // but tied rows carry equal values, so the sum is order-free.
-    def med2(in: DataFrame, c: String): DataFrame = {
-      val w = Window.partitionBy(groupCol).orderBy(col(c))
-      in.withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
-        .groupBy(groupCol)
-        // Spark's `/` on longs is a DOUBLE divide; the cast truncates
-        // back to the floor rank (3.5 → 3), which is exactly the
-        // lower/upper-middle pair for both parities
-        .agg((sum(when(col("_rn") === ((col("_n") + 1) / 2).cast("long"), col(c))) +
-          sum(when(col("_rn") === (col("_n") / 2).cast("long") + 1, col(c))))
-          .as("med2"),
-          max(col("_n")).as("n_rows"))
-    }
+    // running count ≤ value and group total, on histogram rows
+    def cum(h: DataFrame, c: String): DataFrame =
+      h.withColumn("_cum",
+          sum("_cnt").over(Window.partitionBy(groupCol).orderBy(col(c))))
+        .withColumn("_n", sum("_cnt").over(Window.partitionBy(groupCol)))
 
-    val m = med2(rows, "v")
-    val dev = rows.join(broadcast(m.select(col(groupCol), col("med2"))), Seq(groupCol))
-      .withColumn("dev2", abs(col("v") * 2L - col("med2")))
-    // median of doubled deviations, doubled again: mad4 = 4·MAD exact
-    val mad = med2(dev.select(col(groupCol), col("dev2")), "dev2")
-      .select(col(groupCol), col("med2").as("mad4"))
-
-    // 10-90% trimmed mean: drop floor(n/10) rows from EACH end by rank
-    // (pure integer cuts; a cut inside a tie run is value-neutral),
-    // fixed-point ×100 subtract-remainder division
-    val w = Window.partitionBy(groupCol).orderBy(col("v"))
-    val trimmed = rows.withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    // ONE window pass over the value histogram feeds BOTH the median
+    // and the trimmed mean:
+    //   - doubled median by TWO ORDER STATISTICS: ranks (n+1) div 2
+    //     and n div 2 + 1 (1-based) — for odd n both hit the middle
+    //     value (summing it twice), for even n the two middle values;
+    //     their sum is exactly 2·median, all integer. The value at
+    //     rank r is the smallest value whose running count reaches r
+    //     (min-when over the monotone _cum).
+    //   - 10-90% trim: a value's copies occupy ranks (_cum−_cnt,
+    //     _cum]; the kept window is (cut, n−cut]; the overlap length
+    //     is how many copies survive — a cut inside a tie run keeps
+    //     exactly the right number of copies, value-neutral like a
+    //     rank formulation.
+    // `div` keeps the exactly-divisible quotients in LONG arithmetic
+    // (double `/` would round them off by one past 2^53 numerators).
+    val base = cum(hist, "v")
       .withColumn("_cut", expr("_n div 10"))
-      .where(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
+      .withColumn("_keep", greatest(lit(0L),
+        least(col("_cum"), col("_n") - col("_cut")) -
+          greatest(col("_cum") - col("_cnt"), col("_cut"))))
       .groupBy(groupCol)
-      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_k"))
-      // `div` keeps the exactly-divisible quotient in LONG arithmetic
-      // (double `/` would round it off by one past 2^53 numerators)
-      .select(col(groupCol),
-        expr("(_s * 100 - pmod(_s * 100, _k)) div _k").as("trimmed_mean_x100"))
+      .agg((min(when(col("_cum") >= expr("(_n + 1) div 2"), col("v"))) +
+        min(when(col("_cum") >= expr("_n div 2 + 1"), col("v")))).as("med2"),
+        max(col("_n")).as("n_rows"),
+        sum(col("v") * col("_keep")).as("_s"), sum(col("_keep")).as("_k"))
 
-    m.join(mad, Seq(groupCol)).join(trimmed, Seq(groupCol))
+    // MAD histogram from the value histogram: |2v − med2| carries each
+    // value's multiplicity; deviations that collide re-aggregate.
+    // Median of doubled deviations, doubled again: mad4 = 4·MAD exact.
+    val devHist = hist
+      .join(broadcast(base.select(col(groupCol), col("med2"))), Seq(groupCol))
+      .withColumn("dev2", abs(col("v") * 2L - col("med2")))
+      .groupBy(col(groupCol), col("dev2")).agg(sum("_cnt").as("_cnt"))
+    val mad = cum(devHist, "dev2").groupBy(groupCol)
+      .agg((min(when(col("_cum") >= expr("(_n + 1) div 2"), col("dev2"))) +
+        min(when(col("_cum") >= expr("_n div 2 + 1"), col("dev2")))).as("mad4"))
+
+    base.join(mad, Seq(groupCol))
       .select(col(groupCol), col("n_rows"), col("med2"), col("mad4"),
-        col("trimmed_mean_x100"))
+        expr("(_s * 100 - pmod(_s * 100, _k)) div _k").as("trimmed_mean_x100"))
   }
 }
