@@ -58,11 +58,27 @@ object RuntimeFilter {
 
   /** Membership predicate: true iff every one of `key`'s k probe bits
     * is set in `words`. False ⇒ definitely absent from the build side;
-    * true ⇒ present up to the Bloom false-positive rate. The k terms
-    * are unrolled (no higher-order function, no lambda variable), so
-    * the whole predicate stays inside whole-stage codegen.
+    * true ⇒ present up to the Bloom false-positive rate.
+    *
+    * Delegates to the native kernel ([[graft.expressions.BloomProbe]]):
+    * the Column formulation below unrolls k conjunction terms that
+    * each embed the words array literal plus the full slot hash chain
+    * — an expression tree that blows past codegen's method budget and
+    * runs interpreted, ~10× slower than the plain join it prunes. The
+    * Column form survives as [[mightContainColumns]], the independent-
+    * formulation parity witness RuntimeFilterSpec pins against the
+    * kernel.
     */
-  def mightContain(key: Column, words: Array[Long], k: Int = 4): Column = {
+  def mightContain(key: Column, words: Array[Long], k: Int = 4): Column =
+    graft.expressions.BloomProbe(key.cast("long"), words, k)
+
+  /** The Column/HOF-free formulation of [[mightContain]] — spec-only:
+    * k unrolled conjunction terms over the same slot grammar, kept as
+    * the reference implementation whose independent semantics guard
+    * the imperative kernel. Not for hot paths; see [[mightContain]].
+    */
+  private[graft] def mightContainColumns(key: Column, words: Array[Long],
+      k: Int = 4): Column = {
     val nBits = words.length.toLong * graft.sketch.Sketches.BitsPerWord
     val arr = lit(words)
     (0 until k).map { i =>

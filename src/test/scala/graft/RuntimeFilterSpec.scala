@@ -43,6 +43,22 @@ class RuntimeFilterSpec extends SparkTestBase {
     assert(plain === Seq((2L, 1, 0), (3L, 3, 2)))
   }
 
+  test("native BloomProbe == Column-formulation probe on random signed keys") {
+    // the kernel must reproduce the SQL slot grammar bit-for-bit:
+    // a drift would produce false NEGATIVES (rows the plain join keeps
+    // but the pruned join drops)
+    val rnd = new scala.util.Random(77)
+    val members = Seq.fill(80)(rnd.nextLong() % 10000L).toDF("bk")
+    val words = RuntimeFilter.buildBloom(members, "bk")
+    val probes = Seq.fill(5000)(rnd.nextLong() % 10000L).toDF("k")
+    val native = probes.where(RuntimeFilter.mightContain(col("k"), words))
+      .as[Long].collect().sorted.toSeq
+    val columns = probes.where(RuntimeFilter.mightContainColumns(col("k"), words))
+      .as[Long].collect().sorted.toSeq
+    assert(native === columns)
+    assert(native.nonEmpty)
+  }
+
   test("the Bloom actually prunes: survivors ≈ members, not the corpus") {
     // 50 member keys in [0,100); 10k probe keys in [1M, 1M+10k) — zero
     // members. At m=16128, n=50·4 set bits the FPR is ~1e-8; even 3
