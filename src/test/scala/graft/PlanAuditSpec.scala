@@ -469,10 +469,29 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     }
     assert(joins.size == 1, s"expected 1 join (the real one), got ${joins.size}")
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
-    // the membership conjunction must sit in a Filter below the join —
-    // shiftright over the word-array literal is its signature
-    assert(p.toString.contains("shiftright"),
-      "bloom membership filter missing from the probe side")
+    // the membership predicate must sit in a Filter below the join —
+    // the native kernel's prettyName is its signature
+    assert(p.toString.contains("graft_bloom_probe"),
+      "native bloom membership filter missing from the probe side")
+    // and it must stay inside whole-stage codegen: the Column
+    // formulation it replaced blew the method budget and ran
+    // interpreted at ~10x the plain join's cost
+    val filterInWscg = p.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("graft_bloom_probe") => w
+    }
+    assert(filterInWscg.nonEmpty,
+      "bloom probe filter fell out of whole-stage codegen")
+  }
+
+  test("cluster spans: top-100 plans as TakeOrdered, never a global sort") {
+    val p = plan("q_domain_cluster_spans")
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "widest-100 cut must be a TakeOrdered, not Sort+Limit")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, "no global sort materialization for a top-k")
   }
 
   test("conjunctive search: arity attaches by broadcast; index joins stay equi") {
