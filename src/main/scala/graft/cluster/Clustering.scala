@@ -156,6 +156,20 @@ object Clustering {
     */
   val localCheckpointer: Checkpointer = (df, _) => df.localCheckpoint()
 
+  /** Hybrid truncation: localCheckpoint through round `localRounds`,
+    * durable parquet after. The stats-compounding hazard
+    * localCheckpointer documents is multiplicative in ROUND COUNT, so
+    * a bounded prefix of local rounds is safe — and for loops that
+    * usually converge within the prefix (k-core peels: a handful of
+    * rounds unless the graph is one long tendril) it removes the
+    * common case's per-round parquet write+read while keeping the
+    * durable scheme exactly where the unbounded tail begins.
+    */
+  def hybridCheckpointer(dir: String, localRounds: Int = 8): Checkpointer = {
+    val durable = parquetCheckpointer(dir)
+    (df, i) => if (i <= localRounds) df.localCheckpoint() else durable(df, i)
+  }
+
   /** Durable alternating checkpoint, the reference's scheme (reference:
     * chinese_label_propagation.py:189-197): write parquet, read back.
     * A `LATEST_ITER` marker is committed AFTER the table is durable —

@@ -55,10 +55,13 @@ object KCore {
 
   /** Converged peel: rounds run until one removes zero nodes, counted
     * via the Observation API on each round's checkpoint. Checkpointing
-    * is the pluggable Clustering.Checkpointer with the durable parquet
-    * round-trip as default — a deep tendril chain peels one node per
-    * round, and localCheckpoint compounds origin-plan statistics
-    * across unbounded iterations (the dedupGroupsConverged /
+    * is the pluggable Clustering.Checkpointer, defaulting to the
+    * HYBRID scheme: local truncation for the first 8 rounds — real
+    * graphs peel to their core in a handful, and a parquet write+read
+    * per round would dominate the whole operator — then the durable
+    * parquet round-trip exactly where the unbounded deep-tendril tail
+    * begins (one node per round, where localCheckpoint's origin-plan
+    * statistics would compound — the dedupGroupsConverged /
     * PageRank.runConverged rationale).
     */
   def peelConverged(edges: DataFrame, k: Int, maxRounds: Int = 1000,
@@ -67,7 +70,7 @@ object KCore {
     val tmpDir = if (checkpointer.isEmpty)
       Some(java.nio.file.Files.createTempDirectory("graft-kcore")) else None
     val checkpoint = checkpointer.getOrElse(
-      graft.cluster.Clustering.parquetCheckpointer(tmpDir.get.toString))
+      graft.cluster.Clustering.hybridCheckpointer(tmpDir.get.toString))
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
