@@ -64,7 +64,13 @@ object SimilarityQueries {
     * cells_{i+1}; a cell with no members keeps its PREVIOUS centroid
     * (LEFT JOIN against cells_i, exactly like the Spark loop).
     */
-  private def kmeansSql(iters: Int): String = {
+  /** The shared Lloyd WITH-chain: `cells_0` seeds (16 lowest-id
+    * vectors) through `iters` refinement blocks to `cells_$iters`,
+    * then `scored_cells` (every vector × final centroid cosine) —
+    * appended-to by [[kmeansSql]] and the standalone
+    * q_sim_kmeans_assign / q_sim_kmeans_cells oracles.
+    */
+  private def kmeansChainSql(iters: Int): String = {
     val iterBlocks = (0 until iters).map { it =>
       s"""sc_$it AS (
          |  SELECT v.vec_id, v.embedding, c.cell_id,
@@ -91,15 +97,19 @@ object SimilarityQueries {
          |  SELECT c.cell_id, coalesce(r.new_emb, c.cell_emb) AS cell_emb
          |  FROM cells_$it c LEFT JOIN refined_$it r USING (cell_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH cells_0 AS (
+    val blocks = if (iters == 0) "" else s"$iterBlocks,\n"
+    s"""cells_0 AS (
        |  SELECT vec_id AS cell_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_emb
        |  FROM embeddings ORDER BY vec_id LIMIT 16),
-       |$iterBlocks,
-       |scored_cells AS (
+       |${blocks}scored_cells AS (
        |  SELECT v.vec_id, c.cell_id,
        |    ${cosineSql("v.embedding", "c.cell_emb")} AS ccos
-       |  FROM embeddings v CROSS JOIN cells_$iters c),
+       |  FROM embeddings v CROSS JOIN cells_$iters c)""".stripMargin
+  }
+
+  private def kmeansSql(iters: Int): String = {
+    s"""WITH ${kmeansChainSql(iters)},
        |assigned AS (
        |  SELECT vec_id, cell_id FROM (
        |    SELECT vec_id, cell_id, row_number() OVER (PARTITION BY vec_id
@@ -182,6 +192,15 @@ object SimilarityQueries {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5, kmeansIters = 2)
     }),
+
+    // standalone k-means data map: cluster membership + fixed-point
+    // centroid-cosine confidence after 2 deterministic Lloyd passes
+    "q_sim_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables(s, dir, "embeddings"), nCells = 16, iters = 2)),
+
+    // per-cluster cohesion summary (spherical inertia analogue)
+    "q_sim_kmeans_cells" -> ((s, dir) =>
+      Similarity.kmeansSummary(Tables(s, dir, "embeddings"), nCells = 16, iters = 2)),
 
     // per-label centroid component sums — exact fixed-point math
     "q_sim_centroids" -> ((s, dir) =>
@@ -464,6 +483,28 @@ object SimilarityQueries {
     "q_sim_ivf_kmeans" -> kmeansSql(1),
 
     "q_sim_ivf_kmeans2" -> kmeansSql(2),
+
+    "q_sim_kmeans_assign" ->
+      s"""WITH ${kmeansChainSql(2)}
+         |SELECT vec_id, cell_id,
+         |  CAST(floor(ccos * 1000000.0) AS BIGINT) AS ccos_s
+         |FROM (
+         |  SELECT vec_id, cell_id, ccos, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cell_id) AS r
+         |  FROM scored_cells) WHERE r = 1""".stripMargin,
+
+    "q_sim_kmeans_cells" ->
+      s"""WITH ${kmeansChainSql(2)},
+         |assigned AS (
+         |  SELECT vec_id, cell_id,
+         |    CAST(floor(ccos * 1000000.0) AS BIGINT) AS ccos_s
+         |  FROM (
+         |    SELECT vec_id, cell_id, ccos, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell_id) AS r
+         |    FROM scored_cells) WHERE r = 1)
+         |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(ccos_s) AS BIGINT) AS sum_ccos_s
+         |FROM assigned GROUP BY 1""".stripMargin,
 
     "q_sim_ivf_topk" -> ivfOracle,
 

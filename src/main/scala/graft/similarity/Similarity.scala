@@ -219,48 +219,27 @@ object Similarity {
       slice(emb, lit(t * 7 + 1), greatest(size(emb) - lit(t * 7), lit(0))),
       slice(emb, lit(1), lit(t * 7)))
 
-  /** IVF (inverted-file) ANN: vectors are assigned to their
-    * nearest-centroid cell once; a query scans only its `nProbe`
-    * nearest cells. Seed centroids are the `nCells` lowest-id vectors;
-    * `kmeansIters` Lloyd refinement passes move them to the
-    * (deterministic, fixed-point) element-wise means of their assigned
-    * vectors — cells that lose every member keep their previous
-    * centroid, the standard k-means convention. Cells are broadcast to
-    * both assignment passes; the scan is an equi-join on cell id, so
-    * query cost is |cell|·nProbe instead of |candidates|.
+  /** Deterministic Lloyd refinement shared by [[ivfTopK]],
+    * [[kmeansAssign]] and [[kmeansSummary]]. Seed centroids are the
+    * `nCells` lowest-id vectors; each pass reassigns every vector to
+    * its max-cosine cell and moves the centroid to the fixed-point
+    * element-wise mean of its members (cells that lose every member
+    * keep their previous centroid, the standard k-means convention).
+    * Returns (cell_id, cell_emb, cell_norm).
+    *
+    * Per-dimension sums are FIXED-POINT (floor to 1e-6 as BIGINT —
+    * order-independent, oracle-exact); the explode shuffles (cell, dim)
+    * keys only — nCells·dims groups, partial-aggregated map-side,
+    * regardless of candidate count.
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+  private def lloydCells(candidates: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val seeds = candidates.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").as("cell_id"),
         transform(col("embedding"), x => x.cast("double")).as("cell_emb"))
     var cells = seeds
       .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
-    def withCellCos(df: DataFrame, idCol: String, cs: DataFrame): DataFrame =
-      df.select(col(idCol), col("embedding"), normFp(col("embedding")).as("_norm"))
-        .join(broadcast(cs))
-        .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
-          col("_norm"), col("cell_norm")))
-    // Rank-1 cell assignment as a max_by AGGREGATION, not a row_number
-    // window: partial aggregation collapses the |vectors|·nCells scored
-    // rows map-side to one row per vector, so the shuffle carries
-    // |vectors| rows and nothing is sorted — the window form would
-    // shuffle and sort all nCells copies of every vector. Tie-break
-    // (highest cosine, then lowest cell_id) via lexicographic struct max.
-    def rank1(cs: DataFrame): DataFrame =
-      withCellCos(candidates, "vec_id", cs)
-        .groupBy("vec_id")
-        .agg(max_by(
-          struct(col("embedding").as("c_emb"), col("_norm").as("c_norm"), col("cell_id")),
-          struct(col("_cos").as("c"), (-col("cell_id")).as("nid"))).as("_a"))
-        .select(col("vec_id"), col("_a.c_emb").as("c_emb"),
-          col("_a.c_norm").as("c_norm"), col("_a.cell_id").as("cell_id"))
-    // Lloyd passes: per-dimension FIXED-POINT sums (floor to 1e-6 as
-    // BIGINT — order-independent, oracle-exact) divided by member count.
-    // The explode shuffles (cell, dim) keys only — nCells·dims groups,
-    // partial-aggregated map-side, regardless of candidate count.
-    for (_ <- 0 until kmeansIters) {
-      val refined = rank1(cells)
+    for (_ <- 0 until iters) {
+      val refined = assignCells(candidates, cells)
         .select(col("cell_id"), posexplode(col("c_emb")))
         .groupBy("cell_id", "pos")
         .agg(sum(floor(col("col").cast("double") * lit(1000000.0)).cast("long")).as("s"),
@@ -278,7 +257,82 @@ object Similarity {
         .select(col("cell_id"), coalesce(col("new_emb"), col("cell_emb")).as("cell_emb"))
         .select(col("cell_id"), col("cell_emb"), normFp(col("cell_emb")).as("cell_norm"))
     }
-    val assigned = rank1(cells)
+    cells
+  }
+
+  /** Rank-1 cell assignment as a max_by AGGREGATION, not a row_number
+    * window: partial aggregation collapses the |vectors|·nCells scored
+    * rows map-side to one row per vector, so the shuffle carries
+    * |vectors| rows and nothing is sorted — the window form would
+    * shuffle and sort all nCells copies of every vector. Tie-break
+    * (highest cosine, then lowest cell_id) via lexicographic struct
+    * max. Returns (vec_id, cell_id, ccos, c_emb, c_norm) where
+    * c_emb/c_norm are the MEMBER vector's own embedding and norm
+    * (carried through the aggregation so Lloyd averaging and the IVF
+    * scan never re-join the vector table).
+    */
+  private def assignCells(vectors: DataFrame, cells: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"), normFp(col("embedding")).as("_norm"))
+      .join(broadcast(cells))
+      .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
+        col("_norm"), col("cell_norm")))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding").as("c_emb"), col("_norm").as("c_norm"),
+          col("cell_id"), col("_cos").as("ccos")),
+        struct(col("_cos").as("c"), (-col("cell_id")).as("nid"))).as("_a"))
+      .select(col("vec_id"), col("_a.cell_id").as("cell_id"),
+        col("_a.ccos").as("ccos"), col("_a.c_emb").as("c_emb"),
+        col("_a.c_norm").as("c_norm"))
+
+  /** Standalone k-means data map: every vector labelled with its
+    * cluster after `iters` deterministic Lloyd passes, plus its cosine
+    * to the final centroid floor-scaled to 1e-6 (`ccos_s`) — the
+    * membership + confidence table that curriculum buckets, SemDeDup
+    * cells and corpus data maps are built from. Returns
+    * (vec_id, cell_id, ccos_s).
+    *
+    * Scale shape: centroids are nCells·dims values, always broadcast;
+    * the only per-vector shuffle is the max_by partial aggregation, so
+    * vectors are scored map-side and embeddings never shuffle.
+    * Degenerate zero-norm vectors take the −2 cosine sentinel and
+    * land deterministically in the lowest cell id.
+    */
+  def kmeansAssign(vectors: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame =
+    assignCells(vectors, lloydCells(vectors, nCells, iters))
+      .select(col("vec_id"), col("cell_id"),
+        floor(col("ccos") * lit(1000000.0)).cast("long").as("ccos_s"))
+
+  /** Per-cluster cohesion summary over [[kmeansAssign]]: member count
+    * and summed fixed-point centroid cosine (the spherical-k-means
+    * analogue of inertia — higher = tighter cell). One nCells-row
+    * table; the grouped aggregation is partial-agged map-side.
+    */
+  def kmeansSummary(vectors: DataFrame, nCells: Int = 16, iters: Int = 2): DataFrame =
+    kmeansAssign(vectors, nCells, iters)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("ccos_s")).as("sum_ccos_s"))
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their
+    * nearest-centroid cell once; a query scans only its `nProbe`
+    * nearest cells. Seed centroids are the `nCells` lowest-id vectors;
+    * `kmeansIters` Lloyd refinement passes move them to the
+    * (deterministic, fixed-point) element-wise means of their assigned
+    * vectors — cells that lose every member keep their previous
+    * centroid, the standard k-means convention. Cells are broadcast to
+    * both assignment passes; the scan is an equi-join on cell id, so
+    * query cost is |cell|·nProbe instead of |candidates|.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val cells = lloydCells(candidates, nCells, kmeansIters)
+    def withCellCos(df: DataFrame, idCol: String, cs: DataFrame): DataFrame =
+      df.select(col(idCol), col("embedding"), normFp(col("embedding")).as("_norm"))
+        .join(broadcast(cs))
+        .withColumn("_cos", cosine(dotFp(col("embedding"), col("cell_emb")),
+          col("_norm"), col("cell_norm")))
+    val assigned = assignCells(candidates, cells)
+      .select(col("vec_id"), col("c_emb"), col("c_norm"), col("cell_id"))
     // the query side genuinely needs the top-nProbe cells per query →
     // keep the window there (query sets are small by construction)
     val probeW = Window.partitionBy(col("query_id"))

@@ -92,6 +92,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(refined.toSeq === again.toSeq)
   }
 
+  test("kmeansAssign separates direction clusters and sums into kmeansSummary") {
+    // two tight direction clusters; after 2 Lloyd passes every vector
+    // must share a cell with its own cluster only
+    val a = Seq(1f, 0.1f, 0f)
+    val b = Seq(0f, 0.1f, 1f)
+    def jitter(base: Seq[Float], i: Int) = base.map(_ + i * 0.001f)
+    val d = vecs(
+      (0L to 4L).map(i => i -> jitter(a, i.toInt)) ++
+        (5L to 9L).map(i => i -> jitter(b, i.toInt)): _*)
+    val assign = Similarity.kmeansAssign(d, nCells = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(assign.length === 10)
+    val byCell = assign.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCell.values.toSet === Set((0L to 4L).toSet, (5L to 9L).toSet),
+      s"clusters not separated: $byCell")
+    // confidence: every member within its tight cluster is near-parallel
+    // to the centroid (ccos_s is 1e-6-scaled cosine)
+    assert(assign.forall(_._3 > 990000L), s"low ccos in ${assign.toSeq}")
+    // summary is the exact per-cell fold of the assignment table
+    val summary = Similarity.kmeansSummary(d, nCells = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = assign.groupBy(_._2).map { case (c, rows) =>
+      (c, rows.length.toLong, rows.map(_._3).sum)
+    }.toSet
+    assert(summary === expected)
+  }
+
+  test("kmeansAssign is deterministic under input re-partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val once = Similarity.kmeansAssign(emb, nCells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val again = Similarity.kmeansAssign(emb.repartition(7), nCells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(once === again)
+  }
+
   test("native FixedPointDot == HOF formulation, incl. mixed float/double") {
     import spark.implicits._
     val d = Seq(
