@@ -66,7 +66,12 @@ object ScaleSmoke {
     // quadratic risk), and the advisor/reconcile ops compositions
     // (digest diff must touch dirty buckets, not the corpus)
     "q_sketch_theta_retention", "q_pipeline_curriculum",
-    "q_multimodal_phash", "q_advisor_join", "q_pipeline_reconcile")
+    "q_multimodal_phash", "q_advisor_join", "q_pipeline_reconcile",
+    // late round-8 rider: the k-means data map — per-Lloyd-pass cost is
+    // one broadcast-score + max_by shuffle of |vectors| rows plus a
+    // (cell, dim)-keyed mean; a centroid re-join or embedding shuffle
+    // sneaking in would show here as super-linear growth
+    "q_sim_kmeans_assign")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

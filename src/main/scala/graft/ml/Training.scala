@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed TRAINING of the linear filter model that
+  * [[Inference]] applies — the "fit a fastText-style quality
+  * classifier on the corpus" step of a training-data pipeline, as
+  * batch gradient descent over a binary logistic head.
+  *
+  * Determinism contract (the same engine-portable arithmetic as
+  * [[Regression]] and the Lloyd means in `similarity.Similarity`):
+  * every quantity is fixed-point BIGINT —
+  *
+  *   - features:  xs_d = floor(x_d · 1e6)
+  *   - weights:   w_d at 1e-6 scale, initialized to 0
+  *   - margin:    z_s = Σ_d xs_d · w_d            (1e-12 scale)
+  *   - proba:     hard-sigmoid clamp(1/2 + z/4, 0, 1) at 1e-6 scale
+  *                = clamp(500000 + ⌊z_s / 4e6⌋, 0, 1e6)
+  *   - gradient:  g_d = Σ_rows (p_s − y_s) · xs_d (1e-12 scale)
+  *   - update:    w_d ← w_d − ⌊lrNum · g_d / (lrDen · n · 1e6)⌋
+  *
+  * The hard sigmoid (rational, exactly representable) replaces exp()
+  * deliberately: 1/(1+e^-z) is transcendental and engines disagree in
+  * the last ulp, which would poison every downstream integer; the
+  * clamped-linear form is the standard "hard sigmoid" surrogate and
+  * keeps training bit-identical in any engine — the DuckDB oracle
+  * replays all iterations exactly. All floor divisions are
+  * pmod-subtract (floor semantics for positive divisors, portable —
+  * truncating `div` would disagree on negative margins).
+  *
+  * Scale shape: the fixed-point feature projection materializes ONCE
+  * (persisted MEMORY_AND_DISK — features are far smaller than source
+  * docs); each GD iteration is one map-only scoring pass over it plus
+  * one (dim)-keyed partial-aggregated gradient sum — dims groups on
+  * the wire regardless of row count — and a dims-bounded driver
+  * collect (a classifier head is KBs; the same bounded-collect budget
+  * as the BPE top-pair and the Bloom build). Weights re-enter the
+  * plan as literal arrays, the broadcast pattern without a broadcast.
+  *
+  * Overflow headroom is the caller's scale choice, as in
+  * [[Regression]]: |x| ≤ 10^3 keeps per-row gradient terms ≤ 1e15,
+  * so ≥ 9·10^3 rows per unit lrNum stay under 2^63; petabyte corpora
+  * shard the gradient sum (hierarchical agg) or downscale lrNum.
+  */
+object Training {
+
+  private val S = 1000000L // 1e-6 fixed-point scale
+
+  /** Floor division a/b (b > 0 literal) in exact long arithmetic:
+    * subtracting the non-negative pmod makes a exactly divisible, so
+    * the truncating IntegralDivide returns the floor quotient.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    Shim.column(new IntegralDivide(
+      Shim.expression(a - pmod(a, b)), Shim.expression(b)))
+
+  /** Fixed-point feature array: floor(x_d · 1e6) as BIGINT. */
+  private def xsCol(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(S.toDouble)).cast("long"))
+
+  /** Hard-sigmoid probability (1e-6 scale) from margin z_s. */
+  private def hardSigmoidS(zs: Column): Column =
+    least(greatest(lit(S / 2) + floorDiv(zs, lit(4L * S)), lit(0L)), lit(S))
+
+  /** Margin z_s of a feature array against a literal weight vector. */
+  private def marginS(xs: Column, w: Array[Long]): Column =
+    aggregate(
+      zip_with(xs, array(w.map(lit).toIndexedSeq: _*),
+        (a, b) => coalesce(a * b, lit(0L))),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Train a binary logistic head over `vectors(embedding, labelCol)`
+    * and return the learned 1e-6-scale weights driver-side (dims
+    * entries — the form [[Inference.linearClassifyWeights]] and
+    * [[logisticPredict]] consume). `labelCol` must be 0/1.
+    */
+  def trainLogisticWeights(vectors: DataFrame, labelCol: String,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 2L): Array[Long] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
+    val dims = vectors.select(size(col("embedding"))).first().getInt(0)
+    val base = vectors.select(
+        xsCol(col("embedding")).as("xs"),
+        (col(labelCol).cast("long") * S).as("ys"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "cannot train on an empty corpus")
+      var w = Array.fill(dims)(0L)
+      for (_ <- 0 until iters) {
+        val err = (hardSigmoidS(marginS(col("xs"), w)) - col("ys")).as("err")
+        // (dim)-keyed gradient: partial-aggregated map-side, dims
+        // groups on the wire; collect is dims-bounded (the head)
+        val grads = base.select(err, posexplode(col("xs")))
+          .groupBy("pos").agg(sum(col("err") * col("col")).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        w = w.zipWithIndex.map { case (wv, d) =>
+          wv - Math.floorDiv(lrNum * grads.getOrElse(d, 0L), lrDen * n * S)
+        }
+      }
+      w
+    } finally { base.unpersist(); () }
+  }
+
+  /** The trained head as a table: (dim, w_s) — the persistable /
+    * oracle-checkable form of [[trainLogisticWeights]].
+    */
+  def logisticTrain(spark: SparkSession, vectors: DataFrame, labelCol: String,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    import spark.implicits._
+    trainLogisticWeights(vectors, labelCol, iters, lrNum, lrDen)
+      .toIndexedSeq.zipWithIndex
+      .map { case (wv, d) => (d.toLong, wv) }
+      .toDF("dim", "w_s")
+  }
+
+  /** Map-only corpus scoring with a trained head: (vec_id, p_s, pred)
+    * — probability at 1e-6 scale and the 0.5-threshold class. At
+    * 100 TB inference IS the scan (see [[Inference]]); the weight
+    * vector ships as a plan literal.
+    */
+  def logisticPredict(vectors: DataFrame, w: Array[Long]): DataFrame =
+    vectors.select(col("vec_id"),
+        hardSigmoidS(marginS(xsCol(col("embedding")), w)).as("p_s"))
+      .withColumn("pred", (col("p_s") >= lit(S / 2)).cast("long"))
+
+  /** Train-then-evaluate composition: the confusion-matrix counts of
+    * the trained head on `vectors` — (y, pred, n_rows), the quality
+    * gate a filter-model pipeline checks before applying the model to
+    * the full corpus.
+    */
+  def logisticEval(vectors: DataFrame, labelCol: String,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    val w = trainLogisticWeights(vectors, labelCol, iters, lrNum, lrDen)
+    logisticPredict(vectors, w)
+      .join(vectors.select(col("vec_id"), col(labelCol).cast("long").as("y")),
+        "vec_id")
+      .groupBy("y", "pred").agg(count(lit(1)).as("n_rows"))
+  }
+}

@@ -26,6 +26,57 @@ object DedupQueries {
   /** Per-token rolling hashes (TextAnalysis.tokenHashTable's `th`). */
   private val thSql = s"list_transform($toks, tk -> ${charHash("tk")})"
 
+  /** ONE Scala value feeds the q_dedup_leakage_split Spark face and its
+    * oracle's CASE ladder (the q_sample_splits pattern).
+    */
+  private val leakageSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The 4-round min-label group chain shared by the q_dedup_groups and
+    * q_dedup_leakage_split oracles: shingle sets → windowed candidates →
+    * exact Jaccard ≥ 0.2 pair graph → l0 identity labels → l1..l4
+    * (adopt min(own, neighbours' previous labels)) — mirrors
+    * Dedup.dedupGroups exactly. Ends at `l4(doc_id, group_id)`.
+    */
+  private lazy val groupsChainSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""l$r AS (
+         |  SELECT l.doc_id,
+         |    least(l.group_id, coalesce(m.nbr_min, l.group_id)) AS group_id
+         |  FROM l${r - 1} l LEFT JOIN (
+         |    SELECT e.doc_id, min(x.group_id) AS nbr_min
+         |    FROM e JOIN l${r - 1} x ON x.doc_id = e.nbr
+         |    GROUP BY e.doc_id) m USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""tht AS (SELECT doc_id, $thSql AS th FROM documents),
+       |hs AS (
+       |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+       |  FROM tht),
+       |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM (SELECT doc_id FROM documents) a
+       |  JOIN (SELECT doc_id FROM documents) b
+       |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
+       |j AS (
+       |  SELECT doc_id_a, doc_id_b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+       |    sa.n_sh + sb.n_sh AS n_a_b
+       |  FROM cand
+       |  JOIN hn sa ON sa.doc_id = doc_id_a
+       |  JOIN hn sb ON sb.doc_id = doc_id_b),
+       |p AS (
+       |  SELECT doc_id_a, doc_id_b FROM j
+       |  WHERE n_a_b - n_common > 0
+       |    AND CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) >= 0.2),
+       |e AS (
+       |  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM p
+       |  UNION ALL
+       |  SELECT doc_id_b, doc_id_a FROM p),
+       |l0 AS (SELECT doc_id, doc_id AS group_id FROM documents),
+       |$rounds""".stripMargin
+  }
+
   /** 3-gram shingle hashes by polynomial combination of token hashes
     * (TextAnalysis.shingleHashes): fold(h*131 + th_j) mod p.
     */
@@ -205,6 +256,18 @@ object DedupQueries {
     "q_dedup_groups" -> ((s, dir) => {
       Dedup.dedupGroups(Tables(s, dir, "documents"),
         dedupPairs(s, dir), rounds = 4)
+    }),
+
+    // leakage-safe 80/10/10 split: the split hashes the dedup-GROUP
+    // representative, so near-duplicate documents can never straddle
+    // train/val/test — the contamination guard a training pipeline
+    // runs BETWEEN dedup-grouping and export
+    "q_dedup_leakage_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val groups = Dedup.dedupGroups(docs, dedupPairs(s, dir), rounds = 4)
+        .select("doc_id", "group_id")
+      graft.sampling.Sampling.splitByGroup(docs.select("doc_id"), "doc_id",
+        groups, "doc_id", "group_id", leakageSplits, salt = 11)
     }),
 
     // the convergence face of the same operator: identical pair graph,
@@ -662,46 +725,27 @@ object DedupQueries {
          |    ELSE 0.0 END) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_jaccard_s
          |FROM j GROUP BY 1""".stripMargin,
 
-    "q_dedup_groups" -> {
-      // l0 = identity labels; each round r: adopt min(own, neighbours'
-      // round-(r-1) labels) — mirrors Dedup.dedupGroups exactly
-      val rounds = (1 to 4).map { r =>
-        s"""l$r AS (
-           |  SELECT l.doc_id,
-           |    least(l.group_id, coalesce(m.nbr_min, l.group_id)) AS group_id
-           |  FROM l${r - 1} l LEFT JOIN (
-           |    SELECT e.doc_id, min(x.group_id) AS nbr_min
-           |    FROM e JOIN l${r - 1} x ON x.doc_id = e.nbr
-           |    GROUP BY e.doc_id) m USING (doc_id))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
-         |hs AS (
-         |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
-         |  FROM tht),
-         |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM (SELECT doc_id FROM documents) a
-         |  JOIN (SELECT doc_id FROM documents) b
-         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
-         |j AS (
-         |  SELECT doc_id_a, doc_id_b,
-         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
-         |    sa.n_sh + sb.n_sh AS n_a_b
-         |  FROM cand
-         |  JOIN hn sa ON sa.doc_id = doc_id_a
-         |  JOIN hn sb ON sb.doc_id = doc_id_b),
-         |p AS (
-         |  SELECT doc_id_a, doc_id_b FROM j
-         |  WHERE n_a_b - n_common > 0
-         |    AND CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE) >= 0.2),
-         |e AS (
-         |  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM p
-         |  UNION ALL
-         |  SELECT doc_id_b, doc_id_a FROM p),
-         |l0 AS (SELECT doc_id, doc_id AS group_id FROM documents),
-         |$rounds
-         |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin
+    "q_dedup_groups" ->
+      s"""WITH $groupsChainSql
+         |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin,
+
+    // leakage-safe split: the SAME 4-round group chain, then the
+    // q_sample_splits hash ladder applied to the GROUP representative —
+    // near-duplicate groups cannot straddle train/val/test
+    "q_dedup_leakage_split" -> {
+      val a = TextAnalysis.hashA(11)
+      val b = TextAnalysis.hashB(11)
+      val cums = leakageSplits.map(_._2 * 1000.0)
+        .scanLeft(0L)((acc, f) => acc + f.toLong).tail
+      val whens = leakageSplits.zip(cums)
+        .map { case ((name, _), cum) => s"WHEN bucket < $cum THEN '$name'" }
+        .mkString(" ")
+      s"""WITH $groupsChainSql,
+         |gb AS (
+         |  SELECT doc_id, group_id,
+         |    (((group_id % $P) * $a + $b) % $P) % 1000 AS bucket
+         |  FROM l4)
+         |SELECT doc_id, group_id, CASE $whens END AS split FROM gb""".stripMargin
     },
 
     // same pair graph as q_dedup_groups, but the label is the EXACT

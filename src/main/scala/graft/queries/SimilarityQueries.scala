@@ -145,6 +145,46 @@ object SimilarityQueries {
   private val inferWeights: Seq[Seq[Long]] =
     (0 until 4).map(c => (0 until 8).map(d => ((c * 7 + d * 3) % 11 - 5).toLong))
 
+  /** The exact GD replay behind q_ml_logistic_train/_eval — the SQL
+    * twin of `graft.ml.Training` (see its scaladoc for the fixed-point
+    * spec): `ex` is the exploded 1e-6 feature table with parity labels,
+    * `w_0` the zero head, and each iteration block computes margin →
+    * hard-sigmoid proba → (dim)-keyed gradient → floor-div update with
+    * lr = 1/2. All divisions are pmod-subtract + `//` (exact BIGINT,
+    * floor semantics after the mod subtraction). Ends at `w_$iters`.
+    */
+  private def logisticChainSql(iters: Int): String = {
+    val blocks = (0 until iters).map { it =>
+      s"""z_$it AS (
+         |  SELECT e.vec_id, max(e.ys) AS ys,
+         |    CAST(sum(e.xs * w.w) AS BIGINT) AS z
+         |  FROM ex e JOIN w_$it w USING (dim) GROUP BY e.vec_id),
+         |p_$it AS (
+         |  SELECT vec_id, ys,
+         |    least(greatest(500000 +
+         |      (z - ((z % 4000000 + 4000000) % 4000000)) // 4000000,
+         |      0), 1000000) AS ps
+         |  FROM z_$it),
+         |g_$it AS (
+         |  SELECT e.dim, CAST(sum((p.ps - p.ys) * e.xs) AS BIGINT) AS g
+         |  FROM ex e JOIN p_$it p USING (vec_id) GROUP BY e.dim),
+         |w_${it + 1} AS (
+         |  SELECT w.dim, CAST(w.w -
+         |    (g.g - ((g.g % d.d + d.d) % d.d)) // d.d AS BIGINT) AS w
+         |  FROM w_$it w JOIN g_$it g USING (dim)
+         |  CROSS JOIN (SELECT n * 2 * 1000000 AS d FROM nn) d)""".stripMargin
+    }.mkString(",\n")
+    s"""ex AS (
+       |  SELECT vec_id, CAST(label % 2 AS BIGINT) * 1000000 AS ys,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS xs
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |w_0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS w FROM ex),
+       |$blocks""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-5 for 8 query vectors over all candidates
@@ -278,6 +318,24 @@ object SimilarityQueries {
     "q_infer_weights" -> ((s, dir) =>
       graft.ml.Inference.linearClassifyWeights(Tables(s, dir, "embeddings"),
         inferWeights)),
+
+    // distributed TRAINING of the binary quality head (graft.ml
+    // .Training): 3 hard-sigmoid GD iterations, lr = 1/2, label parity
+    // as the binary target; output is the learned fixed-point weight
+    // table (dim, w_s) — every iteration replayed exactly by the
+    // DuckDB oracle (rational hard sigmoid, no exp())
+    "q_ml_logistic_train" -> ((s, dir) =>
+      graft.ml.Training.logisticTrain(s,
+        Tables(s, dir, "embeddings").withColumn("y", pmod(col("label"), lit(2))),
+        labelCol = "y", iters = 3)),
+
+    // train-then-evaluate composition: confusion-matrix counts of the
+    // trained head on the training corpus — the filter-model quality
+    // gate before full-corpus application
+    "q_ml_logistic_eval" -> ((s, dir) =>
+      graft.ml.Training.logisticEval(
+        Tables(s, dir, "embeddings").withColumn("y", pmod(col("label"), lit(2))),
+        labelCol = "y", iters = 3)),
 
     // reciprocal-rank fusion of the LSH and IVF retriever rankings —
     // consensus top-k, fixed-point RRF scores
@@ -661,6 +719,27 @@ object SimilarityQueries {
          |SELECT a.vec_id, CAST(a.c AS BIGINT) AS pred_class,
          |  a.score_s AS pred_score_s, a.score_s - b.score_s AS margin_s
          |FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2""".stripMargin,
+
+    "q_ml_logistic_train" ->
+      s"""WITH ${logisticChainSql(3)}
+         |SELECT dim, w AS w_s FROM w_3""".stripMargin,
+
+    "q_ml_logistic_eval" ->
+      s"""WITH ${logisticChainSql(3)},
+         |fz AS (
+         |  SELECT e.vec_id, max(e.ys) AS ys,
+         |    CAST(sum(e.xs * w.w) AS BIGINT) AS z
+         |  FROM ex e JOIN w_3 w USING (dim) GROUP BY e.vec_id),
+         |fp AS (
+         |  SELECT vec_id, ys // 1000000 AS y,
+         |    least(greatest(500000 +
+         |      (z - ((z % 4000000 + 4000000) % 4000000)) // 4000000,
+         |      0), 1000000) AS ps
+         |  FROM fz)
+         |SELECT CAST(y AS BIGINT) AS y,
+         |  CAST(CASE WHEN ps >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM fp GROUP BY 1, 2""".stripMargin,
 
     "q_sim_rrf" -> {
       // the two retriever oracles embed verbatim as derived tables — a

@@ -143,13 +143,22 @@ object Sampling {
     */
   def assignSplits(df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)], salt: Int = 0,
+      splitCol: String = "split"): DataFrame =
+    assignSplitsBy(df, col(keyCol), splits, salt, splitCol)
+
+  /** [[assignSplits]] generalized to an arbitrary decision key
+    * expression — the form [[splitByGroup]] uses to split on a GROUP
+    * representative instead of the row's own key.
+    */
+  def assignSplitsBy(df: DataFrame, byCol: Column,
+      splits: Seq[(String, Double)], salt: Int = 0,
       splitCol: String = "split"): DataFrame = {
     require(!df.columns.contains(splitCol),
       s"input already has a '$splitCol' column; pass splitCol = <other name>")
     val quantized = splits.map { case (name, f) => name -> (f * 1000.0).toLong }
     require(quantized.map(_._2).sum == 1000L,
       s"split fractions must sum to 1.0 after 1/1000th quantization: $quantized")
-    val bucket = hashBucket(col(keyCol), salt)
+    val bucket = hashBucket(byCol, salt)
     // CASE ladder front-to-back over cumulative thresholds
     val thresholds = quantized.scanLeft(0L)(_ + _._2).tail
     val expr = quantized.zip(thresholds).tail
@@ -157,6 +166,33 @@ object Sampling {
         case (acc, ((name, _), cum)) => acc.when(bucket < cum, lit(name))
       }
     df.withColumn(splitCol, expr)
+  }
+
+  /** LEAKAGE-SAFE stratified split: the split decision hashes the
+    * row's dedup-GROUP representative, not the row key, so every
+    * member of a near-duplicate group lands in the same split — the
+    * guard against train/test contamination through near-duplicates
+    * (the reason dedup-groups exist in a training-data pipeline).
+    * `groups(groupKeyCol, groupIdCol)` is a key → group-representative
+    * map (e.g. `Dedup.dedupGroups` output); keys absent from it form
+    * their own singleton group (coalesce to the row key), so a partial
+    * group table degrades safely instead of dropping rows.
+    *
+    * Scale shape: one co-partitioned equi-join on the row key (the
+    * group map is corpus-sized — never broadcast) followed by the
+    * map-only CASE ladder; with both sides bucketed by the key the
+    * join is shuffle-free.
+    */
+  def splitByGroup(df: DataFrame, keyCol: String, groups: DataFrame,
+      groupKeyCol: String, groupIdCol: String,
+      splits: Seq[(String, Double)], salt: Int = 0,
+      splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(groupIdCol),
+      s"input already has a '$groupIdCol' column; alias the group table")
+    val g = groups.select(col(groupKeyCol).as(keyCol), col(groupIdCol))
+    val joined = df.join(g, Seq(keyCol), "left")
+      .withColumn(groupIdCol, coalesce(col(groupIdCol), col(keyCol)))
+    assignSplitsBy(joined, col(groupIdCol), splits, salt, splitCol)
   }
 
   /** Uniform per-group downsampling: keep `n` rows of each group chosen

@@ -351,7 +351,11 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_sketch_bloom_fpr", "q_sketch_cms_est",
       // more-like-this attaches the 1-row corpus count for its integer
       // rarity weights — the q_text_tfidf bounded-aggregate shape
-      "q_text_more_like_this")
+      "q_text_more_like_this",
+      // the standalone k-means faces share the IVF bounded-centroid
+      // broadcast attach (assignCells) — same designed shape as
+      // q_sim_ivf_kmeans
+      "q_sim_kmeans_assign", "q_sim_kmeans_cells")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -80,6 +80,31 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("splitByGroup keeps every group member in one split; singletons degrade") {
+    import spark.implicits._
+    val d = docs(300)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // groups of 3 consecutive ids for the first half; second half absent
+    // from the group table (singleton degradation path)
+    val groups = (0L until 150L).map(i => (i, i - i % 3)).toDF("doc_id", "group_id")
+    val out = Sampling.splitByGroup(d, "doc_id", groups, "doc_id", "group_id",
+      splits, salt = 1)
+    val rows = out.select("doc_id", "group_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 300, "left join keeps every row")
+    // leakage safety: one split per group
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).toSet.size === 1, s"group $g straddles splits")
+    }
+    // absent keys form their own singleton group...
+    rows.filter(_._1 >= 150L).foreach { case (id, g, _) => assert(g === id) }
+    // ...and then match assignSplits on the raw key exactly
+    val plain = Sampling.assignSplits(d.where(col("doc_id") >= 150), "doc_id",
+      splits, salt = 1).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_._1 >= 150L).foreach { case (id, _, s) => assert(plain(id) === s) }
+  }
+
   test("samplePerGroup keeps n hash-ordered rows per group, layout-independent") {
     val d = docs(300)
     val out = Sampling.samplePerGroup(d, "doc_id", Seq("source"), n = 4, salt = 2)

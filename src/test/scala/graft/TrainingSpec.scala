@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Training
+
+class TrainingSpec extends SparkTestBase {
+
+  private def labeled(rows: (Long, Seq[Float], Int)*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "y")
+  }
+
+  /** Linearly separable fixture: positives along +e1, negatives along
+    * −e1, with a small orthogonal nuisance dimension.
+    */
+  private def separable = labeled(
+    (0L to 4L).map(i => (i, Seq(0.8f + 0.02f * i, 0.1f * (i % 2)), 1)) ++
+      (5L to 9L).map(i => (i, Seq(-0.8f - 0.02f * (i - 5), 0.1f * (i % 2)), 0)): _*)
+
+  test("trainLogisticWeights learns the separating direction") {
+    val w = Training.trainLogisticWeights(separable, "y", iters = 5)
+    assert(w.length === 2)
+    assert(w(0) > 0L, s"e1 weight should be positive, got ${w.toSeq}")
+    assert(math.abs(w(1)) < w(0), s"nuisance dim dominates: ${w.toSeq}")
+    val preds = Training.logisticPredict(separable, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L to 4L).foreach(i => assert(preds(i) === 1L, s"vec $i"))
+    (5L to 9L).foreach(i => assert(preds(i) === 0L, s"vec $i"))
+  }
+
+  test("training is deterministic under input re-partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("y", pmod(col("label"), lit(2)))
+    val once = Training.trainLogisticWeights(emb, "y", iters = 2)
+    val again = Training.trainLogisticWeights(emb.repartition(7), "y", iters = 2)
+    assert(once.toSeq === again.toSeq)
+  }
+
+  test("logisticEval confusion counts fold the per-row predictions") {
+    val d = separable
+    val w = Training.trainLogisticWeights(d, "y", iters = 3)
+    val perRow = Training.logisticPredict(d, w)
+      .join(d.select(col("vec_id"), col("y").cast("long").as("y")), "vec_id")
+      .groupBy("y", "pred").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val eval = Training.logisticEval(d, "y", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(eval === perRow)
+  }
+
+  test("hard-sigmoid proba saturates to [0, 1e6] and thresholds at 1/2") {
+    // one huge-margin vector each way plus an exact-zero margin
+    val d = labeled(
+      (0L, Seq(100f), 1), (1L, Seq(-100f), 0), (2L, Seq(0f), 0))
+    val w = Array(1000000L) // w = 1.0
+    val byId = Training.logisticPredict(d, w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(0L) === ((1000000L, 1L)))
+    assert(byId(1L) === ((0L, 0L)))
+    assert(byId(2L) === ((500000L, 1L))) // p = 1/2 exactly → class 1
+  }
+}
