@@ -67,11 +67,13 @@ object ScaleSmoke {
     // (digest diff must touch dirty buckets, not the corpus)
     "q_sketch_theta_retention", "q_pipeline_curriculum",
     "q_multimodal_phash", "q_advisor_join", "q_pipeline_reconcile",
-    // late round-8 rider: the k-means data map — per-Lloyd-pass cost is
+    // late round-8 riders: the k-means data map — per-Lloyd-pass cost is
     // one broadcast-score + max_by shuffle of |vectors| rows plus a
     // (cell, dim)-keyed mean; a centroid re-join or embedding shuffle
-    // sneaking in would show here as super-linear growth
-    "q_sim_kmeans_assign")
+    // sneaking in would show here as super-linear growth — and GD
+    // training, whose per-iteration cost must be one feature-projection
+    // scan plus a dims-bounded gradient shuffle
+    "q_sim_kmeans_assign", "q_ml_logistic_train")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

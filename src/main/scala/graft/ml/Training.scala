@@ -50,11 +50,12 @@ object Training {
 
   private val S = 1000000L // 1e-6 fixed-point scale
 
-  /** Floor division a/b (b > 0 literal) in exact long arithmetic:
-    * subtracting the non-negative pmod makes a exactly divisible, so
-    * the truncating IntegralDivide returns the floor quotient.
+  /** Floor division a/b (b > 0) in exact long arithmetic: subtracting
+    * the non-negative pmod makes a exactly divisible, so the
+    * truncating IntegralDivide returns the floor quotient. Shared with
+    * [[Evaluation]].
     */
-  private def floorDiv(a: Column, b: Column): Column =
+  private[ml] def floorDivP(a: Column, b: Column): Column =
     Shim.column(new IntegralDivide(
       Shim.expression(a - pmod(a, b)), Shim.expression(b)))
 
@@ -64,7 +65,7 @@ object Training {
 
   /** Hard-sigmoid probability (1e-6 scale) from margin z_s. */
   private def hardSigmoidS(zs: Column): Column =
-    least(greatest(lit(S / 2) + floorDiv(zs, lit(4L * S)), lit(0L)), lit(S))
+    least(greatest(lit(S / 2) + floorDivP(zs, lit(4L * S)), lit(0L)), lit(S))
 
   /** Margin z_s of a feature array against a literal weight vector. */
   private def marginS(xs: Column, w: Array[Long]): Column =

@@ -27,6 +27,7 @@ object QueryCaches {
     GraphQueries.clearCache()
     TextQueries.clearCache()
     DedupQueries.clearCache()
+    SimilarityQueries.clearCache()
   }
 
   /** Build + materialize every memoized shared stage (Bench warm-up):
@@ -39,5 +40,6 @@ object QueryCaches {
     GraphQueries.prebuild(s, dir)
     TextQueries.prebuild(s, dir)
     DedupQueries.prebuild(s, dir)
+    SimilarityQueries.prebuild(s, dir)
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ml.Evaluation
+
+class EvaluationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // positives {90, 80, 10}, negatives {80, 10, 5} — one tie at 80 and
+  // one at 10, so the average-rank correction is exercised
+  private def fixture = Seq(
+    (1L, 90L), (1L, 80L), (0L, 80L), (0L, 10L), (1L, 10L), (0L, 5L))
+    .toDF("y", "p_s")
+
+  test("aucExact matches the hand-computed tie-corrected U statistic") {
+    // pairwise: 3 + (0.5 + 1 + 1) + (0 + 0.5 + 1) = 7 of 9 → AUC 7/9
+    val r = Evaluation.aucExact(fixture, "y", "p_s").collect().head
+    assert(r.getLong(0) === 3L) // n_pos
+    assert(r.getLong(1) === 3L) // n_neg
+    assert(r.getLong(2) === 14L, "auc_num_x2 = 2U = 14")
+    assert(r.getLong(3) === 18L)
+    assert(math.abs(r.getDouble(4) - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("aucExact on a single-class corpus reports null, not a crash") {
+    val d = Seq((1L, 10L), (1L, 20L)).toDF("y", "p_s")
+    val r = Evaluation.aucExact(d, "y", "p_s").collect().head
+    assert(r.getLong(1) === 0L)
+    assert(r.isNullAt(4))
+  }
+
+  test("aucExact is invariant to any strictly monotone score transform") {
+    val warped = fixture.selectExpr("y", "p_s * p_s + 7 AS p_s")
+    val a = Evaluation.aucExact(fixture, "y", "p_s").collect().head.getDouble(4)
+    val b = Evaluation.aucExact(warped, "y", "p_s").collect().head.getDouble(4)
+    assert(a === b)
+  }
+
+  test("thresholdSweep confusion counts and fixed-point P/R by hand") {
+    val out = Evaluation.thresholdSweep(fixture, "y", "p_s", Seq(0L, 50L, 85L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(out(0L) === ((3L, 3L, 0L, 0L, 500000L, 1000000L)))
+    assert(out(50L) === ((2L, 1L, 1L, 2L, 666666L, 666666L)))
+    assert(out(85L) === ((1L, 0L, 2L, 3L, 1000000L, 333333L)))
+  }
+
+  test("thresholdSweep null precision when nothing is predicted positive") {
+    val out = Evaluation.thresholdSweep(fixture, "y", "p_s", Seq(1000L))
+      .collect().head
+    assert(out.getLong(1) === 0L && out.getLong(2) === 0L)
+    assert(out.isNullAt(5), "0/0 precision must be null")
+    assert(out.getLong(6) === 0L, "recall is 0, not null (positives exist)")
+  }
+}
