@@ -28,15 +28,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class IntDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isIntArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(IntegerType, _) => true
+  // int arrays widen element-wise; long arrays (the GD training
+  // features/weights) ride the same fused loop — each side's getter is
+  // resolved once at plan time from its array element type. Long·long
+  // products can overflow silently: the caller's fixed-point scale is
+  // the headroom contract, exactly as in ml.Training / ml.Regression.
+  private def isIntegralArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isIntArray(left) && isIntArray(right)) TypeCheckResult.TypeCheckSuccess
+    if (isIntegralArray(left) && isIntegralArray(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_int_dot requires array<int> args, got " +
+      s"graft_int_dot requires array<int|bigint> args, got " +
         s"${left.dataType} and ${right.dataType}")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -46,12 +56,16 @@ case class IntDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val xl = isLongArray(left)
+    val yl = isLongArray(right)
     var acc = 0L
     var i = 0
     val n = x.numElements()
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      val xv = if (xl) x.getLong(i) else x.getInt(i).toLong
+      val yv = if (yl) y.getLong(i) else y.getInt(i).toLong
+      acc += xv * yv
       i += 1
     }
     acc
@@ -61,6 +75,8 @@ case class IntDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getX = if (isLongArray(left)) s"$a.getLong($i)" else s"(long) $a.getInt($i)"
+      val getY = if (isLongArray(right)) s"$b.getLong($i)" else s"(long) $b.getInt($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -68,7 +84,7 @@ case class IntDot(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $a.numElements(); $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |    $acc += $getX * $getY;
          |  }
          |  ${ev.value} = $acc;
          |}

@@ -67,12 +67,34 @@ object Training {
   private def hardSigmoidS(zs: Column): Column =
     least(greatest(lit(S / 2) + floorDivP(zs, lit(4L * S)), lit(0L)), lit(S))
 
-  /** Margin z_s of a feature array against a literal weight vector. */
+  /** Margin z_s of a feature array against a literal weight vector —
+    * the per-row scoring inner loop, backed by the native codegen'd
+    * integer dot (the HOF aggregate/zip_with form is CodegenFallback
+    * and would run the hot loop interpreted; [[marginSHof]] keeps it
+    * as the spec-tested parity witness). A width-mismatched row scores
+    * the zero margin (p = 1/2), never a crash.
+    */
   private def marginS(xs: Column, w: Array[Long]): Column =
+    coalesce(
+      graft.expressions.IntDot(xs, array(w.map(lit).toIndexedSeq: _*)),
+      lit(0L))
+
+  /** Executable documentation of [[marginS]]'s arithmetic (TrainingSpec
+    * pins native == HOF); prefix semantics differ only on
+    * width-mismatched rows, which [[marginS]] sends to zero instead.
+    */
+  private[graft] def marginSHof(xs: Column, w: Array[Long]): Column =
     aggregate(
       zip_with(xs, array(w.map(lit).toIndexedSeq: _*),
         (a, b) => coalesce(a * b, lit(0L))),
       lit(0L), (acc, t) => acc + t)
+
+  /** [[marginS]] exposed for the parity spec. */
+  private[graft] def marginSNative(xs: Column, w: Array[Long]): Column =
+    marginS(xs, w)
+
+  /** [[xsCol]] exposed for the parity spec. */
+  private[graft] def xsColP(emb: Column): Column = xsCol(emb)
 
   /** Train a binary logistic head over `vectors(embedding, labelCol)`
     * and return the learned 1e-6-scale weights driver-side (dims

@@ -49,6 +49,18 @@ class TrainingSpec extends SparkTestBase {
     assert(eval === perRow)
   }
 
+  test("native margin dot == HOF formulation on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val w = Array.tabulate(64)(d => (d * 37L % 11L) - 5L)
+    val xs = Training.xsColP(col("embedding"))
+    val pairs = emb.select(
+        Training.marginSNative(xs, w).as("native"),
+        Training.marginSHof(xs, w).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (n, h) => assert(n === h) }
+  }
+
   test("hard-sigmoid proba saturates to [0, 1e6] and thresholds at 1/2") {
     // one huge-margin vector each way plus an exact-zero margin
     val d = labeled(
