@@ -81,6 +81,32 @@ object Evaluation {
       .withColumn("recall_s", ratioS(col("tp"), col("tp") + col("fn")))
   }
 
+  /** Calibration / reliability bins: bucket the fixed-point scores into
+    * `bins` equal-width bins over [0, 1e6] and report per bin
+    * `(bin, n_rows, n_pos, sum_score_s)` — the reliability-diagram
+    * table (predicted-vs-observed positive rate per bin) that decides
+    * whether the head's probabilities are trustworthy as WEIGHTS (e.g.
+    * for soft-filtering or mixture reweighting) rather than only as a
+    * threshold. The exact 1e6 score lands in the top bin (least-clamp),
+    * the standard closed-top-bin convention. All outputs are exact
+    * integers — observed rate n_pos/n and mean score sum/n are left to
+    * the reader so the face hash-matches any engine.
+    *
+    * Same scale shape as [[aucExact]]: one partial-aggregated groupBy
+    * whose output cardinality is `bins`, not the corpus.
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val width = S / bins
+    scored
+      .groupBy(least(Training.floorDivP(col(scoreCol), lit(width)),
+        lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreCol)).as("sum_score_s"))
+  }
+
   /** The shared corpus reduction: (score, n, n_pos). */
   private def perScore(scored: DataFrame, labelCol: String,
       scoreCol: String): DataFrame =

@@ -402,6 +402,12 @@ object SimilarityQueries {
       graft.ml.Evaluation.thresholdSweep(logisticScored(s, dir), "y", "p_s",
         sweepThresholds)),
 
+    // reliability-diagram bins of the trained head: per score decile,
+    // count / observed positives / summed predicted score — whether the
+    // head's probabilities are trustworthy as soft-filter weights
+    "q_ml_calibration" -> ((s, dir) =>
+      graft.ml.Evaluation.calibrationBins(logisticScored(s, dir), "y", "p_s")),
+
     // reciprocal-rank fusion of the LSH and IVF retriever rankings —
     // consensus top-k, fixed-point RRF scores
     "q_sim_rrf" -> ((s, dir) => {
@@ -845,6 +851,16 @@ object SimilarityQueries {
          |  CASE WHEN tp + fn = 0 THEN NULL
          |    ELSE (tp * 1000000) // (tp + fn) END AS recall_s
          |FROM conf""".stripMargin,
+
+    // mirrors Evaluation.calibrationBins: equal-width score bins with a
+    // closed top bin (least-clamp), exact integer outputs
+    "q_ml_calibration" ->
+      s"""WITH $logisticScoredSql
+         |SELECT least(ps // 100000, 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(ps) AS BIGINT) AS sum_score_s
+         |FROM fp GROUP BY 1""".stripMargin,
 
     "q_sim_rrf" -> {
       // the two retriever oracles embed verbatim as derived tables — a

@@ -167,6 +167,110 @@ object TextAnalysis {
   private def rollingHashInline(s: Column): Column =
     graft.expressions.RollingHash(s)
 
+  /** Winnowing fingerprint selection (the MOSS algorithm): from each
+    * document's token k-gram hash stream, slide a window of `w`
+    * consecutive hashes and select the window's minimum — ties broken
+    * LEFTMOST (our contract; classic winnowing says rightmost — either
+    * satisfies the guarantee). The selected `(fp_hash, fp_pos)` set is
+    * the document's fingerprint, with winnowing's defining property:
+    * any two documents sharing a token run of ≥ w+k−1 tokens share at
+    * least one fingerprint, while only ~1/w of all k-grams are kept.
+    * Documents with fewer than w k-grams emit no fingerprints (no full
+    * window exists; the guarantee is vacuous below the threshold).
+    *
+    * The k-gram hash is FINALIZED with a mid-square mix
+    * ((h² + 12345) mod p) before selection: raw rolling hashes of
+    * similar token runs are strongly correlated (a near-monotonic
+    * stream makes every window pick its leftmost element and the
+    * density degrade from 2/(w+1) toward 1); the mix decorrelates
+    * neighbors so the classic density holds on structured input too.
+    *
+    * The arg-min is one integer encoding `h·1e6 + pos` under a plain
+    * window MIN — engine-portable, no struct ordering needed. Positions
+    * ≥ 1e6 (million-token documents) would only perturb TIE-BREAKING
+    * order, never which hash value is selected.
+    *
+    * Scale shape: the window partitions by doc_id and orders by
+    * position — per-document work bounded by document length, no
+    * global sort; the DISTINCT is keyed (doc_id, hash, pos). The
+    * selected set is the ~1/w-sized sketch that downstream candidate
+    * joins ([[winnowCandidates]]) operate on instead of full shingle
+    * sets.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val enc = 1000000L
+    val sh = tokenHashTable(docs)
+      .select(col("doc_id"), shingleHashes(col("th"), k).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"),
+        posexplode(col("hs")).as(Seq("pos", "h0")))
+      .withColumn("h", (col("h0") * col("h0") + lit(12345L)) % lit(HashMod))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("enc", min(col("h") * lit(enc) + col("pos")).over(win))
+      .where(col("pos") <= col("n_sh") - w)
+      .select(col("doc_id"),
+        expr(s"enc DIV $enc").as("fp_hash"),
+        pmod(col("enc"), lit(enc)).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Plagiarism/near-copy candidate pairs from winnowing fingerprints:
+    * documents sharing ≥ 1 selected fingerprint HASH, scored by how
+    * many distinct hashes they share. Fingerprints present in more than
+    * `maxDf` documents are dropped before pairing — the same df-cut
+    * defense as the inverted index: a boilerplate fingerprint would
+    * otherwise fan out df² pairs (and carries no copy signal).
+    */
+  def winnowCandidates(docs: DataFrame, k: Int = 3, w: Int = 4,
+      maxDf: Long = 50L): DataFrame = {
+    val fpd = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val kept = fpd.join(
+      fpd.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf),
+      "fp_hash")
+    kept.select(col("fp_hash"), col("doc_id").as("doc_id_a"))
+      .join(kept.select(col("fp_hash"), col("doc_id").as("doc_id_b")), "fp_hash")
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Cross-source overlap matrix: for every pair of sources, the exact
+    * Jaccard of their distinct token k-gram shingle sets — the
+    * dataset-mixing diagnostic ("how much does source A repeat source
+    * B") that decides dedup priorities and mixture weights.
+    *
+    * Scale shape: one distinct over (source, hash) — the only pass
+    * touching corpus volume — then a hash-keyed self-join whose fanout
+    * per hash is bounded by the SOURCE count (each hash appears once
+    * per source after the distinct), and a |sources|²-bounded result.
+    * The ratio is one long/long IEEE division, oracle-exact.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = tokenHashTable(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(shingleHashes(col("th"), k)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), "h")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** (doc_id, toks, th): whitespace tokens and their rolling hashes,
     * materialized ACROSS AN EXCHANGE BARRIER (repartition by doc_id).
     *

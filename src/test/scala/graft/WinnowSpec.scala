@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+class WinnowSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  // 20 distinct filler tokens so k-gram hashes are varied
+  private def filler(seed: Int, n: Int): String =
+    (0 until n).map(i => s"w${(seed * 7 + i * 13) % 97}x").mkString(" ")
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    val k = 3; val w = 4
+    val shared = "copied span alpha beta gamma delta epsilon" // 7 = w+k tokens
+    val d = docs(
+      (1L, s"${filler(1, 30)} $shared ${filler(2, 30)}", "a"),
+      (2L, s"${filler(3, 25)} $shared ${filler(4, 40)}", "b"))
+    val fp = TextAnalysis.winnowFingerprints(d, k, w)
+      .select("doc_id", "fp_hash").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "documents sharing a >= w+k-1 token run must share a fingerprint hash")
+  }
+
+  test("winnowing density: roughly 2/(w+1) of k-grams selected") {
+    // all-distinct tokens -> iid-like hash stream, where the classic
+    // expected winnowing density 2/(w+1) applies
+    val d = docs((1L, (0 until 400).map(i => s"tok${i}q").mkString(" "), "a"))
+    val nShingles = 400 - 2 // k=3
+    val n = TextAnalysis.winnowFingerprints(d, 3, 4).count()
+    assert(n >= nShingles / 8 && n <= nShingles / 2,
+      s"selected $n of $nShingles k-grams (expect ~2/(w+1) = 0.4)")
+  }
+
+  test("documents with fewer than w k-grams emit no fingerprints") {
+    // 5 tokens -> 3 shingles < w=4
+    val d = docs((1L, "a b c d e", "a"), (2L, filler(6, 50), "a"))
+    val byDoc = TextAnalysis.winnowFingerprints(d, 3, 4)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.contains(1L))
+    assert(byDoc(2L) > 0L)
+  }
+
+  test("winnowCandidates pairs the copies and df-cut drops boilerplate") {
+    val boiler = "common header line repeated on every page here now"
+    val copied = s"${filler(7, 30)} stolen passage one two three four five"
+    val d = docs(
+      (1L, s"$boiler $copied", "a"),
+      (2L, s"$boiler ${filler(8, 40)}", "a"),
+      (3L, s"$boiler ${filler(9, 40)}", "a"),
+      (4L, s"$boiler $copied", "a"))
+    val pairs = TextAnalysis.winnowCandidates(d, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 4L)), s"copy pair missing: $pairs")
+    // the copied span dominates the boilerplate-only pairs
+    val copyShared = pairs((1L, 4L))
+    pairs.foreach { case (p, n) =>
+      if (p != ((1L, 4L))) assert(n <= copyShared, s"$p shares $n > $copyShared")
+    }
+    // with maxDf = 1 every fingerprint in >1 doc is dropped: no pairs
+    assert(TextAnalysis.winnowCandidates(d, maxDf = 1).count() === 0L)
+  }
+
+  test("sourceOverlap computes exact pairwise shingle Jaccard") {
+    val d = docs(
+      (1L, "one two three four five", "s1"), // shingles: {123,234,345}
+      (2L, "one two three six seven", "s2"), // shares {123}
+      (3L, "eight nine ten", "s3")) // disjoint single shingle
+    val rows = TextAnalysis.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows((Seq("s1", "s2").min, Seq("s1", "s2").max)) ===
+      ((1L, 3L, 3L, 1.0 / 5.0)))
+    // disjoint sources produce no row (inner pair join)
+    assert(!rows.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
+  }
+}
