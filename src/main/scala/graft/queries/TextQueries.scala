@@ -126,6 +126,16 @@ object TextQueries {
     "q_text_source_overlap" -> ((s, dir) =>
       TextAnalysis.sourceOverlap(Tables(s, dir, "documents"))),
 
+    // Zipf rank-frequency OLS per language on the exact integer
+    // floor-log2 grid — natural text slopes toward -1
+    "q_text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables(s, dir, "documents"))),
+
+    // per-document k-gram novelty vs earlier doc_ids: the freshness
+    // weight and crawl-growth diagnostic
+    "q_text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(Tables(s, dir, "documents"))),
+
     "q_text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables(s, dir, "documents"))),
 
@@ -790,6 +800,51 @@ object TextQueries {
        |FROM e WHERE pos <= n_sh - 4""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_text_zipf" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |tf AS (
+         |  SELECT lang, h, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT d.lang, unnest(th) AS h
+         |    FROM tht JOIN documents d USING (doc_id))
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, freq, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY freq DESC, h) AS BIGINT) AS rank
+         |  FROM tf),
+         |pts AS (
+         |  SELECT lang,
+         |    CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+         |    CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+         |  FROM ranked WHERE rank <= 256),
+         |agged AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |    CAST(sum(x * x) AS BIGINT) AS sum_x2
+         |  FROM pts GROUP BY 1)
+         |SELECT lang, n, sum_x, sum_y, sum_xy, sum_x2,
+         |  n * sum_xy - sum_x * sum_y AS slope_num,
+         |  n * sum_x2 - sum_x * sum_x AS slope_den,
+         |  CASE WHEN n * sum_x2 - sum_x * sum_x = 0 THEN NULL
+         |    ELSE CAST(n * sum_xy - sum_x * sum_y AS DOUBLE) /
+         |      CAST(n * sum_x2 - sum_x * sum_x AS DOUBLE) END AS slope
+         |FROM agged""".stripMargin,
+
+    "q_text_novelty" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, unnest($winnowShingleSql) AS h FROM tht)),
+         |fst AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS novelty
+         |FROM sh s JOIN fst f USING (h)
+         |GROUP BY 1""".stripMargin,
+
     "q_text_winnow" -> winnowFpSql,
 
     "q_text_winnow_pairs" ->

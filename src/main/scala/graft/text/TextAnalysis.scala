@@ -237,6 +237,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Zipf rank-frequency fit per language: OLS slope of
+    * floor(log₂ freq) over floor(log₂ rank) for the top-`topN` tokens
+    * — the "does this corpus look like natural language" diagnostic
+    * (natural text slopes ≈ −1; templated/generated text deviates).
+    *
+    * The log is the INTEGER floor-log₂ via binary-string length
+    * (`length(bin(v)) − 1`) — exact in any engine, so the whole fit
+    * stays inside [[graft.ml.Regression.fitLineExact]]'s exact rational
+    * arithmetic; the coarse integer grid is the price of portability
+    * and still separates slope −1 from flat.
+    *
+    * Scale shape: one (lang, hash)-keyed count, then a per-language
+    * top-N rank window (partitioned — rank cuts run map-side as
+    * WindowGroupLimit) over vocabulary-sized data, then the one-pass
+    * five-sum OLS aggregate over |langs|·topN points.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 256): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val tf = tokenHashTable(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), explode(col("th")).as("h"))
+      .groupBy("lang", "h").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("h"))
+    val pts = tf.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("lang"),
+        (length(bin(col("rank"))) - 1).cast("long").as("log2_rank"),
+        (length(bin(col("freq"))) - 1).cast("long").as("log2_freq"))
+    graft.ml.Regression.fitLineExact(pts, Seq("lang"), "log2_rank", "log2_freq")
+  }
+
+  /** Per-document n-gram novelty against everything EARLIER in the
+    * corpus (doc_id order): of the document's distinct k-gram shingle
+    * hashes, how many first appear in this document. The dataset-growth
+    * diagnostic — a crawl snapshot whose new documents are mostly
+    * non-novel is re-crawling what the corpus already holds, and
+    * per-document novelty is the freshness weight mixing pipelines
+    * use. The document introducing a shingle counts it as novel for
+    * itself (first_doc == own id).
+    *
+    * Scale shape: distinct (doc_id, hash) → one hash-keyed min
+    * aggregate (the first-seer table) → one hash-keyed join back → one
+    * doc-keyed count fold. Only 8-byte hashes and ids shuffle; the
+    * min-aggregate is partial (map-side) so a boilerplate shingle in
+    * millions of documents folds before the exchange.
+    */
+  def noveltyScores(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = tokenHashTable(docs)
+      .select(col("doc_id"), explode(shingleHashes(col("th"), k)).as("h"))
+      .distinct()
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, the exact
     * Jaccard of their distinct token k-gram shingle sets — the
     * dataset-mixing diagnostic ("how much does source A repeat source

@@ -374,4 +374,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) === Seq(1L, 2L))
     assert(!got.contains(4L), "llama shares only the stopword — no pairs")
   }
+
+  test("zipfFit: power-law frequencies slope negative, flat frequencies slope zero") {
+    import spark.implicits._
+    // zipf-ish lang: token i repeated 2^(8-i) times -> log2 freq = 8-i
+    // exactly, log2 rank = floor(log2(i+1)); flat lang: all freq 4
+    val zipfText = (0 until 8).flatMap(i =>
+      Seq.fill(1 << (8 - i))(s"z${i}t")).mkString(" ")
+    val flatText = (0 until 8).flatMap(i => Seq.fill(4)(s"f${i}t")).mkString(" ")
+    val docs = Seq((1L, zipfText, "zipf"), (2L, flatText, "flat"))
+      .toDF("doc_id", "text", "lang")
+    val fits = graft.text.TextAnalysis.zipfFit(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Any]("slope")).toMap
+    assert(fits("zipf").asInstanceOf[Double] < -0.5,
+      s"power law must slope steeply negative: $fits")
+    assert(fits("flat").asInstanceOf[Double] === 0.0,
+      s"uniform frequencies must be flat: $fits")
+  }
+
+  test("noveltyScores: first doc fully novel, copy fully stale, overlap partial") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // 4 shingles, all novel
+      (2L, "a b c d e f"), // exact copy: novelty 0
+      (3L, "a b c d x y z")) // shares shingles abc,bcd with doc 1
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((4L, 4L)))
+    assert(got(2L) === ((4L, 0L)))
+    // doc 3: shingles abc,bcd,cdx,dxy,xyz -> 3 novel of 5
+    assert(got(3L) === ((5L, 3L)))
+  }
 }
