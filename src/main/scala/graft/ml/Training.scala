@@ -151,6 +151,37 @@ object Training {
         hardSigmoidS(marginS(xsCol(col("embedding")), w)).as("p_s"))
       .withColumn("pred", (col("p_s") >= lit(S / 2)).cast("long"))
 
+  /** K-fold cross-validated evaluation: deterministic folds by
+    * `vec_id mod nFolds`, one [[trainLogisticWeights]] fit per
+    * held-out fold, scored ONLY on that fold — per-fold confusion
+    * counts `(fold, y, pred, n_rows)`. The held-out confusion is the
+    * honest generalization estimate the in-sample [[logisticEval]]
+    * cannot give (an overfit head looks perfect there); k small and
+    * literal, so this is k sequential fits, each the bounded-collect
+    * GD above, and the scoring union is one plan.
+    *
+    * The modulo fold is the portable choice (any engine replays it);
+    * for grouped leakage control compose with the leakage-safe group
+    * splits in `sampling` instead — mod-folding SPLITS near-duplicate
+    * groups, it does not respect them.
+    */
+  def crossValEval(vectors: DataFrame, labelCol: String, nFolds: Int = 3,
+      iters: Int = 3, lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    require(nFolds >= 2, s"nFolds must be >= 2, got $nFolds")
+    val withFold = vectors.withColumn("fold",
+      pmod(col("vec_id"), lit(nFolds.toLong)))
+    (0 until nFolds).map { f =>
+      val w = trainLogisticWeights(
+        withFold.where(col("fold") =!= f.toLong), labelCol, iters, lrNum, lrDen)
+      val test = withFold.where(col("fold") === f.toLong)
+      logisticPredict(test, w)
+        .join(test.select(col("vec_id"),
+          col(labelCol).cast("long").as("y")), "vec_id")
+        .select(lit(f.toLong).as("fold"), col("y"), col("pred"))
+    }.reduce(_ unionAll _)
+      .groupBy("fold", "y", "pred").agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Train-then-evaluate composition: the confusion-matrix counts of
     * the trained head on `vectors` — (y, pred, n_rows), the quality
     * gate a filter-model pipeline checks before applying the model to

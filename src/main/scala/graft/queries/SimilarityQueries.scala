@@ -185,6 +185,70 @@ object SimilarityQueries {
        |$blocks""".stripMargin
   }
 
+  /** The k-fold CV replay behind q_ml_cv_eval: the same fixed-point GD
+    * blocks as [[logisticChainSql]], instantiated once per fold with
+    * train rows `fold <> f` (fold = vec_id mod k, portable), then each
+    * fold's head scored on its HELD-OUT rows and the per-fold confusion
+    * unioned. Dense embeddings ⇒ every dim has a gradient each round,
+    * so the inner update join is safe (the sparse text chain is the one
+    * needing LEFT).
+    */
+  private def cvChainSql(nFolds: Int, iters: Int): String = {
+    val foldBlocks = (0 until nFolds).map { f =>
+      val blocks = (0 until iters).map { it =>
+        s"""zf${f}_$it AS (
+           |  SELECT e.vec_id, max(e.ys) AS ys,
+           |    CAST(sum(e.xs * w.w) AS BIGINT) AS z
+           |  FROM ex e JOIN wf${f}_$it w USING (dim)
+           |  WHERE e.fold <> $f GROUP BY e.vec_id),
+           |pf${f}_$it AS (
+           |  SELECT vec_id, ys,
+           |    least(greatest(500000 +
+           |      (z - ((z % 4000000 + 4000000) % 4000000)) // 4000000,
+           |      0), 1000000) AS ps
+           |  FROM zf${f}_$it),
+           |gf${f}_$it AS (
+           |  SELECT e.dim, CAST(sum((p.ps - p.ys) * e.xs) AS BIGINT) AS g
+           |  FROM ex e JOIN pf${f}_$it p USING (vec_id) GROUP BY e.dim),
+           |wf${f}_${it + 1} AS (
+           |  SELECT w.dim, CAST(w.w -
+           |    (g.g - ((g.g % d.d + d.d) % d.d)) // d.d AS BIGINT) AS w
+           |  FROM wf${f}_$it w JOIN gf${f}_$it g USING (dim)
+           |  CROSS JOIN (SELECT n * 2 * 1000000 AS d FROM nnf$f) d)""".stripMargin
+      }.mkString(",\n")
+      s"""nnf$f AS (
+         |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+         |  FROM ex WHERE fold <> $f),
+         |wf${f}_0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS w FROM ex),
+         |$blocks,
+         |sf$f AS (
+         |  SELECT e.vec_id, max(e.ys) AS ys,
+         |    CAST(sum(e.xs * w.w) AS BIGINT) AS z
+         |  FROM ex e JOIN wf${f}_$iters w USING (dim)
+         |  WHERE e.fold = $f GROUP BY e.vec_id),
+         |rf$f AS (
+         |  SELECT CAST($f AS BIGINT) AS fold, ys // 1000000 AS y,
+         |    CASE WHEN least(greatest(500000 +
+         |        (z - ((z % 4000000 + 4000000) % 4000000)) // 4000000,
+         |        0), 1000000) >= 500000
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
+         |  FROM sf$f)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 until nFolds)
+      .map(f => s"SELECT fold, y, pred FROM rf$f")
+      .mkString("\nUNION ALL\n")
+    s"""ex AS (
+       |  SELECT vec_id, vec_id % $nFolds AS fold,
+       |    CAST(label % 2 AS BIGINT) * 1000000 AS ys,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS xs
+       |  FROM embeddings),
+       |$foldBlocks,
+       |allf AS (
+       |$unioned)""".stripMargin
+  }
+
   /** [[logisticChainSql]](3) extended with the final corpus scoring:
     * ends at `fp(vec_id, y, ps)` — the shared base of the eval / AUC /
     * sweep oracles (the SQL twin of [[logisticScored]]).
@@ -407,6 +471,11 @@ object SimilarityQueries {
     // head's probabilities are trustworthy as soft-filter weights
     "q_ml_calibration" -> ((s, dir) =>
       graft.ml.Evaluation.calibrationBins(logisticScored(s, dir), "y", "p_s")),
+
+    // 3-fold cross-validated confusion of the logistic head: held-out
+    // generalization counts, the honest twin of in-sample q_ml_logistic_eval
+    "q_ml_cv_eval" -> ((s, dir) =>
+      graft.ml.Training.crossValEval(labeledEmb(s, dir), "y", nFolds = 3)),
 
     // reciprocal-rank fusion of the LSH and IVF retriever rankings —
     // consensus top-k, fixed-point RRF scores
@@ -851,6 +920,11 @@ object SimilarityQueries {
          |  CASE WHEN tp + fn = 0 THEN NULL
          |    ELSE (tp * 1000000) // (tp + fn) END AS recall_s
          |FROM conf""".stripMargin,
+
+    "q_ml_cv_eval" ->
+      s"""WITH ${cvChainSql(3, 3)}
+         |SELECT fold, y, pred, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM allf GROUP BY 1, 2, 3""".stripMargin,
 
     // mirrors Evaluation.calibrationBins: equal-width score bins with a
     // closed top bin (least-clamp), exact integer outputs

@@ -49,6 +49,19 @@ class TrainingSpec extends SparkTestBase {
     assert(eval === perRow)
   }
 
+  test("crossValEval: held-out folds cover the corpus once and separate cleanly") {
+    val cv = Training.crossValEval(separable, "y", nFolds = 3, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // every row scored in exactly one fold
+    assert(cv.values.sum === 10L)
+    assert(cv.keys.map(_._1).toSet === Set(0L, 1L, 2L))
+    // linearly separable fixture: held-out predictions still match labels
+    cv.foreach { case ((fold, y, pred), n) =>
+      assert(y === pred, s"fold $fold misclassifies $n rows of class $y")
+    }
+  }
+
   test("native margin dot == HOF formulation on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val w = Array.tabulate(64)(d => (d * 37L % 11L) - 5L)
