@@ -545,6 +545,74 @@ object Dedup {
     }
   }
 
+  /** Semi-supervised label propagation over the near-dup pair graph —
+    * weak-supervision expansion: a small SEED slice carries trusted
+    * labels (human-reviewed quality/lang tags); `rounds` synchronous
+    * votes spread them to unlabeled near-duplicates, the "label the
+    * cluster by its reviewed member" step that lets a 1%-labeled corpus
+    * drive a corpus-wide filter.
+    *
+    * Per round, every unlabeled-or-propagated node adopts the MAJORITY
+    * label among its labeled neighbours, ties broken by MINIMUM label —
+    * synchronous rounds + deterministic tie-break make the result exact
+    * (unlike the schedule-dependent Chinese Whispers in `cluster`), so
+    * a bounded-unroll CTE replays it. Seeds are clamped (never
+    * overwritten); nodes never reached by any labeled neighbour keep
+    * label null.
+    *
+    * Scale shape: labels exist only where seeds minted them, so they
+    * DICTIONARY-ENCODE once up front (a label-count-bounded rank, the
+    * Ids pattern) and rounds propagate small ids; the majority-with-
+    * min-tie argmax is then ONE struct-min aggregate per round
+    * ((−count, id) lexicographic — id rank order IS label order, so
+    * min id ≡ min label) instead of a max-count self-join. Per round:
+    * one edges-join + two partial-aggregated groupBys, only (id, id)
+    * pairs on the wire; the symmetric edge list is persisted once and
+    * labels checkpoint every 2 rounds (the [[dedupGroups]] lineage
+    * discipline).
+    */
+  def propagateLabels(nodes: DataFrame, pairs: DataFrame, seeds: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // label dictionary in label sort order — bounded by the distinct
+    // label count (languages, quality tiers), so the single-partition
+    // rank window is a bounded task, not a corpus sort
+    val dict = seeds.select(col("label")).where(col("label").isNotNull).distinct()
+      .withColumn("lid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("label")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("nbr"))
+      .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col("doc_id"))
+      .join(seeds.join(broadcast(dict), "label")
+          .select(col("doc_id"), col("lid"), lit(true).as("is_seed")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_seed"), lit(false)).as("is_seed"),
+        col("lid"))
+    for (r <- 1 to rounds) {
+      val vote = edges
+        .join(lab.where(col("lid").isNotNull)
+          .select(col("doc_id").as("nbr"), col("lid").as("nl")), "nbr")
+        .groupBy("doc_id", "nl").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("nl").as("nl"))).as("m"))
+        .select(col("doc_id"), col("m.nl").as("vote"))
+      lab = lab.join(vote, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_seed"),
+          when(col("is_seed"), col("lid"))
+            .otherwise(coalesce(col("vote"), col("lid"))).as("lid"))
+      if (r % 2 == 0 && r < rounds) lab = lab.localCheckpoint()
+    }
+    val out = lab.join(broadcast(dict), Seq("lid"), "left")
+      .select(col("doc_id"), col("is_seed"), col("label"))
+      .localCheckpoint()
+    edges.unpersist()
+    dict.unpersist()
+    out
+  }
+
   /** Corpus-wide repeated-span removal — the C4/RefinedWeb sub-document
     * dedup shape: chunk every document into spans of `tokensPerSpan`
     * whitespace tokens; any span appearing in at least `minDocs`

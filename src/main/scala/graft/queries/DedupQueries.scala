@@ -38,16 +38,11 @@ object DedupQueries {
     * (adopt min(own, neighbours' previous labels)) — mirrors
     * Dedup.dedupGroups exactly. Ends at `l4(doc_id, group_id)`.
     */
-  private lazy val groupsChainSql: String = {
-    val rounds = (1 to 4).map { r =>
-      s"""l$r AS (
-         |  SELECT l.doc_id,
-         |    least(l.group_id, coalesce(m.nbr_min, l.group_id)) AS group_id
-         |  FROM l${r - 1} l LEFT JOIN (
-         |    SELECT e.doc_id, min(x.group_id) AS nbr_min
-         |    FROM e JOIN l${r - 1} x ON x.doc_id = e.nbr
-         |    GROUP BY e.doc_id) m USING (doc_id))""".stripMargin
-    }.mkString(",\n")
+  /** The near-dup pair graph as SQL, ending at the symmetric edge list
+    * `e(doc_id, nbr)` — the CTE twin of [[dedupPairs]], shared by the
+    * dedup-groups chain and the label-propagation oracle.
+    */
+  private lazy val pairGraphSql: String =
     s"""tht AS (SELECT doc_id, $thSql AS th FROM documents),
        |hs AS (
        |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
@@ -72,9 +67,52 @@ object DedupQueries {
        |e AS (
        |  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM p
        |  UNION ALL
-       |  SELECT doc_id_b, doc_id_a FROM p),
+       |  SELECT doc_id_b, doc_id_a FROM p)""".stripMargin
+
+  private lazy val groupsChainSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""l$r AS (
+         |  SELECT l.doc_id,
+         |    least(l.group_id, coalesce(m.nbr_min, l.group_id)) AS group_id
+         |  FROM l${r - 1} l LEFT JOIN (
+         |    SELECT e.doc_id, min(x.group_id) AS nbr_min
+         |    FROM e JOIN l${r - 1} x ON x.doc_id = e.nbr
+         |    GROUP BY e.doc_id) m USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""$pairGraphSql,
        |l0 AS (SELECT doc_id, doc_id AS group_id FROM documents),
        |$rounds""".stripMargin
+  }
+
+  /** The label-propagation replay (mirrors Dedup.propagateLabels over
+    * [[pairGraphSql]], seeds = doc_id % 10 = 0 carrying lang): per
+    * round, labeled-neighbour votes → per-node max count → min-label
+    * argmax → non-seeds adopt, seeds clamp. Ends at `lp$rounds`.
+    */
+  private def labelPropChainSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      s"""v$r AS (
+         |  SELECT e.doc_id, x.label AS nl, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e JOIN lp${r - 1} x ON x.doc_id = e.nbr
+         |  WHERE x.label IS NOT NULL
+         |  GROUP BY 1, 2),
+         |w$r AS (
+         |  SELECT v.doc_id, min(v.nl) AS vote
+         |  FROM v$r v JOIN (SELECT doc_id, max(cnt) AS mc FROM v$r GROUP BY 1) b
+         |    ON b.doc_id = v.doc_id AND v.cnt = b.mc
+         |  GROUP BY 1),
+         |lp$r AS (
+         |  SELECT l.doc_id, l.is_seed,
+         |    CASE WHEN l.is_seed THEN l.label
+         |      ELSE coalesce(w.vote, l.label) END AS label
+         |  FROM lp${r - 1} l LEFT JOIN w$r w USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""$pairGraphSql,
+       |lp0 AS (
+       |  SELECT doc_id, doc_id % 10 = 0 AS is_seed,
+       |    CASE WHEN doc_id % 10 = 0 THEN lang ELSE NULL END AS label
+       |  FROM documents),
+       |$blocks""".stripMargin
   }
 
   /** 3-gram shingle hashes by polynomial combination of token hashes
@@ -256,6 +294,17 @@ object DedupQueries {
     "q_dedup_groups" -> ((s, dir) => {
       Dedup.dedupGroups(Tables(s, dir, "documents"),
         dedupPairs(s, dir), rounds = 4)
+    }),
+
+    // weak-supervision expansion: every 10th doc is a trusted seed
+    // (its lang tag); 4 synchronous majority-vote rounds spread the
+    // labels over the near-dup graph, min-label tie-break (exact)
+    "q_dedup_label_prop" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.propagateLabels(docs, dedupPairs(s, dir),
+        docs.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang").as("label")),
+        rounds = 4)
     }),
 
     // leakage-safe 80/10/10 split: the split hashes the dedup-GROUP
@@ -728,6 +777,10 @@ object DedupQueries {
     "q_dedup_groups" ->
       s"""WITH $groupsChainSql
          |SELECT doc_id, group_id, doc_id = group_id AS is_canonical FROM l4""".stripMargin,
+
+    "q_dedup_label_prop" ->
+      s"""WITH ${labelPropChainSql(4)}
+         |SELECT doc_id, is_seed, label FROM lp4""".stripMargin,
 
     // leakage-safe split: the SAME 4-round group chain, then the
     // q_sample_splits hash ladder applied to the GROUP representative —

@@ -306,4 +306,22 @@ class DedupSpec extends SparkTestBase {
     assert(!got(4L), "unrelated doc must pass")
     assert(!got(6L), "shingle-less doc must pass, not crash")
   }
+
+  test("propagateLabels: majority vote, min-label ties, clamped seeds, null unreached") {
+    import spark.implicits._
+    // graph: 1-2-3 chain; 4 tied between seeds 1(en) and 5(de); 6 isolated;
+    // 7 is a MISLABELED-looking seed adjacent to two en seeds — must clamp
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 5L), (1L, 7L), (2L, 7L))
+      .toDF("doc_id_a", "doc_id_b")
+    val seeds = Seq((1L, "en"), (5L, "de"), (7L, "fr")).toDF("doc_id", "label")
+    val got = Dedup.propagateLabels(nodes, pairs, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(1L) === Some("en"))
+    assert(got(2L) === Some("en"), "direct neighbour adopts the seed label")
+    assert(got(3L) === Some("en"), "round 2 reaches the chain end")
+    assert(got(4L) === Some("de"), "en/de tie breaks to the MIN label")
+    assert(got(6L) === None, "isolated node stays unlabeled")
+    assert(got(7L) === Some("fr"), "seeds are clamped, never outvoted")
+  }
 }
