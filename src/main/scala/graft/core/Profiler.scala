@@ -68,6 +68,48 @@ object Profiler {
       .agg(count(lit(1)).as("n_rows"), min(v).as("min_v"), max(v).as("max_v"))
   }
 
+  /** Distribution drift between two corpus slices — the "did this
+    * crawl snapshot shift" monitor: both slices bin on SHARED
+    * [[histogram]] edges (derived from their union, so bins align by
+    * construction), and each bin reports both counts plus the
+    * fixed-point deviation |n_ref/N_ref − n_cur/N_cur|·1e6 — summing
+    * dev_s over bins and halving gives total-variation distance, the
+    * standard drift alarm threshold. An empty side reports null
+    * deviations (no distribution to compare), not a division crash.
+    *
+    * Scale shape: one union scan → the same 1-row broadcast bounds +
+    * map-only binning as [[histogram]] → one ≤`bins`-key groupBy
+    * carrying both counts (the side flag rides the scan; neither slice
+    * is scanned twice) → a 1-row broadcast of the totals. The
+    * deviation is a fixed double expression evaluated identically in
+    * any IEEE engine.
+    */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("long")
+    val all = ref.select(v.as("v"), lit(0L).as("side"))
+      .unionAll(cur.select(v.as("v"), lit(1L).as("side")))
+      .where(col("v").isNotNull)
+    val bounds = all.agg(min("v").as("_lo"), max("v").as("_hi"))
+    val x = (col("v") - col("_lo")) * bins
+    val d = col("_hi") - col("_lo") + lit(1L)
+    val binned = all.join(broadcast(bounds))
+      .withColumn("bin", ((x - pmod(x, d)) / d).cast("long"))
+      .groupBy("bin")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("n_cur"))
+    val totals = binned.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    binned.join(broadcast(totals))
+      .withColumn("dev_s",
+        when(col("_tr") === 0L || col("_tc") === 0L, lit(null).cast("long"))
+          .otherwise(floor(abs(
+            col("n_ref").cast("double") / col("_tr").cast("double") -
+              col("n_cur").cast("double") / col("_tc").cast("double")) *
+            1000000.0).cast("long")))
+      .select("bin", "n_ref", "n_cur", "dev_s")
+  }
+
   /** Robust per-group statistics — the outlier-proof face of the
     * moment profiler (mean/stddev move with a single corrupted row;
     * median/MAD don't, which is why corpus length/quality monitoring

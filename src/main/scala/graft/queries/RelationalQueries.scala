@@ -465,6 +465,17 @@ object RelationalQueries {
       graft.core.Profiler.histogram(Tables(s, dir, "documents"),
         "n_chars", bins = 16)),
 
+    // snapshot drift monitor: even vs odd doc_ids as two pseudo
+    // snapshots, length distributions compared on shared bin edges;
+    // sum(dev_s)/2e6 is the total-variation drift alarm
+    "q_profile_drift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.core.Profiler.histogramDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "n_chars", bins = 16)
+    }),
+
     // Join-key skew diagnostic (core.Skew.diagnoseKey): the 20 heaviest
     // event users with exact counts + fixed-point corpus fraction — the
     // measurement behind the salt-or-not decision
@@ -909,6 +920,26 @@ object RelationalQueries {
         |FROM documents CROSS JOIN b
         |WHERE n_chars IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // mirrors Profiler.histogramDrift: shared union bounds, same exact
+    // bin division, both counts off one scan, fixed-point deviation
+    "q_profile_drift" ->
+      """WITH a AS (
+        |  SELECT n_chars AS v, CAST(doc_id % 2 AS BIGINT) AS side
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM a),
+        |binned AS (
+        |  SELECT ((v - lo) * 16) // (hi - lo + 1) AS bin,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM a CROSS JOIN b GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM binned)
+        |SELECT bin, n_ref, n_cur,
+        |  CASE WHEN tr = 0 OR tc = 0 THEN NULL
+        |    ELSE CAST(floor(abs(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) -
+        |      CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) END AS dev_s
+        |FROM binned CROSS JOIN t""".stripMargin,
 
     // the identical mid-square fingerprint ladder (i = 0 term only) and
     // bit_xor fold, re-derived over both snapshot variants

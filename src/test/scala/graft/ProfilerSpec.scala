@@ -26,4 +26,29 @@ class ProfilerSpec extends SparkTestBase {
     assert(scans.size === 1,
       s"profiler must single-scan the table, found ${scans.size} scans")
   }
+
+  test("histogramDrift: shared edges, exact counts, TVD reads off dev_s") {
+    import spark.implicits._
+    // ref uniform over [0, 40); cur shifted into the top half only
+    val ref = (0 until 40).map(i => Tuple1(i.toLong)).toDF("v")
+    val cur = (0 until 40).map(i => Tuple1(20L + (i % 20))).toDF("v")
+    val got = Profiler.histogramDrift(ref, cur, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // shared range [0, 39]: bins 0..3 hold refs 10 each; cur all in 2..3
+    assert(got(0L) === ((10L, 0L, 250000L)))
+    assert(got(1L) === ((10L, 0L, 250000L)))
+    assert(got(2L) === ((10L, 20L, 250000L)))
+    assert(got(3L) === ((10L, 20L, 250000L)))
+    // total variation = sum(dev)/2 = 0.5: half the mass moved
+    assert(got.values.map(_._3).sum === 1000000L)
+  }
+
+  test("histogramDrift: an empty side reports null deviation, not a crash") {
+    import spark.implicits._
+    val ref = Seq(1L, 2L, 3L).toDF("v")
+    val cur = ref.where(org.apache.spark.sql.functions.col("v") < 0)
+    val got = Profiler.histogramDrift(ref, cur, "v", bins = 2).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.isNullAt(3), "dev_s must be null on empty side"))
+  }
 }
