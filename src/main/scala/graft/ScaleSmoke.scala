@@ -73,7 +73,16 @@ object ScaleSmoke {
     // sneaking in would show here as super-linear growth — and GD
     // training, whose per-iteration cost must be one feature-projection
     // scan plus a dims-bounded gradient shuffle
-    "q_sim_kmeans_assign", "q_ml_logistic_train")
+    "q_sim_kmeans_assign", "q_ml_logistic_train",
+    // extension-batch riders: winnow candidate pairing (the df-cut must
+    // keep shared-fingerprint fanout subquadratic exactly as the
+    // more-like-this cut does), cross-source overlap (per-hash fanout
+    // must stay |sources|-bounded), label propagation (per-round cost
+    // must track edges, not rounds × corpus), the text-classifier fit
+    // over hashed features (featurize + 3 GD iterations end-to-end),
+    // and novelty (one hash-keyed min + join-back)
+    "q_text_winnow_pairs", "q_text_source_overlap",
+    "q_dedup_label_prop", "q_ml_text_train", "q_text_novelty")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -296,6 +296,33 @@ object DedupQueries {
         dedupPairs(s, dir), rounds = 4)
     }),
 
+    // the ML-family flagship COMPOSITION (peer of the curation/dedup/
+    // embeddings/export pipelines): hashed tf features → LEAKAGE-SAFE
+    // dedup-group split (near-duplicates never straddle train/test) →
+    // fixed-point GD fit on train → HELD-OUT confusion on test — the
+    // "train a corpus filter without contaminating its own eval" story,
+    // every stage individually oracle-checked elsewhere
+    "q_pipeline_classifier" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val groups = Dedup.dedupGroups(docs, dedupPairs(s, dir), rounds = 4)
+        .select("doc_id", "group_id")
+      val splits = graft.sampling.Sampling
+        .splitByGroup(docs.select("doc_id"), "doc_id",
+          groups, "doc_id", "group_id", leakageSplits, salt = 11)
+        .select(col("doc_id").as("vec_id"), col("split"))
+      val feats = graft.ml.Features
+        .hashedFeatures(docs, TextQueries.TextFeatDims)
+        .join(docs.select(col("doc_id").as("vec_id"),
+          (col("lang") === "en").cast("long").as("y")), "vec_id")
+        .join(splits, "vec_id")
+      val w = graft.ml.Training.trainLogisticWeights(
+        feats.where(col("split") === "train"), "y", iters = 3)
+      val test = feats.where(col("split") === "test")
+      graft.ml.Training.logisticPredict(test, w)
+        .join(test.select("vec_id", "y"), "vec_id")
+        .groupBy("y", "pred").agg(count(lit(1)).as("n_rows"))
+    }),
+
     // weak-supervision expansion: every 10th doc is a trusted seed
     // (its lang tag); 4 synchronous majority-vote rounds spread the
     // labels over the near-dup graph, min-label tie-break (exact)
@@ -781,6 +808,60 @@ object DedupQueries {
     "q_dedup_label_prop" ->
       s"""WITH ${labelPropChainSql(4)}
          |SELECT doc_id, is_seed, label FROM lp4""".stripMargin,
+
+    // group chain + split ladder (both verbatim from their own oracles)
+    // feed the TEXT-classifier GD blocks (verbatim from TextQueries —
+    // one definition, the replay arithmetic cannot fork): train on the
+    // 'train' split, score the held-out 'test' split
+    "q_pipeline_classifier" -> {
+      val a = TextAnalysis.hashA(11)
+      val b = TextAnalysis.hashB(11)
+      val cums = leakageSplits.map(_._2 * 1000.0)
+        .scanLeft(0L)((acc, f) => acc + f.toLong).tail
+      val whens = leakageSplits.zip(cums)
+        .map { case ((name, _), cum) => s"WHEN bucket < $cum THEN '$name'" }
+        .mkString(" ")
+      s"""WITH $groupsChainSql,
+         |sp AS (
+         |  SELECT doc_id, CASE $whens END AS split FROM (
+         |    SELECT doc_id,
+         |      (((group_id % $P) * $a + $b) % $P) % 1000 AS bucket
+         |    FROM l4)),
+         |sfeat AS (${TextQueries.textFeatSql}),
+         |nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
+         |       FROM sfeat GROUP BY 1),
+         |lab AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS ys
+         |  FROM documents),
+         |exa AS (
+         |  SELECT f.doc_id AS vec_id, f.dim,
+         |    CAST(floor(CAST(f.c AS DOUBLE) / CAST(t.n_toks AS DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS xs,
+         |    l.ys, s.split
+         |  FROM sfeat f JOIN nt t USING (doc_id) JOIN lab l USING (doc_id)
+         |  JOIN sp s USING (doc_id)),
+         |ex AS (SELECT vec_id, dim, xs, ys FROM exa WHERE split = 'train'),
+         |nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM ex),
+         |w_0 AS (${TextQueries.gdZeroHeadSql}),
+         |${TextQueries.gdIterBlocksSql(3)},
+         |te AS (SELECT vec_id, dim, xs, ys FROM exa WHERE split = 'test'),
+         |fz AS (
+         |  SELECT e.vec_id, max(e.ys) AS ys,
+         |    CAST(sum(e.xs * w.w) AS BIGINT) AS z
+         |  FROM te e JOIN w_3 w USING (dim) GROUP BY e.vec_id),
+         |fp AS (
+         |  SELECT vec_id, ys // 1000000 AS y,
+         |    least(greatest(500000 +
+         |      (z - ((z % 4000000 + 4000000) % 4000000)) // 4000000,
+         |      0), 1000000) AS ps
+         |  FROM fz)
+         |SELECT y,
+         |  CASE WHEN ps >= 500000 THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM fp GROUP BY 1, 2""".stripMargin
+    },
 
     // leakage-safe split: the SAME 4-round group chain, then the
     // q_sample_splits hash ladder applied to the GROUP representative —

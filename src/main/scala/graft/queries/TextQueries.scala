@@ -50,7 +50,7 @@ object TextQueries {
     * matches the embedding width, so the text head is the same shape as
     * the embeddings head.
     */
-  private val TextFeatDims = 64
+  private[queries] val TextFeatDims = 64
 
   private def labeledTextFeatures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
@@ -688,8 +688,9 @@ object TextQueries {
   /** The hashed-feature COO table as SQL — the q_ml_text_features
     * oracle body and the `ex` source of [[textGdChainSql]]. Token
     * hashes are nonnegative (mod 1e9+7), so plain `%` IS pmod here.
+    * Shared with DedupQueries' classifier-pipeline oracle.
     */
-  private lazy val textFeatSql: String =
+  private[queries] lazy val textFeatSql: String =
     s"""SELECT doc_id, CAST(h % $TextFeatDims AS BIGINT) AS dim,
        |  CAST(count(*) AS BIGINT) AS c
        |FROM (SELECT doc_id, unnest(th) AS h
@@ -706,8 +707,14 @@ object TextQueries {
     * and the update LEFT-joins its gradient (absent ⇒ 0). Ends at
     * `w_$iters`.
     */
-  private def textGdChainSql(iters: Int): String = {
-    val blocks = (0 until iters).map { it =>
+  /** The fixed-point GD iteration blocks over caller-supplied CTEs
+    * `ex(vec_id, dim, xs, ys)`, `nn(n)` and `w_0(dim, w)` — the sparse
+    * (LEFT-join update) formulation, correct for dense features too.
+    * Ends at `w_$iters`. Shared with DedupQueries' classifier-pipeline
+    * oracle so the replay arithmetic cannot fork.
+    */
+  private[queries] def gdIterBlocksSql(iters: Int): String =
+    (0 until iters).map { it =>
       s"""z_$it AS (
          |  SELECT e.vec_id, max(e.ys) AS ys,
          |    CAST(sum(e.xs * w.w) AS BIGINT) AS z
@@ -730,6 +737,14 @@ object TextQueries {
          |  LEFT JOIN g_$it g USING (dim)
          |  CROSS JOIN (SELECT n * 2 * 1000000 AS d FROM nn) d)""".stripMargin
     }.mkString(",\n")
+
+  /** The zero head over every hash bucket, as SQL. */
+  private[queries] def gdZeroHeadSql: String =
+    s"""SELECT CAST(unnest([${(0 until TextFeatDims).mkString(", ")}])
+       |  AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w""".stripMargin
+
+  private def textGdChainSql(iters: Int): String = {
+    val blocks = gdIterBlocksSql(iters)
     s"""sfeat AS ($textFeatSql),
        |lab AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1000000 AS BIGINT)
@@ -744,8 +759,7 @@ object TextQueries {
        |    l.ys
        |  FROM sfeat f JOIN nt t USING (doc_id) JOIN lab l USING (doc_id)),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       |w_0 AS (SELECT CAST(unnest([${(0 until TextFeatDims).mkString(", ")}])
-       |          AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w),
+       |w_0 AS ($gdZeroHeadSql),
        |$blocks""".stripMargin
   }
 
