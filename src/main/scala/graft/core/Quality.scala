@@ -42,6 +42,27 @@ object Quality {
     wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
+  /** K-anonymity audit over a quasi-identifier combination — the
+    * privacy release gate: a row whose (lang, region, ...) combination
+    * is shared by fewer than k rows is re-identifiable by exactly that
+    * combination. Reports EVERY equivalence class with its size and a
+    * violation flag, so the output is both the audit (any violates ⇒
+    * don't release) and the remediation work-list (which classes to
+    * generalize or suppress). Null quasi-identifier values form their
+    * own classes (a null pattern is itself identifying).
+    *
+    * Scale shape: one partial-aggregated groupBy on the
+    * quasi-identifier columns — output cardinality is the class count,
+    * not the corpus.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("violates", col("n_rows") < k)
+  }
+
   /** Key-uniqueness check: n_violations counts the ROWS carrying a
     * duplicated key (a key seen k>1 times contributes k), so the number
     * is directly "rows you would have to drop or merge".

@@ -459,6 +459,12 @@ object RelationalQueries {
           "orders.fk_customer")))
     }),
 
+    // k-anonymity release gate: every (lang, source) equivalence class
+    // with its size; classes under k=5 are re-identifiable and flag
+    "q_quality_k_anonymity" -> ((s, dir) =>
+      graft.core.Quality.kAnonymity(Tables(s, dir, "documents"),
+        Seq("lang", "source"), k = 5)),
+
     // Equi-width histogram of document lengths: 16 exact integer bins
     // over the observed [lo, hi] range (core.Profiler.histogram)
     "q_profile_histogram" -> ((s, dir) =>
@@ -920,6 +926,11 @@ object RelationalQueries {
         |FROM documents CROSS JOIN b
         |WHERE n_chars IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    "q_quality_k_anonymity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  count(*) < 5 AS violates
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // mirrors Profiler.histogramDrift: shared union bounds, same exact
     // bin division, both counts off one scan, fixed-point deviation

@@ -67,4 +67,20 @@ class QualitySpec extends SparkTestBase {
     }
     assert(scans.length === 1, "all rules must share one scan")
   }
+
+  test("kAnonymity flags classes under k; nulls form their own class") {
+    import spark.implicits._
+    val rows = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"), // class of 3
+      ("de", "web"), // singleton
+      (null.asInstanceOf[String], "web"), (null.asInstanceOf[String], "web"))
+      .toDF("lang", "source")
+    val got = graft.core.Quality.kAnonymity(rows, Seq("lang", "source"), k = 3)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got((Some("en"), "web")) === ((3L, false)))
+    assert(got((Some("de"), "web")) === ((1L, true)))
+    assert(got((None, "web")) === ((2L, true)), "null pattern is a class")
+  }
 }
