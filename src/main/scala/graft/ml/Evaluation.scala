@@ -33,24 +33,41 @@ object Evaluation {
     * carried 2-scaled so tied ranks (.5 averages) stay integer.
     * Single-class corpora report null auc, not a division crash.
     */
-  def aucExact(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val per = perScore(scored, labelCol, scoreCol)
-    // strictly-smaller-score count: an unpartitioned running window,
-    // but over the grid-bounded per-score table — a bounded single
-    // task, not a corpus sort
-    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+  def aucExact(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    aucExactBy(scored, labelCol, scoreCol, Nil)
+
+  /** Per-slice exact AUC — [[aucExact]] partitioned by `groupCols`
+    * (empty ⇒ one global row): the fairness/robustness eval ("does the
+    * head rank as well on every source/language slice as on the
+    * corpus"). The rank window partitions by the slice, so each
+    * slice's grid sorts independently — still grid-bounded per slice,
+    * and no longer a single global task when slices exist.
+    */
+  def aucExactBy(scored: DataFrame, labelCol: String, scoreCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val per = scored.groupBy(g :+ col(scoreCol).as("s"): _*)
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+    // strictly-smaller-score count: a running window over the
+    // grid-bounded per-score table — bounded per slice, not a corpus
+    // sort (global slice ⇒ one bounded task, the round-4 contract)
+    val w = (if (groupCols.isEmpty) Window.orderBy("s")
+      else Window.partitionBy(g: _*).orderBy("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = per.withColumn("cum_less", coalesce(sum(col("n")).over(w), lit(0L)))
     // 2-scaled average rank of a tied block: r2 = 2·cum_less + n + 1
     ranked
-      .select((col("n_pos") * (lit(2L) * col("cum_less") + col("n") + lit(1L)))
+      .select(g ++ Seq(
+        (col("n_pos") * (lit(2L) * col("cum_less") + col("n") + lit(1L)))
           .as("pos_r2"),
-        col("n_pos"), (col("n") - col("n_pos")).as("neg"))
+        col("n_pos"), (col("n") - col("n_pos")).as("neg")): _*)
+      .groupBy(g: _*)
       .agg(sum("pos_r2").as("sum_pos_r2"), sum("n_pos").as("n_pos"),
         sum("neg").as("n_neg"))
-      .select(col("n_pos"), col("n_neg"),
+      .select(g ++ Seq(col("n_pos"), col("n_neg"),
         (col("sum_pos_r2") - col("n_pos") * (col("n_pos") + lit(1L)))
           .as("auc_num_x2"),
-        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den_x2"))
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den_x2")): _*)
       .withColumn("auc",
         when(col("auc_den_x2") === 0L, lit(null).cast("double"))
           .otherwise(col("auc_num_x2").cast("double") /

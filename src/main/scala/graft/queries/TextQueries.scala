@@ -64,6 +64,18 @@ object TextQueries {
       graft.ml.Training.trainLogisticWeights(
         labeledTextFeatures(s, dir), "y", iters = 3))
 
+  /** Scored corpus (vec_id, p_s, pred, y) under the memoized text head
+    * — the shared input of the eval/AUC/sweep text faces.
+    */
+  private def textScored(s: SparkSession, dir: String): DataFrame = {
+    val labeled = labeledTextFeatures(s, dir)
+    graft.ml.Training.logisticPredict(labeled, trainedTextHead(s, dir))
+      .join(labeled.select(col("vec_id"), col("y")), "vec_id")
+  }
+
+  /** ONE Scala value feeds the sweep face and its oracle's unnest list. */
+  private val textSweepThresholds: Seq[Long] = (0 to 10).map(_ * 100000L)
+
   def clearCache(): Unit = { bpeCache.clear(); textHeadCache.clear() }
 
   /** Materialize the memoized training off the bench clock (Bench
@@ -104,13 +116,24 @@ object TextQueries {
 
     // exact ROC-AUC of the text head: does the hashed-count fit RANK
     // en above non-en even where the 0.5 threshold is miscalibrated
-    "q_ml_text_auc" -> ((s, dir) => {
-      val labeled = labeledTextFeatures(s, dir)
-      val scored = graft.ml.Training
-        .logisticPredict(labeled, trainedTextHead(s, dir))
-        .join(labeled.select(col("vec_id"), col("y")), "vec_id")
-      graft.ml.Evaluation.aucExact(scored, "y", "p_s")
+    "q_ml_text_auc" -> ((s, dir) =>
+      graft.ml.Evaluation.aucExact(textScored(s, dir), "y", "p_s")),
+
+    // the same AUC PER SOURCE slice: the eval-robustness/fairness face
+    // ("does the head rank every source as well as the corpus")
+    "q_ml_text_auc_by_source" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ml.Evaluation.aucExactBy(
+        textScored(s, dir).join(
+          docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id"),
+        "y", "p_s", Seq("source"))
     }),
+
+    // operating-point sweep of the text head: where to set the filter
+    // threshold given the miscalibrated 0.5 default
+    "q_ml_text_sweep" -> ((s, dir) =>
+      graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
+        textSweepThresholds)),
 
     // winnowing (MOSS) fingerprint selection: per-window min k-gram
     // hash — the ~1/w document sketch with the shared-run guarantee
@@ -908,6 +931,59 @@ object TextQueries {
          |    ELSE CAST(0 AS BIGINT) END AS pred,
          |  CAST(count(*) AS BIGINT) AS n_rows
          |FROM fp GROUP BY 1, 2""".stripMargin,
+
+    // the per-source slice of the same Mann-Whitney blocks: grid and
+    // rank window PARTITIONED BY source
+    "q_ml_text_auc_by_source" ->
+      s"""WITH $textScoredSql,
+         |fps AS (
+         |  SELECT d.source, f.y, f.ps FROM fp f
+         |  JOIN documents d ON d.doc_id = f.vec_id),
+         |per AS (
+         |  SELECT source, ps AS s, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM fps GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT source, s, n, n_pos,
+         |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_less
+         |  FROM per),
+         |a AS (
+         |  SELECT source,
+         |    CAST(sum(n_pos * (2 * cum_less + n + 1)) AS BIGINT) AS sum_pos_r2,
+         |    CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(n - n_pos) AS BIGINT) AS n_neg
+         |  FROM rk GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  CAST(sum_pos_r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num_x2,
+         |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den_x2,
+         |  CASE WHEN n_pos * n_neg = 0 THEN NULL
+         |    ELSE CAST(sum_pos_r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |      CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+         |FROM a""".stripMargin,
+
+    // mirrors Evaluation.thresholdSweep over the text head's grid
+    "q_ml_text_sweep" ->
+      s"""WITH $textScoredSql,
+         |per AS (
+         |  SELECT ps AS s, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM fp GROUP BY 1),
+         |t AS (SELECT unnest([${textSweepThresholds.mkString(", ")}]) AS thr_s),
+         |conf AS (
+         |  SELECT thr_s,
+         |    CAST(sum(CASE WHEN s >= thr_s THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN s >= thr_s THEN n - n_pos ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN s < thr_s THEN n_pos ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN s < thr_s THEN n - n_pos ELSE 0 END) AS BIGINT) AS tn
+         |  FROM per CROSS JOIN t GROUP BY 1)
+         |SELECT CAST(thr_s AS BIGINT) AS thr_s, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE (tp * 1000000) // (tp + fp) END AS precision_s,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE (tp * 1000000) // (tp + fn) END AS recall_s
+         |FROM conf""".stripMargin,
 
     // mirrors Evaluation.aucExact over the TEXT head's scores — the
     // same grid → cum_less → 2-scaled Mann-Whitney U blocks as the

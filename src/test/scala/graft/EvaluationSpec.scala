@@ -47,6 +47,27 @@ class EvaluationSpec extends SparkTestBase {
     assert(out(85L) === ((1L, 0L, 2L, 3L, 1000000L, 333333L)))
   }
 
+  test("aucExactBy: each slice scores as if evaluated alone") {
+    // slice a = the hand fixture (AUC 7/9); slice b = perfectly ranked;
+    // slice c = single-class (null)
+    val sliced = Seq(
+      ("a", 1L, 90L), ("a", 1L, 80L), ("a", 0L, 80L),
+      ("a", 0L, 10L), ("a", 1L, 10L), ("a", 0L, 5L),
+      ("b", 1L, 70L), ("b", 0L, 30L),
+      ("c", 1L, 50L), ("c", 1L, 60L))
+      .toDF("src", "y", "p_s")
+    val got = Evaluation.aucExactBy(sliced, "y", "p_s", Seq("src"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(math.abs(got("a").get - 7.0 / 9.0) < 1e-12)
+    assert(got("b").get === 1.0)
+    assert(got("c") === None)
+    // ungrouped call is the single-slice special case
+    val global = Evaluation.aucExact(fixture, "y", "p_s")
+      .collect().head.getDouble(4)
+    assert(math.abs(global - got("a").get) < 1e-12)
+  }
+
   test("thresholdSweep null precision when nothing is predicted positive") {
     val out = Evaluation.thresholdSweep(fixture, "y", "p_s", Seq(1000L))
       .collect().head
