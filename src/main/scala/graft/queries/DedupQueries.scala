@@ -310,11 +310,15 @@ object DedupQueries {
         .splitByGroup(docs.select("doc_id"), "doc_id",
           groups, "doc_id", "group_id", leakageSplits, salt = 11)
         .select(col("doc_id").as("vec_id"), col("split"))
+      // materialize the (features, label, split) table ONCE — the GD
+      // fit and the held-out scoring both read it; without the barrier
+      // the test side re-runs the whole featurize + group chain
       val feats = graft.ml.Features
         .hashedFeatures(docs, TextQueries.TextFeatDims)
         .join(docs.select(col("doc_id").as("vec_id"),
           (col("lang") === "en").cast("long").as("y")), "vec_id")
         .join(splits, "vec_id")
+        .localCheckpoint()
       val w = graft.ml.Training.trainLogisticWeights(
         feats.where(col("split") === "train"), "y", iters = 3)
       val test = feats.where(col("split") === "test")

@@ -154,6 +154,19 @@ object TextQueries {
     "q_text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(Tables(s, dir, "documents"))),
 
+    // Heaps-law vocabulary growth at power-of-two prefix checkpoints:
+    // the continue-crawling diminishing-returns curve
+    "q_text_heaps" -> ((s, dir) =>
+      TextAnalysis.heapsCurve(Tables(s, dir, "documents"))),
+
+    // CCNet-style filter signal: every document's cross-entropy under
+    // the bigram LM of the trusted en slice (a doc cannot vote for its
+    // own n-grams)
+    "q_text_cross_perplexity" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.crossPerplexity(docs, docs.where(col("lang") === "en"))
+    }),
+
     // per-document k-gram novelty vs earlier doc_ids: the freshness
     // weight and crawl-growth diagnostic
     "q_text_novelty" -> ((s, dir) =>
@@ -881,6 +894,56 @@ object TextQueries {
          |    CAST(count(*) AS DOUBLE) AS novelty
          |FROM sh s JOIN fst f USING (h)
          |GROUP BY 1""".stripMargin,
+
+    "q_text_heaps" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |tok AS (SELECT doc_id, unnest(th) AS h FROM tht),
+         |nty AS (
+         |  SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS new_types
+         |  FROM (SELECT h, min(doc_id) AS first_doc FROM tok GROUP BY 1)
+         |  GROUP BY 1),
+         |ntk AS (
+         |  SELECT CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS new_tokens
+         |  FROM tok GROUP BY 1),
+         |j AS (
+         |  SELECT k, coalesce(new_tokens, 0) AS new_tokens,
+         |    coalesce(new_types, 0) AS new_types
+         |  FROM ntk FULL JOIN nty USING (k))
+         |SELECT k, new_tokens, new_types,
+         |  CAST(sum(new_tokens) OVER (ORDER BY k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS tokens_cum,
+         |  CAST(sum(new_types) OVER (ORDER BY k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS vocab_cum
+         |FROM j""".stripMargin,
+
+    // the perplexity chain with the MODEL CTEs filtered to the en
+    // reference and LEFT joins + Laplace floor on the scored side
+    "q_text_cross_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |       FROM bg WHERE lang = 'en' GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |      FROM (SELECT unnest(t) AS w FROM tk WHERE lang = 'en')),
+         |terms AS (
+         |  SELECT bg.doc_id,
+         |    CAST(floor(-ln((coalesce(c12.c12, 0) + 1.0) /
+         |      (coalesce(c1.c1, 0) + v.v)) * 1000000.0)
+         |      AS BIGINT) AS term_s
+         |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
+         |FROM terms GROUP BY doc_id""".stripMargin,
 
     "q_text_winnow" -> winnowFpSql,
 

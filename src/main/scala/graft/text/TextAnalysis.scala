@@ -297,6 +297,80 @@ object TextAnalysis {
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Heaps-law vocabulary growth curve: distinct-token count after the
+    * first 2^k documents, for every k — "how fast does the vocabulary
+    * still grow", the diminishing-returns diagnostic for continued
+    * crawling (a flattening curve means new data repeats known
+    * vocabulary). Points are power-of-two PREFIX checkpoints, so the
+    * whole curve derives from two log-bucketed aggregates over the
+    * first-seen table plus a ≤64-row running sum — never a per-doc
+    * global window: "vocab after N docs" for all N is a running count
+    * over the full corpus order, the single-partition collapse this
+    * formulation exists to avoid. Bucket k covers doc_ids in
+    * [2^k − 1, 2^(k+1) − 1); cumulative row k = the prefix of 2^(k+1)−1
+    * documents. floor-log₂ via binary-string length (exact, portable).
+    */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val tok = tokenHashTable(docs)
+      .select(col("doc_id"), explode(col("th")).as("h"))
+    val kOf = (c: Column) => (length(bin(c + 1)) - 1).cast("long")
+    val newTypes = tok.groupBy("h").agg(min("doc_id").as("first_doc"))
+      .groupBy(kOf(col("first_doc")).as("k"))
+      .agg(count(lit(1)).as("new_types"))
+    val newTokens = tok.groupBy(kOf(col("doc_id")).as("k"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    newTokens.join(newTypes, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("new_tokens"), lit(0L)).as("new_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("tokens_cum", sum("new_tokens").over(w))
+      .withColumn("vocab_cum", sum("new_types").over(w))
+  }
+
+  /** Per-document cross-entropy under a REFERENCE-corpus bigram LM —
+    * the CCNet-style quality filter: train Laplace-smoothed bigram
+    * counts on a trusted slice, score every document; documents
+    * improbable under the reference (high sum_nll_s / n_bigrams) are
+    * off-distribution — boilerplate, gibberish, or genre drift. The
+    * self-trained twin is [[perplexityScore]]; this one separates the
+    * model corpus from the scored corpus, which is what makes it a
+    * FILTER (a document cannot vote for its own n-grams). Bigrams
+    * unseen in the reference fall back to the Laplace floor
+    * (c12=0, c1=0 ⇒ p = 1/V) via left joins — never a null score.
+    *
+    * Scale shape: reference counts build once ((w1,w2)- and w1-keyed
+    * partial aggs); scoring is two hash-keyed left joins + one per-doc
+    * fold. Hot w1 contexts skew like every power-law key — AQE
+    * skew-join territory, same as the self-trained face.
+    */
+  def crossPerplexity(docs: DataFrame, ref: DataFrame): DataFrame = {
+    def bigramsOf(d: DataFrame) = d
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refBg = bigramsOf(ref)
+    val c12 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigramsOf(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(-log((coalesce(col("c12"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6)
+          .cast("long").as("term_s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_nll_s"))
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, the exact
     * Jaccard of their distinct token k-gram shingle sets — the
     * dataset-mixing diagnostic ("how much does source A repeat source

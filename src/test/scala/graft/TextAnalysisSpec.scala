@@ -392,6 +392,37 @@ class TextAnalysisSpec extends SparkTestBase {
       s"uniform frequencies must be flat: $fits")
   }
 
+  test("heapsCurve: power-of-two prefixes accumulate tokens and first-seen types") {
+    import spark.implicits._
+    // doc 0 (bucket k=0): 3 tokens, 2 types; doc 1-2 (k=1): reuse 'a',
+    // add 'c','d'; doc 3 (k=2): all repeats -> no new types
+    val docs = Seq(
+      (0L, "a b a"), (1L, "a c"), (2L, "d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.heapsCurve(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) === ((3L, 2L)), "after doc 0: 3 tokens, {a,b}")
+    assert(got(1L) === ((6L, 4L)), "after docs 0-2: 6 tokens, {a,b,c,d}")
+    assert(got(2L) === ((10L, 4L)), "doc 3 adds tokens but no types")
+  }
+
+  test("crossPerplexity: reference dialect scores better; unseen bigrams floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat", "en"), (2L, "the cat sat", "en"),
+      (3L, "voila le chat", "fr")) // all bigrams unseen in the en model
+      .toDF("doc_id", "text", "lang")
+    val got = graft.text.TextAnalysis
+      .crossPerplexity(docs, docs.where($"lang" === "en"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // per-bigram mean NLL: the in-distribution docs beat the unseen one
+    val mean = (id: Long) => got(id)._2.toDouble / got(id)._1
+    assert(mean(1L) < mean(3L), s"en doc must score better: $got")
+    // every fr bigram hits the Laplace floor -ln(1/V), V = 3 en types
+    assert(got(3L)._2 === 2L * math.floor(math.log(3.0) * 1e6).toLong)
+  }
+
   test("noveltyScores: first doc fully novel, copy fully stale, overlap partial") {
     import spark.implicits._
     val docs = Seq(
