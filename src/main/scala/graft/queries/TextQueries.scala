@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 
 import graft.text.TextAnalysis
 
@@ -204,6 +204,23 @@ object TextQueries {
     "q_text_bpe_native" -> ((s, dir) =>
       graft.text.Bpe.applyLearnedNative(Tables(s, dir, "documents"),
         trainedBpe(s, dir)._1)),
+
+    // tokenizer-eval metric: per language, BPE symbols emitted per
+    // whitespace token (fixed-point) — here merges COMPRESS, so the
+    // ratio is the compression the learned table buys per language;
+    // a language the tokenizer serves badly shows a ratio near 1
+    "q_text_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val syms = graft.text.Bpe.applyLearned(docs, trainedBpe(s, dir)._1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_syms"))
+      docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_toks"))
+        .join(syms, "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_toks").as("sum_tokens"), sum("n_syms").as("sum_syms"))
+        .withColumn("fertility_s",
+          expr("sum_syms * 1000000 DIV sum_tokens"))
+    }),
 
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
@@ -707,6 +724,11 @@ object TextQueries {
   private def bpeApplyOracle(rounds: Int): String =
     s"${bpeChainSql(rounds)}\nSELECT doc_id, pos, sym FROM s_$rounds"
 
+  /** [[bpeChainSql]] under a name that reads as "CTE prefix, extend
+    * me" — the fertility oracle appends its own CTEs after it.
+    */
+  private def bpeApplyOracleBase(rounds: Int): String = bpeChainSql(rounds)
+
   // Sketches.slot's engine-portable double hashing, as DuckDB SQL: all
   // constants and the pmod ladder mirror the Spark expression exactly,
   // so bloom/CMS sketch CONTENTS hash-compare (not just estimates)
@@ -1075,6 +1097,20 @@ object TextQueries {
          |    ELSE CAST(sum_pos_r2 - n_pos * (n_pos + 1) AS DOUBLE) /
          |      CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
          |FROM a""".stripMargin,
+
+    "q_text_bpe_fertility" ->
+      s"""${bpeApplyOracleBase(3)},
+         |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms
+         |       FROM s_3 GROUP BY 1),
+         |nt AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_toks
+         |       FROM documents),
+         |g AS (
+         |  SELECT lang, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(n_syms) AS BIGINT) AS sum_syms
+         |  FROM nt JOIN ns USING (doc_id) GROUP BY 1)
+         |SELECT lang, sum_tokens, sum_syms,
+         |  (sum_syms * 1000000) // sum_tokens AS fertility_s
+         |FROM g""".stripMargin,
 
     "q_text_bpe_merges" -> bpeMergesOracle(3),
 
