@@ -64,6 +64,20 @@ object TextQueries {
       graft.ml.Training.trainLogisticWeights(
         labeledTextFeatures(s, dir), "y", iters = 3))
 
+  /** Memoized first-seen shingle history (doc_id < 250) — the carried
+    * artifact of the incremental novelty face, the historyBands
+    * pattern: in production yesterday's first-seen table is persisted
+    * and only the new drop is shingled on the clock.
+    */
+  private val noveltyHistoryCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def noveltyHistory(s: SparkSession, dir: String): DataFrame =
+    noveltyHistoryCache.computeIfAbsent((s, dir), _ =>
+      TextAnalysis.firstSeenShingles(
+        Tables(s, dir, "documents").where(col("doc_id") < 250))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Scored corpus (vec_id, p_s, pred, y) under the memoized text head
     * — the shared input of the eval/AUC/sweep text faces.
     */
@@ -76,7 +90,12 @@ object TextQueries {
   /** ONE Scala value feeds the sweep face and its oracle's unnest list. */
   private val textSweepThresholds: Seq[Long] = (0 to 10).map(_ * 100000L)
 
-  def clearCache(): Unit = { bpeCache.clear(); textHeadCache.clear() }
+  def clearCache(): Unit = {
+    bpeCache.clear()
+    textHeadCache.clear()
+    noveltyHistoryCache.values().forEach(QueryCaches.safeUnpersist)
+    noveltyHistoryCache.clear()
+  }
 
   /** Materialize the memoized training off the bench clock (Bench
     * warm-up, like the domain-chain prebuilds).
@@ -84,6 +103,7 @@ object TextQueries {
   def prebuild(s: SparkSession, dir: String): Unit = {
     trainedBpe(s, dir)
     trainedTextHead(s, dir)
+    noveltyHistory(s, dir).write.format("noop").mode("overwrite").save()
     ()
   }
 
@@ -171,6 +191,14 @@ object TextQueries {
     // weight and crawl-growth diagnostic
     "q_text_novelty" -> ((s, dir) =>
       TextAnalysis.noveltyScores(Tables(s, dir, "documents"))),
+
+    // the daily-drop face: the new batch (doc_id >= 250) scored against
+    // the carried first-seen history — equals full-corpus novelty of
+    // the batch rows exactly, without re-shingling history
+    "q_text_novelty_inc" -> ((s, dir) =>
+      TextAnalysis.noveltyIncremental(
+        Tables(s, dir, "documents").where(col("doc_id") >= 250),
+        noveltyHistory(s, dir))),
 
     "q_text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables(s, dir, "documents"))),
@@ -966,6 +994,24 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
          |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // the full-corpus novelty computation restricted to the batch rows
+    // — the incremental face must equal exactly this
+    "q_text_novelty_inc" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, unnest($winnowShingleSql) AS h FROM tht)),
+         |fst AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |      AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS novelty
+         |FROM sh s JOIN fst f USING (h)
+         |WHERE s.doc_id >= 250
+         |GROUP BY 1""".stripMargin,
 
     "q_text_winnow" -> winnowFpSql,
 

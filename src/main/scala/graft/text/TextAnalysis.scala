@@ -371,6 +371,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_nll_s"))
   }
 
+  /** The persistable first-seen table behind [[noveltyScores]]:
+    * (h, first_doc) — what an incremental novelty pipeline carries
+    * between drops (shingle hashes + one id each, far smaller than
+    * text).
+    */
+  def firstSeenShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    tokenHashTable(docs)
+      .select(col("doc_id"), explode(shingleHashes(col("th"), k)).as("h"))
+      .distinct()
+      .groupBy("h").agg(min("doc_id").as("first_doc"))
+
+  /** Incremental [[noveltyScores]] for the daily-drop loop: score ONLY
+    * the new batch against the carried [[firstSeenShingles]] history
+    * plus the batch's own first occurrences — equals the full-corpus
+    * novelty of the batch rows exactly (min over the union IS
+    * least(history min, batch min)), without re-shingling history.
+    * Contract: history doc_ids precede the batch's (append-only ids,
+    * the exactIncremental convention). Only the batch is tokenized;
+    * history ships as hashes.
+    */
+  def noveltyIncremental(newDocs: DataFrame, historyFirstSeen: DataFrame,
+      k: Int = 3): DataFrame = {
+    val sh = tokenHashTable(newDocs)
+      .select(col("doc_id"), explode(shingleHashes(col("th"), k)).as("h"))
+      .distinct()
+    val first = sh.groupBy("h").agg(min("doc_id").as("batch_first"))
+      .join(historyFirstSeen
+        .select(col("h"), col("first_doc").as("hist_first")), Seq("h"), "left")
+      .select(col("h"),
+        coalesce(least(col("hist_first"), col("batch_first")),
+          col("batch_first")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Cross-source overlap matrix: for every pair of sources, the exact
     * Jaccard of their distinct token k-gram shingle sets — the
     * dataset-mixing diagnostic ("how much does source A repeat source

@@ -439,6 +439,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental novelty: foreachBatch history fold == batch scores") {
+    // the crawl-drop loop as a stream: each micro-batch scores against
+    // the accumulated first-seen table, then merges its own first
+    // occurrences in — the concatenated per-batch scores must equal
+    // the batch noveltyScores over the whole corpus (min over the
+    // union is least of the mins, which is what makes this exact)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "a b c x y z",
+      10L -> "a b c d e f", 11L -> "p q r s t u", 12L -> "x y z p q")
+    val input = MemoryStream[(Long, String)]
+    var history = Seq.empty[(Long, Long)].toDF("h", "first_doc")
+    val scored = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.TextAnalysis.noveltyIncremental(batch, history)
+          .collect().foreach(r =>
+            scored(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+        history = history
+          .unionByName(graft.text.TextAnalysis.firstSeenShingles(batch))
+          .groupBy("h").agg(org.apache.spark.sql.functions.min("first_doc")
+            .as("first_doc"))
+          .localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = graft.text.TextAnalysis
+      .noveltyScores(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scored.toMap === full)
+  }
+
   test("batch sessionize splits on gap > 30min, aggregates per session") {
     import spark.implicits._
     val df = Seq(
