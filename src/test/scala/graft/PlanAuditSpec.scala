@@ -355,7 +355,13 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // the standalone k-means faces share the IVF bounded-centroid
       // broadcast attach (assignCells) — same designed shape as
       // q_sim_ivf_kmeans
-      "q_sim_kmeans_assign", "q_sim_kmeans_cells")
+      "q_sim_kmeans_assign", "q_sim_kmeans_cells",
+      // drift's 1-row bounds + 1-row totals attaches — the
+      // q_profile_histogram designed shape, twice
+      "q_profile_drift",
+      // cross-perplexity attaches the reference vocab size exactly as
+      // the self-trained perplexity face does
+      "q_text_cross_perplexity")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
@@ -532,6 +538,52 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
         s"$q plans a cartesian")
       assert(windows(p).isEmpty, s"$q grew a window")
     }
+  }
+
+  test("winnowing: every window partitions by doc_id, no cartesian") {
+    // the selection window must stay per-document — an unpartitioned
+    // variant would funnel the whole corpus's k-gram stream through
+    // one task's sort
+    for (q <- Seq("q_text_winnow", "q_text_winnow_pairs")) {
+      val p = plan(q)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a cartesian")
+      val unpart = windows(p).filter(_.partitionSpec.isEmpty)
+      assert(unpart.isEmpty, s"$q has an unpartitioned window")
+    }
+  }
+
+  test("label propagation / novelty / source overlap: equi-joins, no window") {
+    // label rounds are groupBy argmax (struct-min), novelty one
+    // hash-keyed min + join-back, overlap a source-bounded self-join —
+    // none of them may regress into a window or cartesian
+    for (q <- Seq("q_dedup_label_prop", "q_text_novelty",
+        "q_text_novelty_inc", "q_text_source_overlap")) {
+      val p = plan(q)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a cartesian")
+      assert(windows(p).isEmpty, s"$q grew a window")
+    }
+  }
+
+  test("hashed features / drift / k-anonymity: aggregation plans, no join explosion") {
+    // the featurizer is explode + two groupBys; drift and k-anonymity
+    // are single aggregations with ≤1-row broadcast attachments — any
+    // non-broadcast join here means a corpus-sized side sneaked in
+    for (q <- Seq("q_ml_text_features", "q_quality_k_anonymity")) {
+      val p = plan(q)
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"$q grew a join")
+      assert(windows(p).isEmpty, s"$q grew a window")
+    }
+    val drift = plan("q_profile_drift")
+    val nonBroadcast = drift.collect {
+      case j: SortMergeJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(nonBroadcast.isEmpty,
+      "drift's bounds/totals must attach by broadcast, not shuffle join")
   }
 
   // release the memoized domain-chain stages this suite materialized
