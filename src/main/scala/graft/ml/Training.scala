@@ -53,9 +53,10 @@ object Training {
   /** Floor division a/b (b > 0) in exact long arithmetic: subtracting
     * the non-negative pmod makes a exactly divisible, so the
     * truncating IntegralDivide returns the floor quotient. Shared with
-    * [[Evaluation]].
+    * [[Evaluation]] and the fixed-point drift/recall faces in
+    * `similarity`.
     */
-  private[ml] def floorDivP(a: Column, b: Column): Column =
+  private[graft] def floorDivP(a: Column, b: Column): Column =
     Shim.column(new IntegralDivide(
       Shim.expression(a - pmod(a, b)), Shim.expression(b)))
 

@@ -477,6 +477,26 @@ object SimilarityQueries {
     "q_ml_cv_eval" -> ((s, dir) =>
       graft.ml.Training.crossValEval(labeledEmb(s, dir), "y", nFolds = 3)),
 
+    // measured recall@5 of the LSH retriever against the brute-force
+    // ground truth — the ANN ladder's quality gate as a QUERY, not
+    // just a spec assertion
+    "q_sim_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.annRecall(
+        Similarity.bruteTopK(q, emb, k = 5),
+        Similarity.lshTopK(q, emb, k = 5))
+    }),
+
+    // per-dimension fixed-point mean drift between the even/odd
+    // pseudo-snapshots — the embedding-side histogramDrift
+    "q_sim_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1))
+    }),
+
     // reciprocal-rank fusion of the LSH and IVF retriever rankings —
     // consensus top-k, fixed-point RRF scores
     "q_sim_rrf" -> ((s, dir) => {
@@ -627,29 +647,75 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** The brute-force ground-truth oracle — shared verbatim by its own
+    * face and the recall measurement (the rrf embed pattern).
+    */
+  private lazy val bruteOracle: String = {
+    val dotQC = dotSql.format("q.embedding", "c.embedding")
+    val normQ = dotSql.format("q.embedding", "q.embedding")
+    val normC = dotSql.format("c.embedding", "c.embedding")
+    val normSelf = dotSql.format("embedding", "embedding")
+    // nz mirrors the operator's zero-norm guard: degenerate vectors
+    // have no defined cosine and never appear on either side
+    s"""WITH nz AS (
+       |  SELECT * FROM embeddings WHERE $normSelf > 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |    CAST($dotQC AS DOUBLE) /
+       |      sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS cosine
+       |  FROM (SELECT * FROM nz WHERE vec_id < 8) q
+       |  JOIN nz c ON q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_sim_brute_topk" -> {
-      val dotQC = dotSql.format("q.embedding", "c.embedding")
-      val normQ = dotSql.format("q.embedding", "q.embedding")
-      val normC = dotSql.format("c.embedding", "c.embedding")
-      val normSelf = dotSql.format("embedding", "embedding")
-      // nz mirrors the operator's zero-norm guard: degenerate vectors
-      // have no defined cosine and never appear on either side
-      s"""WITH nz AS (
-         |  SELECT * FROM embeddings WHERE $normSelf > 0),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-         |    CAST($dotQC AS DOUBLE) /
-         |      sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS cosine
-         |  FROM (SELECT * FROM nz WHERE vec_id < 8) q
-         |  JOIN nz c ON q.vec_id != c.vec_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cosine,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    "q_sim_brute_topk" -> bruteOracle,
+
+    // both retriever oracles embed verbatim; recall = hits over truth
+    "q_sim_ann_recall" ->
+      s"""WITH t AS (SELECT query_id, vec_id FROM ($bruteOracle)),
+         |r AS (SELECT query_id, vec_id FROM ($lshOracle)),
+         |j AS (
+         |  SELECT t.query_id,
+         |    CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM t LEFT JOIN r USING (query_id, vec_id))
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST((CAST(sum(hit) AS BIGINT) * 1000000) //
+         |    CAST(count(*) AS BIGINT) AS BIGINT) AS recall_s
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // mirrors Similarity.embeddingDrift: side flag off vec_id parity,
+    // one dims-keyed aggregate, pmod-subtract floor means
+    "q_sim_drift" ->
+      s"""WITH u AS (
+         |  SELECT vec_id % 2 AS side,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+         |      AS BIGINT) AS xs
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT dim,
+         |    CAST(sum(CASE WHEN side = 0 THEN xs ELSE 0 END) AS BIGINT) AS sr,
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         |    CAST(sum(CASE WHEN side = 1 THEN xs ELSE 0 END) AS BIGINT) AS sc,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |  FROM u GROUP BY 1),
+         |m AS (
+         |  SELECT dim,
+         |    CASE WHEN nr = 0 THEN NULL
+         |      ELSE (sr - ((sr % nr + nr) % nr)) // nr END AS mean_ref_s,
+         |    CASE WHEN nc = 0 THEN NULL
+         |      ELSE (sc - ((sc % nc + nc) % nc)) // nc END AS mean_cur_s
+         |  FROM g)
+         |SELECT dim, mean_ref_s, mean_cur_s,
+         |  abs(mean_ref_s - mean_cur_s) AS dev_s
+         |FROM m""".stripMargin,
 
     "q_sim_hard_negatives" -> {
       val dotQC = dotSql.format("q.embedding", "c.embedding")

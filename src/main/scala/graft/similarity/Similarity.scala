@@ -770,4 +770,59 @@ object Similarity {
           col("a.norm"), col("b.norm")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Retrieval recall measurement — "measure, don't guess" for the ANN
+    * ladder: per query, what fraction of the ground-truth top-k an
+    * approximate retriever actually returned, as a fixed-point integer
+    * (n_hit·1e6 div n_truth). Both inputs are (query_id, vec_id)
+    * rankings; extra columns are ignored. The join is keyed
+    * (query_id, vec_id) and both sides are k-bounded per query, so
+    * this costs |queries|·k however large the corpus the retrievers
+    * searched.
+    */
+  def annRecall(truth: DataFrame, retrieved: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("vec_id"))
+      .join(retrieved.select(col("query_id"), col("vec_id"),
+        lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_s",
+        graft.ml.Training.floorDivP(col("n_hit") * lit(1000000L),
+          col("n_truth")))
+
+  /** Embedding-space drift between two corpus slices: per dimension,
+    * the fixed-point mean of each slice and the absolute difference —
+    * the embedding-side twin of `core.Profiler.histogramDrift` (a new
+    * encoder version or a shifted crawl shows up as per-dim mean
+    * displacement before any downstream metric moves). Means are
+    * floor(Σ floor(x·1e6) / n) in exact long arithmetic (pmod-subtract
+    * floor division — sums can be negative); an empty side reports
+    * null means/deviation, not a crash.
+    *
+    * Scale shape: one union scan (side flag rides the rows), one
+    * posexplode, ONE dims-keyed partial-aggregated groupBy — dims
+    * groups on the wire regardless of corpus size.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val xs = floor(col("x").cast("double") * lit(1000000.0)).cast("long")
+    val all = ref.select(lit(0L).as("side"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .unionAll(cur.select(lit(1L).as("side"),
+        posexplode(col("embedding")).as(Seq("dim", "x"))))
+      .select(col("side"), col("dim").cast("long").as("dim"), xs.as("xs"))
+    def meanS(s: Column, n: Column): Column =
+      when(n === 0L, lit(null).cast("long"))
+        .otherwise(graft.ml.Training.floorDivP(s, n))
+    all.groupBy("dim")
+      .agg(sum(when(col("side") === 0L, col("xs")).otherwise(0L)).as("sr"),
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("side") === 1L, col("xs")).otherwise(0L)).as("sc"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("nc"))
+      .select(col("dim"),
+        meanS(col("sr"), col("nr")).as("mean_ref_s"),
+        meanS(col("sc"), col("nc")).as("mean_cur_s"),
+        abs(meanS(col("sr"), col("nr")) - meanS(col("sc"), col("nc")))
+          .as("dev_s"))
+  }
 }

@@ -513,4 +513,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(mined.nonEmpty, "fixture must yield negatives")
     assert(mined === perQuery)
   }
+
+  test("annRecall: perfect retriever scores 1e6, disjoint scores 0, half scores half") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "vec_id")
+    val retrieved = Seq(
+      (1L, 10L), (1L, 11L), // query 1: both
+      (2L, 20L), (2L, 99L), // query 2: one of two
+      (3L, 98L)) // query 3: none
+      .toDF("query_id", "vec_id")
+    val got = graft.similarity.Similarity.annRecall(truth, retrieved)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 1000000L, 2L -> 500000L, 3L -> 0L))
+  }
+
+  test("embeddingDrift: identical slices drift 0; a shifted dim shows its shift") {
+    import spark.implicits._
+    val ref = Seq((1L, Seq(0.5, -0.25)), (2L, Seq(0.5, -0.25)))
+      .toDF("vec_id", "embedding")
+    // dim 0 identical, dim 1 shifted by +0.5 in cur
+    val cur = Seq((3L, Seq(0.5, 0.25)), (4L, Seq(0.5, 0.25)))
+      .toDF("vec_id", "embedding")
+    val got = graft.similarity.Similarity.embeddingDrift(ref, cur)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0L) === ((500000L, 500000L, 0L)))
+    assert(got(1L) === ((-250000L, 250000L, 500000L)))
+    // empty side: null means, no crash
+    val empty = graft.similarity.Similarity
+      .embeddingDrift(ref, cur.where(col("vec_id") < 0)).collect()
+    assert(empty.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
