@@ -146,6 +146,54 @@ object PageRank {
     out
   }
 
+  /** PERSONALIZED PageRank: the teleport term lands only on `seeds`
+    * (r_0 = scale on seeds, 0 elsewhere; per iteration the base term
+    * applies to seeds alone) — "importance relative to THIS set", the
+    * find-documents-like-my-trusted-set expansion that turns a small
+    * curated whitelist into graph-weighted corpus scores (the crawl
+    * frontier/authority trick). Same exact integer arithmetic, same
+    * per-iteration one-join + one-groupBy shape as [[run]]; seeds
+    * attach once to the node table, so iterations shuffle (id, rank)
+    * pairs only. Unreached nodes hold rank 0 exactly.
+    */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampingPct: Int = 85, scale: Long = 1000000L,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    val deg = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    val withDeg = e.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val baseTerm = (100L - dampingPct) * scale / 100L
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank_s"))
+    for (i <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.select(col("node").as("src"), col("rank_s")), Seq("src"))
+        .select(col("dst"), expr("(rank_s * w) div sw").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(baseTerm)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank_s"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    val out = ranks.localCheckpoint()
+    withDeg.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** Observed-convergence twin of [[run]] (same pattern as
     * `Dedup.dedupGroupsConverged` / `Clustering.propagate`): iterate
     * until the LARGEST per-node rank change is at most `tolS`

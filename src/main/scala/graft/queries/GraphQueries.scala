@@ -73,6 +73,17 @@ object GraphQueries {
     "q_graph_pagerank" -> ((s, dir) =>
       PageRank.run(coSupply(s, dir, 40.0).select(col("src"), col("dst")), iters = 2)),
 
+    // personalized variant: teleport mass only on the sk%97==0 seed
+    // suppliers — authority relative to a trusted whitelist
+    "q_graph_ppr" -> ((s, dir) => {
+      val e = coSupply(s, dir, 40.0).select(col("src"), col("dst"))
+      PageRank.runPersonalized(e,
+        e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node")))
+          .where(col("node") % 97 === 0),
+        iters = 2)
+    }),
+
     // production face: iterate until max per-node delta <= 1% of scale
     // (rows-only — convergence loops are not CTE-unrollable;
     // PageRankSpec proves face agreement). Round count is set by the
@@ -232,6 +243,41 @@ object GraphQueries {
         |  GROUP BY 1),
         |r2 AS (
         |  SELECT n.node, 150000 + (85 * coalesce(c2.s2, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN c2 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin,
+
+    // personalized 2-iteration unroll: seed-only base term, zero init
+    // off seeds — same exact integer arithmetic
+    "q_graph_ppr" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 40.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |nodes AS (
+        |  SELECT node, node % 97 = 0 AS is_seed FROM (
+        |    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, sum(r0.r // deg.d) AS s1
+        |  FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node,
+        |    CASE WHEN n.is_seed THEN 150000 ELSE 0 END +
+        |      (85 * coalesce(c1.s1, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, sum(r1.r // deg.d) AS s2
+        |  FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node,
+        |    CASE WHEN n.is_seed THEN 150000 ELSE 0 END +
+        |      (85 * coalesce(c2.s2, 0)) // 100 AS r
         |  FROM nodes n LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin,
 

@@ -169,4 +169,26 @@ class PageRankSpec extends SparkTestBase {
     // cycle of degree-1 nodes: r stays exactly 1.0 forever
     assert(out.values.toSet === Set(1000000L))
   }
+
+  test("personalized ranks: mass flows FROM the seed; off-seed holds zero") {
+    import spark.implicits._
+    // chain 1→2→3 plus isolated pair 4→5; seed {1}
+    // r0 = (1e6, 0, 0, 0, 0)
+    // iter1: r(1)=150000; r(2)=85*1e6//100=850000; rest 0
+    // iter2: r(1)=150000; r(2)=85*150000//100=127500; r(3)=85*850000//100=722500
+    val e = edges(1L -> 2L, 2L -> 3L, 4L -> 5L)
+    val out = ranks(PageRank.runPersonalized(e,
+      Seq(1L).toDF("node"), iters = 2))
+    assert(out === Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L,
+      4L -> 0L, 5L -> 0L))
+  }
+
+  test("personalized with ALL nodes seeded equals plain PageRank") {
+    import spark.implicits._
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L)
+    val plain = ranks(PageRank.run(e, iters = 2))
+    val allSeeds = Seq(1L, 2L, 3L).toDF("node")
+    val ppr = ranks(PageRank.runPersonalized(e, allSeeds, iters = 2))
+    assert(ppr === plain)
+  }
 }
