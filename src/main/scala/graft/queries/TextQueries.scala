@@ -78,6 +78,18 @@ object TextQueries {
         Tables(s, dir, "documents").where(col("doc_id") < 250))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Memoized winnow-fingerprint history (doc_id < 250) — the carried
+    * artifact of the incremental winnow face.
+    */
+  private val winnowHistoryCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def winnowHistory(s: SparkSession, dir: String): DataFrame =
+    winnowHistoryCache.computeIfAbsent((s, dir), _ =>
+      TextAnalysis.winnowFingerprints(
+        Tables(s, dir, "documents").where(col("doc_id") < 250))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Scored corpus (vec_id, p_s, pred, y) under the memoized text head
     * — the shared input of the eval/AUC/sweep text faces.
     */
@@ -95,6 +107,8 @@ object TextQueries {
     textHeadCache.clear()
     noveltyHistoryCache.values().forEach(QueryCaches.safeUnpersist)
     noveltyHistoryCache.clear()
+    winnowHistoryCache.values().forEach(QueryCaches.safeUnpersist)
+    winnowHistoryCache.clear()
   }
 
   /** Materialize the memoized training off the bench clock (Bench
@@ -104,6 +118,7 @@ object TextQueries {
     trainedBpe(s, dir)
     trainedTextHead(s, dir)
     noveltyHistory(s, dir).write.format("noop").mode("overwrite").save()
+    winnowHistory(s, dir).write.format("noop").mode("overwrite").save()
     ()
   }
 
@@ -164,6 +179,15 @@ object TextQueries {
     // against boilerplate fingerprint fanout)
     "q_text_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowCandidates(Tables(s, dir, "documents"))),
+
+    // the daily-drop face: only the new batch (doc_id >= 250) winnows;
+    // its fingerprints pair against the carried history fingerprint
+    // table — equals the full pairs restricted to pairs touching new
+    "q_text_winnow_inc" -> ((s, dir) =>
+      TextAnalysis.winnowCandidatesIncremental(
+        TextAnalysis.winnowFingerprints(
+          Tables(s, dir, "documents").where(col("doc_id") >= 250)),
+        winnowHistory(s, dir))),
 
     // cross-source shingle-set Jaccard matrix: the mixing diagnostic
     "q_text_source_overlap" -> ((s, dir) =>
@@ -1026,6 +1050,22 @@ object TextQueries {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM kept a JOIN kept b
          |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    // the from-scratch pair computation restricted to pairs touching
+    // the new batch — the incremental face must equal exactly this
+    "q_text_winnow_inc" ->
+      s"""WITH fpd AS (
+         |  SELECT DISTINCT doc_id, fp_hash FROM ($winnowFpSql)),
+         |kept AS (
+         |  SELECT f.doc_id, f.fp_hash FROM fpd f
+         |  JOIN (SELECT fp_hash, count(*) AS df FROM fpd GROUP BY 1) d
+         |    ON d.fp_hash = f.fp_hash AND d.df <= 50)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b
+         |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |WHERE a.doc_id >= 250 OR b.doc_id >= 250
          |GROUP BY 1, 2""".stripMargin,
 
     "q_text_source_overlap" ->

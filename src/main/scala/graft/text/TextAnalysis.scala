@@ -215,6 +215,40 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Incremental [[winnowCandidates]] for the daily-drop loop: pair
+    * ONLY the new batch's fingerprints (already winnowed — the small
+    * persisted artifact, like the minhash history bands) against the
+    * carried history ∪ themselves. The df-cut computes over the UNION
+    * (full-corpus document frequency, so cut decisions match the
+    * from-scratch run), and the result equals the full
+    * [[winnowCandidates]] restricted to pairs touching ≥1 new
+    * document — history×history pairs were yesterday's output and are
+    * never regenerated. Unordered pairs canonicalize (least, greatest)
+    * and dedup per hash so a new-new pair reached from both anchors
+    * counts its shared hashes once.
+    */
+  def winnowCandidatesIncremental(newFps: DataFrame, historyFps: DataFrame,
+      maxDf: Long = 50L): DataFrame = {
+    val all = newFps.select(col("doc_id"), col("fp_hash"))
+      .unionAll(historyFps.select(col("doc_id"), col("fp_hash")))
+      .distinct()
+    val kept = all.join(
+      all.groupBy("fp_hash").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf),
+      "fp_hash")
+    val keptNew = kept.join(newFps.select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi")
+    keptNew.select(col("fp_hash"), col("doc_id").as("x"))
+      .join(kept.select(col("fp_hash"), col("doc_id").as("y")), "fp_hash")
+      .where(col("x") =!= col("y"))
+      .select(col("fp_hash"),
+        least(col("x"), col("y")).as("doc_id_a"),
+        greatest(col("x"), col("y")).as("doc_id_b"))
+      .distinct()
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Plagiarism/near-copy candidate pairs from winnowing fingerprints:
     * documents sharing ≥ 1 selected fingerprint HASH, scored by how
     * many distinct hashes they share. Fingerprints present in more than

@@ -68,6 +68,26 @@ class WinnowSpec extends SparkTestBase {
     assert(TextAnalysis.winnowCandidates(d, maxDf = 1).count() === 0L)
   }
 
+  test("winnowCandidatesIncremental == full pairs restricted to new-touching") {
+    val boiler = "shared template header for every page of this corpus"
+    val corpus = docs(
+      (1L, s"$boiler ${filler(1, 30)}", "a"),
+      (2L, s"$boiler ${filler(2, 30)}", "a"),
+      (3L, s"$boiler ${filler(1, 30)}", "a"), // copy of 1 (new batch)
+      (4L, s"$boiler ${filler(3, 30)}", "a")) // new
+    val isNew = (id: Long) => id >= 3L
+    val full = TextAnalysis.winnowCandidates(corpus, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val inc = TextAnalysis.winnowCandidatesIncremental(
+        TextAnalysis.winnowFingerprints(corpus.where(col("doc_id") >= 3)),
+        TextAnalysis.winnowFingerprints(corpus.where(col("doc_id") < 3)),
+        maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc === full.filter { case ((a, b), _) => isNew(a) || isNew(b) })
+    assert(inc.contains((1L, 3L)), "the cross-batch copy pair must surface")
+    assert(inc.contains((3L, 4L)), "the new-new pair must count once")
+  }
+
   test("sourceOverlap computes exact pairwise shingle Jaccard") {
     val d = docs(
       (1L, "one two three four five", "s1"), // shingles: {123,234,345}
