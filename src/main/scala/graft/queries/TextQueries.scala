@@ -170,6 +170,29 @@ object TextQueries {
       graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
         textSweepThresholds)),
 
+    // SOFT quality filter composition: accept each document with
+    // probability equal to its classifier score (salted-hash bucket <
+    // p_s/1000 — the deterministic coin the sampling family uses
+    // everywhere), then per-language survivor stats. The
+    // score-proportional alternative to a hard threshold: borderline
+    // documents thin out instead of cliffing, exactly what the
+    // calibration face certifies the scores for
+    "q_pipeline_soft_filter" -> ((s, dir) => {
+      val a = TextAnalysis.hashA(13)
+      val b = TextAnalysis.hashB(13)
+      val P = TextAnalysis.HashMod
+      val accepted = textScored(s, dir)
+        .where(((col("vec_id") % P) * a + b) % P % 1000 <
+          graft.ml.Training.floorDivP(col("p_s"), lit(1000L)))
+      Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+        .join(accepted, "vec_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_accepted"),
+          sum(col("p_s")).as("sum_p_s"),
+          sum(col("y")).as("n_pos"))
+    }),
+
     // winnowing (MOSS) fingerprint selection: per-window min k-gram
     // hash — the ~1/w document sketch with the shared-run guarantee
     "q_text_winnow" -> ((s, dir) =>
@@ -1133,6 +1156,21 @@ object TextQueries {
          |    ELSE CAST(sum_pos_r2 - n_pos * (n_pos + 1) AS DOUBLE) /
          |      CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
          |FROM a""".stripMargin,
+
+    // the scored chain + the same salted-hash acceptance ladder
+    "q_pipeline_soft_filter" -> {
+      val a = TextAnalysis.hashA(13)
+      val b = TextAnalysis.hashB(13)
+      s"""WITH $textScoredSql,
+         |acc AS (
+         |  SELECT f.vec_id, f.y, f.ps FROM fp f
+         |  WHERE (((f.vec_id % $P) * $a + $b) % $P) % 1000 < f.ps // 1000)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_accepted,
+         |  CAST(sum(a.ps) AS BIGINT) AS sum_p_s,
+         |  CAST(sum(a.y) AS BIGINT) AS n_pos
+         |FROM acc a JOIN documents d ON d.doc_id = a.vec_id
+         |GROUP BY 1""".stripMargin
+    },
 
     // mirrors Evaluation.thresholdSweep over the text head's grid
     "q_ml_text_sweep" ->
