@@ -121,6 +121,39 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Asymmetric CONTAINMENT scoring over candidate pairs:
+    * |A∩B|/|A| and |A∩B|/|B| per pair (fixed-point 1e-6) — the
+    * subset/quotation detector symmetric Jaccard is blind to: a tweet
+    * quoted inside an article has tiny Jaccard (the union is
+    * article-sized) but containment ≈ 1 on the tweet side, which is
+    * what quote-dedup, snippet-provenance, and contained-document
+    * removal key on. Same single shingle-table + candidate-join shape
+    * as [[ngramJaccard]]; empty shingle sets score null (containment
+    * of nothing is undefined, not zero). The division is exact
+    * integer floor (pmod-subtract), so the face hash-compares.
+    */
+  def ngramContainment(docs: DataFrame, candidates: DataFrame,
+      n: Int = 3): DataFrame = {
+    val sh = TextAnalysis.tokenHashTable(docs)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingleHashes(col("th"), n)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
+    def contS(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("long"))
+        .otherwise(graft.ml.Training.floorDivP(num * lit(1000000L), den))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), Seq("doc_id_a"))
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("hs").as("hs_b"),
+        col("n_sh").as("n_b")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"),
+        col("n_a"), col("n_b"))
+      .withColumn("containment_a_s", contS(col("n_common"), col("n_a")))
+      .withColumn("containment_b_s", contS(col("n_common"), col("n_b")))
+  }
+
   /** EXACT threshold similarity join via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08): every pair with n-gram Jaccard >= tNum/tDen, with ZERO

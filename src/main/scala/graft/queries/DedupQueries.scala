@@ -193,6 +193,18 @@ object DedupQueries {
       Dedup.ngramJaccard(docs, cands).where(col("jaccard") > 0.0)
     }),
 
+    // asymmetric containment over the same window candidates: the
+    // subset/quotation detector (tiny Jaccard, near-1 containment on
+    // the contained side); only overlapping pairs reported
+    "q_dedup_containment" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("doc_id_a"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 25)).as("doc_id_b"))
+        .join(ids.select(col("doc_id").as("doc_id_b")), Seq("doc_id_b"), "left_semi")
+      Dedup.ngramContainment(docs, cands).where(col("n_common") > 0L)
+    }),
+
     // sorted-neighborhood blocking + banded edit-distance verify — the
     // third candidate family (prefix-locality) composed with the
     // confirmation pass
@@ -628,6 +640,33 @@ object DedupQueries {
          |WHERE (CASE WHEN n_a_b - n_common > 0
          |  THEN CAST(n_common AS DOUBLE) / CAST(n_a_b - n_common AS DOUBLE)
          |  ELSE 0.0 END) > 0.0""".stripMargin,
+
+    // the same shingle sets/candidates as the jaccard oracle with
+    // asymmetric fixed-point divisions
+    "q_dedup_containment" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_distinct($shingleHashSql) AS hs
+         |  FROM tht),
+         |hn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_sh FROM hs),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM (SELECT doc_id FROM documents) a
+         |  JOIN (SELECT doc_id FROM documents) b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25),
+         |j AS (
+         |  SELECT doc_id_a, doc_id_b,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_common,
+         |    sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM cand
+         |  JOIN hn sa ON sa.doc_id = doc_id_a
+         |  JOIN hn sb ON sb.doc_id = doc_id_b)
+         |SELECT doc_id_a, doc_id_b, n_common, n_a, n_b,
+         |  CASE WHEN n_a = 0 THEN NULL
+         |    ELSE (n_common * 1000000) // n_a END AS containment_a_s,
+         |  CASE WHEN n_b = 0 THEN NULL
+         |    ELSE (n_common * 1000000) // n_b END AS containment_b_s
+         |FROM j WHERE n_common > 0""".stripMargin,
 
     // the same shingle sets; prefix = first |d| − ceil(4|d|/5) + 1
     // shingles in global (document-frequency, hash) order; integer

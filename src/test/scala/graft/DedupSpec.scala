@@ -307,6 +307,25 @@ class DedupSpec extends SparkTestBase {
     assert(!got(6L), "shingle-less doc must pass, not crash")
   }
 
+  test("ngramContainment: a quoted subset scores ~1 on its side, low Jaccard") {
+    import spark.implicits._
+    val tweet = "one two three four five six"
+    val article = s"intro words here $tweet closing remarks follow after that end"
+    val d = Seq((1L, tweet), (2L, article)).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val r = Dedup.ngramContainment(d, cands).collect().head
+    val (nCommon, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    // every tweet shingle appears in the article: containment_a = 1.0
+    assert(r.getLong(5) === 1000000L, s"tweet side must be fully contained: $r")
+    assert(r.getLong(6) === nCommon * 1000000L / nB)
+    // while symmetric Jaccard is small (union is article-sized)
+    assert(nCommon.toDouble / (nA + nB - nCommon) < 0.5)
+    // empty shingle sets score null, not zero (and never crash)
+    val short = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val rr = Dedup.ngramContainment(short, cands).collect().head
+    assert(rr.isNullAt(5), "sub-k-gram doc has no containment")
+  }
+
   test("propagateLabels: majority vote, min-label ties, clamped seeds, null unreached") {
     import spark.implicits._
     // graph: 1-2-3 chain; 4 tied between seeds 1(en) and 5(de); 6 isolated;
