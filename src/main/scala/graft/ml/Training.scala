@@ -152,6 +152,50 @@ object Training {
         hardSigmoidS(marginS(xsCol(col("embedding")), w)).as("p_s"))
       .withColumn("pred", (col("p_s") >= lit(S / 2)).cast("long"))
 
+  /** Nearest-class-mean (prototype) "training": the per-class centroid
+    * of the fixed-point features, as 1e-6-scale integer weights —
+    * floor(Σ xs_d / n) per (class, dim), exact. The few-shot/
+    * non-parametric member of the classifier family: no iterations, no
+    * learning rate, one partial-aggregated (class, dim)-keyed pass,
+    * and the collect is (classes · dims)-bounded — a prototype table
+    * is KBs, the same bounded-collect budget as the GD head.
+    */
+  def centroidWeights(vectors: DataFrame, labelCol: String): Seq[(Long, Array[Long])] = {
+    val rows = vectors.select(col(labelCol).cast("long").as("cls"),
+        posexplode(xsCol(col("embedding"))).as(Seq("dim", "xs")))
+      .groupBy("cls", "dim")
+      .agg(count(lit(1)).as("n"), sum("xs").as("s"))
+      .select(col("cls"), col("dim"), floorDivP(col("s"), col("n")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cls, rs) =>
+      val dims = rs.map(_._2).max + 1
+      val w = Array.fill(dims)(0L)
+      rs.foreach { case (_, d, v) => w(d) = v }
+      (cls, w)
+    }
+  }
+
+  /** Nearest-class-mean evaluation: every vector argmax-scored against
+    * the class prototypes (integer dot, ties to the LOWEST class id —
+    * deterministic), folded to confusion counts `(y, pred, n_rows)`.
+    * Scoring is map-only with the prototype table as plan literals —
+    * the [[Inference]] shape, classes·dims multiplies per row.
+    */
+  def ncmEval(vectors: DataFrame, labelCol: String): DataFrame = {
+    val protos = centroidWeights(vectors, labelCol)
+    require(protos.nonEmpty, "no classes to train on")
+    val xs = xsCol(col("embedding"))
+    val scores = protos.map { case (cls, w) => (cls, marginS(xs, w)) }
+    val (pred, _) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((bestC, bestS), (c, sC)) =>
+        (when(sC > bestS, lit(c)).otherwise(bestC),
+          when(sC > bestS, sC).otherwise(bestS))
+    }
+    vectors.select(col(labelCol).cast("long").as("y"), pred.as("pred"))
+      .groupBy("y", "pred").agg(count(lit(1)).as("n_rows"))
+  }
+
   /** K-fold cross-validated evaluation: deterministic folds by
     * `vec_id mod nFolds`, one [[trainLogisticWeights]] fit per
     * held-out fold, scored ONLY on that fold — per-fold confusion

@@ -185,6 +185,25 @@ object SimilarityQueries {
        |$blocks""".stripMargin
   }
 
+  /** The prototype-classifier replay: exploded 1e-6 features with the
+    * FULL multiclass label, per-(class, dim) floor-mean centroid
+    * weights — ends at `ex(vec_id, y, dim, xs)` and `cw(cls, dim, w)`.
+    */
+  private lazy val ncmChainSql: String =
+    s"""ex AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS y,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS xs
+       |  FROM embeddings),
+       |cw AS (
+       |  SELECT y AS cls, dim,
+       |    CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS w
+       |  FROM (
+       |    SELECT y, dim, CAST(count(*) AS BIGINT) AS n,
+       |      CAST(sum(xs) AS BIGINT) AS s
+       |    FROM ex GROUP BY 1, 2))""".stripMargin
+
   /** The k-fold CV replay behind q_ml_cv_eval: the same fixed-point GD
     * blocks as [[logisticChainSql]], instantiated once per fold with
     * train rows `fold <> f` (fold = vec_id mod k, portable), then each
@@ -476,6 +495,21 @@ object SimilarityQueries {
     // generalization counts, the honest twin of in-sample q_ml_logistic_eval
     "q_ml_cv_eval" -> ((s, dir) =>
       graft.ml.Training.crossValEval(labeledEmb(s, dir), "y", nFolds = 3)),
+
+    // nearest-class-mean prototypes: per (class, dim) centroid weights
+    // at the 1e-6 grid — the few-shot classifier's persistable model
+    "q_ml_ncm_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.ml.Training.centroidWeights(Tables(s, dir, "embeddings"), "label")
+        .flatMap { case (cls, w) =>
+          w.toIndexedSeq.zipWithIndex.map { case (wv, d) => (cls, d.toLong, wv) }
+        }.toDF("cls", "dim", "w_s")
+    }),
+
+    // 10-class prototype classification of the corpus: confusion counts
+    // under argmax integer-dot scoring, ties to the lowest class
+    "q_ml_ncm_eval" -> ((s, dir) =>
+      graft.ml.Training.ncmEval(Tables(s, dir, "embeddings"), "label")),
 
     // measured recall@5 of the LSH retriever against the brute-force
     // ground truth — the ANN ladder's quality gate as a QUERY, not
@@ -991,6 +1025,28 @@ object SimilarityQueries {
       s"""WITH ${cvChainSql(3, 3)}
          |SELECT fold, y, pred, CAST(count(*) AS BIGINT) AS n_rows
          |FROM allf GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_ml_ncm_train" ->
+      s"""WITH $ncmChainSql
+         |SELECT cls, dim, w AS w_s FROM cw""".stripMargin,
+
+    // argmax by (score desc, cls asc) — the face's fold keeps the
+    // earlier (lower) class on ties
+    "q_ml_ncm_eval" ->
+      s"""WITH $ncmChainSql,
+         |sc AS (
+         |  SELECT e.vec_id, max(e.y) AS y, c.cls,
+         |    CAST(sum(e.xs * c.w) AS BIGINT) AS score
+         |  FROM ex e JOIN cw c USING (dim)
+         |  GROUP BY e.vec_id, c.cls),
+         |best AS (
+         |  SELECT vec_id, y, cls AS pred FROM (
+         |    SELECT vec_id, y, cls,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY score DESC, cls) AS rn
+         |    FROM sc) WHERE rn = 1)
+         |SELECT y, pred, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM best GROUP BY 1, 2""".stripMargin,
 
     // mirrors Evaluation.calibrationBins: equal-width score bins with a
     // closed top bin (least-clamp), exact integer outputs

@@ -49,6 +49,32 @@ class TrainingSpec extends SparkTestBase {
     assert(eval === perRow)
   }
 
+  test("ncmEval: well-separated prototypes classify perfectly; ties go low") {
+    import spark.implicits._
+    // three classes along three axes — prototypes are the axes
+    val d = (0L to 8L).map { i =>
+      val cls = (i % 3).toInt
+      val e = Array(0f, 0f, 0f); e(cls) = 0.9f + 0.01f * (i / 3)
+      (i, e.toSeq, cls)
+    }.toDF("vec_id", "embedding", "label")
+    val conf = graft.ml.Training.ncmEval(d, "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(conf === Map((0L, 0L) -> 3L, (1L, 1L) -> 3L, (2L, 2L) -> 3L))
+    // the prototype table is the exact per-class floor-mean
+    val w = graft.ml.Training.centroidWeights(d, "label").toMap
+    // floor-scaled FLOAT components (0.91f is not exactly 0.91)
+    val exp = Seq(0.9f, 0.91f, 0.92f)
+      .map(f => math.floor(f.toDouble * 1e6).toLong).sum
+    assert(w(0L)(0) === Math.floorDiv(exp, 3L))
+    assert(w(0L)(1) === 0L)
+    // zero vector ties every class at score 0 -> lowest class wins
+    val z = Seq((99L, Seq(0f, 0f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val zConf = graft.ml.Training
+      .ncmEval(d.unionByName(z), "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zConf((2L, 0L)) === 1L, "all-tie row must predict class 0")
+  }
+
   test("crossValEval: held-out folds cover the corpus once and separate cleanly") {
     val cv = Training.crossValEval(separable, "y", nFolds = 3, iters = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
