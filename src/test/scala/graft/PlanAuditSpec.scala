@@ -361,7 +361,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_profile_drift",
       // cross-perplexity attaches the reference vocab size exactly as
       // the self-trained perplexity face does
-      "q_text_cross_perplexity")
+      "q_text_cross_perplexity",
+      // the recall face embeds the brute-force ground truth — it
+      // inherits q_sim_brute_topk's designed broadcast scan
+      "q_sim_ann_recall")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
