@@ -97,6 +97,15 @@ object SamplingQueries {
         keyCol = "doc_id", groupCol = "lang", rates = weightedRates,
         defaultRate = 0.1, salt = 7)),
 
+    // mixture planning: the per-language sampling rates that hit the
+    // target token mixture under a 500k budget — run BEFORE sampling
+    "q_sample_mixture_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.mixturePlan(Tables(s, dir, "documents"), "lang",
+        TextAnalysis.tokenCount(col("text")),
+        mixtureTargets, budgetTokens = 500000L)
+    }),
+
     // sequence packing: whitespace token counts, 512-token budget,
     // 8 deterministic shards (salt 5)
     "q_pack_sequences" -> ((s, dir) => {
@@ -213,7 +222,32 @@ object SamplingQueries {
 
   private val weightedRates = Map("en" -> 0.8, "zh" -> 0.5, "de" -> 0.25)
 
+  /** ONE Scala value feeds the mixture-plan face and its oracle CASE. */
+  private val mixtureTargets: Seq[(String, Long)] =
+    Seq("en" -> 500L, "de" -> 200L, "fr" -> 150L, "es" -> 100L, "zh" -> 50L)
+
   val oracles: Map[String, String] = Map(
+    "q_sample_mixture_plan" -> {
+      val cases = mixtureTargets
+        .map { case (g, s) => s"WHEN lang = '$g' THEN CAST($s AS BIGINT)" }
+        .mkString(" ")
+      s"""WITH m AS (
+         |  SELECT lang,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+         |      AS BIGINT) AS mass,
+         |    (CASE $cases ELSE CAST(0 AS BIGINT) END) * 500000 // 1000
+         |      AS target_tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, mass, target_tokens,
+         |  CASE WHEN mass <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE least(1000000, (target_tokens * 1000000) // mass)
+         |    END AS rate_s,
+         |  (mass * (CASE WHEN mass <= 0 THEN 0
+         |    ELSE least(1000000, (target_tokens * 1000000) // mass) END))
+         |    // 1000000 AS expected_tokens
+         |FROM m""".stripMargin
+    },
+
     // ntile + the salted hash, both mirrored; the global stage window
     // is corpus-rank-exact in both engines
     "q_pipeline_curriculum" -> {

@@ -218,6 +218,42 @@ object Sampling {
     * (silently overwriting a caller's quality column would be data
     * loss), so pass a different `rankCol` in that case.
     */
+  /** Mixture PLANNING: per group, the sampling rate that hits a target
+    * token mixture under a total budget — the arithmetic a pipeline
+    * runs BEFORE sampling ("to make en 50% of a 500k-token mix at this
+    * corpus's masses, sample en at rate r"). For each group with
+    * target share s‰: target = budget·s div 1000, rate_s =
+    * min(1e6, target·1e6 div mass) (a group short of its target is
+    * taken whole — the planner reports the shortfall via
+    * expected_tokens = mass·rate_s div 1e6, not by inventing data).
+    * Groups without a target plan rate 0. All integer floor
+    * arithmetic; one partial-aggregated groupBy, |groups|-bounded
+    * output. Feed rate_s/1e6 to the hash sampler per group to execute
+    * the plan deterministically.
+    */
+  def mixturePlan(df: DataFrame, groupCol: String, tokenCountCol: Column,
+      targetsPerMille: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
+    require(targetsPerMille.nonEmpty, "need at least one target share")
+    require(targetsPerMille.forall(_._2 >= 0), "shares must be nonnegative")
+    require(targetsPerMille.map(_._2).sum <= 1000L,
+      "target shares exceed 1000 per mille")
+    require(budgetTokens >= 0, "budget must be nonnegative")
+    val share = targetsPerMille.foldLeft(lit(0L)) { case (acc, (g, s)) =>
+      when(col(groupCol) === g, lit(s)).otherwise(acc)
+    }
+    df.groupBy(col(groupCol))
+      .agg(sum(tokenCountCol.cast("long")).as("mass"))
+      .withColumn("target_tokens",
+        graft.ml.Training.floorDivP(share * budgetTokens, lit(1000L)))
+      .withColumn("rate_s",
+        when(col("mass") <= 0L, lit(0L))
+          .otherwise(least(lit(1000000L),
+            graft.ml.Training.floorDivP(col("target_tokens") * lit(1000000L),
+              col("mass")))))
+      .withColumn("expected_tokens",
+        graft.ml.Training.floorDivP(col("mass") * col("rate_s"), lit(1000000L)))
+  }
+
   def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCol: String, n: Int, rankCol: String = "rank"): DataFrame = {
     require(!df.columns.contains(rankCol),

@@ -257,4 +257,25 @@ class SamplingSpec extends SparkTestBase {
       .sorted.take(10).map(_._2).toSet
     assert(sel.map(_.getAs[Long]("doc_id")).toSet === all)
   }
+
+  test("mixturePlan: rates hit targets, short groups taken whole, untargeted zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // en mass 200, de mass 40, xx untargeted
+    val d = Seq(
+      ("en", 100L), ("en", 100L), ("de", 40L), ("xx", 30L))
+      .toDF("lang", "n_tok")
+    val plan = graft.sampling.Sampling
+      .mixturePlan(d, "lang", col("n_tok"),
+        Seq("en" -> 500L, "de" -> 500L), budgetTokens = 200L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // en: target 100 of mass 200 -> rate 0.5, expect 100
+    assert(plan("en") === ((200L, 100L, 500000L, 100L)))
+    // de: target 100 > mass 40 -> rate clamps to 1.0, expect all 40
+    assert(plan("de") === ((40L, 100L, 1000000L, 40L)))
+    // xx: no target -> rate 0
+    assert(plan("xx") === ((30L, 0L, 0L, 0L)))
+  }
 }
