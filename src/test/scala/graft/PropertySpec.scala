@@ -223,4 +223,57 @@ class PropertySpec extends SparkTestBase {
       assert(got === wantState, s"trial $trial segmentations differ")
     }
   }
+
+  test("winnowing guarantee holds on random corpora with planted shared runs") {
+    // the MOSS theorem: any two docs sharing a run of >= w+k-1 tokens
+    // share a fingerprint HASH — checked over random vocab draws with
+    // a shared span planted at random offsets (k=3, w=4, run = 7)
+    val rnd = new Random(41)
+    val vocab = (0 until 300).map(i => s"v${i}q")
+    val rows = (0 until 40).flatMap { pair =>
+      val run = Seq.fill(7)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      Seq(0, 1).map { side =>
+        val pre = Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        val post = Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        ((pair * 2 + side).toLong, (pre :+ run :++ post).mkString(" "))
+      }
+    }
+    val fp = graft.text.TextAnalysis
+      .winnowFingerprints(rows.toDF("doc_id", "text"), k = 3, w = 4)
+      .select("doc_id", "fp_hash").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0 until 40).foreach { pair =>
+      val (a, b) = (pair * 2L, pair * 2L + 1)
+      assert(fp(a).intersect(fp(b)).nonEmpty,
+        s"pair $pair shares a 7-token run but no fingerprint")
+    }
+  }
+
+  test("novelty conservation: sum of novel shingles == corpus distinct shingles") {
+    // every distinct shingle hash is novel for exactly ONE document
+    // (its first seer) — the invariant that makes novelty a partition
+    // of the corpus vocabulary, batch or incremental
+    val rnd = new Random(43)
+    val vocab = (0 until 50).map(i => s"w${i}x")
+    val rows = (0 until 60).map { i =>
+      (i.toLong,
+        Seq.fill(4 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val nv = graft.text.TextAnalysis.noveltyScores(docs).collect()
+    val sumNovel = nv.map(_.getLong(2)).sum
+    val distinctShingles = graft.text.TextAnalysis
+      .firstSeenShingles(docs).count()
+    assert(sumNovel === distinctShingles)
+    // and the incremental split reproduces the batch rows exactly
+    val inc = graft.text.TextAnalysis.noveltyIncremental(
+        docs.where(col("doc_id") >= 30),
+        graft.text.TextAnalysis.firstSeenShingles(
+          docs.where(col("doc_id") < 30)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = nv.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap.filter(_._1 >= 30)
+    assert(inc === full)
+  }
 }
