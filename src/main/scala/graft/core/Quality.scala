@@ -63,6 +63,36 @@ object Quality {
       .withColumn("violates", col("n_rows") < k)
   }
 
+  /** L-diversity audit — the companion gate to [[kAnonymity]]: a
+    * quasi-identifier class can be large enough to pass k-anonymity and
+    * still leak the sensitive attribute if every row in the class
+    * SHARES that attribute (the homogeneity attack: "all 50 documents
+    * from this source+length bucket are German" reveals the language of
+    * any member without identifying which row is which). A class is
+    * diverse when it carries at least `l` DISTINCT sensitive values.
+    * Reports every class with its size and distinct-sensitive count, so
+    * the output is both the audit and the remediation work-list, same
+    * contract as [[kAnonymity]]. Null sensitive values are not counted
+    * toward diversity (count-distinct semantics in both engines) — a
+    * class of all-null sensitives has zero diversity and flags.
+    *
+    * Scale shape: one partial-aggregated groupBy on the
+    * quasi-identifier columns; the count-distinct expands to the
+    * standard two-level aggregate (partial distinct per map task), so
+    * the shuffle carries (class, sensitive) pairs, not rows.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("violates", col("n_sensitive") < l)
+  }
+
   /** Key-uniqueness check: n_violations counts the ROWS carrying a
     * duplicated key (a key seen k>1 times contributes k), so the number
     * is directly "rows you would have to drop or merge".

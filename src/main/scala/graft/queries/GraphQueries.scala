@@ -150,6 +150,21 @@ object GraphQueries {
       graft.graph.ConnectedComponents.addEdges(labels1, batch2)
     }),
 
+    // modularity audit of a partition against the graph it must
+    // explain: batch-1 (even part-key) CC labels scored over the FULL
+    // co-purchase graph — edges landing in batch 2 that cross batch-1
+    // components register as inter-community mass, so the terms
+    // quantify how stale yesterday's clustering is. Unlabeled nodes
+    // default to singletons (Modularity's partial-label contract)
+    "q_graph_modularity" -> ((s, dir) => {
+      val e = coPurchase(s, dir)
+      val full = e.select(col("src"), col("dst")).distinct()
+      val b1 = e.where(pmod(col("pk"), lit(2)) === 0)
+        .select(col("src"), col("dst")).distinct()
+      graft.graph.Modularity.communityTerms(full,
+        graft.graph.ConnectedComponents.largeStarSmallStar(b1))
+    }),
+
     // multi-source BFS on the >=49 co-supply graph: minimum hop count
     // from the top-balance suppliers. Hop distance is the shortest-path
     // length — schedule-independent like the CC label — so this
@@ -403,7 +418,61 @@ object GraphQueries {
     // incremental face must land on the same fixpoint, so both engine
     // queries share this oracle
     "q_graph_cc" -> ccClosureSql,
-    "q_graph_cc_inc" -> ccClosureSql
+    "q_graph_cc_inc" -> ccClosureSql,
+
+    // batch-1 labels via the same transitive-closure fixpoint as the CC
+    // oracle (restricted to even part-keys), then the modularity terms
+    // over the full edge set; both DIV numerators are non-negative so
+    // DuckDB // matches Spark DIV exactly
+    "q_graph_modularity" ->
+      """WITH RECURSIVE cp AS (
+        |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity >= 45.0),
+        |ew AS (
+        |  SELECT DISTINCT a.ck AS src, b.ck AS dst, a.pk AS pk
+        |  FROM cp a JOIN cp b
+        |    ON a.pk = b.pk AND a.sk = b.sk AND a.ck < b.ck),
+        |full_e AS (SELECT DISTINCT src, dst FROM ew),
+        |b1 AS (SELECT DISTINCT src, dst FROM ew WHERE pk % 2 = 0),
+        |b1s AS (
+        |  SELECT src, dst FROM b1
+        |  UNION
+        |  SELECT dst, src FROM b1),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM b1s
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN b1s e ON r.b = e.src),
+        |compb AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS node FROM full_e
+        |    UNION ALL SELECT dst FROM full_e)
+        |  GROUP BY 1),
+        |lab AS (
+        |  SELECT d.node, coalesce(c.component, d.node) AS component, d.deg
+        |  FROM deg d LEFT JOIN compb c ON c.node = d.node),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM full_e),
+        |cn AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg) AS BIGINT) AS degree_sum
+        |  FROM lab GROUP BY 1),
+        |intra AS (
+        |  SELECT la.component AS component, CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM full_e e
+        |  JOIN lab la ON la.node = e.src
+        |  JOIN lab lb ON lb.node = e.dst
+        |  WHERE la.component = lb.component
+        |  GROUP BY 1)
+        |SELECT cn.component, cn.n_nodes,
+        |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  cn.degree_sum,
+        |  (1000000 * coalesce(i.intra_edges, 0)) // m.m
+        |    - (1000000 * cn.degree_sum * cn.degree_sum) // (4 * m.m * m.m)
+        |    AS q_term_s
+        |FROM cn LEFT JOIN intra i USING (component) CROSS JOIN m""".stripMargin
   )
 
   private lazy val ccClosureSql: String =

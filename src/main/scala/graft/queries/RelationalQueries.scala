@@ -465,6 +465,16 @@ object RelationalQueries {
       graft.core.Quality.kAnonymity(Tables(s, dir, "documents"),
         Seq("lang", "source"), k = 5)),
 
+    // l-diversity release gate: (source, 256-char length bucket)
+    // classes scored by distinct-language diversity — a class whose
+    // documents all share one language leaks it (homogeneity attack)
+    // even when the class passes k-anonymity
+    "q_quality_l_diversity" -> ((s, dir) =>
+      graft.core.Quality.lDiversity(
+        Tables(s, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars DIV 256")),
+        Seq("source", "len_bucket"), "lang", l = 3)),
+
     // Equi-width histogram of document lengths: 16 exact integer bins
     // over the observed [lo, hi] range (core.Profiler.histogram)
     "q_profile_histogram" -> ((s, dir) =>
@@ -930,6 +940,16 @@ object RelationalQueries {
     "q_quality_k_anonymity" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
         |  count(*) < 5 AS violates
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Quality.lDiversity: // is DuckDB floor division (n_chars
+    // is non-negative, so it matches Spark's DIV); count(DISTINCT)
+    // ignores nulls in both engines
+    "q_quality_l_diversity" ->
+      """SELECT source, n_chars // 256 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT lang) < 3 AS violates
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // mirrors Profiler.histogramDrift: shared union bounds, same exact

@@ -431,6 +431,16 @@ object SimilarityQueries {
       Similarity.quantizedTopK(emb.where(col("vec_id") < 8), emb, k = 5)
     }),
 
+    // margin-based mining (Artetxe–Schwenk): every 41st vector probes
+    // the rest; candidates scored RELATIVE to both endpoints' top-4
+    // neighborhoods (2k-scaled integer margin), hubs self-normalize out
+    "q_sim_bitext_margin" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.marginMine(
+        emb.where(col("vec_id") % 41 === 0),
+        emb.where(col("vec_id") % 41 =!= 0), k = 4, topPairs = 2)
+    }),
+
     // product-quantization ANN: 4 subspaces × 16 codewords, ADC scoring
     // over the broadcast query LUT — integer fixed-point throughout
     "q_sim_pq_topk" -> ((s, dir) => {
@@ -909,6 +919,60 @@ object SimilarityQueries {
          |      ORDER BY qcosine DESC, vec_id) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, qcosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_sim_bitext_margin" -> {
+      val qdotSql =
+        """CAST(list_sum(list_transform(list_zip(%s, %s),
+          |  p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+          |  AS BIGINT)""".stripMargin
+      val dotXY = qdotSql.format("x.q", "y.q")
+      val normX = qdotSql.format("x.q", "x.q")
+      val normY = qdotSql.format("y.q", "y.q")
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qz0 AS (
+         |  SELECT vec_id,
+         |    CASE WHEN amax > 0 THEN
+         |      list_transform(embedding, x ->
+         |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+         |    ELSE list_transform(embedding, x -> 0) END AS q
+         |  FROM s),
+         |qz AS (
+         |  SELECT * FROM qz0 WHERE ${qdotSql.format("q", "q")} > 0),
+         |xs AS (SELECT vec_id AS src_id, q FROM qz WHERE vec_id % 41 = 0),
+         |ys AS (SELECT vec_id AS dst_id, q FROM qz WHERE vec_id % 41 <> 0),
+         |pairs AS (
+         |  SELECT x.src_id, y.dst_id,
+         |    CAST(floor(1000000.0 * CAST($dotXY AS DOUBLE) /
+         |      sqrt(CAST($normX AS DOUBLE) * CAST($normY AS DOUBLE)))
+         |      AS BIGINT) AS cos_s
+         |  FROM xs x JOIN ys y ON x.src_id <> y.dst_id),
+         |fwd AS (
+         |  SELECT src_id, CAST(sum(cos_s) AS BIGINT) AS sum_fwd FROM (
+         |    SELECT src_id, cos_s, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cos_s DESC, dst_id) AS r
+         |    FROM pairs)
+         |  WHERE r <= 4 GROUP BY 1),
+         |bwd AS (
+         |  SELECT dst_id, CAST(sum(cos_s) AS BIGINT) AS sum_bwd FROM (
+         |    SELECT dst_id, cos_s, row_number() OVER (PARTITION BY dst_id
+         |      ORDER BY cos_s DESC, src_id) AS r
+         |    FROM pairs)
+         |  WHERE r <= 4 GROUP BY 1),
+         |marg AS (
+         |  SELECT p.src_id, p.dst_id, p.cos_s,
+         |    8 * p.cos_s - f.sum_fwd - b.sum_bwd AS margin_s
+         |  FROM pairs p JOIN fwd f USING (src_id) JOIN bwd b USING (dst_id)),
+         |ranked AS (
+         |  SELECT src_id, dst_id, cos_s, margin_s,
+         |    CAST(row_number() OVER (PARTITION BY src_id
+         |      ORDER BY margin_s DESC, dst_id) AS BIGINT) AS rank
+         |  FROM marg)
+         |SELECT src_id, dst_id, cos_s, margin_s, rank
+         |FROM ranked WHERE rank <= 2""".stripMargin
     },
 
     "q_sim_hamming_topk" -> {

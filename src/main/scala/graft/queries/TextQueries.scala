@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max, sum}
 
 import graft.text.TextAnalysis
 
@@ -197,6 +197,22 @@ object TextQueries {
     // hash — the ~1/w document sketch with the shared-run guarantee
     "q_text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(Tables(s, dir, "documents"))),
+
+    // content-defined chunking audit: per-document chunk count/size
+    // stats plus how many chunks are shared with ANOTHER document
+    // (df > 1 on the chunk content hash) — the dedupable-bytes estimate
+    // a chunk-level store would realize
+    "q_text_cdc_chunks" -> ((s, dir) => {
+      val ch = TextAnalysis.cdcChunks(Tables(s, dir, "documents"))
+      val dfs = ch.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      ch.join(dfs, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_grams")).as("n_grams"),
+          max(col("n_grams")).as("max_chunk"),
+          sum((col("df") > 1).cast("long")).as("n_dup_chunks"))
+    }),
 
     // near-copy candidate pairs by shared winnow fingerprints (df-cut
     // against boilerplate fingerprint fanout)
@@ -1061,6 +1077,41 @@ object TextQueries {
          |GROUP BY 1""".stripMargin,
 
     "q_text_winnow" -> winnowFpSql,
+
+    // mirrors TextAnalysis.cdcChunks (k=3, divisor=8) + the face's dup
+    // audit: same shingle stream and mid-square mix as winnowing, cut
+    // flags where pos = 0 or h ≡ 0 (mod 8), running-sum chunk ids, and
+    // an order-sensitive list_reduce fold as the chunk content hash
+    "q_text_cdc_chunks" ->
+      s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
+         |hs0 AS (SELECT doc_id, $winnowShingleSql AS hs FROM tht),
+         |sh AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |    (hs[CAST(u.i AS INT) + 1] * hs[CAST(u.i AS INT) + 1] + 12345) % $P AS h
+         |  FROM hs0, unnest(range(len(hs))) AS u(i)
+         |  WHERE len(hs) > 0),
+         |cuts AS (
+         |  SELECT doc_id, pos, h,
+         |    CASE WHEN pos = 0 OR h % 8 = 0 THEN 1 ELSE 0 END AS cut
+         |  FROM sh),
+         |chunked AS (
+         |  SELECT doc_id, pos, h,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_id
+         |  FROM cuts),
+         |ch AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(count(*) AS BIGINT) AS n_grams,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+         |      (acc, x) -> (acc * 131 + x) % $P) AS chunk_hash
+         |  FROM chunked GROUP BY 1, 2),
+         |dfs AS (
+         |  SELECT chunk_hash, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(c.n_grams) AS BIGINT) AS n_grams,
+         |  CAST(max(c.n_grams) AS BIGINT) AS max_chunk,
+         |  CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks
+         |FROM ch c JOIN dfs d USING (chunk_hash) GROUP BY 1""".stripMargin,
 
     "q_text_winnow_pairs" ->
       s"""WITH fpd AS (

@@ -499,6 +499,72 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Margin-based candidate mining over two vector sets (the
+    * Artetxe–Schwenk bitext-mining criterion): a raw nearest-neighbor
+    * score can't separate "y is genuinely x's match" from "y is close
+    * to EVERYTHING" (hubness), so each pair is scored relative to both
+    * endpoints' neighborhoods:
+    *
+    *   margin(x,y) = cos(x,y) − (avgₖ fwd(x) + avgₖ bwd(y)) / 2
+    *
+    * Emitted ×2k-scaled so the whole criterion stays in exact integer
+    * arithmetic: margin_s = 2k·cos_s − sumFwdₖ(x) − sumBwdₖ(y), with
+    * cos_s = ⌊1e6·dot/√(n_x·n_y)⌋ over int8-quantized codes — every
+    * step (integer dot, one double sqrt, one division, floor) is
+    * IEEE-exact, and the k-sums add integers, so ties and ranks are
+    * engine-portable. Returns the `topPairs` best-margin candidates per
+    * x: (src_id, dst_id, cos_s, margin_s, rank).
+    *
+    * `xs` and `ys` must carry disjoint vec_id spaces (the mined pair
+    * (x,y) is identified by ids alone). Zero-code-norm rows drop on
+    * both sides — the [[bruteTopK]] family contract.
+    *
+    * Scale shape: xs is the bounded probe set and broadcasts
+    * quantized; pair volume is |X|·|Y| — linear in the corpus for a
+    * fixed probe batch. The forward rank partitions by src (|Y|-sized
+    * groups, rank cut by WindowGroupLimit) and the backward rank by
+    * dst (|X|-sized groups, trivially bounded); only id/score triples
+    * shuffle. At 100 TB, batch the X side (mine per probe shard) and
+    * compose with [[assignCells]] to restrict Y to probed cells first —
+    * the same exact-face→IVF ladder as [[bruteTopK]]→[[ivfTopK]].
+    */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int,
+      topPairs: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val xq = quantizeInt8(xs).select(col("vec_id").as("src_id"),
+      col("q").as("q_x"))
+      .where(intDot(col("q_x"), col("q_x")) > 0)
+    val yq = quantizeInt8(ys).select(col("vec_id").as("dst_id"),
+      col("q").as("q_y"))
+      .where(intDot(col("q_y"), col("q_y")) > 0)
+    val pairs = yq.join(broadcast(xq), col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        floor(lit(1000000.0) * intDot(col("q_x"), col("q_y")).cast("double") /
+          sqrt(intDot(col("q_x"), col("q_x")).cast("double") *
+            intDot(col("q_y"), col("q_y")).cast("double")))
+          .cast("long").as("cos_s"))
+    val fwdW = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_s").desc, col("dst_id"))
+    val bwdW = Window.partitionBy(col("dst_id"))
+      .orderBy(col("cos_s").desc, col("src_id"))
+    val fwd = pairs.withColumn("r", row_number().over(fwdW))
+      .where(col("r") <= k)
+      .groupBy("src_id").agg(sum(col("cos_s")).as("sum_fwd"))
+    val bwd = pairs.withColumn("r", row_number().over(bwdW))
+      .where(col("r") <= k)
+      .groupBy("dst_id").agg(sum(col("cos_s")).as("sum_bwd"))
+    val margined = pairs
+      .join(fwd, "src_id")
+      .join(bwd, "dst_id")
+      .select(col("src_id"), col("dst_id"), col("cos_s"),
+        (lit(2L * k) * col("cos_s") - col("sum_fwd") - col("sum_bwd"))
+          .as("margin_s"))
+    val outW = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_s").desc, col("dst_id"))
+    margined.withColumn("rank", row_number().over(outW).cast("long"))
+      .where(col("rank") <= topPairs)
+  }
+
   /** Fixed-point squared L2 distance between two double-array columns:
     * Σ floor((x−y)²·1e6) as BIGINT — the same order-independent integer
     * contract as [[dotFp]], for the PQ codeword assignment.

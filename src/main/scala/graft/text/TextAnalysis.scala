@@ -693,6 +693,57 @@ object TextAnalysis {
           (col("chunk_id") * stride + 1).cast("int"), lit(window))).as("chunk_text"))
   }
 
+  /** Content-defined chunking (the rsync/FastCDC boundary rule at
+    * token granularity) — the storage/dedup-oriented complement of
+    * [[chunkDocuments]]: fixed-stride chunk boundaries shift by one on
+    * any insertion, so an edited document shares NO chunks with its
+    * original; content-defined boundaries ("cut where the local k-gram
+    * hash ≡ 0 mod divisor") resynchronize immediately after the edit,
+    * so all untouched regions still produce byte-identical chunks —
+    * the property chunk-level dedup at 100 TB depends on.
+    *
+    * Boundary rule: k-gram hashes over the token stream are finalized
+    * with the winnowing mid-square mix (raw rolling hashes of similar
+    * runs are correlated — see [[winnowFingerprints]]); position 0
+    * always starts a chunk, and any position whose mixed hash is
+    * divisible by `divisor` starts a new one, giving expected chunk
+    * length ≈ divisor k-grams. Each chunk's content hash is the
+    * order-sensitive polynomial fold of its member k-gram hashes, so
+    * two chunks agree on the hash iff they cover the same token run
+    * (mod collisions). Documents with fewer than k tokens emit no
+    * chunks (no k-gram exists; map them whole-document via
+    * [[fingerprints]] instead).
+    *
+    * Returns (doc_id, chunk_id, start_pos, n_grams, chunk_hash).
+    *
+    * Scale shape: one doc-keyed window for the running boundary count
+    * and one (doc, chunk) groupBy — per-document work linear in length,
+    * no cross-document shuffle; the chunk table it emits is the
+    * id+hash-only artifact downstream dedup joins on.
+    */
+  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Long = 8L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val sh = tokenHashTable(docs)
+      .select(col("doc_id"), shingleHashes(col("th"), k).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h0")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        ((col("h0") * col("h0") + lit(12345L)) % lit(HashMod)).as("h"))
+    val cut = when(col("pos") === 0L || col("h") % divisor === 0L, lit(1L))
+      .otherwise(lit(0L))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sh.withColumn("chunk_id", sum(cut).over(w) - lit(1L))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_grams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+            s => s.getField("h")),
+          lit(0L), (acc, x) => (acc * 131L + x) % HashMod).as("chunk_hash"))
+  }
+
   /** Bigram language-model perplexity scoring — the corpus-level
     * fluency/quality signal (a document whose bigrams are improbable
     * under the corpus's own bigram MLE is boilerplate, gibberish, or

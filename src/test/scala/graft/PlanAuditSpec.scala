@@ -364,7 +364,14 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_text_cross_perplexity",
       // the recall face embeds the brute-force ground truth — it
       // inherits q_sim_brute_topk's designed broadcast scan
-      "q_sim_ann_recall")
+      "q_sim_ann_recall",
+      // margin mining scores a bounded broadcast probe set against the
+      // corpus — q_sim_quantized_topk's designed shape with the
+      // id-inequality predicate riding the broadcast join
+      "q_sim_bitext_margin",
+      // modularity attaches the 1-row edge-count scalar m — the
+      // q_dict_extend bounded-aggregate shape
+      "q_graph_modularity")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -83,4 +83,26 @@ class QualitySpec extends SparkTestBase {
     assert(got((Some("de"), "web")) === ((1L, true)))
     assert(got((None, "web")) === ((2L, true)), "null pattern is a class")
   }
+
+  test("lDiversity flags homogeneous classes; null sensitives don't count") {
+    import spark.implicits._
+    val rows = Seq(
+      // class "web": 3 rows, 2 distinct langs -> diverse at l=2
+      ("web", "en"), ("web", "en"), ("web", "de"),
+      // class "print": 3 rows, all "en" -> homogeneous, flags
+      ("print", "en"), ("print", "en"), ("print", "en"),
+      // class "scan": nulls carry no diversity -> n_sensitive 1, flags
+      ("scan", "en"), ("scan", null.asInstanceOf[String]))
+      .toDF("source", "lang")
+    val got = graft.core.Quality.lDiversity(rows, Seq("source"), "lang", l = 2)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got("web") === ((3L, 2L, false)))
+    assert(got("print") === ((3L, 1L, true)), "homogeneity attack flags")
+    assert(got("scan") === ((2L, 1L, true)), "null adds no diversity")
+    intercept[IllegalArgumentException] {
+      graft.core.Quality.lDiversity(rows, Seq("lang"), "lang", l = 2)
+    }
+  }
 }

@@ -545,4 +545,33 @@ class SimilaritySpec extends SparkTestBase {
       .embeddingDrift(ref, cur.where(col("vec_id") < 0)).collect()
     assert(empty.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("marginMine demotes hubs: best margin can differ from best cosine") {
+    // three orthonormal probes; y1 is a HUB (cos 0.55 to every probe),
+    // y2 a genuine mate of x=100 (cos 0.5 to it, 0 elsewhere). Raw
+    // cosine ranks the hub first for x=100; the margin criterion
+    // subtracts the hub's big backward neighborhood sum and flips the
+    // order — the reason margin mining exists
+    val xs = vecs(
+      100L -> Seq(1f, 0f, 0f, 0f),
+      200L -> Seq(0f, 1f, 0f, 0f),
+      300L -> Seq(0f, 0f, 1f, 0f))
+    val ys = vecs(
+      1L -> Seq(1f, 1f, 1f, 0.553f), // hub
+      2L -> Seq(0.5f, 0f, 0f, 0.866f)) // mate of 100
+    val out = graft.similarity.Similarity.marginMine(xs, ys, k = 2, topPairs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val (top100, topCos, topMargin) = out((100L, 1L))
+    assert(top100 === 2L, "mate outranks the hub on margin")
+    // but the hub wins on raw cosine — the two orders genuinely differ
+    val (second, secondCos, _) = out((100L, 2L))
+    assert(second === 1L)
+    assert(secondCos > topCos, "hub has the higher raw cosine")
+    assert(topMargin > out((100L, 2L))._3)
+    // probes without a genuine mate still rank the hub first
+    assert(out((200L, 1L))._1 === 1L)
+    assert(out((300L, 1L))._1 === 1L)
+  }
 }

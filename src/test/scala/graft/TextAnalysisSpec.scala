@@ -437,4 +437,44 @@ class TextAnalysisSpec extends SparkTestBase {
     // doc 3: shingles abc,bcd,cdx,dxy,xyz -> 3 novel of 5
     assert(got(3L) === ((5L, 3L)))
   }
+
+  test("cdcChunks partitions the k-gram stream; short docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tok${i % 13}").mkString(" ")),
+      (2L, "a b")) // fewer than k=3 tokens: no k-gram, no chunks
+      .toDF("doc_id", "text")
+    val ch = graft.text.TextAnalysis.cdcChunks(docs).collect()
+    assert(!ch.exists(_.getLong(0) == 2L), "sub-k doc emits no chunks")
+    val d1 = ch.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // chunk ids contiguous from 0; chunks tile the 38 k-gram positions
+    assert(d1.map(_._1).toSeq === d1.indices.map(_.toLong))
+    assert(d1.map(_._3).sum === 38L, "chunks partition every position")
+    assert(d1.head._2 === 0L, "first chunk starts at position 0")
+    // consecutive starts advance by exactly the previous chunk's size
+    d1.sliding(2).foreach {
+      case Array((_, s1, n1), (_, s2, _)) => assert(s2 === s1 + n1)
+      case _ =>
+    }
+  }
+
+  test("cdcChunks resynchronizes after an edit (fixed-stride does not)") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w${(i * 7) % 23}")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      // one token PREPENDED: every token position shifts by one
+      (2L, ("INS" +: base).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = graft.text.TextAnalysis.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0))
+    val h1 = ch(1L).map(_.getLong(4)).toSet
+    val h2 = ch(2L).map(_.getLong(4)).toSet
+    // boundaries are content-keyed, so past the first post-edit cut the
+    // chunking realigns and the untouched suffix reproduces identical
+    // chunk hashes — the property chunk-level dedup depends on
+    assert((h1 intersect h2).nonEmpty,
+      s"edited doc must share suffix chunks, got $h1 vs $h2")
+  }
 }
