@@ -165,6 +165,31 @@ object GraphQueries {
         graft.graph.ConnectedComponents.largeStarSmallStar(b1))
     }),
 
+    // HITS on the bipartite purchase graph (customer → supplier at
+    // high quantity, supplier ids offset into their own range): hubs
+    // rank the buying side, authorities the supplying side. Fixed 2
+    // iterations so the L∞-normalized integer fixpoint steps unroll
+    // into an exact CTE twin — the PageRank oracle trade
+    "q_graph_hits" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").where(col("l_quantity") >= 45.0)
+      val e = li.join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.graph.Hits.run(e, iters = 2)
+    }),
+
+    // link prediction on the >=49 co-supply graph: score non-adjacent
+    // distance-2 supplier pairs by common-neighbour / Jaccard /
+    // resource-allocation overlap. maxDegree 30 drops hub witnesses
+    // (fixture max degree 37 — the cap genuinely bites), minCommon 4
+    // bounds the emitted candidate set. All integer, hash-exact.
+    "q_graph_link_pred" -> ((s, dir) =>
+      graft.graph.LinkPrediction.scores(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")),
+        maxDegree = 30L, minCommon = 4L)),
+
     // multi-source BFS on the >=49 co-supply graph: minimum hop count
     // from the top-balance suppliers. Hop distance is the shortest-path
     // length — schedule-independent like the CC label — so this
@@ -227,10 +252,79 @@ object GraphQueries {
        |FROM nodes n LEFT JOIN a$depth a ON n.node = a.node""".stripMargin
   }
 
+  /** Unrolled HITS iterations mirroring `Hits.run`: per iteration one
+    * auth half-step then one hub half-step, each L∞-normalized by a
+    * scalar-subquery max (the max over the raw aggregate equals the
+    * max over the zero-padded full node set, since raws are ≥ 0). All
+    * integer, all non-negative, so `//` matches Spark's `div`.
+    */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "h0" else s"h${r - 1}"
+      s""",
+         |ar$r AS (
+         |  SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+         |  FROM e JOIN $prev h ON h.node = e.src GROUP BY 1),
+         |a$r AS (
+         |  SELECT n.node, (coalesce(x.s, CAST(0 AS BIGINT)) * 1000000)
+         |    // (SELECT greatest(max(s), 1) FROM ar$r) AS s
+         |  FROM nodes n LEFT JOIN ar$r x USING (node)),
+         |hr$r AS (
+         |  SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+         |  FROM e JOIN a$r a ON a.node = e.dst GROUP BY 1),
+         |h$r AS (
+         |  SELECT n.node, (coalesce(x.s, CAST(0 AS BIGINT)) * 1000000)
+         |    // (SELECT greatest(max(s), 1) FROM hr$r) AS s
+         |  FROM nodes n LEFT JOIN hr$r x USING (node))""".stripMargin
+    }.mkString
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity >= 45.0),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)$rounds
+       |SELECT h.node, h.s AS hub_s, a.s AS auth_s
+       |FROM h$iters h JOIN a$iters a USING (node)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // converged peel: 12-round unroll, 3-4× the fixture's measured
     // convergence depth (3 rounds at sf0.01, 4 at sf0.1)
     "q_graph_kcore_conv" -> kcoreConvOracle(16, 12),
+
+    "q_graph_hits" -> hitsOracle(2),
+
+    // same three overlap aggregates; // is floor division on the
+    // non-negative fixed-point terms, identical to Spark's DIV
+    "q_graph_link_pred" ->
+      """WITH sp AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |canon AS MATERIALIZED (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk),
+        |sym AS (
+        |  SELECT u AS node, v AS nbr FROM canon
+        |  UNION ALL SELECT v, u FROM canon),
+        |deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+        |mid AS (
+        |  SELECT s.node AS w, s.nbr AS ep, 1000000 // d.d AS ra1
+        |  FROM sym s JOIN deg d ON d.node = s.node WHERE d.d <= 30),
+        |pairs AS (
+        |  SELECT a.ep AS u, b.ep AS v, count(*) AS cn,
+        |    CAST(sum(a.ra1) AS BIGINT) AS ra_s
+        |  FROM mid a JOIN mid b ON a.w = b.w AND a.ep < b.ep
+        |  GROUP BY 1, 2 HAVING count(*) >= 4),
+        |nonedge AS (
+        |  SELECT p.* FROM pairs p
+        |  LEFT JOIN canon c ON c.u = p.u AND c.v = p.v
+        |  WHERE c.u IS NULL)
+        |SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+        |  (n.cn * 1000000) // (du.d + dv.d - n.cn) AS jaccard_s, n.ra_s
+        |FROM nonedge n
+        |JOIN deg du ON du.node = n.u
+        |JOIN deg dv ON dv.node = n.v""".stripMargin,
 
     // 2-iteration unroll; all integer math (// is DuckDB floor
     // division, identical to Spark's `div` on positive longs), so the
