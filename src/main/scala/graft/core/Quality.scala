@@ -93,6 +93,68 @@ object Quality {
       .withColumn("violates", col("n_sensitive") < l)
   }
 
+  /** T-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) — the
+    * third member of the release-gate triad: a class can pass
+    * k-anonymity AND l-diversity and still leak by SKEW ("this class
+    * has 3 distinct languages, but 98% of it is German" narrows the
+    * sensitive attribute far beyond the global prior). A class is
+    * t-close when the distance between its sensitive-value
+    * distribution and the GLOBAL distribution is at most t; for a
+    * categorical attribute the distance is total variation,
+    * ½·Σ_v |p_class(v) − p_global(v)|.
+    *
+    * All fixed-point: with class size n_c, global size N, per-value
+    * counts n_cv / N_v, each term is |n_cv·N − N_v·n_c| / (n_c·N), so
+    *   tvd_s = (Σ_v |n_cv·N − N_v·n_c| · scale) div (2·n_c·N)
+    * — pure integer, hash-exact in any engine. Values absent from a
+    * class contribute N_v·n_c without being materialized:
+    * Σ_{absent} N_v = N − Σ_{present} N_v, folded in as
+    * (N − covered)·n_c. Null sensitive values are excluded before any
+    * count (the l-diversity convention). Headroom: the numerator is
+    * ≤ 2·n_c·N·scale, so the default scale holds to n_c·N ≲ 4.6e12 —
+    * beyond that drop scale to 1e3 (the fixed-point family note).
+    *
+    * Scale shape: one partial-aggregated groupBy on (class, value);
+    * everything after runs on aggregate-sized frames — class sizes are
+    * a second groupBy OF THE FIRST's output, the global value counts
+    * and N attach as designed broadcasts (value-domain- and 1-row-
+    * sized). No row-level data survives the first shuffle.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tS: Long, scale: Long = 1000000L): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tS >= 0 && tS <= scale, s"tS must be in [0, $scale], got $tS")
+    val q = quasiCols.map(col)
+    val nn = df.where(col(sensitiveCol).isNotNull)
+      .select((quasiCols :+ sensitiveCol).map(col): _*)
+    // the (class, value) aggregate is consumed three times (class
+    // sizes, global counts, terms) — localCheckpoint so the row-level
+    // scan+shuffle runs once, not three times (aggregate-sized)
+    val cv = nn.groupBy((q :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("n_cv"))
+      .localCheckpoint()
+    val nc = cv.groupBy(q: _*).agg(sum(col("n_cv")).as("n_c"))
+    val global = cv.groupBy(col(sensitiveCol)).agg(sum(col("n_cv")).as("n_v"))
+    val tot = global.groupBy().agg(sum(col("n_v")).as("n_tot"))
+    val terms = cv
+      .join(broadcast(global), Seq(sensitiveCol))
+      .join(nc, quasiCols)
+      .crossJoin(broadcast(tot))
+      .select((q :+
+        abs(col("n_cv") * col("n_tot") - col("n_v") * col("n_c")).as("term") :+
+        col("n_v")): _*)
+    terms.groupBy(q: _*)
+      .agg(sum(col("term")).as("sum_present"), sum(col("n_v")).as("covered"))
+      .join(nc, quasiCols)
+      .crossJoin(broadcast(tot))
+      .select((q :+ col("n_c").as("n_rows") :+
+        expr(s"((sum_present + (n_tot - covered) * n_c) * $scale)" +
+          s" DIV (2 * n_c * n_tot)").as("tvd_s")): _*)
+      .withColumn("violates", col("tvd_s") > tS)
+  }
+
   /** Key-uniqueness check: n_violations counts the ROWS carrying a
     * duplicated key (a key seen k>1 times contributes k), so the number
     * is directly "rows you would have to drop or merge".

@@ -475,6 +475,18 @@ object RelationalQueries {
           .withColumn("len_bucket", expr("n_chars DIV 256")),
         Seq("source", "len_bucket"), "lang", l = 3)),
 
+    // t-closeness release gate, completing the k-anonymity /
+    // l-diversity triad: (source, length-bucket) classes scored by the
+    // total-variation distance between their language distribution and
+    // the corpus-wide one — a class that is 98% one language leaks it
+    // by skew even with 3 distinct values present. t = 0.2 in 1e6
+    // fixed-point units; all integer, hash-exact.
+    "q_quality_t_closeness" -> ((s, dir) =>
+      graft.core.Quality.tCloseness(
+        Tables(s, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars DIV 256")),
+        Seq("source", "len_bucket"), "lang", tS = 200000L)),
+
     // Equi-width histogram of document lengths: 16 exact integer bins
     // over the observed [lo, hi] range (core.Profiler.histogram)
     "q_profile_histogram" -> ((s, dir) =>
@@ -951,6 +963,38 @@ object RelationalQueries {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
         |  count(DISTINCT lang) < 3 AS violates
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Quality.tCloseness term by term: absent values fold in
+    // as (n_tot - covered)·n_c, // is floor division on non-negative
+    // integers (matching Spark's DIV), nulls excluded up front
+    "q_quality_t_closeness" ->
+      """WITH nn AS (
+        |  SELECT source, n_chars // 256 AS len_bucket, lang
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cv AS (
+        |  SELECT source, len_bucket, lang, CAST(count(*) AS BIGINT) AS n_cv
+        |  FROM nn GROUP BY 1, 2, 3),
+        |nc AS (
+        |  SELECT source, len_bucket, CAST(sum(n_cv) AS BIGINT) AS n_c
+        |  FROM cv GROUP BY 1, 2),
+        |gv AS (SELECT lang, CAST(sum(n_cv) AS BIGINT) AS n_v FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_tot FROM gv),
+        |agg AS (
+        |  SELECT c.source, c.len_bucket,
+        |    CAST(sum(abs(c.n_cv * t.n_tot - g.n_v * n.n_c)) AS BIGINT)
+        |      AS sum_present,
+        |    CAST(sum(g.n_v) AS BIGINT) AS covered
+        |  FROM cv c
+        |  JOIN gv g USING (lang)
+        |  JOIN nc n USING (source, len_bucket)
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2)
+        |SELECT a.source, a.len_bucket, n.n_c AS n_rows,
+        |  ((a.sum_present + (t.n_tot - a.covered) * n.n_c) * 1000000)
+        |    // (2 * n.n_c * t.n_tot) AS tvd_s,
+        |  ((a.sum_present + (t.n_tot - a.covered) * n.n_c) * 1000000)
+        |    // (2 * n.n_c * t.n_tot) > 200000 AS violates
+        |FROM agg a JOIN nc n USING (source, len_bucket) CROSS JOIN tot t""".stripMargin,
 
     // mirrors Profiler.histogramDrift: shared union bounds, same exact
     // bin division, both counts off one scan, fixed-point deviation

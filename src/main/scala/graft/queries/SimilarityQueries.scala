@@ -424,6 +424,12 @@ object SimilarityQueries {
         .select(col("vec_id"), col("amax"), col("dim").cast("long").as("dim"),
           col("qv"))),
 
+    // Johnson–Lindenstrauss sign projection of the int8 codes down to
+    // 16 dims: ±1 entries from the portable mid-square parity, exact
+    // BIGINT outputs, map-only (hash-checked)
+    "q_sim_sign_project" -> ((s, dir) =>
+      Similarity.signProject(Tables(s, dir, "embeddings"), outDims = 16)),
+
     // brute-force top-k over the QUANTIZED codes — the compressed search
     // path; integer code dots/norms, scale factors cancel in the cosine
     "q_sim_quantized_topk" -> ((s, dir) => {
@@ -885,6 +891,41 @@ object SimilarityQueries {
         |  CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim,
         |  unnest(q) AS qv
         |FROM q""".stripMargin,
+
+    // same quantize ladder as q_sim_quantize, then the exploded-form
+    // twin of the engine's map-only HOF: sign = mid-square parity of
+    // the cell key, summed per (vec_id, out-dim). % on non-negative
+    // intermediates matches Spark's pmod-free arithmetic exactly.
+    "q_sim_sign_project" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax > 0 THEN
+        |      list_transform(embedding, x ->
+        |        CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+        |    ELSE list_transform(embedding, x -> 0) END AS q
+        |  FROM s),
+        |expl AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS i,
+        |    CAST(unnest(q) AS BIGINT) AS qv
+        |  FROM q),
+        |dims AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+        |  12, 13, 14, 15]) AS j),
+        |terms AS (
+        |  SELECT e.vec_id, CAST(d.j AS BIGINT) AS dim,
+        |    CASE WHEN ((((e.i * 4096 + d.j) * (e.i * 4096 + d.j) + 12345)
+        |        % 2147483647)
+        |      * (((e.i * 4096 + d.j) * (e.i * 4096 + d.j) + 12345)
+        |        % 2147483647)
+        |      + 6789) % 2147483647 % 2 = 0
+        |    THEN e.qv ELSE -e.qv END AS t
+        |  FROM expl e CROSS JOIN dims d)
+        |SELECT vec_id, dim, CAST(sum(t) AS BIGINT) AS proj
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "q_sim_quantized_topk" -> {
       val qdotSql =

@@ -316,6 +316,17 @@ object TextQueries {
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
 
+    // Gopher-style hard rule filters with per-rule audit flags;
+    // thresholds chosen so every rule genuinely discriminates on the
+    // fixture (word count min 10 / median 56, mean len 370-530,
+    // stopword hits min 0, long-word pct 80-100). Integer metrics →
+    // hash-exact.
+    "q_text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables(s, dir, "documents"),
+        minWords = 25L, maxWords = 100000L,
+        minMeanX100 = 400L, maxMeanX100 = 500L,
+        minStop = 2L, minLongPct = 90L)),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables(s, dir, "documents"))),
 
@@ -1535,6 +1546,36 @@ object TextQueries {
          |  least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
          |    * (1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS quality_score
          |FROM base""".stripMargin,
+
+    // mirrors TextAnalysis.gopherRules: same token split, integer
+    // fixed-point mean/percentage via floor division
+    "q_text_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform($toks, t -> length(t)))
+         |      AS BIGINT) AS sum_chars,
+         |    CAST(len(list_filter($toks,
+         |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+         |      AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter($toks, t -> length(t) >= 3))
+         |      AS BIGINT) AS n_long
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    (sum_chars * 100) // greatest(n_words, 1) AS mean_len_x100,
+         |    n_stop,
+         |    (n_long * 100) // greatest(n_words, 1) AS long_pct
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_len_x100, n_stop, long_pct,
+         |  n_words >= 25 AND n_words <= 100000 AS words_ok,
+         |  mean_len_x100 >= 400 AND mean_len_x100 <= 500 AS mean_ok,
+         |  n_stop >= 2 AS stop_ok,
+         |  long_pct >= 90 AS long_ok,
+         |  (n_words >= 25 AND n_words <= 100000)
+         |    AND (mean_len_x100 >= 400 AND mean_len_x100 <= 500)
+         |    AND n_stop >= 2 AND long_pct >= 90 AS keep
+         |FROM r""".stripMargin,
 
     "q_text_langid" -> {
       val langs = TextAnalysis.markerSets.map(_._1)

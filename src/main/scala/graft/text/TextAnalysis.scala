@@ -112,6 +112,52 @@ object TextAnalysis {
           * (lit(1.0) - col("punct_ratio")))
   }
 
+  /** Gopher-style quality RULES (Rae et al. 2021, appendix A): where
+    * [[qualityScore]] emits graded signals for a learned threshold,
+    * this is the rule-set face — each document gets explicit pass/fail
+    * flags for the classic hard filters plus the conjunction, so the
+    * output is simultaneously the keep-list and the per-rule audit
+    * ("how many documents does each rule kill"). All metrics are
+    * integers (mean word length in ×100 fixed point, percentages in
+    * floor units), so the flags are engine-exact:
+    *
+    *   - words_ok:  minWords ≤ word count ≤ maxWords
+    *   - mean_ok:   minMeanX100 ≤ (Σ word chars · 100) div words ≤ maxMeanX100
+    *   - stop_ok:   at least minStop stopword hits
+    *   - long_ok:   at least minLongPct% of words have ≥ 3 chars
+    *
+    * Scale shape: map-only — four higher-order expressions over the
+    * token array, one scan, no shuffle; at 100 TB this runs at scan
+    * speed and the flags column-prune everything but doc_id + text.
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 20L, maxWords: Long = 100000L,
+      minMeanX100: Long = 300L, maxMeanX100: Long = 1000L,
+      minStop: Long = 2L, minLongPct: Long = 80L,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val toks = tokens(col("text"))
+    val nWords = size(toks).cast("long")
+    val sumChars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nStop = size(filter(toks,
+      t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    val nLong = size(filter(toks, t => length(t) >= 3)).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), sumChars.as("sum_chars"),
+        nStop.as("n_stop"), nLong.as("n_long"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(sum_chars * 100) DIV greatest(n_words, 1L)").as("mean_len_x100"),
+        col("n_stop"),
+        expr("(n_long * 100) DIV greatest(n_words, 1L)").as("long_pct"))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mean_ok",
+        col("mean_len_x100") >= minMeanX100 && col("mean_len_x100") <= maxMeanX100)
+      .withColumn("stop_ok", col("n_stop") >= minStop)
+      .withColumn("long_ok", col("long_pct") >= minLongPct)
+      .withColumn("keep",
+        col("words_ok") && col("mean_ok") && col("stop_ok") && col("long_ok"))
+  }
+
   /** Language identification by marker-token voting: count tokens from
     * each language's closed-class marker set; argmax wins, ties broken by
     * fixed language order, zero votes → "und" (undetermined). A

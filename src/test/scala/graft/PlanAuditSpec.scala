@@ -186,6 +186,28 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("sign projection and gopher rules stay map-only (no shuffle)") {
+    // both are per-row HOF pipelines — a shuffle appearing means the
+    // projection/metrics regressed to an explode + groupBy formulation
+    for (q <- Seq("q_sim_sign_project", "q_text_gopher_rules")) {
+      val s = shuffles(plan(q))
+      assert(s.isEmpty, s"$q must be map-only, found shuffles: ${s.size}")
+    }
+  }
+
+  test("t-closeness: no row-level data past the checkpointed aggregate") {
+    // the (class, value) aggregate is localCheckpoint-ed, so the final
+    // plan must contain NO parquet scan — every exchange in it is
+    // aggregate-sized by construction. A documents scan reappearing
+    // means the checkpoint was dropped and row-level data re-enters
+    // the term join-back.
+    val p = plan("q_quality_t_closeness")
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      s"expected all inputs sealed behind the checkpoint, found: $scans")
+  }
+
   test("perplexity: model attaches by equi-joins, vocab is the only broadcast") {
     val p = plan("q_text_perplexity")
     val cart = p.collect { case c: CartesianProductExec => c }
@@ -333,6 +355,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // quality report's referential face joins two 1-row aggregates
       // (total × matched) — the same bounded-aggregate attach
       "q_pipeline_weighting", "q_quality_report",
+      // t-closeness attaches its 1-row corpus total N twice (terms +
+      // final divide) — the same bounded-aggregate shape
+      "q_quality_t_closeness",
       // hamming is a brute-force sketch scan; rrf and the embedding
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
