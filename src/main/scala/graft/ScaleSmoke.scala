@@ -82,7 +82,16 @@ object ScaleSmoke {
     // over hashed features (featurize + 3 GD iterations end-to-end),
     // and novelty (one hash-keyed min + join-back)
     "q_text_winnow_pairs", "q_text_source_overlap",
-    "q_dedup_label_prop", "q_ml_text_train", "q_text_novelty")
+    "q_dedup_label_prop", "q_ml_text_train", "q_text_novelty",
+    // final round-8 riders: HITS (per-half-step join+groupBy cost must
+    // track edges; the checkpoint ladder must keep lineage flat),
+    // link prediction (the hub-witness cap is what must keep wedge
+    // fanout subquadratic), power-iteration PCA (per-round cost = one
+    // codes scan + dims-keyed sum, never a dims² Gram), and the
+    // ppl-filter composition (bigram volume + histogram-sized cut
+    // windows end-to-end)
+    "q_graph_hits", "q_graph_link_pred", "q_ml_pca_top",
+    "q_pipeline_ppl_filter")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

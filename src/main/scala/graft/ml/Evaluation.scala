@@ -125,6 +125,47 @@ object Evaluation {
   }
 
   /** The shared corpus reduction: (score, n, n_pos). */
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labellings of the same rows (annotator vs annotator, heuristic
+    * classifier vs gold labels, two model versions): how much better
+    * than coincidence do they agree. With observed agreement
+    * p_o = Σ_k n_kk / N and chance agreement p_e = Σ_k r_k·c_k / N²
+    * (r/c the marginal counts),
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *     = (N·Σn_kk − Σ r_k·c_k) / (N² − Σ r_k·c_k)
+    * — all integer until one fixed-point floor division ([[Training]]'s
+    * pmod-subtract: κ is legitimately negative for worse-than-chance
+    * raters, where truncating div would disagree with the SQL twin's
+    * floor). Both-constant raters (N² = Σ r·c) report null, not a
+    * crash. Rows where either label is null are excluded (no vote).
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the label pair —
+    * categories² rows on the wire regardless of corpus size — then
+    * everything (margins, agreement, the final row) runs on that
+    * localCheckpoint-ed aggregate.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(aCol != bCol, s"need two distinct label columns, got $aCol twice")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val pc = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = pc.groupBy().agg(sum(col("n")).as("n_rows"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("n_agree"))
+    val chance = pc.groupBy(col("a")).agg(sum(col("n")).as("r"))
+      .join(pc.groupBy(col("b")).agg(sum(col("n")).as("c")),
+        col("a") === col("b"))
+      .groupBy().agg(sum(col("r") * col("c")).as("rc"))
+    totals.crossJoin(broadcast(chance))
+      .select(col("n_rows"), col("n_agree"),
+        when(col("n_rows") * col("n_rows") === col("rc"), lit(null))
+          .otherwise(Training.floorDivP(
+            (col("n_rows") * col("n_agree") - col("rc")) * scale,
+            col("n_rows") * col("n_rows") - col("rc"))).as("kappa_s"))
+  }
+
   private def perScore(scored: DataFrame, labelCol: String,
       scoreCol: String): DataFrame =
     scored.groupBy(col(scoreCol).as("s"))

@@ -542,6 +542,15 @@ object SimilarityQueries {
       graft.ml.Training.ncmEvalWith(Tables(s, dir, "embeddings"), "label",
         ncmProtos(s, dir))),
 
+    // dominant principal direction by 2-step power iteration over the
+    // int8 Gram matrix (never materialized): the corpus-geometry /
+    // anisotropy summary. Fixed iterations → exact CTE unroll; all
+    // integer with driver-side L∞ renormalization (dims-bounded
+    // collect, the classifier-head budget)
+    "q_ml_pca_top" -> ((s, dir) =>
+      graft.ml.Pca.topComponent(Tables(s, dir, "embeddings"),
+        dims = 64, iters = 2)),
+
     // measured recall@5 of the LSH retriever against the brute-force
     // ground truth — the ANN ladder's quality gate as a QUERY, not
     // just a spec assertion
@@ -1149,6 +1158,46 @@ object SimilarityQueries {
     "q_ml_ncm_train" ->
       s"""WITH $ncmChainSql
          |SELECT cls, dim, w AS w_s FROM cw""".stripMargin,
+
+    // unrolled power iteration mirroring Pca.topComponent: quantize →
+    // explode; per round one vec-keyed dot and one dim-keyed
+    // projection sum, L∞-renormalized by the round's max; coordinates
+    // are legitimately negative, where DuckDB's // TRUNCATES — the
+    // pmod-subtract ladder restores floor semantics to match the
+    // engine's Math.floorDiv (the logisticChainSql convention)
+    "q_ml_pca_top" -> {
+      val rounds = (1 to 2).map { r =>
+        s""",
+           |s$r AS (
+           |  SELECT e.vec_id, CAST(sum(e.qv * v.v) AS BIGINT) AS s
+           |  FROM expl e JOIN v${r - 1} v USING (dim) GROUP BY 1),
+           |u$r AS (
+           |  SELECT e.dim, CAST(sum(e.qv * s.s) AS BIGINT) AS u
+           |  FROM expl e JOIN s$r s USING (vec_id) GROUP BY 1),
+           |v$r AS (
+           |  SELECT dim,
+           |    (u * 1000000 - ((u * 1000000 % g.m + g.m) % g.m)) // g.m AS v
+           |  FROM u$r, (SELECT greatest(max(abs(u)), 1) AS m FROM u$r) g)"""
+        .stripMargin
+      }.mkString
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN amax > 0 THEN list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+         |    ELSE list_transform(embedding, x -> 0) END AS q
+         |  FROM sc),
+         |expl AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim,
+         |    CAST(unnest(q) AS BIGINT) AS qv
+         |  FROM qq),
+         |v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM expl)$rounds
+         |SELECT dim, v AS v_s FROM v2""".stripMargin
+    },
 
     // argmax by (score desc, cls asc) — the face's fold keeps the
     // earlier (lower) class on ties

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max, min, sum, when}
 
 import graft.text.TextAnalysis
 
@@ -250,6 +250,36 @@ object TextQueries {
       TextAnalysis.crossPerplexity(docs, docs.where(col("lang") === "en"))
     }),
 
+    // CCNet-complete composition: cross-perplexity under the trusted
+    // en LM → exact per-language 75th-percentile cut (value-histogram
+    // order statistic: smallest value with 4·cum ≥ 3·n — histogram-
+    // sized windows partitioned per language, never a per-row global
+    // rank) → per-language survivor counts. Languages the trusted LM
+    // explains poorly keep fewer documents — the CCNet head/tail split.
+    "q_pipeline_ppl_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val cp = TextAnalysis.crossPerplexity(docs, docs.where(col("lang") === "en"))
+      val scored = cp.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"),
+          expr("sum_nll_s DIV n_bigrams").as("nll_s"))
+      val hist = scored.groupBy(col("lang"), col("nll_s"))
+        .agg(count(lit(1)).as("cnt"))
+      val cuts = hist
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.partitionBy("lang").orderBy("nll_s")))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") * 4 >= col("n") * 3, col("nll_s")))
+          .as("cut_nll_s"))
+      scored.join(cuts, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nll_s") <= col("cut_nll_s"), 1L).otherwise(0L))
+            .as("n_kept"),
+          max(col("cut_nll_s")).as("cut_nll_s"))
+    }),
+
     // per-document k-gram novelty vs earlier doc_ids: the freshness
     // weight and crawl-growth diagnostic
     "q_text_novelty" -> ((s, dir) =>
@@ -329,6 +359,20 @@ object TextQueries {
 
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables(s, dir, "documents"))),
+
+    // Cohen's kappa between the langid heuristic and the gold lang
+    // labels: chance-corrected agreement in one number — the honest
+    // summary of the confusion matrix q_text_langid_eval emits (raw
+    // accuracy flatters any rater on a skewed label mix). Integer
+    // until one pmod-subtract floor division; hash-exact.
+    "q_ml_kappa" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      graft.ml.Evaluation.cohensKappa(
+        d.select(col("doc_id"), col("lang"))
+          .join(TextAnalysis.langId(d).select(col("doc_id"), col("pred_lang")),
+            Seq("doc_id")),
+        "lang", "pred_lang")
+    }),
 
     // cross-family curation report — one row per (lang, source): doc
     // count, exact-dedup survivors, embedding outliers (embeddings
@@ -834,6 +878,36 @@ object TextQueries {
   // Sketches.slot's engine-portable double hashing, as DuckDB SQL: all
   // constants and the pmod ladder mirror the Spark expression exactly,
   // so bloom/CMS sketch CONTENTS hash-compare (not just estimates)
+  /** The cross-perplexity chain (bigram LM of the trusted en slice,
+    * Laplace floor, per-doc NLL sums) ending at
+    * `cpd (doc_id, n_bigrams, sum_nll_s)` — embedded verbatim by both
+    * q_text_cross_perplexity and the q_pipeline_ppl_filter composition
+    * so the replay arithmetic cannot fork.
+    */
+  private lazy val crossPplChainSql: String =
+    s"""tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+       |  FROM tk, unnest(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |       FROM bg WHERE lang = 'en' GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |      FROM (SELECT unnest(t) AS w FROM tk WHERE lang = 'en')),
+       |terms AS (
+       |  SELECT bg.doc_id,
+       |    CAST(floor(-ln((coalesce(c12.c12, 0) + 1.0) /
+       |      (coalesce(c1.c1, 0) + v.v)) * 1000000.0)
+       |      AS BIGINT) AS term_s
+       |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+       |  CROSS JOIN v),
+       |cpd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(term_s) AS BIGINT) AS sum_nll_s
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+
   private def pmodSql(a: String, b: Long): String = s"((($a) % $b + $b) % $b)"
   private def slotSql(keyExpr: String, iExpr: String, size: Long): String = {
     val P = 2147483647L
@@ -1047,27 +1121,40 @@ object TextQueries {
     // the perplexity chain with the MODEL CTEs filtered to the en
     // reference and LEFT joins + Laplace floor on the scored side
     "q_text_cross_perplexity" ->
-      s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
-         |bg AS (
-         |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
-         |  FROM tk, unnest(range(1, len(t))) AS u(i)
-         |  WHERE len(t) >= 2),
-         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-         |        FROM bg WHERE lang = 'en' GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-         |       FROM bg WHERE lang = 'en' GROUP BY 1),
-         |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
-         |      FROM (SELECT unnest(t) AS w FROM tk WHERE lang = 'en')),
-         |terms AS (
-         |  SELECT bg.doc_id,
-         |    CAST(floor(-ln((coalesce(c12.c12, 0) + 1.0) /
-         |      (coalesce(c1.c1, 0) + v.v)) * 1000000.0)
-         |      AS BIGINT) AS term_s
-         |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
-         |  CROSS JOIN v)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
-         |FROM terms GROUP BY doc_id""".stripMargin,
+      s"""WITH $crossPplChainSql
+         |SELECT doc_id, n_bigrams, sum_nll_s FROM cpd""".stripMargin,
+
+    // CCNet-complete composition: cross-perplexity scores → exact
+    // per-language 75th-percentile cut by value-histogram selection
+    // (the robustStats order-statistic trick: the cut is the smallest
+    // value whose running count reaches 3/4 of the language's mass —
+    // 4·cum ≥ 3·n, pure integer, no per-row global rank) → per-language
+    // survivor counts. The chain CTEs embed the cross-perplexity
+    // oracle verbatim (the gdIterBlocksSql convention).
+    "q_pipeline_ppl_filter" ->
+      s"""WITH $crossPplChainSql,
+         |scored AS (
+         |  SELECT d.lang, c.doc_id, c.sum_nll_s // c.n_bigrams AS nll_s
+         |  FROM cpd c JOIN documents d USING (doc_id)),
+         |hist AS (
+         |  SELECT lang, nll_s, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM scored GROUP BY 1, 2),
+         |cw AS (
+         |  SELECT lang, nll_s, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY nll_s)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM hist),
+         |cuts AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum * 4 >= n * 3 THEN nll_s END) AS cut_nll_s
+         |  FROM cw GROUP BY 1)
+         |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s.nll_s <= c.cut_nll_s THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  max(c.cut_nll_s) AS cut_nll_s
+         |FROM scored s JOIN cuts c USING (lang)
+         |GROUP BY 1""".stripMargin,
 
     // the full-corpus novelty computation restricted to the batch rows
     // — the incremental face must equal exactly this
@@ -1637,6 +1724,44 @@ object TextQueries {
          |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
          |FROM p JOIN documents d USING (doc_id)
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // mirrors Evaluation.cohensKappa over the langid chain; kappa is
+    // legitimately negative, where DuckDB's // truncates — the
+    // pmod-subtract ladder restores the engine's floor semantics
+    "q_ml_kappa" -> {
+      val langs = TextAnalysis.markerSets.map(_._1)
+      val best = s"greatest(${langs.map(l => s"votes_$l").mkString(", ")})"
+      val pred = langs.foldRight("'und'") { (l, acc) =>
+        s"CASE WHEN votes_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |  $langVotes
+         |  FROM documents),
+         |p AS (SELECT doc_id, $pred AS pred_lang FROM v),
+         |j AS (
+         |  SELECT d.lang AS a, p.pred_lang AS b
+         |  FROM p JOIN documents d USING (doc_id)
+         |  WHERE d.lang IS NOT NULL AND p.pred_lang IS NOT NULL),
+         |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2),
+         |t AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM pc),
+         |rc AS (
+         |  SELECT CAST(sum(r.r * c.c) AS BIGINT) AS rc
+         |  FROM (SELECT a, sum(n) AS r FROM pc GROUP BY 1) r
+         |  JOIN (SELECT b, sum(n) AS c FROM pc GROUP BY 1) c ON r.a = c.b),
+         |d AS (
+         |  SELECT t.n_rows, t.n_agree,
+         |    (t.n_rows * t.n_agree - rc.rc) * 1000000 AS num,
+         |    t.n_rows * t.n_rows - rc.rc AS den
+         |  FROM t CROSS JOIN rc)
+         |SELECT n_rows, n_agree,
+         |  CASE WHEN den = 0 THEN NULL
+         |    ELSE (num - ((num % den + den) % den)) // den END AS kappa_s
+         |FROM d""".stripMargin
     },
 
     "q_text_fingerprint" ->

@@ -356,8 +356,12 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // (total × matched) — the same bounded-aggregate attach
       "q_pipeline_weighting", "q_quality_report",
       // t-closeness attaches its 1-row corpus total N twice (terms +
-      // final divide) — the same bounded-aggregate shape
-      "q_quality_t_closeness",
+      // final divide) — the same bounded-aggregate shape; kappa joins
+      // its two 1-row aggregates (totals × chance mass)
+      "q_quality_t_closeness", "q_ml_kappa",
+      // the ppl-filter composition embeds cross-perplexity and
+      // inherits its 1-row vocab-size attach
+      "q_pipeline_ppl_filter",
       // hamming is a brute-force sketch scan; rrf and the embedding
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
@@ -421,6 +425,16 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     windows(p).foreach { w =>
       assert(w.partitionSpec.nonEmpty,
         "prefix rank window must partition (per-doc), found a global window")
+    }
+  }
+
+  test("ppl-filter percentile windows partition per language") {
+    // the cut selection runs on the value HISTOGRAM partitioned by
+    // lang — a global (unpartitioned) window means the order statistic
+    // regressed to a per-row corpus-wide rank
+    windows(plan("q_pipeline_ppl_filter")).foreach { w =>
+      assert(w.partitionSpec.flatMap(_.references.map(_.name)) == Seq("lang"),
+        s"cut window must partition by lang, got ${w.partitionSpec}")
     }
   }
 
