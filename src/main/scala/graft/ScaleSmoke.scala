@@ -91,7 +91,12 @@ object ScaleSmoke {
     // ppl-filter composition (bigram volume + histogram-sized cut
     // windows end-to-end)
     "q_graph_hits", "q_graph_link_pred", "q_ml_pca_top",
-    "q_pipeline_ppl_filter")
+    "q_pipeline_ppl_filter",
+    // PMI rides for its bigram-explode volume + double unigram
+    // join-back (support floor must cut BEFORE the joins); k-centers
+    // for its k map-only argmin passes (a selected-set join or full
+    // sort sneaking in would scale super-linearly)
+    "q_text_pmi", "q_sim_kcenters")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -542,6 +542,13 @@ object SimilarityQueries {
       graft.ml.Training.ncmEvalWith(Tables(s, dir, "embeddings"), "label",
         ncmProtos(s, dir))),
 
+    // greedy k-center coreset: 6 maximally-diverse vectors by
+    // farthest-first traversal over signed-squared int8 cosines —
+    // deterministic anchor (lowest nonzero id), ties to lowest id,
+    // every selection re-derivable → exact unrolled oracle
+    "q_sim_kcenters" -> ((s, dir) =>
+      Similarity.kCenters(Tables(s, dir, "embeddings"), k = 6)),
+
     // dominant principal direction by 2-step power iteration over the
     // int8 Gram matrix (never materialized): the corpus-geometry /
     // anisotropy summary. Fixed iterations → exact CTE unroll; all
@@ -1158,6 +1165,57 @@ object SimilarityQueries {
     "q_ml_ncm_train" ->
       s"""WITH $ncmChainSql
          |SELECT cls, dim, w AS w_s FROM cw""".stripMargin,
+
+    // unrolled farthest-first traversal mirroring Similarity.kCenters:
+    // each round is a 1-row argmin CTE (min max-sim, ties to lowest
+    // id) over the candidates crossed with the previously-selected
+    // 1-row CTEs; signed-squared cosine with the pmod-subtract floor
+    // ladder (sims are legitimately negative)
+    "q_sim_kcenters" -> {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+          s"p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
+      def sim(c: String, s: String) = {
+        val d = dot(s"$c.q", s"$s.q")
+        val num = s"($d * abs($d) * 1000000)"
+        val den = s"($c.n2 * $s.n2)"
+        s"(($num - (($num % $den + $den) % $den)) // $den)"
+      }
+      val k = 6
+      val rounds = (2 to k).map { r =>
+        val prev = (1 until r).map(i => if (i == 1) "s1" else s"p$i")
+        val aliases = prev.zipWithIndex.map { case (p, i) => s"$p x$i" }
+        val sims = prev.indices.map(i => sim("c", s"x$i"))
+        val ms = if (sims.size == 1) sims.head
+          else s"greatest(${sims.mkString(", ")})"
+        val notIn = prev.indices.map(i => s"x$i.vec_id").mkString(", ")
+        s""",
+           |p$r AS (
+           |  SELECT c.vec_id, c.n2, c.q, $ms AS ms
+           |  FROM qnf c, ${aliases.mkString(", ")}
+           |  WHERE c.vec_id NOT IN ($notIn)
+           |  ORDER BY ms, c.vec_id LIMIT 1)""".stripMargin
+      }.mkString
+      val out = (2 to k).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, CAST(ms AS BIGINT) FROM p$r")
+        .mkString("\n")
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qq AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN amax > 0 THEN list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+         |    ELSE list_transform(embedding, x -> 0) END AS q
+         |  FROM sc),
+         |qn AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM qq),
+         |qnf AS MATERIALIZED (SELECT * FROM qn WHERE n2 > 0),
+         |s1 AS (SELECT vec_id, n2, q FROM qnf ORDER BY vec_id LIMIT 1)$rounds
+         |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
+         |  CAST(NULL AS BIGINT) AS max_sim_s FROM s1
+         |$out""".stripMargin
+    },
 
     // unrolled power iteration mirroring Pca.topComponent: quantize →
     // explode; per round one vec-keyed dot and one dim-keyed

@@ -242,6 +242,12 @@ object TextQueries {
     "q_text_heaps" -> ((s, dir) =>
       TextAnalysis.heapsCurve(Tables(s, dir, "documents"))),
 
+    // PMI collocation mining: bigrams beating the independence rate
+    // (the word2vec-phrases detector), support floor 5 kills 1-count
+    // noise; ln shaped identically to the twin (divide-before-multiply)
+    "q_text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables(s, dir, "documents"), minCount = 5L)),
+
     // CCNet-style filter signal: every document's cross-entropy under
     // the bigram LM of the trusted en slice (a doc cannot vote for its
     // own n-grams)
@@ -1123,6 +1129,35 @@ object TextQueries {
     "q_text_cross_perplexity" ->
       s"""WITH $crossPplChainSql
          |SELECT doc_id, n_bigrams, sum_nll_s FROM cpd""".stripMargin,
+
+    // mirrors TextAnalysis.pmiCollocations: the ln argument divides
+    // before multiplying in the same order, so the double rounding
+    // sequence is engine-identical (the cross-perplexity precedent)
+    "q_text_pmi" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |bg AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |c1 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |tt AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n_bg,
+         |    (SELECT CAST(sum(cw) AS BIGINT) FROM c1) AS n_tok)
+         |SELECT p.w1, p.w2, p.n_pair,
+         |  CAST(floor(ln(
+         |    (CAST(p.n_pair AS DOUBLE) / CAST(t.n_bg AS DOUBLE)) /
+         |    ((CAST(a.cw AS DOUBLE) / CAST(t.n_tok AS DOUBLE)) *
+         |     (CAST(b.cw AS DOUBLE) / CAST(t.n_tok AS DOUBLE))))
+         |    * 1000000.0) AS BIGINT) AS pmi_s
+         |FROM c12 p
+         |JOIN c1 a ON a.w = p.w1
+         |JOIN c1 b ON b.w = p.w2
+         |CROSS JOIN tt t""".stripMargin,
 
     // CCNet-complete composition: cross-perplexity scores → exact
     // per-language 75th-percentile cut by value-histogram selection

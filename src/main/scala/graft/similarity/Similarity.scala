@@ -532,6 +532,78 @@ object Similarity {
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("proj"))
   }
 
+  /** Greedy k-center coreset (Gonzalez's farthest-first traversal):
+    * pick k maximally-diverse vectors — each round selects the vector
+    * LEAST similar to everything already selected (min over candidates
+    * of max-similarity-to-selected, the 2-approximation to the optimal
+    * k-center cover). The diversity-sampling step of a data pipeline:
+    * seed vectors for IVF/k-means that cover the space, exemplar picks
+    * for labeling budgets, "show me k genuinely different documents".
+    *
+    * Similarity is the SIGNED SQUARED cosine over int8 codes,
+    *   sim_s = (dot·|dot|·scale) div (‖a‖²·‖b‖²)
+    * — monotone in cosine (x·|x| preserves order and sign) and closed
+    * under integer arithmetic (true cosine needs irrational norms), so
+    * selection is engine-exact. Ties break to the lowest vec_id; the
+    * traversal starts from the lowest nonzero-norm vec_id (a
+    * deterministic anchor — farthest-first is a 2-approximation from
+    * ANY start). Zero-norm vectors are excluded (no direction).
+    *
+    * Scale shape: per round ONE map-only pass — every selected code
+    * re-enters the plan as a literal array (the GD-weights pattern,
+    * k·dims ints total) and the max-over-selected is a `greatest` of
+    * k native [[graft.expressions.IntDot]] columns — followed by a
+    * TakeOrdered(1) argmin (no full sort) and a 1-row collect (the BPE
+    * top-pair budget). Nothing shuffles but the argmin's single row.
+    *
+    * Overflow: |dot| ≤ dims·127², so dot²·scale needs
+    * dims²·127⁴·scale < 2⁶³ — dims ≤ 512 at the default scale; wider
+    * vectors lower `scale` (the fixed-point family note).
+    */
+  def kCenters(vectors: DataFrame, k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = quantizeInt8(vectors)
+      .select(col("vec_id"), col("q"),
+        graft.expressions.IntDot(col("q"), col("q")).as("n2"))
+      .where(col("n2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val firstRow = q.orderBy(col("vec_id"))
+      .select(col("vec_id"), col("n2"), col("q")).head(1)
+    require(firstRow.nonEmpty, "no nonzero-norm vectors to select from")
+    val first = firstRow.head.getLong(0)
+    // (round, vec_id, max sim to the previously selected; null for the
+    // deterministic anchor); picks carry their code in the same 1-row
+    // collect, so no per-center lookup job
+    var selected = Vector((1L, first, Option.empty[Long]))
+    var codes = Vector((firstRow.head.getSeq[Int](2), firstRow.head.getLong(1)))
+    for (r <- 2 to k) {
+      val simCols = codes.map { case (code, cn2) =>
+        val d = graft.expressions.IntDot(col("q"), typedLit(code))
+        graft.ml.Training.floorDivP(d * abs(d) * scale, col("n2") * lit(cn2))
+      }
+      val maxSim =
+        if (simCols.size == 1) simCols.head else greatest(simCols: _*)
+      val already = selected.map(_._2)
+      val pick = q.where(!col("vec_id").isin(already.map(x => x: Any): _*))
+        .select(col("vec_id"), col("n2"), col("q"), maxSim.as("max_sim_s"))
+        .orderBy(col("max_sim_s").asc, col("vec_id").asc)
+        .head(1)
+      if (pick.nonEmpty) {
+        val row = pick.head
+        selected :+= ((r.toLong, row.getLong(0), Some(row.getLong(3))))
+        codes :+= ((row.getSeq[Int](2), row.getLong(1)))
+      }
+    }
+    q.unpersist()
+    selected.map { case (r, id, s) => (r, id, s) }
+      .toDF("sel_round", "vec_id", "max_sim_s")
+  }
+
   /** Brute-force top-k over int8-QUANTIZED vectors — the compressed
     * search path: scores are integer code dots normalized by integer
     * code norms (Σq², exact BIGINT arithmetic — scale factors cancel in

@@ -451,6 +451,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_nll_s"))
   }
 
+  /** PMI collocation mining — the phrase detector (Mikolov et al.'s
+    * word2vec-phrases step, Church & Hanks' association ratio): bigrams
+    * whose observed rate beats the independence assumption,
+    *   pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    * in 1e-6 fixed point, computed as one double expression shaped
+    * IDENTICALLY to the SQL twin (the cross-perplexity ln precedent:
+    * each ratio divides before multiplying, so magnitudes stay near 1
+    * and the double rounding sequence is engine-identical). A support
+    * floor kills the low-count noise PMI is notorious for (a 1-count
+    * bigram of two rare words scores spuriously high); surviving pairs
+    * are the merge-into-one-token candidates upstream of BPE training.
+    *
+    * Scale shape: one bigram explode feeding two partial-aggregated
+    * counts (pair and unigram); the pair table joins the unigram table
+    * twice on its two word keys — aggregate-sized joins (vocab², cut by
+    * the support floor BEFORE the joins), corpus size touches only the
+    * explode. Totals attach as a designed 1-row broadcast.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bg = docs
+      .select(tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val c1 = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = bg.groupBy().agg(count(lit(1)).as("n_bg"))
+      .crossJoin(c1.groupBy().agg(sum(col("cw")).as("n_tok")))
+    c12
+      .join(c1.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        floor(log(
+          (col("n_pair").cast("double") / col("n_bg").cast("double")) /
+            ((col("c1").cast("double") / col("n_tok").cast("double")) *
+              (col("c2").cast("double") / col("n_tok").cast("double"))))
+          * 1e6).cast("long").as("pmi_s"))
+  }
+
   /** The persistable first-seen table behind [[noveltyScores]]:
     * (h, first_doc) — what an incremental novelty pipeline carries
     * between drops (shingle hashes + one id each, far smaller than

@@ -360,8 +360,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // its two 1-row aggregates (totals × chance mass)
       "q_quality_t_closeness", "q_ml_kappa",
       // the ppl-filter composition embeds cross-perplexity and
-      // inherits its 1-row vocab-size attach
-      "q_pipeline_ppl_filter",
+      // inherits its 1-row vocab-size attach; PMI attaches its 1-row
+      // bigram/token totals the same way
+      "q_pipeline_ppl_filter", "q_text_pmi",
       // hamming is a brute-force sketch scan; rrf and the embedding
       // pipeline embed retrievers/semantic-dedup and inherit their
       // designed centroid attaches
