@@ -96,7 +96,11 @@ object ScaleSmoke {
     // join-back (support floor must cut BEFORE the joins); k-centers
     // for its k map-only argmin passes (a selected-set join or full
     // sort sneaking in would scale super-linearly)
-    "q_text_pmi", "q_sim_kcenters")
+    "q_text_pmi", "q_sim_kcenters",
+    // phrase search rides for its corpus-side positional explode: the
+    // broadcast term filter must keep the (query, doc, start) shuffle
+    // proportional to query-term postings, not the corpus
+    "q_text_phrase_search")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -153,6 +153,56 @@ object SimilarityQueries {
     * lr = 1/2. All divisions are pmod-subtract + `//` (exact BIGINT,
     * floor semantics after the mod subtraction). Ends at `w_$iters`.
     */
+  /** Portable list dot product: Σ aᵢ·bᵢ as BIGINT. */
+  private def kcDotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
+
+  /** Signed-squared cosine (1e-6 fixed point) between two quantized
+    * rows, pmod-subtract floor — mirrors Similarity.kCenters' sim.
+    */
+  private def kcSimSql(c: String, s: String): String = {
+    val d = kcDotSql(s"$c.q", s"$s.q")
+    val num = s"($d * abs($d) * 1000000)"
+    val den = s"($c.n2 * $s.n2)"
+    s"(($num - (($num % $den + $den) % $den)) // $den)"
+  }
+
+  /** The farthest-first traversal chain (quantize → norms → k argmin
+    * rounds), shared verbatim by q_sim_kcenters and its coverage face.
+    * Ends at the 1-row CTEs s1, p2..p$k.
+    */
+  private def kcentersChainSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => if (i == 1) "s1" else s"p$i")
+      val aliases = prev.zipWithIndex.map { case (p, i) => s"$p x$i" }
+      val sims = prev.indices.map(i => kcSimSql("c", s"x$i"))
+      val ms = if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(", ")})"
+      val notIn = prev.indices.map(i => s"x$i.vec_id").mkString(", ")
+      s""",
+         |p$r AS (
+         |  SELECT c.vec_id, c.n2, c.q, $ms AS ms
+         |  FROM qnf c, ${aliases.mkString(", ")}
+         |  WHERE c.vec_id NOT IN ($notIn)
+         |  ORDER BY ms, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString
+    s"""sc AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings),
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE WHEN amax > 0 THEN list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+       |    ELSE list_transform(embedding, x -> 0) END AS q
+       |  FROM sc),
+       |qn AS (SELECT vec_id, q, ${kcDotSql("q", "q")} AS n2 FROM qq),
+       |qnf AS MATERIALIZED (SELECT * FROM qn WHERE n2 > 0),
+       |s1 AS (SELECT vec_id, n2, q FROM qnf ORDER BY vec_id LIMIT 1)$rounds"""
+      .stripMargin
+  }
+
   private def logisticChainSql(iters: Int): String = {
     val blocks = (0 until iters).map { it =>
       s"""z_$it AS (
@@ -548,6 +598,11 @@ object SimilarityQueries {
     // every selection re-derivable → exact unrolled oracle
     "q_sim_kcenters" -> ((s, dir) =>
       Similarity.kCenters(Tables(s, dir, "embeddings"), k = 6)),
+
+    // per-center coverage of the same traversal: assignment mass + the
+    // k-center objective (worst assigned similarity per center)
+    "q_sim_kcenters_cover" -> ((s, dir) =>
+      Similarity.kCentersCover(Tables(s, dir, "embeddings"), k = 6)),
 
     // dominant principal direction by 2-step power iteration over the
     // int8 Gram matrix (never materialized): the corpus-geometry /
@@ -1172,49 +1227,43 @@ object SimilarityQueries {
     // 1-row CTEs; signed-squared cosine with the pmod-subtract floor
     // ladder (sims are legitimately negative)
     "q_sim_kcenters" -> {
-      def dot(a: String, b: String) =
-        s"CAST(list_sum(list_transform(list_zip($a, $b), " +
-          s"p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT)"
-      def sim(c: String, s: String) = {
-        val d = dot(s"$c.q", s"$s.q")
-        val num = s"($d * abs($d) * 1000000)"
-        val den = s"($c.n2 * $s.n2)"
-        s"(($num - (($num % $den + $den) % $den)) // $den)"
-      }
-      val k = 6
-      val rounds = (2 to k).map { r =>
-        val prev = (1 until r).map(i => if (i == 1) "s1" else s"p$i")
-        val aliases = prev.zipWithIndex.map { case (p, i) => s"$p x$i" }
-        val sims = prev.indices.map(i => sim("c", s"x$i"))
-        val ms = if (sims.size == 1) sims.head
-          else s"greatest(${sims.mkString(", ")})"
-        val notIn = prev.indices.map(i => s"x$i.vec_id").mkString(", ")
-        s""",
-           |p$r AS (
-           |  SELECT c.vec_id, c.n2, c.q, $ms AS ms
-           |  FROM qnf c, ${aliases.mkString(", ")}
-           |  WHERE c.vec_id NOT IN ($notIn)
-           |  ORDER BY ms, c.vec_id LIMIT 1)""".stripMargin
-      }.mkString
-      val out = (2 to k).map(r =>
+      val out = (2 to 6).map(r =>
         s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, CAST(ms AS BIGINT) FROM p$r")
         .mkString("\n")
-      s"""WITH sc AS MATERIALIZED (
-         |  SELECT vec_id, embedding,
-         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
-         |  FROM embeddings),
-         |qq AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    CASE WHEN amax > 0 THEN list_transform(embedding, x ->
-         |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
-         |    ELSE list_transform(embedding, x -> 0) END AS q
-         |  FROM sc),
-         |qn AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM qq),
-         |qnf AS MATERIALIZED (SELECT * FROM qn WHERE n2 > 0),
-         |s1 AS (SELECT vec_id, n2, q FROM qnf ORDER BY vec_id LIMIT 1)$rounds
+      s"""WITH ${kcentersChainSql(6)}
          |SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,
          |  CAST(NULL AS BIGINT) AS max_sim_s FROM s1
          |$out""".stripMargin
+    },
+
+    // the coverage report over the SAME traversal chain: every vector
+    // assigned to its best center (greatest of the six sims; the CASE
+    // ladder takes the FIRST = lowest-round match on ties, mirroring
+    // the engine's fold), per-center mass + worst assigned similarity
+    "q_sim_kcenters_cover" -> {
+      val aliases = (1 to 6).map(r => if (r == 1) "s1" else s"p$r")
+        .zipWithIndex.map { case (p, i) => s"$p x$i" }
+      val sims = (0 until 6).map(i => s"sim_$i")
+      val simDefs = (0 until 6).map(i =>
+        s"${kcSimSql("c", s"x$i")} AS sim_$i").mkString(",\n    ")
+      val ladder = (0 until 6).map(i =>
+        s"WHEN ${sims(i)} = best THEN CAST(${i + 1} AS BIGINT)")
+        .mkString(" ")
+      s"""WITH ${kcentersChainSql(6)},
+         |sims AS (
+         |  SELECT c.vec_id,
+         |    $simDefs
+         |  FROM qnf c, ${aliases.mkString(", ")}),
+         |bst AS (
+         |  SELECT vec_id, greatest(${sims.mkString(", ")}) AS best,
+         |    ${sims.mkString(", ")}
+         |  FROM sims),
+         |asn AS (
+         |  SELECT vec_id, best, CASE $ladder END AS center_round
+         |  FROM bst)
+         |SELECT center_round, CAST(count(*) AS BIGINT) AS n_assigned,
+         |  CAST(min(best) AS BIGINT) AS min_sim_s
+         |FROM asn GROUP BY 1""".stripMargin
     },
 
     // unrolled power iteration mirroring Pca.topComponent: quantize →

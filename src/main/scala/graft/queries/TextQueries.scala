@@ -242,6 +242,17 @@ object TextQueries {
     "q_text_heaps" -> ((s, dir) =>
       TextAnalysis.heapsCurve(Tables(s, dir, "documents"))),
 
+    // exact phrase retrieval over the positional index: anchor
+    // normalization (pos − offset votes for a start; all-offsets
+    // starts are occurrences). Fixture phrases include a repeated
+    // token ("table table") — the per-start count-equals-arity trick
+    // must not double-count it
+    "q_text_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.phraseSearch(Tables(s, dir, "documents"),
+        phraseFixtures.toDF("query_id", "phrase"))
+    }),
+
     // PMI collocation mining: bigrams beating the independence rate
     // (the word2vec-phrases detector), support floor 5 kills 1-count
     // noise; ln shaped identically to the twin (divide-before-multiply)
@@ -806,6 +817,14 @@ object TextQueries {
     })
   )
 
+  /** Phrase workload shared by the q_text_phrase_search face and its
+    * oracle (both derive terms from THIS list — the workload cannot
+    * fork). Chosen to exercise a 2-gram, a repeated-token phrase, and
+    * a 3-gram on the fixture vocabulary.
+    */
+  private val phraseFixtures: Seq[(String, String)] = Seq(
+    ("p1", "value table"), ("p2", "table table"), ("p3", "key agg row"))
+
   private val langVotes: String = TextAnalysis.markerSets.map { case (lang, ms) =>
     val inList = ms.map(m => s"'$m'").mkString(", ")
     s"CAST(len(list_filter($toks, t -> t IN ($inList))) AS BIGINT) AS votes_$lang"
@@ -1129,6 +1148,38 @@ object TextQueries {
     "q_text_cross_perplexity" ->
       s"""WITH $crossPplChainSql
          |SELECT doc_id, n_bigrams, sum_nll_s FROM cpd""".stripMargin,
+
+    // mirrors TextAnalysis.phraseSearch; terms derive from the same
+    // phraseFixtures list, exploded to (query_id, offset, token) VALUES
+    "q_text_phrase_search" -> {
+      val termRows = phraseFixtures.flatMap { case (qid, phrase) =>
+        phrase.trim.split("\\s+").zipWithIndex.map { case (t, i) =>
+          s"('$qid', CAST($i AS BIGINT), '$t')"
+        }
+      }.mkString(",\n    ")
+      s"""WITH terms(query_id, off, token) AS (VALUES
+         |    $termRows),
+         |arity AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM terms GROUP BY 1),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+         |    unnest(t) AS token
+         |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+         |m AS (
+         |  SELECT q.query_id, k.doc_id, k.pos - q.off AS start
+         |  FROM tok k JOIN terms q USING (token)
+         |  WHERE k.token <> ''),
+         |g AS (
+         |  SELECT query_id, doc_id, start, CAST(count(*) AS BIGINT) AS nm
+         |  FROM m GROUP BY 1, 2, 3)
+         |SELECT g.query_id, g.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min(g.start) + 1 AS BIGINT) AS first_pos
+         |FROM g JOIN arity a USING (query_id)
+         |WHERE g.nm = a.n_terms
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // mirrors TextAnalysis.pmiCollocations: the ln argument divides
     // before multiplying in the same order, so the double rounding

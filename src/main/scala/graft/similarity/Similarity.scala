@@ -604,6 +604,50 @@ object Similarity {
       .toDF("sel_round", "vec_id", "max_sim_s")
   }
 
+  /** Coverage report for a [[kCenters]] selection: assign every vector
+    * to its most-similar center (argmax signed-squared cosine, ties to
+    * the LOWEST selection round — the first-match fold, mirrored by
+    * the twin's CASE ladder) and report per-center mass and the WORST
+    * assigned similarity — the k-center objective itself: min over
+    * centers of min_assigned sim is how well k exemplars cover the
+    * corpus, the number that says whether k was enough.
+    *
+    * Scale shape: re-runs the traversal (k bounded passes), then ONE
+    * map-only assignment pass — all k center codes re-enter as literal
+    * arrays, best-of-k is `greatest` over native IntDot columns — and
+    * one |k|-keyed partial-aggregated groupBy. Vectors never shuffle;
+    * only (center, sim) pairs do.
+    */
+  def kCentersCover(vectors: DataFrame, k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val sel = kCenters(vectors, k, scale)
+      .select(col("sel_round"), col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val q = quantizeInt8(vectors)
+      .select(col("vec_id"), col("q"),
+        graft.expressions.IntDot(col("q"), col("q")).as("n2"))
+      .where(col("n2") > 0)
+    val centerCodes = q
+      .where(col("vec_id").isin(sel.map(_._2.asInstanceOf[Any]): _*))
+      .select(col("vec_id"), col("q"), col("n2")).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    val simCols = sel.map { case (round, id) =>
+      val (code, cn2) = centerCodes(id)
+      val d = graft.expressions.IntDot(col("q"), typedLit(code))
+      round -> graft.ml.Training.floorDivP(d * abs(d) * scale,
+        col("n2") * lit(cn2))
+    }
+    val best = if (simCols.size == 1) simCols.head._2
+      else greatest(simCols.map(_._2): _*)
+    // first (lowest-round) match wins ties, like the twin's CASE ladder
+    val center = simCols.reverse.foldLeft(lit(0L)) { case (acc, (round, s)) =>
+      when(s === best, lit(round)).otherwise(acc)
+    }
+    q.select(center.as("center_round"), best.as("sim_s"))
+      .groupBy(col("center_round"))
+      .agg(count(lit(1)).as("n_assigned"), min(col("sim_s")).as("min_sim_s"))
+  }
+
   /** Brute-force top-k over int8-QUANTIZED vectors — the compressed
     * search path: scores are integer code dots normalized by integer
     * code norms (Σq², exact BIGINT arithmetic — scale factors cancel in

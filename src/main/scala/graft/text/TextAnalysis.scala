@@ -1056,6 +1056,46 @@ object TextAnalysis {
     postings.join(lexicon, Seq("token"))
   }
 
+  /** Exact PHRASE retrieval — the positional-index completion of the
+    * retrieval family ([[invertedIndex]] knows WHERE terms occur;
+    * [[searchAll]] only tests presence): documents containing the
+    * query token sequence CONTIGUOUSLY, by the classic anchor
+    * normalization — every matched term votes for the phrase START it
+    * implies (pos − offset), and a start with votes from ALL offsets
+    * is an occurrence (the count-equals-arity trick, per-start).
+    * Repeated tokens inside a phrase are handled for free: each offset
+    * contributes at most one vote per (doc, start) because positions
+    * are unique.
+    *
+    * Returns (query_id, doc_id, n_hits, first_pos) — 1-based first
+    * position, the [[invertedIndex]] convention.
+    *
+    * Scale shape: the phrase terms and arities broadcast (bounded by
+    * the query workload); the corpus-side posexplode feeds ONE
+    * (query, doc, start)-keyed partial-aggregated groupBy, then a
+    * (query, doc) rollup — non-matching tokens die at the broadcast
+    * join, so the shuffle carries only postings of query terms (the
+    * searchAll posture, plus the start key).
+    */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val terms = phrases.select(col("query_id"),
+      posexplode(tokens(col("phrase"))).as(Seq("offset", "token")))
+    val arity = terms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    tok.join(broadcast(terms), Seq("token"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("offset")).as("start"))
+      .groupBy("query_id", "doc_id", "start")
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(arity), Seq("query_id"))
+      .where(col("n_matched") === col("n_terms"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("start")) + 1L).as("first_pos"))
+  }
+
   /** Conjunctive (AND) retrieval over [[invertedIndex]]: per query, the
     * documents containing EVERY query term, with the summed term
     * frequency as a tiebreak score. `queries` is a (query_id, token)

@@ -30,6 +30,16 @@ class KCentersSpec extends SparkTestBase {
     assert(r2.getLong(2) === -1000000L)
   }
 
+  test("coverage report: masses, tie-to-lowest-round, exact worst sims") {
+    val got = Similarity.kCentersCover(vecs, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // centers 1 and 4; vec 2 is orthogonal to both (tie 0 → round 1),
+    // vec 3 assigns to 1 at floor(16129e6/16130) = 999938; each center
+    // covers itself at exactly scale
+    assert(got === Map(1L -> ((3L, 0L)), 2L -> ((1L, 1000000L))))
+  }
+
   test("zero vectors are excluded and partitioning does not matter") {
     import spark.implicits._
     val withZero = vecs.unionAll(
