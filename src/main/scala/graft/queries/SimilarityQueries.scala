@@ -624,6 +624,17 @@ object SimilarityQueries {
         Similarity.lshTopK(q, emb, k = 5))
     }),
 
+    // MRR@5 of the LSH retriever vs the brute-force truth — recall's
+    // how-much twin answered with how-soon; misses score 0, not a
+    // dropped row
+    "q_sim_mrr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Similarity.mrr(
+        Similarity.bruteTopK(q, emb, k = 5),
+        Similarity.lshTopK(q, emb, k = 5))
+    }),
+
     // per-dimension fixed-point mean drift between the even/odd
     // pseudo-snapshots — the embedding-side histogramDrift
     "q_sim_drift" -> ((s, dir) => {
@@ -825,6 +836,20 @@ object SimilarityQueries {
          |  CAST((CAST(sum(hit) AS BIGINT) * 1000000) //
          |    CAST(count(*) AS BIGINT) AS BIGINT) AS recall_s
          |FROM j GROUP BY 1""".stripMargin,
+
+    // the truth/retrieved chains are the same brute/LSH oracles the
+    // recall face embeds; // on positive ranks matches DIV
+    "q_sim_mrr" ->
+      s"""WITH t AS (SELECT query_id, vec_id FROM ($bruteOracle)),
+         |r AS (SELECT query_id, vec_id, rank FROM ($lshOracle)),
+         |j AS (
+         |  SELECT t.query_id, min(r.rank) AS first_hit_rank
+         |  FROM t LEFT JOIN r USING (query_id, vec_id)
+         |  GROUP BY 1)
+         |SELECT query_id, first_hit_rank,
+         |  CASE WHEN first_hit_rank IS NULL THEN CAST(0 AS BIGINT)
+         |    ELSE 1000000 // first_hit_rank END AS rr_s
+         |FROM j""".stripMargin,
 
     // mirrors Similarity.embeddingDrift: side flag off vec_id parity,
     // one dims-keyed aggregate, pmod-subtract floor means

@@ -1035,6 +1035,32 @@ object Similarity {
         graft.ml.Training.floorDivP(col("n_hit") * lit(1000000L),
           col("n_truth")))
 
+  /** Mean-reciprocal-rank companion to [[annRecall]]: recall asks "how
+    * much of the truth set did the retriever find"; MRR asks "how SOON
+    * did it find any of it" — the metric that moves when a retriever
+    * finds the right answers but buries them. Per query, the rank of
+    * the FIRST retrieved item that belongs to the truth set and its
+    * fixed-point reciprocal (`scale div rank`; 0-with-null-rank for
+    * queries whose retrieval missed the truth set entirely — a miss is
+    * a score, not an absent row).
+    *
+    * Scale shape: k-bounded join of two top-k tables on (query, item),
+    * one query-keyed min — cost tracks the query workload × k, never
+    * the corpus (the annRecall posture).
+    */
+  def mrr(truth: DataFrame, retrieved: DataFrame,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    truth.select(col("query_id"), col("vec_id"))
+      .join(retrieved.select(col("query_id"), col("vec_id"), col("rank")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(min(col("rank")).as("first_hit_rank"))
+      .withColumn("rr_s",
+        when(col("first_hit_rank").isNull, lit(0L))
+          .otherwise(expr(s"$scale DIV first_hit_rank")))
+  }
+
   /** Embedding-space drift between two corpus slices: per dimension,
     * the fixed-point mean of each slice and the absolute difference —
     * the embedding-side twin of `core.Profiler.histogramDrift` (a new

@@ -394,7 +394,7 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_text_cross_perplexity",
       // the recall face embeds the brute-force ground truth — it
       // inherits q_sim_brute_topk's designed broadcast scan
-      "q_sim_ann_recall",
+      "q_sim_ann_recall", "q_sim_mrr",
       // margin mining scores a bounded broadcast probe set against the
       // corpus — q_sim_quantized_topk's designed shape with the
       // id-inequality predicate riding the broadcast join

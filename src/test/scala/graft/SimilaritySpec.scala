@@ -528,6 +528,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Map(1L -> 1000000L, 2L -> 500000L, 3L -> 0L))
   }
 
+  test("mrr: first-hit rank drives the reciprocal, misses score 0") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "vec_id")
+    val retrieved = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 10L, 3L), // first hit at rank 2
+      (2L, 20L, 1L),                               // immediate hit
+      (3L, 98L, 1L), (3L, 97L, 2L))                // total miss
+      .toDF("query_id", "vec_id", "rank")
+    val got = graft.similarity.Similarity.mrr(truth, retrieved)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map(1L -> ((2L, 500000L)), 2L -> ((1L, 1000000L)),
+      3L -> ((-1L, 0L))))
+  }
+
   test("embeddingDrift: identical slices drift 0; a shifted dim shows its shift") {
     import spark.implicits._
     val ref = Seq((1L, Seq(0.5, -0.25)), (2L, Seq(0.5, -0.25)))
