@@ -624,6 +624,12 @@ object SimilarityQueries {
         Similarity.lshTopK(q, emb, k = 5))
     }),
 
+    // one-number corpus diversity: mean pairwise signed-squared cosine
+    // over the id-mod-11 sample — the anisotropy / mode-collapse
+    // monitor (near scale = collapsed, near 0 = diverse)
+    "q_sim_diversity" -> ((s, dir) =>
+      Similarity.pairwiseDiversity(Tables(s, dir, "embeddings"))),
+
     // MRR@5 of the LSH retriever vs the brute-force truth — recall's
     // how-much twin answered with how-soon; misses score 0, not a
     // dropped row
@@ -836,6 +842,34 @@ object SimilarityQueries {
          |  CAST((CAST(sum(hit) AS BIGINT) * 1000000) //
          |    CAST(count(*) AS BIGINT) AS BIGINT) AS recall_s
          |FROM j GROUP BY 1""".stripMargin,
+
+    // same quantize ladder; pairwise signed-squared cosines with the
+    // pmod-subtract floor ladder on both the per-pair sim and the mean
+    // (sims and their sum are legitimately negative)
+    "q_sim_diversity" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |qq AS (
+         |  SELECT vec_id,
+         |    CASE WHEN amax > 0 THEN list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5) AS INTEGER))
+         |    ELSE list_transform(embedding, x -> 0) END AS q
+         |  FROM sc),
+         |qn AS (SELECT vec_id, q, ${kcDotSql("q", "q")} AS n2 FROM qq),
+         |qnf AS MATERIALIZED (
+         |  SELECT * FROM qn WHERE n2 > 0 AND vec_id % 11 = 0),
+         |p AS (
+         |  SELECT ${kcSimSql("a", "b")} AS sim_s
+         |  FROM qnf a JOIN qnf b ON a.vec_id < b.vec_id),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(sim_s) AS BIGINT) AS s FROM p)
+         |SELECT n_pairs,
+         |  (s - ((s % greatest(n_pairs, 1) + greatest(n_pairs, 1))
+         |    % greatest(n_pairs, 1))) // greatest(n_pairs, 1) AS mean_sim_s
+         |FROM g""".stripMargin,
 
     // the truth/retrieved chains are the same brute/LSH oracles the
     // recall face embeds; // on positive ranks matches DIV

@@ -1035,6 +1035,41 @@ object Similarity {
         graft.ml.Training.floorDivP(col("n_hit") * lit(1000000L),
           col("n_truth")))
 
+  /** Corpus diversity in one number: the mean pairwise signed-squared
+    * cosine over a deterministic id-mod sample — the anisotropy /
+    * mode-collapse monitor (a corpus whose embeddings crowd one
+    * direction scores near `scale`; a diverse one near 0; a mixture of
+    * antipodal clusters goes negative). The single-row companion to
+    * [[kCentersCover]]'s per-center view and [[embeddingDrift]]'s
+    * per-dim view.
+    *
+    * The sample is id-deterministic (vec_id ≡ 0 mod sampleMod) so the
+    * number is reproducible and oracle-exact; pairwise over a sample,
+    * never the corpus — mean-pairwise estimates converge at a few
+    * thousand points, so sampleMod scales with the corpus to hold the
+    * sample size roughly constant (the pair join is sample²-bounded BY
+    * CONSTRUCTION, the designed bounded-BNLJ shape). The mean is a
+    * pmod-subtract floor division: pairwise sims are legitimately
+    * negative.
+    */
+  def pairwiseDiversity(vectors: DataFrame, sampleMod: Long = 11L,
+      scale: Long = 1000000L): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val q = quantizeInt8(vectors)
+      .select(col("vec_id"), col("q"),
+        graft.expressions.IntDot(col("q"), col("q")).as("n2"))
+      .where(col("n2") > 0 && pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val d = graft.expressions.IntDot(col("a.q"), col("b.q"))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(graft.ml.Training.floorDivP(d * abs(d) * scale,
+        col("a.n2") * col("b.n2")).as("sim_s"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.ml.Training.floorDivP(sum(col("sim_s")),
+          greatest(count(lit(1)), lit(1L))).as("mean_sim_s"))
+  }
+
   /** Mean-reciprocal-rank companion to [[annRecall]]: recall asks "how
     * much of the truth set did the retriever find"; MRR asks "how SOON
     * did it find any of it" — the metric that moves when a retriever

@@ -395,6 +395,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // the recall face embeds the brute-force ground truth — it
       // inherits q_sim_brute_topk's designed broadcast scan
       "q_sim_ann_recall", "q_sim_mrr",
+      // diversity's pair join is sample²-bounded BY CONSTRUCTION (the
+      // id-mod gate), the designed bounded-BNLJ shape
+      "q_sim_diversity",
       // margin mining scores a bounded broadcast probe set against the
       // corpus — q_sim_quantized_topk's designed shape with the
       // id-inequality predicate riding the broadcast join

@@ -528,6 +528,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Map(1L -> 1000000L, 2L -> 500000L, 3L -> 0L))
   }
 
+  test("pairwiseDiversity: collapsed → scale, antipodal → −scale, sample-gated") {
+    import spark.implicits._
+    def div(rows: (Long, Seq[Float])*) =
+      graft.similarity.Similarity.pairwiseDiversity(
+        rows.toDF("vec_id", "embedding")).collect().head
+    val collapsed = div(0L -> Seq(1.0f, 0.0f), 11L -> Seq(3.0f, 0.0f),
+      22L -> Seq(0.5f, 0.0f))
+    assert((collapsed.getLong(0), collapsed.getLong(1)) === ((3L, 1000000L)))
+    val antipodal = div(0L -> Seq(1.0f, 0.0f), 11L -> Seq(-1.0f, 0.0f))
+    assert((antipodal.getLong(0), antipodal.getLong(1)) === ((1L, -1000000L)))
+    val orthogonal = div(0L -> Seq(1.0f, 0.0f), 11L -> Seq(0.0f, 1.0f))
+    assert((orthogonal.getLong(0), orthogonal.getLong(1)) === ((1L, 0L)))
+    // id 5 is off the mod-11 sample: the antipode it would add must
+    // not register
+    val gated = div(0L -> Seq(1.0f, 0.0f), 11L -> Seq(1.0f, 0.0f),
+      5L -> Seq(-1.0f, 0.0f))
+    assert((gated.getLong(0), gated.getLong(1)) === ((1L, 1000000L)))
+  }
+
   test("mrr: first-hit rank drives the reciprocal, misses score 0") {
     import spark.implicits._
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
