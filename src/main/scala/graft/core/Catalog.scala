@@ -12,12 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * etl_textreuse/spark_utils.py:47-136 and the Scala twins in
   * etl_textreuse/assets/spark_functionality.sc:61-119): every logical
   * table is an immutable parquet directory, re-registered as a temp view
-  * by name on each use, written zstd-compressed, with write-if-absent and
-  * atomic-rename semantics via the Hadoop FileSystem API.
+  * by name on each use, written zstd-compressed, with write-if-absent
+  * and pointer-committed atomic publish via the Hadoop FileSystem API.
   *
   * Scale notes: paths may be any Hadoop-supported filesystem (s3a://,
-  * hdfs://, file://); materialization goes through a `_tmp` directory +
-  * rename so a failed job never leaves a half-written table registered.
+  * hdfs://, file://); atomic materialization writes a fresh immutable
+  * version directory and commits by swapping a one-line `_CURRENT`
+  * pointer file — no directory rename anywhere, so the crash guarantee
+  * holds on object stores (where rename is a non-atomic copy) exactly
+  * as it does on HDFS, and a failed job never leaves a half-written
+  * table registered.
   */
 final class Catalog(val spark: SparkSession, baseDir: String) {
 
@@ -28,17 +32,26 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
 
   def exists(name: String): Boolean = {
     val p = path(name)
-    fs(p).exists(new Path(p))
+    fs(p).exists(new Path(p)) || currentVersion(name).isDefined
   }
 
   def delete(name: String): Unit = {
     val p = path(name)
     fs(p).delete(new Path(p), true)
+    fs(p).delete(new Path(versionsDir(name)), true)
   }
+
+  /** The physical directory a read of `name` resolves to: the
+    * pointer-committed current version when one exists (tables
+    * published by [[materializeAtomic]] / [[materializeVersioned]] /
+    * [[materializeAudited]]), else the plain `<name>.parquet` path.
+    */
+  def dataDir(name: String): String =
+    currentVersion(name).map(versionPath(name, _)).getOrElse(path(name))
 
   /** Read a materialized table and register it as a temp view. */
   def get(name: String): DataFrame = {
-    val df = spark.read.parquet(path(name))
+    val df = spark.read.parquet(dataDir(name))
     df.createOrReplaceTempView(name)
     df
   }
@@ -52,41 +65,51 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     get(name)
   }
 
-  /** Write through a temp dir + rename, then register.
+  /** Atomic publish by POINTER COMMIT, not rename: the new data lands
+    * whole in a fresh immutable version directory (nothing existing is
+    * touched), and the single commit point is the `_CURRENT` pointer
+    * write. A crash anywhere before the pointer write leaves the
+    * previous version both on disk AND still the one every reader
+    * resolves — there is no window where neither table is readable and
+    * no step whose atomicity depends on filesystem rename. That is the
+    * property directory-rename protocols lose on object stores, where
+    * rename is a non-atomic copy-then-delete (the reference's own sink
+    * is S3 — spark_utils.py:113-122); here the only thing "swapped" is
+    * a one-line file, and even a torn pointer degrades to the
+    * newest-complete-version fallback in [[currentVersion]], never to
+    * a half-written table.
     *
-    * Crash-safety: the previous table is renamed aside first and deleted
-    * only after the new data has been renamed into place, so a crash at
-    * any point leaves either the old or the new table recoverable (never
-    * neither). True atomicity holds only on rename-capable filesystems
-    * (HDFS, file://); on object stores like s3a, rename is a non-atomic
-    * copy — prefer `materialize` + a table-format layer there.
+    * The previous version is retained as rollback insurance and reaped
+    * on the NEXT publish (a two-version window — [[vacuumVersions]]
+    * with keep=1 reclaims sooner if storage is tight).
     */
   def materializeAtomic(name: String, df: DataFrame): DataFrame = {
-    df.write.mode("overwrite").parquet(s"$baseDir/_tmp_$name.parquet")
-    publishTmp(name)
+    publishVersion(name, df)
     get(name)
   }
 
-  /** The atomic publish step: swap `_tmp_<name>` into place via the
-    * rename protocol (previous table parked at `_old_` until the new
-    * one is in place, restored on failure). Shared by
-    * [[materializeAtomic]] and [[materializeAudited]].
+  /** Write `df` as the next version of `name`, pointer-commit it, and
+    * bound history: keep the new current plus one predecessor, and
+    * drop a legacy un-versioned `<name>.parquet` directory once a
+    * pointer-committed version supersedes it. Shared by
+    * [[materializeAtomic]] and [[materializeAudited]] (which audits
+    * between the data write and the pointer commit).
     */
-  private def publishTmp(name: String): Unit = {
-    val target = path(name)
-    val tmp = s"$baseDir/_tmp_$name.parquet"
-    val old = s"$baseDir/_old_$name.parquet"
-    val f = fs(target)
-    f.delete(new Path(old), true)
-    val hadPrevious = f.exists(new Path(target))
-    if (hadPrevious && !f.rename(new Path(target), new Path(old)))
-      throw new java.io.IOException(s"rename $target -> $old failed")
-    if (!f.rename(new Path(tmp), new Path(target))) {
-      // restore the previous table before failing
-      if (hadPrevious) f.rename(new Path(old), new Path(target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  private def publishVersion(name: String, df: DataFrame,
+      audit: DataFrame => Unit = _ => ()): Long = {
+    val v = versions(name).lastOption.getOrElse(0L) + 1L
+    val vp = versionPath(name, v)
+    try {
+      df.write.mode("overwrite").parquet(vp)
+      audit(spark.read.parquet(vp))
+    } catch {
+      case e: Throwable => fs(vp).delete(new Path(vp), true); throw e
     }
-    f.delete(new Path(old), true)
+    writePointer(name, v)
+    vacuumVersions(name, keep = 2)
+    val legacy = path(name)
+    fs(legacy).delete(new Path(legacy), true)
+    v
   }
 
   // ---------------------------------------------------------------------
@@ -106,42 +129,59 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     f"${versionsDir(name)}/v$v%05d.parquet"
   private def pointerPath(name: String): String = s"${versionsDir(name)}/_CURRENT"
 
-  /** All complete versions of `name`, ascending. */
+  /** All COMPLETE versions of `name`, ascending — complete means the
+    * directory carries the committer's `_SUCCESS` marker, so a version
+    * abandoned mid-write (crash during the data job) is invisible to
+    * both the next-version counter and the pointer-loss fallback.
+    */
   def versions(name: String): Seq[Long] = {
     val dir = versionsDir(name)
     val f = fs(dir)
     if (!f.exists(new Path(dir))) Seq.empty
     else f.listStatus(new Path(dir)).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.endsWith(".parquet") =>
-        s.stripPrefix("v").stripSuffix(".parquet").toLong }
+      .collect { case s
+        if s.getPath.getName.startsWith("v") &&
+          s.getPath.getName.endsWith(".parquet") &&
+          f.exists(new Path(s.getPath, "_SUCCESS")) =>
+        s.getPath.getName.stripPrefix("v").stripSuffix(".parquet").toLong }
       .sorted
   }
 
-  /** The pointer target, or the newest version on disk when the pointer
-    * is missing (crash between version write and pointer move).
+  /** The pointer target, or the newest complete version on disk when
+    * the pointer is missing or unreadable (crash between version write
+    * and pointer move, or a torn pointer write on a filesystem without
+    * atomic single-file PUT).
     */
   def currentVersion(name: String): Option[Long] = {
     val p = pointerPath(name)
     val f = fs(p)
-    if (f.exists(new Path(p))) {
-      val in = f.open(new Path(p))
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    } else versions(name).lastOption
+    val pointed =
+      if (!f.exists(new Path(p))) None
+      else {
+        val in = f.open(new Path(p))
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        scala.util.Try(s.toLong).toOption
+      }
+    pointed.orElse(versions(name).lastOption)
   }
 
+  /** The commit point of every versioned publish: one small-file write
+    * with overwrite — a PUT, which object stores make atomic (and the
+    * one operation a directory-rename protocol cannot get from them).
+    * No rename anywhere: on filesystems where overwrite-create is NOT
+    * atomic the worst case is a torn pointer, which [[currentVersion]]
+    * degrades to the newest-complete-version fallback — still a whole
+    * table, never a partial one.
+    */
   private def writePointer(name: String, v: Long): Unit = {
     val p = pointerPath(name)
-    val tmp = s"${pointerPath(name)}_tmp"
     val f = fs(p)
-    val out = f.create(new Path(tmp), true)
+    val out = f.create(new Path(p), true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(new Path(p), false)
-    if (!f.rename(new Path(tmp), new Path(p)))
-      throw new java.io.IOException(s"pointer rename failed for $name -> v$v")
   }
 
   /** Read the CURRENT version and register it as the `name` view. */
@@ -192,34 +232,33 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     reap
   }
 
-  /** Write-audit-publish: write `df` to the `_tmp` directory, evaluate
-    * every audit as a boolean aggregate over the WRITTEN rows (one
-    * scan, one row — e.g. `count(*) > 0`, `count(CASE WHEN id IS NULL
-    * THEN 1 END) = 0`), and only then swap it into place. A failing
-    * audit deletes the tmp write and throws, naming the failed audits —
-    * the previously published table is never touched, so readers keep
-    * a good version while the bad batch is investigated. This is the
-    * production answer to "the pipeline succeeded but wrote garbage":
-    * at 100 TB you cannot un-publish, so the gate runs BEFORE the
-    * rename, on the exact bytes that would go live.
+  /** Write-audit-publish: write `df` whole as an uncommitted next
+    * version, evaluate every audit as a boolean aggregate over the
+    * WRITTEN rows (one scan, one row — e.g. `count(*) > 0`,
+    * `count(CASE WHEN id IS NULL THEN 1 END) = 0`), and only then
+    * pointer-commit it. A failing audit deletes the staged version and
+    * throws, naming the failed audits — the pointer never moved, so
+    * readers keep the previously published version while the bad batch
+    * is investigated. This is the production answer to "the pipeline
+    * succeeded but wrote garbage": at 100 TB you cannot un-publish, so
+    * the gate runs BEFORE the commit, on the exact bytes that would go
+    * live. (Residual double-failure window: a crash DURING the audit
+    * leaves a complete-but-unaudited version dir, which only becomes
+    * visible if the pointer is ALSO lost afterwards — the fallback
+    * cannot tell it from a committed one.)
     */
   def materializeAudited(name: String, df: DataFrame,
       audits: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(audits.nonEmpty, "materializeAudited needs at least one audit")
-    val tmp = s"$baseDir/_tmp_$name.parquet"
-    df.write.mode("overwrite").parquet(tmp)
-    val written = spark.read.parquet(tmp)
-    val row = written.agg(audits.head._2.as(audits.head._1),
-      audits.tail.map { case (n, c) => c.as(n) }: _*).head()
-    val failed = audits.indices.collect {
-      case i if row.isNullAt(i) || !row.getBoolean(i) => audits(i)._1
-    }
-    if (failed.nonEmpty) {
-      fs(tmp).delete(new Path(tmp), true)
-      throw new IllegalStateException(
+    publishVersion(name, df, audit = { written =>
+      val row = written.agg(audits.head._2.as(audits.head._1),
+        audits.tail.map { case (n, c) => c.as(n) }: _*).head()
+      val failed = audits.indices.collect {
+        case i if row.isNullAt(i) || !row.getBoolean(i) => audits(i)._1
+      }
+      if (failed.nonEmpty) throw new IllegalStateException(
         s"audit failed for '$name': ${failed.mkString(", ")} — previous table untouched")
-    }
-    publishTmp(name)
+    })
     get(name)
   }
 
@@ -233,9 +272,10 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     * a same-version re-delivery is idempotent. Resolution is a rank-1
     * filter over (version, update-priority), which Spark plans with a
     * map-side WindowGroupLimit — a hot key does not sort its full
-    * history on one reducer. The rewrite goes through the atomic
-    * rename path, which also makes read-own-table safe: the new data
-    * lands in `_tmp` while the old directory is still being scanned.
+    * history on one reducer. The rewrite goes through the pointer-commit
+    * publish, which also makes read-own-table safe: the new data lands
+    * in a fresh version directory while the current one is still being
+    * scanned.
     *
     * At 100 TB prefer a table format (Iceberg/Delta) whose MERGE
     * rewrites only affected files; the resolution operator here is the
@@ -260,16 +300,9 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     materializeAtomic(name, merged)
   }
 
-  /** Remove crash leftovers: `_tmp_*` staging directories (a job died
-    * mid-write) and `_old_*` previous-table copies (a crash between the
-    * two renames of [[materializeAtomic]]). Registered tables are never
-    * touched — only the two well-known transient prefixes. Returns the
-    * deleted paths so operational logs can record what was reclaimed.
-    * Run it at pipeline start, not concurrently with a materialization.
-    */
   /** Compact a materialized table's file layout: rewrite it as
-    * ceil(bytes / targetFileBytes) files through the atomic-rename
-    * protocol. The small-file problem is the slow killer of long-lived
+    * ceil(bytes / targetFileBytes) files through the pointer-commit
+    * publish. The small-file problem is the slow killer of long-lived
     * 100 TB tables — every incremental drop appends task-count files,
     * and a year later a scan plans millions of splits and the namenode/
     * listing dominates query time. Returns (filesBefore, filesAfter).
@@ -280,15 +313,20 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     */
   def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val p = path(name)
-    // a partitioned table (Hive directory layout) must NOT be flattened
-    // into a single unpartitioned rewrite — refuse instead of silently
-    // destroying the partition pruning a consumer depends on
-    require(!fs(p).listStatus(new Path(p)).exists(_.isDirectory),
-      s"compact: '$name' has a partitioned directory layout — compact partitions individually")
-    def dataFiles: Array[org.apache.hadoop.fs.FileStatus] =
+    // resolve the CURRENT physical directory (version dir for
+    // pointer-committed tables, plain path otherwise) — re-resolved
+    // after the rewrite, since the publish moves the pointer
+    def dataFiles: Array[org.apache.hadoop.fs.FileStatus] = {
+      val p = dataDir(name)
+      // a partitioned table (Hive directory layout) must NOT be
+      // flattened into a single unpartitioned rewrite — refuse instead
+      // of silently destroying the partition pruning a consumer
+      // depends on
+      require(!fs(p).listStatus(new Path(p)).exists(_.isDirectory),
+        s"compact: '$name' has a partitioned directory layout — compact partitions individually")
       fs(p).listStatus(new Path(p))
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
     val before = dataFiles
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -296,6 +334,16 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
     (before.length, dataFiles.length)
   }
 
+  /** Remove crash leftovers: `_tmp_*` staging directories and `_old_*`
+    * previous-table copies — leftovers of the pre-pointer rename
+    * protocol this catalog once used (and of any external tool still
+    * staging under those prefixes). Pointer-committed versions need no
+    * vacuum pass for crash safety ([[vacuumVersions]] bounds their
+    * history instead). Registered tables are never touched — only the
+    * two well-known transient prefixes. Returns the deleted paths so
+    * operational logs can record what was reclaimed. Run it at pipeline
+    * start, not concurrently with a materialization.
+    */
   def vacuum(): Seq[String] = {
     val base = new Path(baseDir)
     val f = fs(baseDir)

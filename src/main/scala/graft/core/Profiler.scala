@@ -57,15 +57,33 @@ object Profiler {
   def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val v = col(valueCol).cast("long")
-    val bounds = df.where(v.isNotNull)
-      .agg(min(v).as("_lo"), max(v).as("_hi"))
-    val x = (v - col("_lo")) * bins
-    val d = col("_hi") - col("_lo") + lit(1L)
+    val bounds = boundsWithSpan(
+      df.where(v.isNotNull).agg(min(v).as("_lo"), max(v).as("_hi")), bins)
     df.where(v.isNotNull)
       .join(broadcast(bounds))
-      .withColumn("bin", ((x - pmod(x, d)) / d).cast("long"))
+      .withColumn("_x", (v - col("_lo")) * bins)
+      .withColumn("bin", expr("(_x - pmod(_x, _d)) div _d"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_rows"), min(v).as("min_v"), max(v).as("max_v"))
+  }
+
+  /** Attaches the bin divisor `_d = hi − lo + 1` with a loud guard on
+    * the two long-arithmetic cliffs of the bin expression: a span so
+    * wide that `hi − lo` itself wraps (shows up as `_d ≤ 0`), and a
+    * span where `(v − lo) · bins` would exceed 2⁶³ (span >
+    * Long.MaxValue / bins). Either silently misbins every row, so
+    * fail the JOB instead — the PageRank negative-weight precedent.
+    */
+  private def boundsWithSpan(bounds: DataFrame, bins: Int): DataFrame = {
+    val maxSpan = Long.MaxValue / bins
+    val d = col("_hi") - col("_lo") + lit(1L)
+    bounds.withColumn("_d",
+      when(d > 0L && d <= maxSpan, d)
+        .otherwise(raise_error(concat(
+          lit("histogram: value span [" ), col("_lo").cast("string"),
+          lit(", "), col("_hi").cast("string"),
+          lit(s"] exceeds Long.MaxValue/bins = $maxSpan — " +
+            "rescale the column or lower bins")))))
   }
 
   /** Distribution drift between two corpus slices — the "did this
@@ -91,11 +109,11 @@ object Profiler {
     val all = ref.select(v.as("v"), lit(0L).as("side"))
       .unionAll(cur.select(v.as("v"), lit(1L).as("side")))
       .where(col("v").isNotNull)
-    val bounds = all.agg(min("v").as("_lo"), max("v").as("_hi"))
-    val x = (col("v") - col("_lo")) * bins
-    val d = col("_hi") - col("_lo") + lit(1L)
+    val bounds = boundsWithSpan(
+      all.agg(min("v").as("_lo"), max("v").as("_hi")), bins)
     val binned = all.join(broadcast(bounds))
-      .withColumn("bin", ((x - pmod(x, d)) / d).cast("long"))
+      .withColumn("_x", (col("v") - col("_lo")) * bins)
+      .withColumn("bin", expr("(_x - pmod(_x, _d)) div _d"))
       .groupBy("bin")
       .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("side") === 1L, 1L).otherwise(0L)).as("n_cur"))

@@ -31,9 +31,14 @@ import org.apache.spark.sql.functions._
   * (inherently arbitrary) eigenvector sign is fixed by the data.
   *
   * Overflow headroom: |s_i| ≤ dims·127·scale, |u_d| ≤ n·127·|s|max —
-  * at the default scale that holds to n·dims ≲ 4e8 rows·dims per
-  * partition-sum; larger corpora lower `scale` to 1e3 (the fixed-point
-  * family note) or hierarchically pre-aggregate u.
+  * at the default scale the SUM aggregation holds to n·dims ≲ 4e8
+  * rows·dims; larger corpora lower `scale` to 1e3 (the fixed-point
+  * family note) or hierarchically pre-aggregate u. The driver-side
+  * L∞ rescale multiplies u by another factor of `scale`, which would
+  * wrap a 64-bit product long before the sums do — so it runs in
+  * BigInt (and the oracle twin in HUGEINT): exact for any u the
+  * aggregation can produce, and the quotient is back within
+  * [-scale, scale] so narrowing to Long afterwards is lossless.
   */
 object Pca {
 
@@ -74,7 +79,16 @@ object Pca {
           s" with ${rows.map(_.getLong(2)).sum} ragged rows")
       val u = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
       val gmax = math.max(u.values.map(math.abs).max, 1L)
-      v = Array.tabulate(dims)(d => Math.floorDiv(u(d) * scale, gmax))
+      // u·scale can exceed 2^63 even when the sums themselves fit
+      // (|u| up to ~9.2e18/scale wraps at the default 1e6) — widen to
+      // BigInt for the product, floor-divide (gmax > 0, so floor =
+      // truncate-then-decrement on negative remainders), and narrow:
+      // |result| ≤ scale by L∞ construction, so toLong is exact
+      v = Array.tabulate(dims) { d =>
+        val n = BigInt(u(d)) * scale
+        val q0 = n / gmax
+        (if (n % gmax < 0) q0 - 1 else q0).toLong
+      }
     }
     q.unpersist()
     v.toSeq.zipWithIndex.map { case (s, d) => (d.toLong, s) }

@@ -1341,9 +1341,11 @@ object SimilarityQueries {
            |  SELECT e.dim, CAST(sum(e.qv * s.s) AS BIGINT) AS u
            |  FROM expl e JOIN s$r s USING (vec_id) GROUP BY 1),
            |v$r AS (
-           |  SELECT dim,
-           |    (u * 1000000 - ((u * 1000000 % g.m + g.m) % g.m)) // g.m AS v
-           |  FROM u$r, (SELECT greatest(max(abs(u)), 1) AS m FROM u$r) g)"""
+           |  SELECT dim, CAST((n - ((n % m + m) % m)) // m AS BIGINT) AS v
+           |  FROM (SELECT dim, CAST(u AS HUGEINT) * 1000000 AS n,
+           |          CAST(g.m AS HUGEINT) AS m
+           |        FROM u$r, (SELECT greatest(max(abs(u)), 1) AS m
+           |                   FROM u$r) g))"""
         .stripMargin
       }.mkString
       s"""WITH sc AS MATERIALIZED (

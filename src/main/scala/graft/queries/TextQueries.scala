@@ -1051,9 +1051,11 @@ object TextQueries {
 
   /** The winnow fingerprint set (mirrors
     * TextAnalysis.winnowFingerprints, k=3 w=4): per-position window
-    * min of h·1e6+pos over the next 4 k-gram hashes, full windows
-    * only, decoded and deduped. Ends at the final SELECT — callers
-    * embed as a derived table.
+    * min of h·2³²+pos over the next 4 k-gram hashes (the factor that
+    * keeps decode exact for million-k-gram documents — h < 2³⁰ and
+    * pos < 2³¹ bound the encoding under 2⁶³), full windows only,
+    * decoded and deduped. Ends at the final SELECT — callers embed as
+    * a derived table.
     */
   private val winnowFpSql =
     s"""WITH tht AS (SELECT doc_id, $thSql AS th FROM documents),
@@ -1065,11 +1067,11 @@ object TextQueries {
        |  FROM hs, unnest(range(len(hs))) AS u(i)),
        |e AS (
        |  SELECT doc_id, pos, n_sh,
-       |    min(h * 1000000 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |    min(h * 4294967296 + pos) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
        |  FROM sh)
-       |SELECT DISTINCT doc_id, enc // 1000000 AS fp_hash,
-       |  enc % 1000000 AS fp_pos
+       |SELECT DISTINCT doc_id, enc // 4294967296 AS fp_hash,
+       |  enc % 4294967296 AS fp_pos
        |FROM e WHERE pos <= n_sh - 4""".stripMargin
 
   val oracles: Map[String, String] = Map(

@@ -231,10 +231,14 @@ object TextAnalysis {
     * density degrade from 2/(w+1) toward 1); the mix decorrelates
     * neighbors so the classic density holds on structured input too.
     *
-    * The arg-min is one integer encoding `h·1e6 + pos` under a plain
-    * window MIN — engine-portable, no struct ordering needed. Positions
-    * ≥ 1e6 (million-token documents) would only perturb TIE-BREAKING
-    * order, never which hash value is selected.
+    * The arg-min is one integer encoding `h·2³² + pos` under a plain
+    * window MIN — engine-portable, no struct ordering needed. The
+    * factor is exact for EVERY representable document: h < HashMod <
+    * 2³⁰ keeps the product under 2⁶², and pos is a posexplode Int
+    * (< 2³¹ by Spark's array-size bound), so encode is injective and
+    * decode recovers (h, pos) losslessly — a narrower factor (an
+    * earlier 1e6 draft) silently mis-decoded fingerprints of
+    * million-k-gram documents.
     *
     * Scale shape: the window partitions by doc_id and orders by
     * position — per-document work bounded by document length, no
@@ -245,7 +249,7 @@ object TextAnalysis {
     */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val enc = 1000000L
+    val enc = 4294967296L // 2^32: h < 2^30 ⇒ h·enc < 2^62; pos (Int) < 2^31
     val sh = tokenHashTable(docs)
       .select(col("doc_id"), shingleHashes(col("th"), k).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("n_sh"),

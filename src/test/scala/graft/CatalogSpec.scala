@@ -6,10 +6,105 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Catalog
 
+/** RawLocalFileSystem that refuses renames of any PUBLISHED path —
+  * only the output committer's `_temporary` staging moves (which real
+  * object-store deployments replace with dedicated committers) are
+  * allowed through. A publish protocol that relies on directory swap
+  * fails its first call here; the pointer-commit protocol must not.
+  */
+class NoRenameOutsideStagingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (src.toString.contains("_temporary") ||
+      dst.toString.contains("_temporary")) super.rename(src, dst)
+    else throw new UnsupportedOperationException(
+      s"rename of a published path is forbidden on this fs: $src -> $dst")
+  }
+}
+
 class CatalogSpec extends SparkTestBase {
 
   private def newCatalog(): Catalog =
     new Catalog(spark, Files.createTempDirectory("graft-catalog").toString)
+
+  test("materializeAtomic bounds version history to current + predecessor") {
+    val cat = newCatalog()
+    import spark.implicits._
+    for (n <- 1 to 4) cat.materializeAtomic("vb", (1L to n.toLong).toDF("id"))
+    assert(cat.get("vb").count() === 4L)
+    assert(cat.versions("vb") === Seq(3L, 4L),
+      "each publish must reap versions older than the predecessor")
+    // the predecessor stays readable as rollback insurance
+    assert(cat.getVersion("vb", 3L).count() === 3L)
+  }
+
+  test("atomic publish needs NO rename outside the committer's staging " +
+      "(object-store-safe)") {
+    // RawLocalFileSystem variant that forbids every rename except the
+    // FileOutputCommitter's own `_temporary` staging moves (object
+    // stores handle THOSE with dedicated committers; the catalog layer
+    // must not add renames of its own). The old directory-swap
+    // protocol dies on the first publish here; pointer commit never
+    // renames a published path.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.norename.impl", classOf[NoRenameOutsideStagingFs].getName)
+    val base = Files.createTempDirectory("graft-norename").toString
+    val cat = new Catalog(spark, s"norename://$base")
+    import spark.implicits._
+    cat.materializeAtomic("nr", Seq(1L, 2L).toDF("id"))
+    assert(cat.get("nr").count() === 2L)
+    cat.materializeAtomic("nr", Seq(3L).toDF("id"))
+    assert(cat.get("nr").count() === 1L)
+    // the audited path (write → audit → pointer commit) as well
+    val e = intercept[IllegalStateException] {
+      cat.materializeAudited("nr", spark.range(0).selectExpr("id"),
+        Seq("nonempty" -> (org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)) > 0L)))
+    }
+    assert(e.getMessage.contains("nonempty"))
+    assert(cat.get("nr").count() === 1L, "failed audit must not move the pointer")
+  }
+
+  test("crash between data write and pointer commit keeps the old version live") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materializeAtomic("cw", Seq(1L, 2L, 3L).toDF("id"))
+    // simulate the crash: the next version's data lands COMPLETE
+    // (with its _SUCCESS marker) but the process dies before the
+    // pointer write — exactly the window a rename-based protocol
+    // cannot survive on an object store
+    val crashed = new java.io.File(cat.path("cw"))
+      .getParent + "/cw.versions/v00002.parquet"
+    Seq(9L).toDF("id").write.parquet(crashed)
+    assert(new java.io.File(crashed, "_SUCCESS").exists())
+    // every reader still resolves the committed version
+    assert(cat.currentVersion("cw") === Some(1L))
+    assert(cat.get("cw").count() === 3L)
+    assert(cat.exists("cw"))
+    // recovery is just the next publish: it sequences PAST the
+    // abandoned version and becomes current
+    cat.materializeAtomic("cw", Seq(7L, 8L).toDF("id"))
+    assert(cat.currentVersion("cw") === Some(3L))
+    assert(cat.get("cw").count() === 2L)
+  }
+
+  test("an incomplete (no _SUCCESS) version is invisible to reads and fallback") {
+    val cat = newCatalog()
+    import spark.implicits._
+    cat.materializeAtomic("ic", Seq(1L).toDF("id"))
+    val partial = new java.io.File(new java.io.File(cat.path("ic"))
+      .getParent + "/ic.versions/v00002.parquet")
+    partial.mkdirs()
+    Files.write(partial.toPath.resolve("part-00000.parquet"),
+      "torn".getBytes)
+    assert(cat.versions("ic") === Seq(1L), "partial version must not be listed")
+    // even with the pointer lost, the fallback skips the torn directory
+    new java.io.File(new java.io.File(cat.path("ic"))
+      .getParent + "/ic.versions/_CURRENT").delete()
+    assert(cat.currentVersion("ic") === Some(1L))
+    assert(cat.get("ic").count() === 1L)
+  }
 
   test("materialize + get round-trips and registers a view") {
     val cat = newCatalog()

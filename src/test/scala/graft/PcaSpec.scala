@@ -20,7 +20,11 @@ class PcaSpec extends SparkTestBase {
       val s = q.map(row => row.indices.map(i => row(i) * v(i)).sum)
       val u = Array.tabulate(d)(dd => q.indices.map(i => q(i)(dd) * s(i)).sum)
       val gmax = math.max(u.map(math.abs).max, 1L)
-      v = u.map(x => Math.floorDiv(x * scale, gmax))
+      v = u.map { x =>
+        val n = BigInt(x) * scale
+        val q0 = n / gmax
+        (if (n % gmax < 0) q0 - 1 else q0).toLong
+      }
     }
     v
   }
@@ -58,6 +62,20 @@ class PcaSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(math.abs(got(0L)) === 1000000L)
     assert(math.abs(got(1L)) < 1000000L && math.abs(got(2L)) < 1000000L)
+  }
+
+  test("rescale survives u·scale products past 2^63 (BigInt widening)") {
+    import spark.implicits._
+    // 300 identical rows quantizing to q = [127, 127]: after round 1,
+    // s = 2·127·1e6 per row and u_d = 300·127·s ≈ 9.68e12 — u·scale
+    // ≈ 9.68e18 > Long.MaxValue, which the pre-BigInt rescale wrapped
+    // to a negative principal direction. Symmetry pins the truth:
+    // both coordinates must renormalize to exactly +scale.
+    val df = (0 until 300).map(i => (i.toLong, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Pca.topComponent(df, dims = 2, iters = 2, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 1000000L && got(1L) === 1000000L)
   }
 
   test("ragged embedding widths fail loudly") {

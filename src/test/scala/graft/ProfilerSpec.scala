@@ -43,6 +43,38 @@ class ProfilerSpec extends SparkTestBase {
     assert(got.values.map(_._3).sum === 1000000L)
   }
 
+  test("histogram bins exactly past 2^53 numerators (long integral div)") {
+    import spark.implicits._
+    // lo = 0, hi = 2^61 − 2 ⇒ d = 2^61 − 1 (exactly Long.MaxValue/4,
+    // the widest span the guard admits at bins = 4); v = 2^59 − 1
+    // gives numerator x = 2^61 − 4 < d, so the exact bin is 0 — but
+    // both x and d round to the SAME double 2^61 (spacing 256 there),
+    // so double division returns 1.0 and misbins. The top value pins
+    // bin 3.
+    val df = Seq(0L, (1L << 59) - 1, (1L << 61) - 2).toDF("v")
+    val got = Profiler.histogram(df, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 3L -> 1L))
+  }
+
+  test("histogram fails loudly when span·bins would overflow long") {
+    import spark.implicits._
+    val df = Seq(0L, Long.MaxValue / 2).toDF("v")
+    val e = intercept[Exception] {
+      Profiler.histogram(df, "v", bins = 4).collect()
+    }
+    assert(e.getMessage.contains("exceeds Long.MaxValue/bins"))
+  }
+
+  test("histogramDrift bins exactly past 2^53 numerators") {
+    import spark.implicits._
+    val ref = Seq(0L, (1L << 59) - 1).toDF("v")
+    val cur = Seq((1L << 61) - 2).toDF("v")
+    val got = Profiler.histogramDrift(ref, cur, "v", bins = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(0L -> ((2L, 0L)), 3L -> ((0L, 1L))))
+  }
+
   test("histogramDrift: an empty side reports null deviation, not a crash") {
     import spark.implicits._
     val ref = Seq(1L, 2L, 3L).toDF("v")

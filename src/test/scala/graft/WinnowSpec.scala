@@ -88,6 +88,41 @@ class WinnowSpec extends SparkTestBase {
     assert(inc.contains((3L, 4L)), "the new-new pair must count once")
   }
 
+  test("million-k-gram documents decode fingerprints exactly (2^32 factor)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one document with > 1e6 k-grams: under the earlier h·1e6+pos
+    // encoding every fingerprint selected past position 1e6 decoded to
+    // a WRONG (hash, position); the 2^32 factor must keep decode exact.
+    // Witness: the same selection with NO encoding at all — a window
+    // arg-min over struct(h, pos), whose lexicographic min is the same
+    // leftmost-tie contract — must produce the identical (hash, pos)
+    // set. Vocabulary of 89 tokens keeps hashes colliding-and-varied.
+    val n = 1000012
+    val d = docs((1L, (0 until n).map(i => s"t${i % 89}").mkString(" "), "a"))
+    val k = 3; val w = 4
+    val got = TextAnalysis.winnowFingerprints(d, k, w)
+      .select("fp_hash", "fp_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextAnalysis.tokenHashTable(d)
+      .select(col("doc_id"), TextAnalysis.shingleHashes(col("th"), k).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"),
+        posexplode(col("hs")).as(Seq("pos", "h0")))
+      .withColumn("h",
+        (col("h0") * col("h0") + lit(12345L)) % lit(TextAnalysis.HashMod))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val want = sh
+      .withColumn("m",
+        min(struct(col("h"), col("pos").cast("long").as("pos"))).over(win))
+      .where(col("pos") <= col("n_sh") - w)
+      .select(col("m.h"), col("m.pos")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.exists(_._2 >= 1000000L),
+      "test must exercise positions past the old 1e6 encoding factor")
+  }
+
   test("sourceOverlap computes exact pairwise shingle Jaccard") {
     val d = docs(
       (1L, "one two three four five", "s1"), // shingles: {123,234,345}
