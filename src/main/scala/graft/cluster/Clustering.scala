@@ -19,8 +19,14 @@ import org.apache.spark.storage.StorageLevel
   * active rows).
   *
   * Deliberate deviations from the reference (SURVEY.md §7.3):
-  *  - `rand(seed+iteration)` instead of unseeded `rand()` so tests are
-  *    reproducible; pass a different seed per run for production parity.
+  *  - randomness is a HASH of (piece_id, seed+iteration), not `rand()`:
+  *    Spark's rand — even seeded — derives its stream from the partition
+  *    index, so AQE re-coalescing, task retry, or any row-placement
+  *    change redraws every node's tie-break and the "same seed" run
+  *    clusters differently (observed as round-to-round artifact drift
+  *    before round 9). A per-node hash is partition-layout-independent:
+  *    same seed → same clustering, on any cluster, after any retry.
+  *    Pass a different seed per run for production parity.
   *  - lineage truncation is pluggable (`checkpoint`): parquet round-trip
   *    in production (equivalent to the reference's alternating Hive
   *    checkpoint tables), `localCheckpoint` by default for tests.
@@ -64,25 +70,37 @@ object Clustering {
         n => struct(n.as("key"), lit(1L).as("value")))).as("cluster_counts"),
       lit(true).as("active"))
 
-  /** Argmax vote with reservoir-sampled uniform tie-break: fold over the
-    * vote map keeping (best cluster, best votes, number of ties seen).
+  /** Argmax vote with HASH-MIN uniform tie-break: fold over the vote
+    * map keeping (best cluster, best votes, ties seen, best tie hash);
+    * among max-vote clusters the winner is the one minimizing
+    * xxhash64(cluster, salt) — pseudorandom (so the Chinese Whispers
+    * tie contract stays uniform-ish) yet a pure function of
+    * (cluster, node, round), which makes the fold ORDER-INDEPENDENT.
+    * That matters because the vote map's entry order comes from
+    * collect_list and varies with partition layout; the earlier
+    * reservoir formulation ("keep the k-th tie with prob 1/k") read
+    * entries in that order and re-clustered differently run to run.
     * Returns struct(cluster_id, tied) — `tied` keeps the node active.
     */
-  private def pickCluster(votes: Column, rnd: Column): Column =
+  private def pickCluster(votes: Column, salt: Column): Column =
     aggregate(
       map_entries(votes),
-      struct(lit(-1L).as("c"), lit(-1L).as("n"), lit(0L).as("ties")),
+      struct(lit(-1L).as("c"), lit(-1L).as("n"), lit(0L).as("ties"),
+        lit(Long.MaxValue).as("h")),
       (acc, e) => {
         val k = e.getField("key")
         val v = e.getField("value")
+        val h = xxhash64(k, salt)
         when(v > acc.getField("n"),
-            struct(k.as("c"), v.as("n"), lit(1L).as("ties")))
+            struct(k.as("c"), v.as("n"), lit(1L).as("ties"), h.as("h")))
           .when(v === acc.getField("n"),
-            when(rnd < lit(1.0) / (acc.getField("ties") + lit(1L)).cast("double"),
+            when(h < acc.getField("h"),
                 struct(k.as("c"), acc.getField("n").as("n"),
-                  (acc.getField("ties") + lit(1L)).as("ties")))
-              .otherwise(struct(acc.getField("c").as("c"), acc.getField("n").as("n"),
-                (acc.getField("ties") + lit(1L)).as("ties"))))
+                  (acc.getField("ties") + lit(1L)).as("ties"), h.as("h")))
+              .otherwise(struct(acc.getField("c").as("c"),
+                acc.getField("n").as("n"),
+                (acc.getField("ties") + lit(1L)).as("ties"),
+                acc.getField("h").as("h"))))
           .otherwise(acc)
       },
       acc => struct(acc.getField("c").as("cluster_id"),
@@ -97,15 +115,24 @@ object Clustering {
     */
   def step(state: DataFrame, adjacency: DataFrame, seed: Long, iteration: Int,
       updateProbability: Double = 0.9): (DataFrame, DataFrame) = {
-    val rnd = rand(seed + iteration)
+    // the update coin is a per-node uniform hashed from (piece_id,
+    // round): partition-layout-independent (see the header note —
+    // seeded rand() still draws from the partition index); the
+    // tie-break stream inside pickCluster salts per (cluster, node,
+    // round), so the two are independent
+    val updateCoin =
+      pmod(xxhash64(col("piece_id"), lit(seed + iteration), lit(1)),
+        lit(1000000000L)).cast("double") / 1e9
     val picked = state
       .filter(col("active"))
       .select(col("piece_id"), col("cluster_id").as("old_cluster_id"),
-        pickCluster(col("cluster_counts"), rnd).as("pick"))
+        pickCluster(col("cluster_counts"),
+          xxhash64(col("piece_id"), lit(seed + iteration))).as("pick"))
       .select(col("piece_id"), col("old_cluster_id"),
         col("pick.cluster_id").as("new_cluster_id"), col("pick.tied").as("tied"))
       .withColumn("do_update",
-        (col("old_cluster_id") =!= col("new_cluster_id")) && (rnd <= updateProbability))
+        (col("old_cluster_id") =!= col("new_cluster_id")) &&
+          (updateCoin <= updateProbability))
       .filter(col("tied") || col("do_update"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -224,9 +251,10 @@ object Clustering {
     *
     * `resumeFrom = Some((state, k))` restarts a dead run from the
     * checkpointed state of iteration k (see [[latestCheckpoint]]): the
-    * loop continues at iteration k with the SAME per-iteration
-    * `rand(seed + iteration)` draws, so a killed-then-resumed seeded run
-    * produces the same result as an unbroken one (ClusteringSpec). A
+    * loop continues at iteration k with the SAME per-node
+    * hash(piece_id, seed + iteration) draws, so a killed-then-resumed
+    * seeded run produces the same result as an unbroken one
+    * (ClusteringSpec) — exactly, on any partition layout. A
     * multi-day production run that dies at iteration 60 of 100 resumes
     * from 60 instead of starting over.
     */

@@ -41,8 +41,10 @@ import org.apache.spark.sql.functions._
   * Fixed-point headroom: a raw half-step sum is ≤ degree·scale, and
   * the normalization multiplies by `scale` before dividing — overflow
   * needs degree·scale² > 2⁶³, i.e. max in-degree beyond ~9e6 at the
-  * default scale. Beyond that, lower `scale` (1e3 still separates
-  * ranks) — the [[Modularity]] headroom note.
+  * default scale. The cliff is GUARDED: the normalization's 1-row max
+  * raise_errors past the bound (naming the remediation — lower
+  * `scale`, 1e3 still separates ranks) instead of silently wrapping
+  * the rescale — the [[Modularity]] guard pattern.
   */
 object Hits {
 
@@ -71,7 +73,15 @@ object Hits {
     // the per-round lineage truncation.
     def normalized(scores: DataFrame, c: String): DataFrame = {
       val s = scores.localCheckpoint()
+      // max·scale must fit 2⁶³−1 or the rescale wraps — guard the
+      // 1-row aggregate (costs nothing; fires only past the cliff)
+      val maxScore = Long.MaxValue / scale
       val mx = s.groupBy().agg(max(col(c)).as("mx"))
+        .select(when(col("mx").isNull || col("mx") <= maxScore, col("mx"))
+          .otherwise(raise_error(concat(
+            lit(s"hits: half-step max "), col("mx").cast("string"),
+            lit(s" exceeds the fixed-point headroom ($maxScore at " +
+              s"scale=$scale) — lower `scale`")))).as("mx"))
       s.crossJoin(broadcast(mx))
         .select(col("node"), expr(s"($c * $scale) DIV greatest(mx, 1L)").as(c))
     }

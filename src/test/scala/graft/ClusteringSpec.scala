@@ -98,4 +98,22 @@ class ClusteringSpec extends SparkTestBase {
     val b = Clustering.propagate(adj, seed = 5L, maxIter = 12).collect().toSet
     assert(a === b)
   }
+
+  test("same seed clusters identically across partition layouts") {
+    // the round-9 regression: seeded rand() draws from the PARTITION
+    // index and the vote-map fold read entries in collect_list order,
+    // so re-partitioning (AQE, retries, a different cluster) silently
+    // re-clustered "the same" seeded run. Both randomness sources are
+    // now per-node/per-cluster hashes — the layout must not matter.
+    val g = edges(clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(7L, 8L, 9L)) ++
+      Seq((4L, 7L), (2L, 9L)))
+    val adj = Clustering.adjacencyList(g)
+    val want = Clustering.propagate(adj, seed = 11L, maxIter = 12)
+      .collect().toSet
+    for (parts <- Seq(1, 3, 17)) {
+      val got = Clustering.propagate(adj.repartition(parts), seed = 11L,
+        maxIter = 12).collect().toSet
+      assert(got === want, s"clustering drifted at $parts partitions")
+    }
+  }
 }

@@ -46,4 +46,20 @@ class HitsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(a === b)
   }
+
+  test("a hub past the fixed-point headroom fails loudly") {
+    import spark.implicits._
+    // scale = 2^32: the rescale needs max·scale ≤ 2^63−1, i.e. a max
+    // half-step sum of ≤ 2^31−1 — a 3-in-degree hub sums 3·2^32 and
+    // must trip the guard, the same cliff a ~9e6-degree hub hits at
+    // the default 1e6 scale
+    val star = Seq(1L -> 9L, 2L -> 9L, 3L -> 9L).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Hits.run(star, iters = 1, scale = 1L << 32).collect()
+    }
+    assert(e.getMessage.contains("fixed-point headroom"),
+      s"expected the hits guard, got: ${e.getMessage}")
+    // the default scale handles the same graph fine
+    assert(Hits.run(star, iters = 1).count() === 4L)
+  }
 }

@@ -41,4 +41,22 @@ class ModularitySpec extends SparkTestBase {
     assert(got(4L) === ((1L, 0L, 1L, -15625L)))
     assert(got(5L) === ((1L, 0L, 1L, -15625L)))
   }
+
+  test("a hub community past the fixed-point headroom fails loudly") {
+    import spark.implicits._
+    // scale = 2^61 shrinks the degree-sum bound to 2, so the star hub
+    // (degree 3) crosses the same cliff a multi-million-degree
+    // community would at the default 1e6 scale — the job must fail
+    // with the named guard, never wrap into a plausible-looking score
+    val star = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L).toDF("src", "dst")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+      .toDF("node", "component")
+    val e = intercept[Exception] {
+      Modularity.communityTerms(star, labels, scale = 1L << 61).collect()
+    }
+    assert(e.getMessage.contains("fixed-point headroom"),
+      s"expected the modularity guard, got: ${e.getMessage}")
+    // the default scale handles the same graph fine
+    assert(Modularity.communityTerms(star, labels).count() === 1L)
+  }
 }

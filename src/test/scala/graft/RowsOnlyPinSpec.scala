@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Exact-content pins for the seven registered faces that run ROWS-ONLY
+  * in the driver's correctness gate (no ANSI-expressible DuckDB twin —
+  * iterative clustering, the defrag window-UDAF, fixpoint convergence
+  * metadata, and sketch unions). For every oracle-checked query a
+  * semantic drift fails the driver compare; for these seven it would
+  * only surface as an unexplained artifact diff between rounds. This
+  * spec closes that gap: each deterministic face is pinned at sf0.01 to
+  * its exact row count AND an order-independent content signature (sum
+  * of a per-row xxhash64 over all columns, string-canonicalized in
+  * sorted column order), so perturbing a seed, a tie-break, or an
+  * iteration count breaks `sbt test` instead of silently shifting the
+  * artifact; the one library-randomized face (KLL) gets an exact-rank
+  * error band instead.
+  *
+  * The pinned values are the round-8 driver-verified outputs
+  * (CORRECTNESS_r08.json spark_rows for the counts; signatures computed
+  * from the same queries at the same scale). They are DELIBERATELY
+  * brittle — any intentional semantic change to one of these operators
+  * must update its pin in the same commit, which is exactly the review
+  * surface a non-oracle operator needs.
+  */
+class RowsOnlyPinSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def have: Boolean =
+    new java.io.File(s"$dir/documents.parquet").exists
+
+  /** name -> (exact row count, sum-of-xxhash64 signature as a decimal
+    * string — exact under ANSI mode, no wrapping). Six of the seven
+    * faces are bit-deterministic and pin exactly; the KLL quantile
+    * union is randomized INSIDE the DataSketches library (compaction
+    * coin flips), so it gets a rank-error-band check below instead of
+    * a signature.
+    */
+  private val pins: Map[String, (Long, String)] = Map(
+    "q_domain_cluster" -> (4115L, "-142379199921478852086"),
+    "q_domain_defrag_pieces" -> (85259L, "1416562096577836573808"),
+    "q_domain_defrag_textreuses" -> (59999L, "-980081044420556290157"),
+    "q_graph_pagerank_conv" -> (100L, "42063892392934906680"),
+    "q_sketch_distinct_union" -> (5L, "8536542953312991333"),
+    "q_sketch_heavy_hitters" -> (31L, "-31330219852671658045"))
+
+  for ((name, (wantRows, wantSig)) <- pins.toSeq.sortBy(_._1)) {
+    test(s"$name matches its pinned row count and content signature") {
+      assume(have, s"$dir not present on this machine")
+      val df = SparkEntry.queries(name)(spark, dir)
+      val cols = df.columns.sorted.map(c => col(c).cast("string"))
+      val row = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("sig")).head()
+      val (n, sig) =
+        (row.getLong(0), row.getDecimal(1).toBigInteger.toString)
+      assert(n === wantRows && sig === wantSig,
+        s"""$name drifted: rows/signature ($n, "$sig") != pinned """ +
+          s"""($wantRows, "$wantSig") — if the semantic change is """ +
+          "intentional, update the pin in this commit")
+    }
+  }
+
+  test("q_sketch_quantile_union stays inside the KLL rank-error band " +
+      "of the exact quantiles") {
+    assume(have, s"$dir not present on this machine")
+    // k=200 KLL: published single-sided normalized rank error ~1.65%;
+    // the band below allows 4% of rank slack (≈ 2.4σ), so library
+    // compaction coin-flips pass while a semantic drift (wrong column,
+    // wrong rank, wrong grouping) lands far outside it.
+    val eps = 0.04
+    val ranks = Seq("q25" -> 0.25, "q50" -> 0.50, "q90" -> 0.90)
+    val got = SparkEntry.queries("q_sketch_quantile_union")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.size === 5, s"expected 5 language rows, got ${got.size}")
+    val exact = graft.queries.Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        expr(ranks.map { case (_, r) =>
+          s"percentile(n_chars, array(${math.max(0.0, r - eps)}, " +
+            s"${math.min(1.0, r + eps)}))"
+        }.mkString("array(", ", ", ")")).as("bands"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getSeq[scala.collection.Seq[Double]](2))).toMap
+    for ((lang, (q25, q50, q90, nRows)) <- got) {
+      val (nExact, bands) = exact(lang)
+      assert(nRows === nExact, s"$lang row count drifted")
+      for (((_, _), (est, band)) <- ranks.zip(
+          Seq(q25, q50, q90).zip(bands))) {
+        assert(est >= band.head && est <= band(1),
+          s"$lang estimate $est outside exact rank band " +
+            s"[${band.head}, ${band(1)}]")
+      }
+    }
+  }
+}
