@@ -52,15 +52,30 @@ object Bench {
     // classes and the memoized chains are warm) and stays honest: the
     // noop sink re-executes the full plan — nothing is result-cached.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Double =
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 8 == 0) System.gc()
-        val best = (1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          try run(fn) catch { case _: Throwable => }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> best
+        name -> timed(fn, passes)
+    }
+    // Extra pass for the slowest decile only: min-of-2 bounds the TOTAL
+    // under contention, but an individual CPU-bound query still reads
+    // 4-5× high when both of its passes land on a stolen stretch —
+    // and the slowest-10 list is exactly what gets compared
+    // round-over-round. One more pass on ~10% of queries (~30 s quiet)
+    // makes a double-stolen reading need THREE stolen passes instead.
+    val deciles = math.max(1, firstPass.size / 10)
+    val slowNames = firstPass.sortBy(-_._2).take(deciles).map(_._1).toSet
+    val byName = SparkEntry.queries
+    val results = firstPass.map { case (name, best) =>
+      if (!slowNames.contains(name)) name -> best
+      else { System.gc(); name -> math.min(best, timed(byName(name), 1)) }
     }
     // 3-decimal values keep the per-query line as small as possible;
     // ms precision is below this bench's run-to-run noise floor anyway

@@ -1,0 +1,97 @@
+package graft
+
+import graft.core.GraftSession
+
+/** Second scale decade for the ITERATIVE operator family: sf1 → sf10
+  * (10× and 100× of the driver's sf0.1 testdata, both synthesized with
+  * [[ScaleSmoke.generate]]'s key-shifted replication). [[ScaleSmoke]]
+  * proves one decade for every expensive query; the 100× claim for the
+  * iterative fixpoints rested on that single decade, and their cost
+  * model is the one place where a second decade genuinely adds
+  * information — round counts must stay logarithmic (CC) or fixed
+  * (Chinese Whispers) while per-round volume grows 10×, and the
+  * delta-propagation ratio observed at sf1 (~3× on 11.4× edges,
+  * SCALE.md) needed a second point to be read as a curve rather than a
+  * replica-density artifact.
+  *
+  * Targets: the propagate/contract family plus the winnow pair join
+  * (the VERDICT r8 watchlist): q_domain_cluster, q_graph_cc,
+  * q_dedup_groups_cc, q_text_winnow_pairs.
+  *
+  * Usage: SPARK_DRIVER_MEM=64g sbt "runMain graft.ScaleSmoke10"
+  * (generation writes ~60M-row tables under /tmp/graft_sf10). Bound:
+  * sf10 ≤ 10× sf1 + 2 s, same contract as ScaleSmoke; exits 1 on FAIL.
+  * Results are recorded in SCALE.md.
+  */
+object ScaleSmoke10 {
+
+  val smokeQueries: Seq[String] = Seq(
+    "q_domain_cluster", "q_graph_cc", "q_dedup_groups_cc",
+    "q_text_winnow_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mid = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val big = if (args.length > 2) args(2) else "/tmp/graft_sf10"
+    val spark = GraftSession.local(cores = 32, shufflePartitions = 32,
+      appName = "graft-scale-smoke-10")
+
+    def ensure(out: String, replicas: Int): Unit = {
+      val stamp = s"base=$base replicas=$replicas"
+      val marker = new java.io.File(s"$out/_GENERATED")
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim != stamp
+      if (fresh) {
+        println(s"[scale10] generating ${replicas}x at $out from $base")
+        ScaleSmoke.generate(spark, base, out, replicas)
+        java.nio.file.Files.write(marker.toPath,
+          stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else println(s"[scale10] reusing $out ($stamp)")
+    }
+    ensure(mid, 10)
+    ensure(big, 100)
+
+    def run(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // one scale in memory at a time (the ScaleSmoke measurement note);
+    // only the memo chains these four queries consume are prebuilt —
+    // pieces (cluster), co-purchase edges (cc), dedup pairs (groups_cc)
+    def measure(dir: String): Map[String, Double] = {
+      graft.queries.QueryCaches.clearAll()
+      System.gc()
+      graft.queries.DomainQueries.prebuild(spark, dir)
+      graft.queries.GraphQueries.prebuild(spark, dir)
+      graft.queries.DedupQueries.prebuild(spark, dir)
+      run(smokeQueries.head, dir) // untimed JVM/codegen warm-up
+      smokeQueries.map { q => System.gc(); q -> run(q, dir) }.toMap
+    }
+    val midT = measure(mid)
+    val bigT = measure(big)
+
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    var failed = false
+    val results = smokeQueries.map { q =>
+      val a = midT(q)
+      val b = bigT(q)
+      val ratio = b / math.max(a, 1e-9)
+      val ok = b <= a * 10.0 + 2.0
+      if (!ok) failed = true
+      println(s"[scale10] ${q.padTo(32, ' ')} sf1=${fmt(a)}s  sf10=${fmt(b)}s  " +
+        s"ratio=${fmt(ratio)}  ${if (ok) "PASS" else "FAIL"}")
+      (q, a, b, ratio)
+    }
+    val qs = results.map { case (q, a, b, r) =>
+      s""""$q":{"sf1":${fmt(a)},"sf10":${fmt(b)},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke_10","bound":"10x+2s","queries":$qs,"failed":$failed}""")
+    graft.queries.QueryCaches.clearAll()
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -75,6 +75,34 @@ class DefragSpec extends SparkTestBase {
     }
   }
 
+  test("window UDAF matches the in-JVM scan over the FULL sf0.1 pieces table") {
+    // second witness at driver scale: the fixtures above prove the
+    // aggregator on crafted/random inputs; this re-derives every one
+    // of the rows-only face's mappings from the SAME sf0.1 synthetic
+    // pieces table with the straight-line per-document scan, entirely
+    // in-JVM — so the face is independently recomputed, not only
+    // count-pinned (RowsOnlyPinSpec)
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists,
+      s"$dir not present on this machine")
+    val raw = graft.queries.DomainQueries.synthRaw(spark, dir)
+    val pieces = graft.textreuse.TextReuse.origPieces(
+      graft.textreuse.TextReuse.textreuses(raw,
+        graft.textreuse.TextReuse.textreuseIds(raw)))
+      .select("piece_id", "trs_id", "trs_start", "trs_end")
+    val got = Defrag.rawMappings(pieces).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = pieces.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._2).flatMap { case (_, doc) =>
+        val sorted = doc.map { case (id, _, s, e) => (s, e, id) }
+          .sortBy { case (s, _, id) => (s, id) }.toSeq
+        Defrag.scanDocument(sorted)
+      }.toMap
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
   test("pieceIdMappings assigns dense contiguous defrag ids") {
     val df = Seq(
       (1L, 1L, 100, 200), (2L, 1L, 105, 205), (3L, 1L, 900, 1000),
