@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiler — the first job run against any new corpus
@@ -126,6 +126,64 @@ object Profiler {
               col("n_cur").cast("double") / col("_tc").cast("double")) *
             1000000.0).cast("long")))
       .select("bin", "n_ref", "n_cur", "dev_s")
+  }
+
+  /** Exact Pearson correlation matrix over integral columns in ONE
+    * scan — the which-metrics-move-together companion to [[profile]]
+    * (quality-signal redundancy, "does length explain the score",
+    * feature pre-screening before a model fit). All five sufficient
+    * statistics per pair (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL(38,0) sums of long products — exact and order-independent,
+    * where double sums would drift with partitioning — and only the
+    * final r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))
+    * evaluates in doubles, one fixed expression shape any IEEE engine
+    * reproduces bit-for-bit. Fixed-point output ×`scale`; zero-variance
+    * columns yield null (undefined), not a division crash. Rows with a
+    * null in ANY profiled column are excluded (listwise deletion, the
+    * textbook matrix convention).
+    *
+    * Inputs must fit 32 bits (|x| ≤ 2³¹−1) so products fit a long —
+    * guarded per row with raise_error; rescale wider metrics first
+    * (the fixed-point family note).
+    *
+    * Scale shape: ONE aggregate over one scan computes all
+    * |cols|·(|cols|+1)/2 + |cols| + 1 statistics (map-side partial
+    * aggregation; no per-pair pass, no shuffle beyond the 1-row agg),
+    * then a literal struct-explode emits the pair rows.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      scale: Long = 1000000L): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val bound = Int.MaxValue.toLong
+    def v(c: String): Column = {
+      val x = col(c).cast("long")
+      when(abs(x) <= bound, x).otherwise(raise_error(concat(
+        lit(s"correlationMatrix: |$c| = "), abs(x).cast("string"),
+        lit(s" exceeds the 32-bit product headroom ($bound) — rescale the column"))))
+    }
+    val rows = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for (i <- cols.indices; j <- i until cols.size) yield (i, j)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(v(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+      pairs.map { case (i, j) =>
+        sum((v(cols(i)) * v(cols(j))).cast("decimal(38,0)")).as(s"p_${i}_$j")
+      }
+    val wide = rows.agg(aggs.head, aggs.tail: _*)
+    val entries = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val n = col("n").cast("double")
+      def sd(c: String) = col(s"s_$c").cast("double")
+      def pd(a: Int, b: Int) = col(s"p_${a}_$b").cast("double")
+      val cov = n * pd(i, j) - sd(cols(i)) * sd(cols(j))
+      val vi = n * pd(i, i) - sd(cols(i)) * sd(cols(i))
+      val vj = n * pd(j, j) - sd(cols(j)) * sd(cols(j))
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("n").as("n_rows"),
+        when(vi > 0.0 && vj > 0.0,
+          floor(cov / sqrt(vi) / sqrt(vj) * scale).cast("long"))
+          .otherwise(lit(null).cast("long")).as("corr_s"))
+    }
+    wide.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
   /** Robust per-group statistics — the outlier-proof face of the

@@ -91,9 +91,21 @@ object PageRank {
     *               (rank*w) div sum-of-out-weights, instead of evenly
     * @return (node, rank_s) — rank in `scale`-units, exact
     */
+  /** `startRanks` warm-starts the iteration from a previous run's
+    * (node, rank_s) output — the incremental-maintenance face: after a
+    * daily edge drop, yesterday's ranks are already within the damping
+    * contraction's neighborhood of the new fixpoint, so 1-2 warm
+    * iterations replace a cold ~28-round convergence run (the
+    * `runConverged` tolerance note). Nodes absent from `startRanks`
+    * (new today) start at `scale`, exactly like a cold start; stale
+    * nodes (in `startRanks` but no longer in the graph) drop out via
+    * the node-set join. Integer arithmetic keeps the warm face
+    * oracle-unrollable end-to-end.
+    */
   def run(edges: DataFrame, iters: Int, dampingPct: Int = 85,
       scale: Long = 1000000L, checkpointEvery: Int = 8,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      startRanks: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -125,7 +137,12 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val baseTerm = (100L - dampingPct) * scale / 100L
-    var ranks = nodes.select(col("node"), lit(scale).as("rank_s"))
+    var ranks = startRanks match {
+      case Some(r0) => nodes
+        .join(r0.select(col("node"), col("rank_s")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("rank_s"), lit(scale)).as("rank_s"))
+      case None => nodes.select(col("node"), lit(scale).as("rank_s"))
+    }
     for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("rank_s")), Seq("src"))

@@ -98,6 +98,18 @@ object GraphQueries {
     "q_graph_pagerank_weighted" -> ((s, dir) =>
       PageRank.run(coSupply(s, dir, 40.0), iters = 2, weightCol = Some("w"))),
 
+    // warm-start incremental face: yesterday's graph (even src+dst
+    // parity) ranks for 2 iterations, then ONE warm iteration over the
+    // full edge set — the daily-drop maintenance shape (new nodes cold
+    // at scale, stale nodes drop out); integer-exact, so the whole
+    // two-phase history unrolls in the oracle
+    "q_graph_pagerank_warm" -> ((s, dir) => {
+      val e = coSupply(s, dir, 40.0).select(col("src"), col("dst"))
+      val old = PageRank.run(
+        e.where((col("src") + col("dst")) % 2 === 0), iters = 2)
+      PageRank.run(e, iters = 1, startRanks = Some(old))
+    }),
+
     // per-node triangle counts, degree-oriented wedge counting (the
     // thinner >=49 co-supply graph: triangle volume is cubic in
     // density, and the dense variant is a stress shape, not a corpus)
@@ -354,6 +366,49 @@ object GraphQueries {
         |  SELECT n.node, 150000 + (85 * coalesce(c2.s2, 0)) // 100 AS r
         |  FROM nodes n LEFT JOIN c2 USING (node))
         |SELECT node, CAST(r AS BIGINT) AS rank_s FROM r2""".stripMargin,
+
+    // warm-start unroll: 2 cold iterations on the even-parity subgraph,
+    // coalesce-to-scale re-init over the full node set, 1 warm
+    // iteration on the full graph — the engine's two-phase history
+    // replayed exactly
+    "q_graph_pagerank_warm" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 40.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |eo AS (SELECT src, dst FROM e WHERE (src + dst) % 2 = 0),
+        |no AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo),
+        |dgo AS (SELECT src, count(*) AS d FROM eo GROUP BY 1),
+        |o0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM no),
+        |oc1 AS (
+        |  SELECT eo.dst AS node, sum(o0.r // dgo.d) AS s1
+        |  FROM eo JOIN dgo USING (src) JOIN o0 ON o0.node = eo.src
+        |  GROUP BY 1),
+        |o1 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(oc1.s1, 0)) // 100 AS r
+        |  FROM no n LEFT JOIN oc1 USING (node)),
+        |oc2 AS (
+        |  SELECT eo.dst AS node, sum(o1.r // dgo.d) AS s2
+        |  FROM eo JOIN dgo USING (src) JOIN o1 ON o1.node = eo.src
+        |  GROUP BY 1),
+        |o2 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(oc2.s2, 0)) // 100 AS r
+        |  FROM no n LEFT JOIN oc2 USING (node)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |w0 AS (
+        |  SELECT n.node, coalesce(o2.r, CAST(1000000 AS BIGINT)) AS r
+        |  FROM nodes n LEFT JOIN o2 USING (node)),
+        |wc1 AS (
+        |  SELECT e.dst AS node, sum(w0.r // deg.d) AS s1
+        |  FROM e JOIN deg USING (src) JOIN w0 ON w0.node = e.src
+        |  GROUP BY 1),
+        |w1 AS (
+        |  SELECT n.node, 150000 + (85 * coalesce(wc1.s1, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN wc1 USING (node))
+        |SELECT node, CAST(r AS BIGINT) AS rank_s FROM w1""".stripMargin,
 
     // personalized 2-iteration unroll: seed-only base term, zero init
     // off seeds — same exact integer arithmetic

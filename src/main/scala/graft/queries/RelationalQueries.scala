@@ -510,6 +510,17 @@ object RelationalQueries {
     "q_profile_skew" -> ((s, dir) =>
       graft.core.Skew.diagnoseKey(Tables(s, dir, "events"), "user_id", topN = 20)),
 
+    // exact Pearson correlation matrix over lineitem's money columns
+    // (integer cents via the fixed-point floor(x·100) idiom): one scan,
+    // one aggregate, decimal sufficient statistics
+    "q_profile_corr" -> ((s, dir) =>
+      graft.core.Profiler.correlationMatrix(
+        Tables(s, dir, "lineitem").select(
+          floor(col("l_quantity") * 100.0).cast("long").as("qty_c"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("price_c"),
+          floor(col("l_discount") * 100.0).cast("long").as("disc_c")),
+        Seq("qty_c", "price_c", "disc_c"))),
+
     // snapshot reconciliation by order-independent bucket digests: the
     // "which buckets differ" work-list between a snapshot and a
     // perturbed twin (every 971st key's payload bumped, keys ≡5 mod 2003
@@ -995,6 +1006,58 @@ object RelationalQueries {
         |  ((a.sum_present + (t.n_tot - a.covered) * n.n_c) * 1000000)
         |    // (2 * n.n_c * t.n_tot) > 200000 AS violates
         |FROM agg a JOIN nc n USING (source, len_bucket) CROSS JOIN tot t""".stripMargin,
+
+    // mirrors Profiler.correlationMatrix: HUGEINT sufficient statistics
+    // (exact like the engine's decimal(38,0) sums), identical final
+    // double expression shape (cov / sqrt / sqrt * scale)
+    "q_profile_corr" ->
+      """WITH x AS (
+        |  SELECT CAST(floor(l_quantity * 100.0) AS BIGINT) AS a,
+        |    CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS b,
+        |    CAST(floor(l_discount * 100.0) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+        |    sum(CAST(c AS HUGEINT)) AS sc,
+        |    sum(CAST(a * a AS HUGEINT)) AS paa, sum(CAST(a * b AS HUGEINT)) AS pab,
+        |    sum(CAST(a * c AS HUGEINT)) AS pac, sum(CAST(b * b AS HUGEINT)) AS pbb,
+        |    sum(CAST(b * c AS HUGEINT)) AS pbc, sum(CAST(c * c AS HUGEINT)) AS pcc
+        |  FROM x),
+        |pairs AS (
+        |  SELECT 'qty_c' AS col_a, 'price_c' AS col_b, n,
+        |    CAST(n AS DOUBLE) * CAST(pab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(paa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS vi,
+        |    CAST(n AS DOUBLE) * CAST(pbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vj
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'qty_c', 'disc_c', n,
+        |    CAST(n AS DOUBLE) * CAST(pac AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE),
+        |    CAST(n AS DOUBLE) * CAST(paa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE),
+        |    CAST(n AS DOUBLE) * CAST(pcc AS DOUBLE) -
+        |      CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'price_c', 'disc_c', n,
+        |    CAST(n AS DOUBLE) * CAST(pbc AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE),
+        |    CAST(n AS DOUBLE) * CAST(pbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE),
+        |    CAST(n AS DOUBLE) * CAST(pcc AS DOUBLE) -
+        |      CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |  FROM st)
+        |SELECT col_a, col_b, n AS n_rows,
+        |  CASE WHEN vi > 0.0 AND vj > 0.0
+        |    THEN CAST(floor(cov / sqrt(vi) / sqrt(vj) * 1000000) AS BIGINT)
+        |    ELSE NULL END AS corr_s
+        |FROM pairs""".stripMargin,
 
     // mirrors Profiler.histogramDrift: shared union bounds, same exact
     // bin division, both counts off one scan, fixed-point deviation

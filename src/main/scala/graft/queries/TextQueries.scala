@@ -708,6 +708,12 @@ object TextQueries {
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
 
+    // corpus-slice distinct-n-gram ratios (n = 1, 2, 3): the
+    // mode-collapse / templated-slice alarm — corpus-level dual of the
+    // per-document repetition filters
+    "q_text_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(Tables(s, dir, "documents"))),
+
     // PII screening signals (map-only regexp counts)
     "q_text_pii" -> ((s, dir) =>
       TextAnalysis.piiScan(Tables(s, dir, "documents"))),
@@ -1867,6 +1873,31 @@ object TextQueries {
          |FROM h""".stripMargin,
 
     // mirrors TextAnalysis.repetitionStats: same per-token rolling
+    // same token hashes and shingle ladders as the engine; distinctness
+    // re-counted from the (lang, n, hash) pre-aggregate; positive
+    // numerator so DuckDB // == floor DIV
+    "q_text_ngram_diversity" ->
+      s"""WITH tht AS (SELECT lang, $thSql AS th FROM documents),
+         |gr AS (
+         |  SELECT lang, 1 AS n, unnest(th) AS h FROM tht
+         |  UNION ALL
+         |  SELECT lang, 2 AS n, unnest(CASE WHEN len(th) >= 2
+         |    THEN list_transform(range(len(th) - 1),
+         |      i -> (th[i+1] * 131 + th[i+2]) % $P)
+         |    ELSE [] END) AS h FROM tht
+         |  UNION ALL
+         |  SELECT lang, 3 AS n, unnest(CASE WHEN len(th) >= 3
+         |    THEN list_transform(range(len(th) - 2),
+         |      i -> (((th[i+1] * 131 + th[i+2]) % $P) * 131 + th[i+3]) % $P)
+         |    ELSE [] END) AS h FROM tht),
+         |hc AS (SELECT lang, n, h, CAST(count(*) AS BIGINT) AS c
+         |       FROM gr GROUP BY 1, 2, 3)
+         |SELECT lang, n, CAST(sum(c) AS BIGINT) AS total_grams,
+         |  CAST(count(*) AS BIGINT) AS distinct_grams,
+         |  (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+         |    AS distinct_ratio_s
+         |FROM hc GROUP BY 1, 2""".stripMargin,
+
     // hashes, same n=2 shingle combination (th_i*131 + th_{i+1}) % p,
     // ratios as one BIGINT/BIGINT→DOUBLE division; short docs get NULL
     // n-gram columns through the LEFT JOIN

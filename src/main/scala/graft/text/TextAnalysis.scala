@@ -637,6 +637,46 @@ object TextAnalysis {
     tok.join(gram, Seq("doc_id"), "left")
   }
 
+  /** Corpus-slice n-gram diversity — the distinct-n-gram ratio
+    * (type-token ratio generalized to n-grams, the corpus-level dual of
+    * the per-document [[repetitionStats]]): for each group and each
+    * n ∈ `ns`, total n-gram occurrences, distinct n-grams, and their
+    * fixed-point ratio. Low ratios at n = 2,3 are the standard
+    * mode-collapse / templated-corpus alarm for model-generated or
+    * boilerplate-heavy slices (the "distinct-n" metric of Li et al.'s
+    * diversity objective, aggregated self-BLEU's cheap stand-in) —
+    * read next to [[zipfFit]] (unigram shape) and `pairwiseDiversity`
+    * (embedding-space collapse), which miss n-gram-level looping.
+    *
+    * Scale shape: the exchange-barriered token-hash scan feeds one
+    * explode per n (exchange reuse keeps it one tokenize); distinctness
+    * via a (group, n, hash) pre-aggregate then a (group, n) re-count —
+    * two partial-aggregated shuffles of 8-byte hash keys, NEVER a
+    * count_distinct Expand over the corpus and never a token string on
+    * the wire. The ratio is one exact integer floor-division per
+    * output row (≤ groups·|ns| rows).
+    */
+  def ngramDiversity(docs: DataFrame, groupCol: String = "lang",
+      ns: Seq[Int] = Seq(1, 2, 3), scale: Long = 1000000L): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val tht = docs.select(col(groupCol).as("g"), tokens(col("text")).as("toks"))
+      .repartition(col("g"))
+      .select(col("g"), transform(col("toks"), t => rollingHashInline(t)).as("th"))
+    val grams = ns.map { n =>
+      tht.select(col("g"), lit(n).as("n"),
+        explode(shingleHashes(col("th"), n)).as("h"))
+    }.reduce(_ unionAll _)
+    grams
+      .groupBy(col("g"), col("n"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g").as(groupCol), col("n"))
+      .agg(sum(col("c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .withColumn("distinct_ratio_s",
+        expr(s"distinct_grams * $scale DIV total_grams"))
+  }
+
   /** PII signal scan per document: counts of email addresses, phone-like
     * number runs, URLs and IPv4 literals, plus a has_pii flag —
     * the screening pass a training-data pipeline runs before release.

@@ -110,6 +110,23 @@ class PageRankSpec extends SparkTestBase {
       s"expected the weight-contract error, got: ${messages(ex)}")
   }
 
+  test("warm start decomposes a cold run exactly; new nodes start at scale") {
+    import spark.implicits._
+    val e = (1L to 20L).flatMap(i => Seq(i -> (i % 20 + 1), i -> ((i + 7) % 20 + 1)))
+      .toDF("src", "dst")
+    // two-phase identity: k cold iterations == j cold + (k−j) warm from
+    // the j-iteration ranks — the integer arithmetic makes this EXACT
+    val cold3 = ranks(PageRank.run(e, iters = 3))
+    val warm = ranks(PageRank.run(e, iters = 2,
+      startRanks = Some(PageRank.run(e, iters = 1))))
+    assert(warm === cold3)
+    // a node missing from startRanks behaves as a cold node at scale:
+    // warm-starting from an EMPTY rank table is a plain cold run
+    val empty = Seq.empty[(Long, Long)].toDF("node", "rank_s")
+    assert(ranks(PageRank.run(e, iters = 2, startRanks = Some(empty))) ===
+      ranks(PageRank.run(e, iters = 2)))
+  }
+
   test("weight 1 everywhere reproduces the unweighted ranks exactly") {
     import spark.implicits._
     val pairs = (1L to 30L).flatMap(i => Seq(i -> (i % 30 + 1), i -> ((i + 11) % 30 + 1)))

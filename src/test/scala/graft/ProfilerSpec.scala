@@ -75,6 +75,51 @@ class ProfilerSpec extends SparkTestBase {
     assert(got === Map(0L -> ((2L, 0L)), 3L -> ((0L, 1L))))
   }
 
+  test("correlationMatrix: exact statistics, straight-line reference agreement") {
+    import spark.implicits._
+    val data = Seq((1L, 2L, 7L), (2L, 4L, 5L), (3L, 6L, 3L), (4L, 8L, 1L),
+      (5L, 10L, 4L))
+    val got = Profiler.correlationMatrix(
+        data.toDF("x", "y", "z"), Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // independent straight-line reference with the same expression shape
+    def ref(a: Seq[Long], b: Seq[Long]): Long = {
+      val n = a.size.toDouble
+      val cov = n * a.zip(b).map { case (p, q) => p * q }.sum.toDouble -
+        a.sum.toDouble * b.sum.toDouble
+      val vi = n * a.map(p => p * p).sum.toDouble - a.sum.toDouble * a.sum.toDouble
+      val vj = n * b.map(p => p * p).sum.toDouble - b.sum.toDouble * b.sum.toDouble
+      math.floor(cov / math.sqrt(vi) / math.sqrt(vj) * 1e6).toLong
+    }
+    val (xs, ys, zs) = (data.map(_._1), data.map(_._2), data.map(_._3))
+    assert(got(("x", "y")) === ((5L, Some(ref(xs, ys)))))
+    assert(got(("x", "z")) === ((5L, Some(ref(xs, zs)))))
+    assert(got(("y", "z")) === ((5L, Some(ref(ys, zs)))))
+    // y = 2x is perfectly correlated; x vs z strongly negative
+    assert(got(("x", "y"))._2.get >= 999999L)
+    assert(got(("x", "z"))._2.get < 0L)
+  }
+
+  test("correlationMatrix: zero variance yields null; nulls delete listwise") {
+    import spark.implicits._
+    val df = Seq((Some(1L), 5L), (Some(2L), 5L), (None, 9L), (Some(3L), 5L))
+      .toDF("x", "c")
+    val rows = Profiler.correlationMatrix(df, Seq("x", "c")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(2) === 3L, "null row must be excluded from n")
+    assert(rows.head.isNullAt(3), "constant column correlation must be null")
+  }
+
+  test("correlationMatrix: values past the 32-bit headroom fail loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (1L << 40, 6L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Profiler.correlationMatrix(df, Seq("x", "y")).collect()
+    }
+    assert(e.getMessage.contains("product headroom"))
+  }
+
   test("histogramDrift: an empty side reports null deviation, not a crash") {
     import spark.implicits._
     val ref = Seq(1L, 2L, 3L).toDF("v")

@@ -477,4 +477,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert((h1 intersect h2).nonEmpty,
       s"edited doc must share suffix chunks, got $h1 vs $h2")
   }
+
+  test("ngramDiversity: looping slice scores low, diverse slice high") {
+    import spark.implicits._
+    // group A loops one bigram; group B is all-distinct tokens
+    val d = Seq(
+      (1L, "A", "x y x y x y x y"),   // 8 tokens: 2 distinct
+      (2L, "B", "a b c d e f g h"))   // 8 tokens: 8 distinct
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.ngramDiversity(d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // A unigrams: 8 total, {x, y} distinct -> ratio 0.25
+    assert(got(("A", 1)) === ((8L, 2L, 250000L)))
+    // A bigrams: 7 total, {xy, yx} distinct -> floor(2e6/7)
+    assert(got(("A", 2)) === ((7L, 2L, 285714L)))
+    // A trigrams: 6 total, {xyx, yxy} -> floor(2e6/6)
+    assert(got(("A", 3)) === ((6L, 2L, 333333L)))
+    // B: everything distinct at every n -> ratio exactly 1.0
+    assert(got(("B", 1)) === ((8L, 8L, 1000000L)))
+    assert(got(("B", 2)) === ((7L, 7L, 1000000L)))
+    assert(got(("B", 3)) === ((6L, 6L, 1000000L)))
+  }
 }
