@@ -228,6 +228,28 @@ object GraphQueries {
       val e = coSupply(s, dir, 49.0).select(col("src"), col("dst"),
         greatest(lit(1L), lit(10L) - col("w")).as("cost"))
       graft.graph.Bfs.shortestPaths(e, seeds)
+    }),
+
+    // local clustering coefficients on the >=49 co-supply graph: how
+    // clique-like is each supplier's co-supply neighbourhood — the
+    // per-node density audit behind "is this cluster one community or
+    // a hairball". Exact 1e-6 fixed-point ratios over the oriented-
+    // wedge triangle count, so the face hash-checks
+    "q_graph_clustering" -> ((s, dir) =>
+      graft.graph.Centrality.clusteringCoefficients(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")))),
+
+    // closeness centrality for the top-balance seed suppliers: per-seed
+    // BFS (seed carried through the wave), Wasserman–Faust normalized
+    // so small-component seeds don't outrank giant-component hubs. Hop
+    // distances are schedule-independent, so the per-seed wave oracle-
+    // checks exactly like q_graph_bfs
+    "q_graph_closeness" -> ((s, dir) => {
+      val seeds = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") >= 9000.0)
+        .select(col("s_suppkey").as("node"))
+      graft.graph.Centrality.closenessCentrality(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")), seeds)
     })
   )
 
@@ -514,6 +536,66 @@ object GraphQueries {
         |cnt AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1)
         |SELECT n.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
         |FROM nodes n LEFT JOIN cnt USING (node)""".stripMargin,
+
+    // same canonical triangle enumeration plus the symmetric-list degree;
+    // cc_s is exact integral division (DuckDB // matches Spark div on
+    // non-negative operands — the modularity-oracle precedent)
+    "q_graph_clustering" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |canon AS (SELECT src AS x, dst AS y FROM e WHERE src < dst),
+        |tri AS (
+        |  SELECT c1.x AS a, c1.y AS b, c2.y AS c
+        |  FROM canon c1
+        |  JOIN canon c2 ON c2.x = c1.y
+        |  JOIN canon c3 ON c3.x = c1.x AND c3.y = c2.y),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |cnt AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY 1)
+        |SELECT d.node, d.deg,
+        |  CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.deg >= 2
+        |    THEN (coalesce(cnt.n_triangles, 0) * 2000000) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_s
+        |FROM deg d LEFT JOIN cnt USING (node)""".stripMargin,
+
+    // per-seed capped recursive wave (the q_graph_bfs oracle with the
+    // seed carried): min(d) per (seed, node), then the Wasserman–Faust
+    // closeness over exact integer sums
+    "q_graph_closeness" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |seeds AS (
+        |  SELECT DISTINCT s_suppkey AS node FROM supplier
+        |  WHERE s_acctbal >= 9000.0),
+        |walk(seed, node, d) AS (
+        |  SELECT node, node, 0 FROM seeds
+        |  UNION
+        |  SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.d < 30),
+        |dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT seed AS node, CAST(count(*) AS BIGINT) AS n_reached,
+        |    CAST(sum(d) AS BIGINT) AS sum_hops
+        |  FROM dist GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes FROM e)
+        |SELECT a.node, a.n_reached, a.sum_hops,
+        |  CAST(CASE WHEN a.sum_hops > 0
+        |    THEN ((a.n_reached - 1) * (a.n_reached - 1) * 1000000)
+        |      // (a.sum_hops * (nn.n_nodes - 1))
+        |    ELSE 0 END AS BIGINT) AS closeness_s
+        |FROM agg a CROSS JOIN nn""".stripMargin,
 
     // capped recursive-CTE wave: UNION dedups (node, d) pairs and the
     // d < 30 guard bounds cycle walks; min(d) over the wave is the

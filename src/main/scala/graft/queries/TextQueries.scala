@@ -170,6 +170,48 @@ object TextQueries {
       graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
         textSweepThresholds)),
 
+    // χ² feature selection over the hashed buckets: which dims carry
+    // the lang signal at all — the pre-fit audit of the hashing trick
+    // (collision-washed buckets rank at the bottom). Exact rational,
+    // floor-scaled ×10
+    "q_ml_chi2" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ml.FeatureSelection.chi2(
+        graft.ml.Features.hashedFeaturesSparse(docs, TextFeatDims),
+        docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y")))
+    }),
+
+    // multinomial naive Bayes fit on the even-doc_id half: the
+    // zero-iteration count-based baseline head — per-dim class counts
+    // and add-one-smoothed log-likelihoods (floor-scaled, the
+    // perplexityScore ln contract)
+    "q_ml_nb_model" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ml.NaiveBayes.train(
+        graft.ml.Features.hashedFeaturesSparse(docs, TextFeatDims),
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("y")),
+        TextFeatDims)
+    }),
+
+    // the NB head scored on the held-out odd half: confusion counts —
+    // the baseline the GD head (q_ml_text_eval) must beat to justify
+    // its iterations
+    "q_ml_nb_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val feats = graft.ml.Features.hashedFeaturesSparse(docs, TextFeatDims)
+      val lab = docs.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("y"))
+      val trainLab = lab.where(pmod(col("doc_id"), lit(2)) === 0)
+      val model = graft.ml.NaiveBayes.train(feats, trainLab, TextFeatDims)
+      graft.ml.NaiveBayes.predict(
+          feats.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          model, trainLab)
+        .join(lab, "doc_id")
+        .groupBy("y", "pred").agg(count(lit(1)).as("n_rows"))
+    }),
+
     // SOFT quality filter composition: accept each document with
     // probability equal to its classifier score (salted-hash bucket <
     // p_s/1000 — the deterministic coin the sampling family uses
