@@ -189,7 +189,7 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       graft.ml.NaiveBayes.train(
         graft.ml.Features.hashedFeaturesSparse(docs, TextFeatDims),
-        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        docs.where(col("doc_id") % 2 === 0)
           .select(col("doc_id"), (col("lang") === "en").cast("long").as("y")),
         TextFeatDims)
     }),
@@ -202,11 +202,11 @@ object TextQueries {
       val feats = graft.ml.Features.hashedFeaturesSparse(docs, TextFeatDims)
       val lab = docs.select(col("doc_id"),
         (col("lang") === "en").cast("long").as("y"))
-      val trainLab = lab.where(pmod(col("doc_id"), lit(2)) === 0)
+      val trainLab = lab.where(col("doc_id") % 2 === 0)
       val model = graft.ml.NaiveBayes.train(feats, trainLab, TextFeatDims)
       graft.ml.NaiveBayes.predict(
-          feats.where(pmod(col("doc_id"), lit(2)) === 1),
-          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          feats.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 1),
           model, trainLab)
         .join(lab, "doc_id")
         .groupBy("y", "pred").agg(count(lit(1)).as("n_rows"))
@@ -1004,6 +1004,39 @@ object TextQueries {
        |      FROM (SELECT doc_id, $thSql AS th FROM documents))
        |GROUP BY 1, 2""".stripMargin
 
+  /** Naive-Bayes model CTE chain — ends at
+    * `model(dim, c1, c0, w1_s, w0_s)` over the complete dim domain;
+    * `sfeat` (full-corpus COO features) and `trainlab` (even-half
+    * labels) remain visible to the eval oracle's scoring CTEs.
+    */
+  private lazy val nbModelChainSql: String =
+    s"""sfeat AS ($textFeatSql),
+       |trainlab AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |nbcnt AS (
+       |  SELECT f.dim,
+       |    CAST(sum(CASE WHEN l.y = 1 THEN f.c ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN l.y = 0 THEN f.c ELSE 0 END) AS BIGINT) AS c0
+       |  FROM sfeat f JOIN trainlab l USING (doc_id) GROUP BY 1),
+       |nbdom AS (
+       |  SELECT CAST(unnest([${(0 until TextFeatDims).mkString(", ")}])
+       |    AS BIGINT) AS dim),
+       |nbfull AS (
+       |  SELECT d.dim, coalesce(c.c1, 0) AS c1, coalesce(c.c0, 0) AS c0
+       |  FROM nbdom d LEFT JOIN nbcnt c USING (dim)),
+       |nbtot AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS tot1,
+       |    CAST(sum(c0) AS BIGINT) AS tot0 FROM nbfull),
+       |model AS (
+       |  SELECT m.dim, m.c1, m.c0,
+       |    CAST(floor(ln((m.c1 + 1.0) / (t.tot1 + $TextFeatDims.0)) * 1e6)
+       |      AS BIGINT) AS w1_s,
+       |    CAST(floor(ln((m.c0 + 1.0) / (t.tot0 + $TextFeatDims.0)) * 1e6)
+       |      AS BIGINT) AS w0_s
+       |  FROM nbfull m CROSS JOIN nbtot t)""".stripMargin
+
   /** The text-classifier GD replay — the SQL twin of
     * `graft.ml.Training` run over the hashing-trick features (see
     * Training's scaladoc for the fixed-point spec; same iteration
@@ -1478,6 +1511,66 @@ object TextQueries {
          |  CASE WHEN tp + fn = 0 THEN NULL
          |    ELSE (tp * 1000000) // (tp + fn) END AS recall_s
          |FROM conf""".stripMargin,
+
+    // χ² per hashed dim: presence-based 2×2 contingency, exact rational
+    // floor-scaled ×10 (both engines' integral division on non-negative
+    // operands)
+    "q_ml_chi2" ->
+      s"""WITH sfeat AS ($textFeatSql),
+         |lab AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(count(*) AS BIGINT) AS n FROM lab),
+         |perdim AS (
+         |  SELECT f.dim, CAST(sum(l.y) AS BIGINT) AS a,
+         |    CAST(count(*) - sum(l.y) AS BIGINT) AS b
+         |  FROM (SELECT DISTINCT doc_id, dim FROM sfeat) f
+         |  JOIN lab l USING (doc_id) GROUP BY 1)
+         |SELECT p.dim, p.a AS n_pos_docs, p.b AS n_neg_docs,
+         |  CAST(CASE WHEN (p.a + p.b) > 0 AND (t.n - p.a - p.b) > 0
+         |      AND t.n_pos > 0 AND (t.n - t.n_pos) > 0
+         |    THEN (t.n * (p.a * ((t.n - t.n_pos) - p.b) - p.b * (t.n_pos - p.a))
+         |          * (p.a * ((t.n - t.n_pos) - p.b) - p.b * (t.n_pos - p.a)) * 10)
+         |      // ((p.a + p.b) * (t.n - p.a - p.b) * t.n_pos * (t.n - t.n_pos))
+         |    ELSE 0 END AS BIGINT) AS chi2_s
+         |FROM perdim p CROSS JOIN tot t""".stripMargin,
+
+    // naive Bayes fit on the even half: per-dim class counts over the
+    // complete dim domain + add-one-smoothed floor(ln·1e6) weights
+    // (same exact-integer-ratio ln as the perplexity oracle)
+    "q_ml_nb_model" ->
+      s"""WITH $nbModelChainSql
+         |SELECT dim, c1, c0, w1_s, w0_s FROM model""".stripMargin,
+
+    // the NB head on the held-out odd half: integer margins (feature
+    // terms + prior difference), sign decision, confusion counts
+    "q_ml_nb_eval" ->
+      s"""WITH $nbModelChainSql,
+         |pr AS (
+         |  SELECT CAST(
+         |    floor(ln(CAST(sum(y) AS DOUBLE) / count(*)) * 1e6) -
+         |    floor(ln(CAST(count(*) - sum(y) AS DOUBLE) / count(*)) * 1e6)
+         |    AS BIGINT) AS prior_margin_s
+         |  FROM trainlab),
+         |terms AS (
+         |  SELECT f.doc_id,
+         |    CAST(sum(f.c * (m.w1_s - m.w0_s)) AS BIGINT) AS fm
+         |  FROM sfeat f JOIN model m USING (dim)
+         |  WHERE f.doc_id % 2 = 1 GROUP BY 1),
+         |ev AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |scored AS (
+         |  SELECT e.y, coalesce(t.fm, 0) + p.prior_margin_s AS margin_s
+         |  FROM ev e LEFT JOIN terms t USING (doc_id) CROSS JOIN pr p)
+         |SELECT y, CAST(CASE WHEN margin_s >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM scored GROUP BY 1, 2""".stripMargin,
 
     // mirrors Evaluation.aucExact over the TEXT head's scores — the
     // same grid → cum_less → 2-scaled Mann-Whitney U blocks as the
