@@ -264,4 +264,74 @@ object Profiler {
       .select(col(groupCol), col("n_rows"), col("med2"), col("mad4"),
         expr("(_s * 100 - pmod(_s * 100, _k)) div _k").as("trimmed_mean_x100"))
   }
+
+  /** Functional-dependency check over a candidate list — the schema-
+    * discovery face ("is det → dep actually a rule in this drop, and if
+    * not, how broken is it"): for each (det, dep) pair,
+    *   n_violations = Σ over det-groups of (distinct deps − 1),
+    * so 0 ⟺ the FD holds exactly and the magnitude says how many extra
+    * dep values exist. NULL dets are a group like any other; NULL deps
+    * are ignored (both engines' count(DISTINCT) convention).
+    *
+    * Scale shape: one 2-column projected groupBy per candidate (the
+    * candidate list is bounded — this is a targeted check, not the
+    * exponential lattice search of full FD mining; TANE-style discovery
+    * composes this by feeding the surviving level-k pairs as level-k+1
+    * candidates), then a ≤|candidates|-row union of 1-row aggregates.
+    * Column pruning keeps each scan at exactly two columns.
+    */
+  def functionalDependencies(df: DataFrame,
+      candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one (det, dep) candidate")
+    candidates.map { case (det, dep) =>
+      df.select(col(det), col(dep))
+        .groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(greatest(col("nd") - 1, lit(0L))).as("n_violations"))
+        .select(lit(det).as("det_col"), lit(dep).as("dep_col"),
+          col("n_keys"), col("n_violations"),
+          (col("n_violations") === 0).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Expected Benford first-digit masses, floor-scaled 1e-6 — ONE Scala
+    * value feeds the operator and the oracle's literal list.
+    */
+  val benfordExpected: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
+  /** Benford's-law audit of a positive numeric column — the fabricated-
+    * data / unit-mixup tripwire (naturally multiplicative quantities
+    * follow log-uniform leading digits; uniform or capped synthetics
+    * don't, and a drop that suddenly diverges from its own baseline is
+    * the signal): per leading digit d ∈ [1, 9],
+    *   n_obs, exp_s = floor(log10(1 + 1/d)·1e6),
+    *   dev_s = (n_obs·1e6) div N − exp_s  (observed − expected mass).
+    * Values < 1 are excluded (their integer part has no leading digit);
+    * the caller pre-scales if sub-unit values matter.
+    *
+    * Scale shape: map-only digit extraction (string head of the long
+    * integer part — exact, locale-free) + one ≤9-key partial-aggregated
+    * groupBy + a 1-row broadcast of N. Headroom: n_obs·1e6 < 2⁶³ to
+    * ~9.2e12 rows.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val obs = df
+      .where(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val n = obs.agg(sum(col("n_obs")).as("n_total"))
+    val domain = benfordExpected
+      .map { case (d, e) => struct(lit(d.toLong).as("digit"), lit(e).as("exp_s")) }
+    obs.sparkSession.range(1).select(explode(array(domain: _*)).as("e"))
+      .select(col("e.digit").as("digit"), col("e.exp_s").as("exp_s"))
+      .join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("exp_s"),
+        (expr("(coalesce(n_obs, 0L) * 1000000L) div n_total") - col("exp_s"))
+          .as("dev_s"))
+  }
 }

@@ -21,6 +21,15 @@ object RelationalQueries {
 
   private def fps(c: Column, scale: Int = 2): Column = Ids.fixedPointSum(c, scale)
 
+  /** ONE Scala value feeds the FD face and its oracle's UNION branches:
+    * keys must determine attributes; low-cardinality columns must not.
+    */
+  private val fdCandidates: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "o_custkey",
+    "o_orderkey" -> "o_orderstatus",
+    "o_custkey" -> "o_orderstatus",
+    "o_orderdate" -> "o_orderpriority")
+
   val queries: Map[String, Q] = Map(
 
     // A1+A2+A3: hash aggregate with min/max/sum/count per group
@@ -580,6 +589,20 @@ object RelationalQueries {
           .select(col("l_returnflag").as("flag"),
             floor(col("l_extendedprice") * 100.0).cast("long").as("cents")),
         "flag", "cents")),
+
+    // targeted functional-dependency check: keys must determine their
+    // attributes (holds), low-cardinality columns must NOT (violation
+    // counts say how far off a claimed rule is) — the schema-discovery
+    // face over the orders table
+    "q_profile_fd" -> ((s, dir) =>
+      graft.core.Profiler.functionalDependencies(
+        Tables(s, dir, "orders"), fdCandidates)),
+
+    // Benford first-digit audit of order totals: per-digit observed
+    // counts vs the log10(1+1/d) expectation, deviation in 1e-6 mass
+    // units — the fabricated-data tripwire
+    "q_profile_benford" -> ((s, dir) =>
+      graft.core.Profiler.benford(Tables(s, dir, "orders"), "o_totalprice")),
 
     // Correlated LATERAL subquery: top-2 suppliers per nation by
     // account balance — the SQL-surface face of per-group top-k
@@ -1167,6 +1190,39 @@ object RelationalQueries {
         |  GROUP BY 1)
         |SELECT flag, n_rows, med2, mad4, trimmed_mean_x100
         |FROM m JOIN mad USING (flag) JOIN tr USING (flag)""".stripMargin,
+
+    // one grouped subquery per candidate, UNION ALL'd — the relational
+    // spelling of Profiler.functionalDependencies (greatest() guards the
+    // all-null-dep group in both engines)
+    "q_profile_fd" -> fdCandidates.map { case (det, dep) =>
+      s"""SELECT '$det' AS det_col, '$dep' AS dep_col,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(greatest(nd - 1, 0)) AS BIGINT) AS n_violations,
+         |  sum(greatest(nd - 1, 0)) = 0 AS holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS nd
+         |      FROM orders GROUP BY 1)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", ""),
+
+    // leading digit of the long integer part (exact, locale-free string
+    // head); the expected-mass literals come from the SAME Scala value
+    // the operator inlines
+    "q_profile_benford" -> {
+      val digits = graft.core.Profiler.benfordExpected.map(_._1).mkString(", ")
+      val exps = graft.core.Profiler.benfordExpected.map(_._2).mkString(", ")
+      s"""WITH obs AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+         |dom AS (SELECT unnest([$digits]) AS digit, unnest([$exps]) AS exp_s)
+         |SELECT CAST(dom.digit AS BIGINT) AS digit,
+         |  CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         |  CAST(dom.exp_s AS BIGINT) AS exp_s,
+         |  CAST((coalesce(o.n_obs, 0) * 1000000) // n.n_total - dom.exp_s
+         |    AS BIGINT) AS dev_s
+         |FROM dom LEFT JOIN obs o USING (digit) CROSS JOIN n""".stripMargin
+    },
 
     "q_profile_skew" ->
       """WITH counts AS (

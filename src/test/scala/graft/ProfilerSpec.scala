@@ -128,4 +128,52 @@ class ProfilerSpec extends SparkTestBase {
     assert(got.nonEmpty)
     got.foreach(r => assert(r.isNullAt(3), "dev_s must be null on empty side"))
   }
+
+  test("functionalDependencies: holds, violation counts, null det group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),          // k→v holds so far
+      (3L, "b", "x"), (3L, "b", "y"),          // det 3 sees two vs
+      (4L, "c", "x"), (4L, "c", "x"))          // duplicates are fine
+      .toDF("k", "g", "v")
+    val got = Profiler.functionalDependencies(df,
+        Seq("k" -> "g", "k" -> "v", "g" -> "v"))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("k", "g")) === ((4L, 0L, true)))
+    assert(got(("k", "v")) === ((4L, 1L, false)))   // det 3 → {x, y}
+    assert(got(("g", "v")) === ((3L, 1L, false)))   // b → {x, y}
+  }
+
+  test("functionalDependencies: null dets group, null deps ignored") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (None, Some("x")), (None, Some("y")),
+      (Some(2L), None))
+      .toDF("k", "v")
+    val got = Profiler.functionalDependencies(df, Seq("k" -> "v"))
+      .as[(String, String, Long, Long, Boolean)].collect().head
+    // keys: 1, 2, NULL; violations: NULL det sees {x, y} → 1; det 2's
+    // all-null dep contributes max(0−1, 0) = 0, not −1
+    assert((got._3, got._4, got._5) === ((3L, 1L, false)))
+  }
+
+  test("benford: digit extraction, full domain, exact deviations") {
+    import spark.implicits._
+    // 10 values ≥ 1: leading digits 1×5, 2×3, 9×2; plus excluded 0.5, 0
+    val df = Seq(1.0, 12.3, 150.0, 1999.0, 1.7, 2.0, 25.0, 299.9, 9.0,
+        90000.0, 0.5, 0.0).toDF("v")
+    val got = Profiler.benford(df, "v")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === 9, "all nine digits present")
+    assert(got(1L)._1 === 5L)
+    assert(got(2L)._1 === 3L)
+    assert(got(9L)._1 === 2L)
+    assert(got(3L)._1 === 0L, "absent digits coalesce to 0")
+    // dev_s replay: (n_obs·1e6) div 10 − floor(log10(1+1/d)·1e6)
+    def exp(d: Int) = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+    assert(got(1L) === ((5L, exp(1), 500000L - exp(1))))
+    assert(got(3L) === ((0L, exp(3), -exp(3))))
+  }
 }
