@@ -214,6 +214,26 @@ object DedupQueries {
       Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
     }),
 
+    // entity resolution end-to-end: sorted-neighborhood blocking →
+    // banded edit-distance verify → ≥50%-similarity match edges →
+    // exact connected components (singletons self-label) → per-entity
+    // member counts. The record-linkage flagship: each stage is
+    // oracle-checked alone elsewhere; this face proves the composition
+    // (id pairs shuffle, the text stays in its scan + verify join)
+    "q_pipeline_entities" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val verified = Dedup.editDistanceVerify(docs,
+        Dedup.sortedNeighborhoodCandidates(docs, window = 10), prefixLen = 120)
+      val edges = verified.where(col("sim_s") >= 500000L)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val ent = graft.graph.ConnectedComponents.largeStarSmallStar(
+        edges, nodes = Some(docs.select(col("doc_id").as("node"))))
+      val sizes = ent.groupBy("component").agg(count(lit(1)).as("n_members"))
+      ent.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component").as("entity_id"),
+          col("n_members"))
+    }),
+
     // end-to-end curation pipeline — the operators are designed to
     // COMPOSE: length gate → exact-dedup keep → deterministic 50%
     // hash sample → per-(lang, source) accounting. One flagship query
@@ -566,6 +586,54 @@ object DedupQueries {
         |      * 1000000.0) AS BIGINT)
         |    ELSE CAST(-1 AS BIGINT) END AS sim_s
         |FROM d""".stripMargin,
+
+    // the sorted-neighborhood verify chain filtered at ≥50% similarity,
+    // then the transitive-closure least-label fixpoint (the q_graph_cc
+    // oracle pattern) with LEFT-join singleton fill
+    "q_pipeline_entities" ->
+      """WITH RECURSIVE keyed AS (
+        |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY snk, doc_id) AS BIGINT) AS rank
+        |  FROM keyed),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 10),
+        |t AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents),
+        |d AS (
+        |  SELECT c.doc_id_a, c.doc_id_b,
+        |    levenshtein(ta.p, tb.p) AS ed,
+        |    greatest(length(ta.p), length(tb.p), 1) AS ml
+        |  FROM cand c
+        |  JOIN t ta ON ta.doc_id = c.doc_id_a
+        |  JOIN t tb ON tb.doc_id = c.doc_id_b),
+        |e0 AS (
+        |  SELECT doc_id_a AS src, doc_id_b AS dst FROM d
+        |  WHERE ed <= 30
+        |    AND floor((1.0 - CAST(ed AS DOUBLE) / CAST(ml AS DOUBLE))
+        |      * 1000000.0) >= 500000),
+        |es AS (
+        |  SELECT src, dst FROM e0
+        |  UNION
+        |  SELECT dst, src FROM e0),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM es
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN es e ON r.b = e.src),
+        |comp AS (
+        |  SELECT a AS node, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |ent AS (
+        |  SELECT doc_id, coalesce(c.component, doc_id) AS entity_id
+        |  FROM documents LEFT JOIN comp c ON c.node = doc_id),
+        |sizes AS (
+        |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM ent GROUP BY 1)
+        |SELECT e.doc_id, e.entity_id, s.n_members
+        |FROM ent e JOIN sizes s USING (entity_id)""".stripMargin,
 
     "q_pipeline_curation" -> {
       val a = TextAnalysis.hashA(11)
