@@ -120,4 +120,67 @@ object Bfs {
     adj.unpersist()
     dist
   }
+
+  /** Earliest-arrival (foremost-path) reachability over a TEMPORAL
+    * contact graph: directed contacts `(src, dst, t)` are usable only
+    * in non-decreasing time order, and arrival(v) is the earliest
+    * contact time at which any time-respecting chain from the seeds
+    * reaches v — "when could information seeded at time 0 first reach
+    * this node". The static-BFS answer is wrong here: a path can exist
+    * in the static projection while every chronology-respecting
+    * ordering of its contacts is impossible.
+    *
+    * Same frontier-limited label-correcting loop as [[shortestPaths]],
+    * with the relaxation predicate `t ≥ arrival(u)` instead of additive
+    * cost. The greedy per-node minimum is optimal by the foremost-path
+    * argument: the earliest arrival at u admits a SUPERSET of the
+    * contacts any later arrival admits, so relaxing from the minimum
+    * dominates. The fixpoint is schedule-independent → the DuckDB
+    * recursive-CTE twin re-derives every arrival exactly.
+    *
+    * Contacts are NOT symmetrized here (a directed contact is the
+    * general case — calls, cites, ships-to); callers with mutual
+    * contacts emit both directions.
+    *
+    * @param contacts (src, dst, t) long epoch seconds, t ≥ 0
+    * @param seeds    single column `node`; arrival 0
+    * @return (node, arrival_s) — unreached nodes absent
+    */
+  def earliestArrival(contacts: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 60): DataFrame = {
+    // the full contact multiset joins every round — keeping only the
+    // first (src, dst) contact would be wrong: a later contact may be
+    // the only one usable after src's own arrival
+    val ct = contacts.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("t").cast("long").as("t"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(ct.where(col("t") < 0).isEmpty,
+      "earliestArrival requires non-negative contact times")
+    var arrival = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("arrival_s", lit(0L))
+      .localCheckpoint()
+    var frontier = arrival
+    var r = 0
+    while (r < maxRounds && !frontier.isEmpty) {
+      r += 1
+      val relaxed = frontier.join(ct, col("node") === col("src") &&
+          col("t") >= col("arrival_s"))
+        .groupBy(col("dst").as("cand"))
+        .agg(min(col("t")).as("cand_arr"))
+      val improved = relaxed.join(arrival, col("cand") === col("node"), "left")
+        .where(col("arrival_s").isNull || col("cand_arr") < col("arrival_s"))
+        .select(col("cand").as("node"), col("cand_arr").as("arrival_s"))
+        .localCheckpoint()
+      arrival = arrival.join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionAll(improved)
+        .localCheckpoint()
+      frontier = improved
+    }
+    require(frontier.isEmpty,
+      s"earliestArrival still improving after $maxRounds rounds; raise maxRounds")
+    ct.unpersist()
+    arrival
+  }
 }

@@ -106,6 +106,28 @@ object EventQueries {
     "q_events_retention" -> ((s, dir) =>
       Events.cohortRetention(Tables.events(s, dir))),
 
+    // temporal (time-respecting) reachability: users contact when they
+    // emit the same event_type in the same hour; arrival_s = earliest
+    // hour any chronology-respecting contact chain from the seed users
+    // reaches each node — the influence/contagion primitive a static
+    // BFS gets wrong (paths must be non-decreasing in time). The
+    // min-arrival fixpoint is schedule-independent → exact oracle
+    "q_events_temporal_reach" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val occ = ev.select(col("user_id"),
+          col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("t"))
+        .distinct()
+      val contacts = occ.as("a").join(occ.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.t") === col("b.t") &&
+            col("a.user_id") =!= col("b.user_id"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"),
+          col("a.t").as("t"))
+      graft.graph.Bfs.earliestArrival(contacts,
+        ev.select(col("user_id").as("node")).where(col("node") < 5))
+    }),
+
     // last-touch attribution: purchases credited to the latest
     // preceding click by the same user within 1 hour (as-of join
     // composition + horizon filter)
@@ -301,6 +323,29 @@ object EventQueries {
         |  count(*) AS n_events
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // min-arrival wave: (node, t) pairs UNION-deduped, expansion only
+    // through contacts at t ≥ the path's arrival; min per node is the
+    // foremost arrival — schedule-independent like hop distance
+    "q_events_temporal_reach" ->
+      """WITH RECURSIVE occ AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t
+        |  FROM events),
+        |c AS (
+        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.t
+        |  FROM occ a JOIN occ b
+        |    ON a.event_type = b.event_type AND a.t = b.t
+        |      AND a.user_id <> b.user_id),
+        |seeds AS (
+        |  SELECT DISTINCT user_id AS node FROM events WHERE user_id < 5),
+        |walk(node, t) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT c.dst, c.t FROM walk w
+        |  JOIN c ON c.src = w.node AND c.t >= w.t)
+        |SELECT node, CAST(min(t) AS BIGINT) AS arrival_s
+        |FROM walk GROUP BY 1""".stripMargin,
 
     // mirrors Events.lastTouchAttribution: per-(user, ts) max-id touch
     // dedupe (the asof tie guard), DuckDB native ASOF, horizon nulling

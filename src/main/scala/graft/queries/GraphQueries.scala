@@ -239,6 +239,19 @@ object GraphQueries {
       graft.graph.Centrality.clusteringCoefficients(
         coSupply(s, dir, 49.0).select(col("src"), col("dst")))),
 
+    // converged 6-truss of the >=49 co-supply graph: every surviving
+    // edge must close >=4 triangles WITHIN the survivor set — the
+    // edge-level community core beside the node-level k-core. k = 6
+    // sits inside the fixture's support distribution (median 7) so the
+    // peel genuinely cascades: 904 of 1257 edges survive across a
+    // 12-round cascade at sf0.01 (k=4 dropped only 12 edges; k>=8
+    // collapses the whole graph). The fixpoint is unique and
+    // schedule-independent, so the oracle unrolls the peel past
+    // convergence (the kcore_conv trade)
+    "q_graph_ktruss" -> ((s, dir) =>
+      graft.graph.Truss.edges(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 6)),
+
     // closeness centrality for the top-balance seed suppliers: per-seed
     // BFS (seed carried through the wave), Wasserman–Faust normalized
     // so small-component seeds don't outrank giant-component hubs. Hop
@@ -252,6 +265,46 @@ object GraphQueries {
         coSupply(s, dir, 49.0).select(col("src"), col("dst")), seeds)
     })
   )
+
+  /** Unrolled k-truss peel: aR = surviving canonical edges after R
+    * support-recount rounds. Same bounded-unroll-past-convergence
+    * argument as [[kcoreConvOracle]] — the truss fixpoint is unique,
+    * extra rounds are no-ops. Each round is MATERIALIZED: it references
+    * its predecessor three times (two wedge sides + the closing
+    * semi-join) and plain CTEs would re-expand the whole prefix 3^depth
+    * times.
+    */
+  private def ktrussOracle(k: Int, depth: Int): String = {
+    val rounds = (1 to depth).map { r =>
+      s""",
+         |w$r AS MATERIALIZED (
+         |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+         |  FROM a${r - 1} e1 JOIN a${r - 1} e2
+         |    ON e2.x = e1.x AND e1.y < e2.y),
+         |t$r AS MATERIALIZED (
+         |  SELECT w.a, w.b, w.c FROM w$r w
+         |  JOIN a${r - 1} z ON z.x = w.b AND z.y = w.c),
+         |s$r AS (
+         |  SELECT x, y, count(*) AS sup FROM (
+         |    SELECT a AS x, b AS y FROM t$r
+         |    UNION ALL SELECT a, c FROM t$r
+         |    UNION ALL SELECT b, c FROM t$r)
+         |  GROUP BY 1, 2),
+         |a$r AS MATERIALIZED (
+         |  SELECT e0.x, e0.y FROM a${r - 1} e0
+         |  JOIN s$r s ON s.x = e0.x AND s.y = e0.y
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString
+    s"""WITH sp AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+       |  FROM lineitem WHERE l_quantity >= 49.0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.sk AS x, b.sk AS y
+       |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk),
+       |a0 AS MATERIALIZED (SELECT x, y FROM e)$rounds
+       |SELECT e.x AS src, e.y AS dst, (s.x IS NOT NULL) AS in_truss
+       |FROM e LEFT JOIN a$depth s ON s.x = e.x AND s.y = e.y""".stripMargin
+  }
 
   /** Unrolled k-core peel to a fixed depth: aR = survivors after R
     * rounds. Rounds past the fixpoint are no-ops (the alive set stops
@@ -565,6 +618,11 @@ object GraphQueries {
         |    THEN (coalesce(cnt.n_triangles, 0) * 2000000) // (d.deg * (d.deg - 1))
         |    ELSE 0 END AS BIGINT) AS cc_s
         |FROM deg d LEFT JOIN cnt USING (node)""".stripMargin,
+
+    // converged peel unrolled past the fixture's convergence depth
+    // (12 rounds at sf0.01) — the truss fixpoint is unique, so extra
+    // rounds are no-ops
+    "q_graph_ktruss" -> ktrussOracle(k = 6, depth = 16),
 
     // per-seed capped recursive wave (the q_graph_bfs oracle with the
     // seed carried): min(d) per (seed, node), then the Wasserman–Faust

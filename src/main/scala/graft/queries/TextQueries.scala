@@ -102,6 +102,9 @@ object TextQueries {
   /** ONE Scala value feeds the sweep face and its oracle's unnest list. */
   private val textSweepThresholds: Seq[Long] = (0 to 10).map(_ * 100000L)
 
+  /** ONE Scala value feeds the conformal face and its oracle. */
+  private val conformalAlphas: Seq[Long] = Seq(50000L, 100000L, 200000L)
+
   def clearCache(): Unit = {
     bpeCache.clear()
     textHeadCache.clear()
@@ -169,6 +172,19 @@ object TextQueries {
     "q_ml_text_sweep" -> ((s, dir) =>
       graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
         textSweepThresholds)),
+
+    // split-conformal keep-threshold calibration of the text head:
+    // even-half true positives calibrate the nonconformity cut that
+    // keeps ≥ 1−α of good documents, odd half measures the empirical
+    // coverage — the guarantee the raw sigmoid can't give
+    "q_ml_conformal" -> ((s, dir) => {
+      val pos = textScored(s, dir).where(col("y") === 1)
+        .select(col("vec_id"), (lit(1000000L) - col("p_s")).as("q_s"))
+      graft.ml.Conformal.thresholds(
+        pos.where(col("vec_id") % 2 === 0),
+        pos.where(col("vec_id") % 2 === 1),
+        conformalAlphas)
+    }),
 
     // χ² feature selection over the hashed buckets: which dims carry
     // the lang signal at all — the pre-fit audit of the hashing trick
@@ -1537,6 +1553,42 @@ object TextQueries {
          |      // ((p.a + p.b) * (t.n - p.a - p.b) * t.n_pos * (t.n - t.n_pos))
          |    ELSE 0 END AS BIGINT) AS chi2_s
          |FROM perdim p CROSS JOIN tot t""".stripMargin,
+
+    // integer order statistics on the scored chain: rank index
+    // ⌈(n+1)(1−α)⌉ via ceiling division, value-at-rank threshold
+    // (LEFT join — α too small for n leaves the conformal +∞ as NULL),
+    // exact ppm coverage on the odd half
+    "q_ml_conformal" ->
+      s"""WITH $textScoredSql,
+         |cal AS (
+         |  SELECT vec_id, 1000000 - ps AS q_s FROM fp
+         |  WHERE y = 1 AND vec_id % 2 = 0),
+         |ev AS (
+         |  SELECT vec_id, 1000000 - ps AS q_s FROM fp
+         |  WHERE y = 1 AND vec_id % 2 = 1),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+         |rk AS (
+         |  SELECT q_s,
+         |    CAST(row_number() OVER (ORDER BY q_s, vec_id) AS BIGINT) AS rn
+         |  FROM cal),
+         |al AS (SELECT CAST(unnest([${conformalAlphas.mkString(", ")}])
+         |  AS BIGINT) AS alpha_ppm),
+         |ix AS (
+         |  SELECT a.alpha_ppm, n.n_cal,
+         |    ((n.n_cal + 1) * (1000000 - a.alpha_ppm) + 999999) // 1000000 AS i
+         |  FROM al a CROSS JOIN nc n),
+         |thr AS (
+         |  SELECT i.alpha_ppm, i.n_cal, r.q_s AS thr_s
+         |  FROM ix i LEFT JOIN rk r ON r.rn = i.i)
+         |SELECT t.alpha_ppm, t.n_cal, CAST(t.thr_s AS BIGINT) AS thr_s,
+         |  CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN t.thr_s IS NULL OR e.q_s <= t.thr_s
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  CAST((sum(CASE WHEN t.thr_s IS NULL OR e.q_s <= t.thr_s
+         |    THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         |    AS coverage_ppm
+         |FROM ev e CROSS JOIN thr t
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // naive Bayes fit on the even half: per-dim class counts over the
     // complete dim domain + add-one-smoothed floor(ln·1e6) weights

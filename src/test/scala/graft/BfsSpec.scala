@@ -113,4 +113,47 @@ class BfsSpec extends SparkTestBase {
       Bfs.shortestPaths(e, Seq(0L).toDF("node")).count()
     }
   }
+
+  private def arrivals(contacts: Seq[(Long, Long, Long)],
+      seeds: Seq[Long]): Map[Long, Long] =
+    Bfs.earliestArrival(contacts.toDF("src", "dst", "t"),
+        seeds.toDF("node"))
+      .as[(Long, Long)].collect().toMap
+
+  test("earliestArrival: chronology-respecting chains only") {
+    // 0→1 at t=5, 1→2 at t=3: statically connected, temporally NOT
+    // (2's only inbound contact predates 1's arrival); 1→2 at t=7 works
+    assert(arrivals(Seq((0L, 1L, 5L), (1L, 2L, 3L)), Seq(0L)) ===
+      Map(0L -> 0L, 1L -> 5L))
+    assert(arrivals(Seq((0L, 1L, 5L), (1L, 2L, 3L), (1L, 2L, 7L)), Seq(0L)) ===
+      Map(0L -> 0L, 1L -> 5L, 2L -> 7L))
+  }
+
+  test("earliestArrival: later contact usable, equal time usable") {
+    // equal-time relay is allowed (t >= arrival)
+    assert(arrivals(Seq((0L, 1L, 4L), (1L, 2L, 4L)), Seq(0L)) ===
+      Map(0L -> 0L, 1L -> 4L, 2L -> 4L))
+  }
+
+  test("earliestArrival: min over alternative chains, directedness") {
+    val c = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), (3L, 0L, 1L))
+    // 1 reachable at 2 via 2, not 10 direct; 3→0 is inbound only — 3
+    // itself is unreached
+    assert(arrivals(c, Seq(0L)) === Map(0L -> 0L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("earliestArrival: label correction revisits a settled node") {
+    // first wave reaches 2 at t=9 via 1; second chain through 3 lands
+    // t=4 later in round order — the improvement must propagate to 4
+    val c = Seq((0L, 1L, 1L), (1L, 2L, 9L),
+      (0L, 3L, 2L), (3L, 2L, 4L), (2L, 4L, 5L))
+    assert(arrivals(c, Seq(0L)) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 4L, 3L -> 2L, 4L -> 5L))
+  }
+
+  test("earliestArrival rejects negative times loudly") {
+    intercept[IllegalArgumentException] {
+      arrivals(Seq((0L, 1L, -3L)), Seq(0L))
+    }
+  }
 }

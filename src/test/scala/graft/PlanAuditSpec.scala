@@ -404,7 +404,18 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "q_sim_bitext_margin",
       // modularity attaches the 1-row edge-count scalar m — the
       // q_dict_extend bounded-aggregate shape
-      "q_graph_modularity")
+      "q_graph_modularity",
+      // χ² and naive Bayes attach their 1-row class/token totals; the
+      // NB eval face inherits both the model-fit total and the prior
+      // attach — all the q_dict_extend bounded-aggregate shape
+      "q_ml_chi2", "q_ml_nb_model", "q_ml_nb_eval",
+      // closeness attaches the 1-row node count n; Benford the 1-row
+      // total N — same shape
+      "q_graph_closeness", "q_profile_benford",
+      // conformal attaches the 1-row calibration count and fans the
+      // |α|-row threshold table across the eval side — the bounded
+      // broadcast attach, twice
+      "q_ml_conformal")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
