@@ -106,6 +106,13 @@ object EventQueries {
     "q_events_retention" -> ((s, dir) =>
       Events.cohortRetention(Tables.events(s, dir))),
 
+    // CUSUM change-point per event type: the day where the metric's
+    // cumulative sum deviates most from the proportional ramp —
+    // |C_d·n − T·d| in exact cross-multiplied integers, ties to the
+    // earliest day
+    "q_events_changepoint" -> ((s, dir) =>
+      Events.changePoints(Tables.events(s, dir))),
+
     // temporal (time-respecting) reachability: users contact when they
     // emit the same event_type in the same hour; arrival_s = earliest
     // hour any chronology-respecting contact chain from the seed users
@@ -323,6 +330,38 @@ object EventQueries {
         |  count(*) AS n_events
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // daily cent sums → running cumulative + observed-day rank →
+    // cross-multiplied deviation, rank-1 row per type (stat DESC, day ASC)
+    "q_events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    CAST(sum(s) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS d_idx
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(s) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |st AS (
+        |  SELECT c.event_type, c.day, t.n_days,
+        |    abs(c.c * t.n_days - t.t * c.d_idx) AS stat
+        |  FROM cum c JOIN tot t USING (event_type)),
+        |rk AS (
+        |  SELECT event_type, day, n_days, stat,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY stat DESC, day ASC) AS rn
+        |  FROM st)
+        |SELECT event_type, day AS cp_day, CAST(stat AS BIGINT) AS cusum_stat,
+        |  n_days
+        |FROM rk WHERE rn = 1""".stripMargin,
 
     // min-arrival wave: (node, t) pairs UNION-deduped, expansion only
     // through contacts at t ≥ the path's arrival; min per node is the

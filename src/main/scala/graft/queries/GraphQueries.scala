@@ -252,6 +252,23 @@ object GraphQueries {
       graft.graph.Truss.edges(
         coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 6)),
 
+    // degree assortativity: Pearson correlation of endpoint degrees
+    // over the symmetric edge list — one number for "do hubs link to
+    // hubs" (positive) vs "hubs serve leaves" (negative). Pure reuse:
+    // the edge-degree pairs feed the exact one-pass correlation
+    // operator, sufficient statistics in DECIMAL(38,0)
+    "q_graph_assortativity" -> ((s, dir) => {
+      val e = coSupply(s, dir, 49.0).select(col("src"), col("dst"))
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val dd = e
+        .join(deg.select(col("node").as("src"), col("deg").as("deg_src")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("deg_dst")),
+          Seq("dst"))
+        .select("deg_src", "deg_dst")
+      graft.core.Profiler.correlationMatrix(dd, Seq("deg_src", "deg_dst"))
+    }),
+
     // closeness centrality for the top-balance seed suppliers: per-seed
     // BFS (seed carried through the wave), Wasserman–Faust normalized
     // so small-component seeds don't outrank giant-component hubs. Hop
@@ -623,6 +640,43 @@ object GraphQueries {
     // (12 rounds at sf0.01) — the truss fixpoint is unique, so extra
     // rounds are no-ops
     "q_graph_ktruss" -> ktrussOracle(k = 6, depth = 16),
+
+    // edge-degree pairs through the q_profile_corr sufficient-statistic
+    // shape (HUGEINT sums, one fixed double expression at the end)
+    "q_graph_assortativity" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT d1.deg AS a, d2.deg AS b
+        |  FROM e JOIN deg d1 ON d1.node = e.src
+        |  JOIN deg d2 ON d2.node = e.dst),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+        |    sum(CAST(a * a AS HUGEINT)) AS paa,
+        |    sum(CAST(a * b AS HUGEINT)) AS pab,
+        |    sum(CAST(b * b AS HUGEINT)) AS pbb
+        |  FROM x),
+        |p AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) * CAST(pab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(paa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS vi,
+        |    CAST(n AS DOUBLE) * CAST(pbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vj
+        |  FROM st)
+        |SELECT 'deg_src' AS col_a, 'deg_dst' AS col_b, n AS n_rows,
+        |  CASE WHEN vi > 0.0 AND vj > 0.0
+        |    THEN CAST(floor(cov / sqrt(vi) / sqrt(vj) * 1000000) AS BIGINT)
+        |    ELSE NULL END AS corr_s
+        |FROM p""".stripMargin,
 
     // per-seed capped recursive wave (the q_graph_bfs oracle with the
     // seed carried): min(d) per (seed, node), then the Wasserman–Faust

@@ -173,6 +173,13 @@ object TextQueries {
       graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
         textSweepThresholds)),
 
+    // pairwise Jensen–Shannon divergence between the languages' unigram
+    // distributions: the bounded symmetric corpus-drift scale (KL is
+    // infinite on any word one side lacks; the mixture midpoint never
+    // is). Exact-integer log ratios floored before the weighted sums
+    "q_text_js_divergence" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(Tables(s, dir, "documents"))),
+
     // split-conformal keep-threshold calibration of the text head:
     // even-half true positives calibrate the nonconformity cut that
     // keeps ≥ 1−α of good documents, odd half measures the empirical
@@ -1553,6 +1560,49 @@ object TextQueries {
          |      // ((p.a + p.b) * (t.n - p.a - p.b) * t.n_pos * (t.n - t.n_pos))
          |    ELSE 0 END AS BIGINT) AS chi2_s
          |FROM perdim p CROSS JOIN tot t""".stripMargin,
+
+    // same exact-integer log-ratio arguments, per-term floors, and the
+    // pmod-subtract floor division on the (legitimately near-zero,
+    // floor-biased-negative) term sums
+    "q_text_js_divergence" ->
+      s"""WITH cw AS (
+         |  SELECT g, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT lang AS g, unnest($toks) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cw GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+         |  FROM tot a JOIN tot b ON a.g < b.g),
+         |sides AS (
+         |  SELECT p.ga, p.gb, c.w, c.c AS ca, CAST(0 AS BIGINT) AS cb
+         |  FROM cw c JOIN pairs p ON c.g = p.ga
+         |  UNION ALL
+         |  SELECT p.ga, p.gb, c.w, CAST(0 AS BIGINT), c.c
+         |  FROM cw c JOIN pairs p ON c.g = p.gb),
+         |byw AS (
+         |  SELECT s.ga, s.gb, s.w, CAST(sum(s.ca) AS BIGINT) AS ca,
+         |    CAST(sum(s.cb) AS BIGINT) AS cb
+         |  FROM sides s GROUP BY 1, 2, 3),
+         |terms AS (
+         |  SELECT b.ga, b.gb, p.na, p.nb,
+         |    CASE WHEN b.ca > 0 THEN b.ca *
+         |      CAST(floor(ln(CAST(b.ca * p.nb * 2 AS DOUBLE) /
+         |        CAST(b.ca * p.nb + b.cb * p.na AS DOUBLE)) * 1e6) AS BIGINT)
+         |      ELSE 0 END AS ta,
+         |    CASE WHEN b.cb > 0 THEN b.cb *
+         |      CAST(floor(ln(CAST(b.cb * p.na * 2 AS DOUBLE) /
+         |        CAST(b.ca * p.nb + b.cb * p.na AS DOUBLE)) * 1e6) AS BIGINT)
+         |      ELSE 0 END AS tb
+         |  FROM byw b JOIN pairs p ON p.ga = b.ga AND p.gb = b.gb),
+         |agg AS (
+         |  SELECT ga, gb, na, nb, CAST(sum(ta) AS BIGINT) AS sta,
+         |    CAST(sum(tb) AS BIGINT) AS stb
+         |  FROM terms GROUP BY 1, 2, 3, 4)
+         |SELECT ga AS slice_a, gb AS slice_b, na AS n_a, nb AS n_b,
+         |  CAST((sta - ((sta % (2 * na) + 2 * na) % (2 * na))) // (2 * na) +
+         |    (stb - ((stb % (2 * nb) + 2 * nb) % (2 * nb))) // (2 * nb)
+         |    AS BIGINT) AS jsd_s
+         |FROM agg""".stripMargin,
 
     // integer order statistics on the scored chain: rank index
     // ⌈(n+1)(1−α)⌉ via ceiling division, value-at-rank threshold

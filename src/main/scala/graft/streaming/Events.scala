@@ -678,4 +678,52 @@ object Events {
       .transformWithState(new SessionProcessor(gapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** CUSUM change-point detection per event type — "on which day did
+    * this metric's level shift": the day whose cumulative-sum deviation
+    * from the proportional ramp is largest,
+    *   stat(d) = |C_d·n − T·d|
+    * over the type's day series (C_d = running cent-value sum through
+    * the d-th observed day, T = series total, n = day count). The
+    * cross-multiplied form keeps the classic |C_d − (d/n)·T| criterion
+    * in EXACT integer arithmetic — no division anywhere — and scales
+    * both sides by n, which is rank-preserving per type. Ties break to
+    * the earliest day (the first moment the evidence peaks).
+    *
+    * Scale shape: one (type, day)-keyed partial-agged daily sum, then
+    * windows over the DAY SERIES (≤ series length per type, never per
+    * event) partitioned by type, and a per-type max-struct argmax — one
+    * aggregation, no self-join, no global sort. Headroom: C_d·n needs
+    * total cents × days < 2⁶³ (~9e18) — beyond any single metric
+    * series; the day index is the 1-based observed-day rank, so gaps
+    * in the calendar don't skew the ramp.
+    *
+    * @return (event_type, cp_day, cusum_stat, n_days) — cp_day is the
+    *         epoch-day bucket where the shift evidence peaks
+    */
+  def changePoints(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), col("ts").cast("long").as("tsl"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+      .select(col("event_type"),
+        ((col("tsl") - pmod(col("tsl"), lit(86400L))) / 86400L)
+          .cast("long").as("day"), col("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val cum = daily.select(col("event_type"), col("day"),
+      sum(col("s")).over(w).as("c"),
+      row_number().over(w).cast("long").as("d_idx"))
+    val totals = daily.groupBy("event_type")
+      .agg(sum(col("s")).as("t"), count(lit(1)).as("n_days"))
+    cum.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_days"),
+        abs(col("c") * col("n_days") - col("t") * col("d_idx")).as("stat"))
+      .groupBy("event_type")
+      .agg(max(struct(col("stat"), (-col("day")).as("neg_day"),
+        col("n_days"))).as("m"))
+      .select(col("event_type"), (-col("m.neg_day")).as("cp_day"),
+        col("m.stat").as("cusum_stat"), col("m.n_days").as("n_days"))
+  }
 }

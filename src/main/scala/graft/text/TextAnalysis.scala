@@ -1208,4 +1208,66 @@ object TextAnalysis {
       .agg(first(col("df")).as("df"), first(col("cf")).as("cf"),
         sort_array(collect_list(struct(col("doc_id"), col("tf"),
           col("first_pos")))).as("postings"))
+
+  /** Pairwise Jensen–Shannon divergence between corpus slices' unigram
+    * distributions — the mixture/drift monitor that says HOW FAR two
+    * slices' vocabularies diverge on a bounded symmetric scale
+    * (JSD ∈ [0, ln 2]; KL alone is asymmetric and infinite on any
+    * word one side lacks — JSD's mixture midpoint m = (p+q)/2 never
+    * is):
+    *   JSD(p,q) = ½·Σ p_w ln(p_w/m_w) + ½·Σ q_w ln(q_w/m_w).
+    *
+    * Determinism contract: every per-word log ratio is EXACT-INTEGER-
+    * argument arithmetic —
+    *   p_w/m_w = 2·c_aw·N_b / (c_aw·N_b + c_bw·N_a)
+    * (counts and totals only; no intermediate probability doubles) —
+    * floored to 1e-6 BEFORE the weighted sum, so slice scores are
+    * integer sums; the two final divisions are floor divisions via the
+    * pmod-subtract ladder (the term sums are legitimately slightly
+    * negative for near-identical slices — floors bias down).
+    *
+    * Scale shape: one (slice, word)-keyed partial-agged count, slice
+    * totals as a bounded broadcast pair table (|slices|² pairs — slices
+    * are languages/sources, bounded by construction), the per-pair
+    * word union assembled by two equi-joins + one groupBy (never an
+    * outer self-join of the vocabulary), token strings shuffle once
+    * into the count.
+    *
+    * @return (slice_a, slice_b, n_a, n_b, jsd_s) per unordered pair
+    */
+  def jsDivergence(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val cw = docs.select(col(groupCol).as("g"),
+        explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val tot = cw.groupBy("g").agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("g").as("ga"), col("n").as("na"))
+      .join(tot.select(col("g").as("gb"), col("n").as("nb")),
+        col("ga") < col("gb"))
+    val sides = cw.join(broadcast(pairs.select("ga", "gb")),
+        col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("w"), col("c").as("ca"),
+        lit(0L).as("cb"))
+      .unionAll(cw.join(broadcast(pairs.select("ga", "gb")),
+          col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("w"), lit(0L).as("ca"),
+          col("c").as("cb")))
+    val byWord = sides.groupBy("ga", "gb", "w")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .join(broadcast(pairs), Seq("ga", "gb"))
+    val flog = (num: Column, den: Column) =>
+      floor(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    byWord
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        when(col("ca") > 0, col("ca") * flog(col("ca") * col("nb") * 2,
+          col("ca") * col("nb") + col("cb") * col("na"))).otherwise(0L).as("ta"),
+        when(col("cb") > 0, col("cb") * flog(col("cb") * col("na") * 2,
+          col("ca") * col("nb") + col("cb") * col("na"))).otherwise(0L).as("tb"))
+      .groupBy(col("ga").as("slice_a"), col("gb").as("slice_b"),
+        col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("ta")).as("sta"), sum(col("tb")).as("stb"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        (expr("(sta - pmod(sta, 2 * n_a)) div (2 * n_a)") +
+          expr("(stb - pmod(stb, 2 * n_b)) div (2 * n_b)")).as("jsd_s"))
+  }
 }

@@ -115,4 +115,33 @@ class EventsAnalyticsSpec extends SparkTestBase {
     assert(math.abs(ref(withOutlier)._1 - ref(odd)._1) <= 1)
     assert(ref(withOutlier)._2 <= ref(odd)._2 + 2)
   }
+
+  test("changePoints finds a planted level shift at the shift day") {
+    import spark.implicits._
+    // 10 days at value 1.00, then 10 days at 5.00: the CUSUM deviation
+    // peaks at the last low day (day index 10)
+    val rows = (0 until 20).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        "m", if (d < 10) 1.0 else 5.0)
+    }
+    val got = graft.streaming.Events.changePoints(
+        rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Long, Long)].collect().head
+    val day10 = rows(9)._1.getTime / 1000 / 86400
+    // C_10·n − T·10 = 1000·20 − 6000·10 → |−40000|
+    assert(got === (("m", day10, 40000L, 20L)))
+  }
+
+  test("changePoints: flat series peaks nowhere meaningful, ties to earliest") {
+    import spark.implicits._
+    val rows = (0 until 5).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-02-${d + 1}%02d 00:30:00"), "m", 2.0)
+    }
+    val got = graft.streaming.Events.changePoints(
+        rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Long, Long)].collect().head
+    // perfectly proportional ramp: every stat is 0; earliest day wins
+    assert(got._2 === rows.head._1.getTime / 1000 / 86400)
+    assert(got._3 === 0L)
+  }
 }

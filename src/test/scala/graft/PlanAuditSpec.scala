@@ -415,7 +415,11 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // conformal attaches the 1-row calibration count and fans the
       // |α|-row threshold table across the eval side — the bounded
       // broadcast attach, twice
-      "q_ml_conformal")
+      "q_ml_conformal",
+      // JS divergence builds its |slices|²-bounded pair table by an
+      // inequality join of two |slices|-row aggregates — the bounded
+      // broadcast attach shape
+      "q_text_js_divergence")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -499,4 +499,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(("B", 2)) === ((7L, 7L, 1000000L)))
     assert(got(("B", 3)) === ((6L, 6L, 1000000L)))
   }
+
+  test("jsDivergence: identical slices ~0, disjoint slices = ln 2") {
+    import spark.implicits._
+    val same = Seq((0L, "a b c", "x"), (1L, "a b c", "y"))
+      .toDF("doc_id", "text", "lang")
+    val gotSame = TextAnalysis.jsDivergence(same)
+      .select("jsd_s").as[Long].collect().head
+    // identical distributions: every ratio is exactly 1, ln 1 = 0,
+    // floors exact → 0 (not merely small)
+    assert(gotSame === 0L)
+    // fully disjoint vocabularies: every word has ratio 2 on its own
+    // side → JSD = ln 2 → floor(ln 2 · 1e6) with two floor-div halves
+    val disjoint = Seq((0L, "a a b", "x"), (1L, "c d e f", "y"))
+      .toDF("doc_id", "text", "lang")
+    val gotDis = TextAnalysis.jsDivergence(disjoint)
+      .select("jsd_s").as[Long].collect().head
+    val ln2 = math.floor(math.log(2.0) * 1e6).toLong // 693147
+    // each half contributes floor-div(n·flog2, 2n) = flog2/2 with
+    // floor rounding; allow the 1-unit floor slack
+    assert(gotDis >= ln2 - 2 && gotDis <= ln2)
+  }
+
+  test("jsDivergence: hand-computed asymmetric pair") {
+    import spark.implicits._
+    // slice x: {a:2, b:1} n=3; slice y: {a:1, c:1} n=2
+    val docs = Seq((0L, "a a b", "x"), (1L, "a c", "y"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.jsDivergence(docs)
+      .as[(String, String, Long, Long, Long)].collect().head
+    def flog(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) * 1e6).toLong
+    // ratio_a(w) = 2·ca·nb/(ca·nb+cb·na); na=3, nb=2
+    val sta = 2 * flog(2 * 2 * 2, 2 * 2 + 1 * 3) + // a: ca=2, cb=1
+      1 * flog(2 * 1 * 2, 1 * 2 + 0)               // b: ca=1, cb=0
+    val stb = 1 * flog(2 * 1 * 3, 2 * 2 + 1 * 3) + // a: cb=1
+      1 * flog(2 * 1 * 3, 0 + 1 * 3)               // c: cb=1
+    def fdiv(x: Long, d: Long): Long = Math.floorDiv(x, d)
+    assert(got === (("x", "y", 3L, 2L, fdiv(sta, 6) + fdiv(stb, 4))))
+  }
 }
