@@ -150,11 +150,13 @@ object Bfs {
       maxRounds: Int = 60): DataFrame = {
     // the full contact multiset joins every round — keeping only the
     // first (src, dst) contact would be wrong: a later contact may be
-    // the only one usable after src's own arrival
+    // the only one usable after src's own arrival. NOT deduplicated:
+    // the per-round min aggregation absorbs duplicates for free, and a
+    // distinct here is a full contact-sized shuffle bought for nothing
+    // (measured 0.06% duplication on the co-occurrence construction)
     val ct = contacts.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("t").cast("long").as("t"))
       .where(col("src") =!= col("dst"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     require(ct.where(col("t") < 0).isEmpty,
       "earliestArrival requires non-negative contact times")
@@ -165,8 +167,12 @@ object Bfs {
     var r = 0
     while (r < maxRounds && !frontier.isEmpty) {
       r += 1
-      val relaxed = frontier.join(ct, col("node") === col("src") &&
-          col("t") >= col("arrival_s"))
+      // the frontier is label-bounded and localCheckpoint-ed (known
+      // size) — broadcast it explicitly so no round ever reshuffles
+      // the contact multiset; the min aggregation partial-aggregates
+      // map-side before its |nodes|-bounded shuffle
+      val relaxed = ct.join(broadcast(frontier),
+          col("node") === col("src") && col("t") >= col("arrival_s"))
         .groupBy(col("dst").as("cand"))
         .agg(min(col("t")).as("cand_arr"))
       val improved = relaxed.join(arrival, col("cand") === col("node"), "left")
