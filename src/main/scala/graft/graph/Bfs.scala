@@ -189,4 +189,36 @@ object Bfs {
     ct.unpersist()
     arrival
   }
+
+  /** Two-sweep diameter estimate: BFS from a deterministic anchor (the
+    * minimum node id), take the farthest node (ties → lowest id), BFS
+    * again from it — the second eccentricity is the classic tight
+    * lower bound on the graph's diameter (exact on trees; within a
+    * small factor on real graphs), at the cost of TWO BFS waves instead
+    * of the all-pairs n waves the exact diameter needs. The answer is
+    * scoped to the anchor's component — the standard contract (other
+    * components are separate diameter questions).
+    *
+    * Everything stays in the plan: the anchor and the argmax row are
+    * 1-row DataFrames feeding the next wave's seed set — no collect
+    * anywhere, so the two waves chain lazily like any other operator.
+    *
+    * @return one row (anchor, far_node, ecc_anchor, far2_node,
+    *         diameter_lb)
+    */
+  def twoSweepDiameter(edges: DataFrame, maxHops: Int = 30): DataFrame = {
+    val nodes = edges.select(col("src").cast("long").as("node"))
+      .unionAll(edges.select(col("dst").cast("long").as("node")))
+    val anchor = nodes.agg(min(col("node")).as("node"))
+    val d1 = hopDistance(edges, anchor, maxHops)
+    val far1 = d1.agg(max(struct(col("hops"), (-col("node")).as("neg"))).as("m"))
+      .select((-col("m.neg")).as("node"), col("m.hops").as("ecc_anchor"))
+    val d2 = hopDistance(edges, far1.select("node"), maxHops)
+    val far2 = d2.agg(max(struct(col("hops"), (-col("node")).as("neg"))).as("m"))
+      .select((-col("m.neg")).as("far2_node"), col("m.hops").as("diameter_lb"))
+    anchor.select(col("node").as("anchor"))
+      .crossJoin(broadcast(far1.select(col("node").as("far_node"),
+        col("ecc_anchor"))))
+      .crossJoin(broadcast(far2))
+  }
 }

@@ -171,6 +171,50 @@ object Evaluation {
     scored.groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
 
+  /** Confident-learning-style label-noise audit (Northcutt's CL, the
+    * binary single-score special case): per given class j, the class
+    * threshold t_j is the floor-mean model score of examples CARRYING
+    * label j; an example is suspected mislabeled when its score clears
+    * the OTHER class's threshold —
+    *   y = 0 suspected when p_s ≥ t₁ (scores like a typical positive),
+    *   y = 1 suspected when p_s ≤ t₀ (scores like a typical negative).
+    * The counts are the off-diagonal of CL's confident joint — the
+    * "how dirty are my labels" number that decides whether a relabel
+    * pass is worth buying before the next fit.
+    *
+    * All integer: floor-mean thresholds via the pmod-subtract ladder
+    * (scores are non-negative, but the ladder is the house idiom),
+    * comparisons and counts exact. The two 1-row thresholds attach by
+    * broadcast; one scan + one 4-key groupBy.
+    *
+    * @param scored (yCol ∈ {0,1}, scoreCol long fixed-point)
+    * @return (y, suspected, n_rows, thr_pos_s, thr_neg_s)
+    */
+  def labelNoiseCounts(scored: DataFrame, yCol: String,
+      scoreCol: String): DataFrame = {
+    val y = col(yCol).cast("long")
+    val p = col(scoreCol).cast("long")
+    val thr = scored.agg(
+        sum(when(y === 1, p)).as("sp1"), count(when(y === 1, 1)).as("n1"),
+        sum(when(y === 0, p)).as("sp0"), count(when(y === 0, 1)).as("n0"))
+      .select(
+        expr("(sp1 - pmod(sp1, n1)) div n1").as("thr_pos_s"),
+        expr("(sp0 - pmod(sp0, n0)) div n0").as("thr_neg_s"))
+    scored.select(y.as("y"), p.as("p"))
+      .crossJoin(broadcast(thr))
+      .select(col("y"),
+        // coalesce: with a one-class input the other threshold is null
+        // (no mean) — nothing can be suspected against it
+        coalesce((col("y") === 0 && col("p") >= col("thr_pos_s")) ||
+          (col("y") === 1 && col("p") <= col("thr_neg_s")), lit(false))
+          .as("suspected"),
+        col("thr_pos_s"), col("thr_neg_s"))
+      .groupBy("y", "suspected", "thr_pos_s", "thr_neg_s")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("y"), col("suspected"), col("n_rows"),
+        col("thr_pos_s"), col("thr_neg_s"))
+  }
+
   /** Fixed-point num/den ratio at 1e-6 scale; null on a zero
     * denominator. Operands are non-negative, so truncating integral
     * division IS floor division — exact and portable.

@@ -252,6 +252,14 @@ object GraphQueries {
       graft.graph.Truss.edges(
         coSupply(s, dir, 49.0).select(col("src"), col("dst")), k = 6)),
 
+    // two-sweep diameter lower bound on the >=49 co-supply graph:
+    // BFS from the min-id anchor, farthest node (ties → lowest id),
+    // BFS again — two waves instead of the all-pairs n; both argmaxes
+    // stay 1-row DataFrames in the plan, no collect
+    "q_graph_diameter" -> ((s, dir) =>
+      graft.graph.Bfs.twoSweepDiameter(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst")))),
+
     // degree assortativity: Pearson correlation of endpoint degrees
     // over the symmetric edge list — one number for "do hubs link to
     // hubs" (positive) vs "hubs serve leaves" (negative). Pure reuse:
@@ -640,6 +648,34 @@ object GraphQueries {
     // (12 rounds at sf0.01) — the truss fixpoint is unique, so extra
     // rounds are no-ops
     "q_graph_ktruss" -> ktrussOracle(k = 6, depth = 16),
+
+    // two chained capped recursive waves; the second's seed is the
+    // first's (hops DESC, node ASC) argmax row
+    "q_graph_diameter" ->
+      """WITH RECURSIVE sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |walk1(node, d) AS (
+        |  SELECT (SELECT min(src) FROM e), 0
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk1 w JOIN e ON e.src = w.node
+        |  WHERE w.d < 30),
+        |d1 AS (SELECT node, min(d) AS hops FROM walk1 GROUP BY 1),
+        |far1 AS (SELECT node, hops FROM d1 ORDER BY hops DESC, node ASC LIMIT 1),
+        |walk2(node, d) AS (
+        |  SELECT node, 0 FROM far1
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk2 w JOIN e ON e.src = w.node
+        |  WHERE w.d < 30),
+        |d2 AS (SELECT node, min(d) AS hops FROM walk2 GROUP BY 1),
+        |far2 AS (SELECT node, hops FROM d2 ORDER BY hops DESC, node ASC LIMIT 1)
+        |SELECT (SELECT min(src) FROM e) AS anchor,
+        |  f1.node AS far_node, CAST(f1.hops AS BIGINT) AS ecc_anchor,
+        |  f2.node AS far2_node, CAST(f2.hops AS BIGINT) AS diameter_lb
+        |FROM far1 f1 CROSS JOIN far2 f2""".stripMargin,
 
     // edge-degree pairs through the q_profile_corr sufficient-statistic
     // shape (HUGEINT sums, one fixed double expression at the end)

@@ -598,6 +598,15 @@ object RelationalQueries {
       graft.core.Profiler.functionalDependencies(
         Tables(s, dir, "orders"), fdCandidates)),
 
+    // Poisson-bootstrap 95% CI for the mean order total: 40
+    // deterministic hash-weighted resamples, rank-selected interval —
+    // the is-that-move-noise companion to the point profiler
+    "q_profile_bootstrap_ci" -> ((s, dir) =>
+      graft.sampling.Sampling.bootstrapMeanCi(
+        Tables(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("cents")),
+        "o_orderkey", "cents")),
+
     // Benford first-digit audit of order totals: per-digit observed
     // counts vs the log10(1+1/d) expectation, deviation in 1e-6 mass
     // units — the fabricated-data tripwire
@@ -1190,6 +1199,66 @@ object RelationalQueries {
         |  GROUP BY 1)
         |SELECT flag, n_rows, med2, mad4, trimmed_mean_x100
         |FROM m JOIN mad USING (flag) JOIN tr USING (flag)""".stripMargin,
+
+    // the same (rep, ha, hb) literals, Poisson CDF ladder, pmod-subtract
+    // floor means, and rank-window interval selection — every constant
+    // from the ONE Scala value the operator inlines
+    "q_profile_bootstrap_ci" -> {
+      val b = 40
+      val salt = 101
+      val P = graft.text.TextAnalysis.HashMod
+      val reps = 0 until b
+      val has = reps.map(i => graft.text.TextAnalysis.hashA(salt + i))
+      val hbs = reps.map(i => graft.text.TextAnalysis.hashB(salt + i))
+      val cdf = graft.sampling.Sampling.poissonCdf100k
+      val ladder = cdf.zipWithIndex
+        .map { case (t, i) => s"WHEN h < $t THEN $i" }
+        .mkString(" ") + s" ELSE ${cdf.size}"
+      s"""WITH v AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+         |  FROM orders),
+         |r AS (
+         |  SELECT CAST(unnest([${reps.mkString(", ")}]) AS BIGINT) AS rep,
+         |    unnest([${has.mkString(", ")}]) AS ha,
+         |    unnest([${hbs.mkString(", ")}]) AS hb),
+         |e0 AS (
+         |  SELECT r.rep, v.v,
+         |    ((v.k % $P) * r.ha + r.hb) % $P AS h0
+         |  FROM v CROSS JOIN r),
+         |e AS (SELECT rep, v, h0 * h0 % $P % 100000 AS h FROM e0),
+         |wt AS (SELECT rep, v, CASE $ladder END AS w FROM e),
+         |mn AS (
+         |  SELECT rep, CAST(sum(w * v) AS BIGINT) AS sv,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM wt GROUP BY 1 HAVING sum(w) > 0),
+         |mm AS (
+         |  SELECT rep,
+         |    CAST((sv * 100 - ((sv * 100 % sw + sw) % sw)) // sw AS BIGINT)
+         |      AS m
+         |  FROM mn),
+         |rk AS (
+         |  SELECT m, row_number() OVER (ORDER BY m, rep) AS rn,
+         |    count(*) OVER () AS cnt
+         |  FROM mm),
+         |lo AS (
+         |  SELECT m AS ci_lo_x100, CAST(cnt AS BIGINT) AS n_resamples
+         |  FROM rk WHERE rn = cnt * 25 // 1000 + 1),
+         |hi AS (SELECT m AS ci_hi_x100 FROM rk
+         |  WHERE rn = cnt - cnt * 25 // 1000),
+         |base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(v) AS BIGINT) AS sx
+         |  FROM v),
+         |bm AS (
+         |  SELECT n_rows,
+         |    CAST((sx * 100 - ((sx * 100 % n_rows + n_rows) % n_rows))
+         |      // n_rows AS BIGINT) AS mean_x100
+         |  FROM base)
+         |SELECT bm.n_rows, bm.mean_x100, lo.ci_lo_x100, hi.ci_hi_x100,
+         |  lo.n_resamples
+         |FROM bm CROSS JOIN lo CROSS JOIN hi""".stripMargin
+    },
 
     // one grouped subquery per candidate, UNION ALL'd — the relational
     // spelling of Profiler.functionalDependencies (greatest() guards the

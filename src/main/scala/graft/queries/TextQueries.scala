@@ -173,6 +173,13 @@ object TextQueries {
       graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
         textSweepThresholds)),
 
+    // confident-learning label-noise audit of the text head's corpus:
+    // examples whose score clears the OTHER class's mean threshold are
+    // suspected mislabeled — the off-diagonal counts of CL's confident
+    // joint, deciding whether a relabel pass is worth buying
+    "q_ml_label_noise" -> ((s, dir) =>
+      graft.ml.Evaluation.labelNoiseCounts(textScored(s, dir), "y", "p_s")),
+
     // pairwise Jensen–Shannon divergence between the languages' unigram
     // distributions: the bounded symmetric corpus-drift scale (KL is
     // infinite on any word one side lacks; the mixture midpoint never
@@ -1560,6 +1567,30 @@ object TextQueries {
          |      // ((p.a + p.b) * (t.n - p.a - p.b) * t.n_pos * (t.n - t.n_pos))
          |    ELSE 0 END AS BIGINT) AS chi2_s
          |FROM perdim p CROSS JOIN tot t""".stripMargin,
+
+    // floor-mean class thresholds via the pmod-subtract ladder, then
+    // one grouped pass over the scored chain
+    "q_ml_label_noise" ->
+      s"""WITH $textScoredSql,
+         |ag AS (
+         |  SELECT CAST(sum(CASE WHEN y = 1 THEN ps END) AS BIGINT) AS sp1,
+         |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN y = 0 THEN ps END) AS BIGINT) AS sp0,
+         |    CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS n0
+         |  FROM fp),
+         |thr AS (
+         |  SELECT
+         |    CAST((sp1 - ((sp1 % n1 + n1) % n1)) // n1 AS BIGINT)
+         |      AS thr_pos_s,
+         |    CAST((sp0 - ((sp0 % n0 + n0) % n0)) // n0 AS BIGINT)
+         |      AS thr_neg_s
+         |  FROM ag)
+         |SELECT f.y,
+         |  coalesce((f.y = 0 AND f.ps >= t.thr_pos_s)
+         |    OR (f.y = 1 AND f.ps <= t.thr_neg_s), false) AS suspected,
+         |  CAST(count(*) AS BIGINT) AS n_rows, t.thr_pos_s, t.thr_neg_s
+         |FROM fp f CROSS JOIN thr t
+         |GROUP BY 1, 2, 4, 5""".stripMargin,
 
     // same exact-integer log-ratio arguments, per-term floors, and the
     // pmod-subtract floor division on the (legitimately near-zero,

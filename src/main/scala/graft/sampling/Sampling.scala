@@ -426,4 +426,84 @@ object Sampling {
         Seq("shard"), "left")
       .withColumn("pos", col("pos") + coalesce(col("n_rows"), lit(0L)))
       .drop("n_rows")
+
+  /** Poisson(1) CDF ×1e5, the bootstrap weight ladder — ONE Scala value
+    * feeds the operator's CASE ladder and the oracle's. Buckets past
+    * the last threshold weight 7 (cumulative mass 0.999992).
+    */
+  val poissonCdf100k: Seq[Long] =
+    Seq(36788L, 73576L, 91970L, 98101L, 99634L, 99941L, 99992L)
+
+  private def poissonWeight(h: Column): Column =
+    poissonCdf100k.zipWithIndex
+      .foldRight(lit(poissonCdf100k.size.toLong)) { case ((thr, i), rest) =>
+        when(h < thr, i.toLong).otherwise(rest)
+      }
+
+  /** Poisson-bootstrap confidence interval for a column mean — the
+    * uncertainty companion to the point profiler ("the mean moved 2%;
+    * is that noise?"): `b` deterministic resamples, each row entering
+    * resample i with weight ~ Poisson(1) drawn from the salted key
+    * hash (the online-bootstrap trick: with-replacement resampling
+    * without a global shuffle or any randomness source — every engine
+    * and every partitioning reproduces the same resamples), then the
+    * 2.5%/97.5% order statistics of the `b` resample means.
+    *
+    * Exact arithmetic: weights are integer CASE-ladder lookups against
+    * the Poisson(1) CDF in 1e-5 buckets, resample means are pmod-
+    * subtract floor divisions ×100, and the interval is a rank
+    * selection over the `b` means (value at rank — tie-order
+    * independent). Resamples that draw no rows (probability e^{-n}·b —
+    * toy inputs only) are dropped and the rank indexes derive from the
+    * surviving count.
+    *
+    * Scale shape: one map-only ×`b` explode (b is a constant ~40) +
+    * one b-keyed partial-agged groupBy; the rank window runs over the
+    * `b`-row mean table. The corpus never sorts, never self-joins.
+    *
+    * @return one row (n_rows, mean_x100, ci_lo_x100, ci_hi_x100,
+    *         n_resamples)
+    */
+  def bootstrapMeanCi(df: DataFrame, keyCol: String, valueCol: String,
+      b: Int = 40, salt: Int = 101): DataFrame = {
+    require(b >= 4, s"need at least 4 resamples, got $b")
+    val reps = array((0 until b).map { i =>
+      struct(lit(i.toLong).as("rep"),
+        lit(TextAnalysis.hashA(salt + i)).as("ha"),
+        lit(TextAnalysis.hashB(salt + i)).as("hb"))
+    }: _*)
+    // mid-square mixing (the textFeat hash pattern) is load-bearing:
+    // the bare linear ((k·a+b) mod P) mod 1e5 steps by (a mod 1e5) on
+    // CONSECUTIVE keys, so a run of sequential ids can sit entirely
+    // inside the weight-0 band and silently empty a resample (found by
+    // the constant-column spec at n=200); squaring breaks the
+    // linearity. h0 < P ≈ 1e9 keeps h0² inside a long
+    val weighted = df
+      .select(col(keyCol).as("k"), col(valueCol).cast("long").as("v"))
+      .select(col("k"), col("v"), explode(reps).as("r"))
+      .select(col("r.rep").as("rep"), col("v"),
+        (((col("k") % P) * col("r.ha") + col("r.hb")) % P).as("h0"))
+      .select(col("rep"), col("v"),
+        poissonWeight((col("h0") * col("h0")) % P % 100000L).as("w"))
+    val means = weighted.groupBy("rep")
+      .agg(sum(col("w") * col("v")).as("sv"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("rep"),
+        expr("(sv * 100 - pmod(sv * 100, sw)) div sw").as("m"))
+    val ranked = means.select(col("m"),
+      row_number().over(Window.orderBy(col("m"), col("rep"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("cnt"))
+    val lo = ranked.where(col("rn") === expr("cnt * 25 div 1000 + 1"))
+      .select(col("m").as("ci_lo_x100"), col("cnt").as("n_resamples"))
+    val hi = ranked.where(col("rn") === expr("cnt - cnt * 25 div 1000"))
+      .select(col("m").as("ci_hi_x100"))
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sx"))
+      .select(col("n_rows"),
+        expr("(sx * 100 - pmod(sx * 100, n_rows)) div n_rows").as("mean_x100"))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n_rows"), col("mean_x100"), col("ci_lo_x100"),
+        col("ci_hi_x100"), col("n_resamples"))
+  }
 }

@@ -156,4 +156,27 @@ class BfsSpec extends SparkTestBase {
       arrivals(Seq((0L, 1L, -3L)), Seq(0L))
     }
   }
+
+  test("twoSweepDiameter: exact on a path, anchor component only") {
+    // path 3-4-5-6-7: anchor = 3 (min id), farthest 7 (ecc 4), sweep
+    // back from 7 → diameter 4 exactly (two-sweep is exact on trees)
+    val path = Seq((3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val got = Bfs.twoSweepDiameter(path.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 7L, 4L, 3L, 4L)))
+    // separate islet (1,2) with smaller ids: anchor moves there and the
+    // answer scopes to ITS component — the documented contract
+    val got2 = Bfs.twoSweepDiameter((path ++ Seq((1L, 2L))).toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got2 === ((1L, 2L, 1L, 1L, 1L)))
+  }
+
+  test("twoSweepDiameter: star graph diameter 2, ties to lowest id") {
+    val star = Seq((0L, 5L), (0L, 3L), (0L, 9L))
+    val got = Bfs.twoSweepDiameter(star.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // anchor 0 (hub): ecc 1, farthest = lowest-id leaf 3; from 3 the
+    // farthest is leaf 5 at 2 hops
+    assert(got === ((0L, 3L, 1L, 5L, 2L)))
+  }
 }

@@ -75,4 +75,37 @@ class EvaluationSpec extends SparkTestBase {
     assert(out.isNullAt(5), "0/0 precision must be null")
     assert(out.getLong(6) === 0L, "recall is 0, not null (positives exist)")
   }
+
+  test("labelNoiseCounts: cross-threshold examples flagged, thresholds exact") {
+    import spark.implicits._
+    // positives score {800k, 900k} → thr_pos 850000; negatives
+    // {100k, 200k, 840k} → thr_neg 380000. The 840k negative clears
+    // thr_pos? no (840k < 850k) → NOT suspected; add a 900k negative
+    val scored = Seq(
+      (1L, 1L, 800000L), (2L, 1L, 900000L),
+      (3L, 0L, 100000L), (4L, 0L, 200000L), (5L, 0L, 900000L),
+      (6L, 1L, 300000L)) // a positive scoring below thr_neg → suspected
+      .toDF("vec_id", "y", "p_s")
+    val got = graft.ml.Evaluation.labelNoiseCounts(scored, "y", "p_s")
+      .as[(Long, Boolean, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // thr_pos = floor((800k+900k+300k)/3) = 666666; thr_neg = 400000
+    assert(got.values.head._2 === 666666L)
+    assert(got.values.head._3 === 400000L)
+    assert(got((0L, true))._1 === 1L)   // the 900k negative
+    assert(got((0L, false))._1 === 2L)
+    assert(got((1L, true))._1 === 1L)   // the 300k positive (≤ 400k)
+    assert(got((1L, false))._1 === 2L)
+  }
+
+  test("labelNoiseCounts: one-class input suspects nothing") {
+    import spark.implicits._
+    val scored = Seq((1L, 1L, 500000L), (2L, 1L, 700000L))
+      .toDF("vec_id", "y", "p_s")
+    val got = graft.ml.Evaluation.labelNoiseCounts(scored, "y", "p_s")
+      .as[(Long, Boolean, Long, Option[Long], Option[Long])].collect()
+    assert(got.length === 1)
+    assert(got.head._1 === 1L && !got.head._2 && got.head._3 === 2L)
+    assert(got.head._5.isEmpty, "missing class threshold is null")
+  }
 }

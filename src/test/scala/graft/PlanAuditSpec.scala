@@ -419,7 +419,12 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // JS divergence builds its |slices|²-bounded pair table by an
       // inequality join of two |slices|-row aggregates — the bounded
       // broadcast attach shape
-      "q_text_js_divergence")
+      "q_text_js_divergence",
+      // the two-sweep diameter assembles its single output row from
+      // three 1-row frames; bootstrap-CI attaches its two 1-row rank
+      // selections; label-noise its 1-row threshold pair — all the
+      // bounded-aggregate attach
+      "q_graph_diameter", "q_profile_bootstrap_ci", "q_ml_label_noise")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -278,4 +278,29 @@ class SamplingSpec extends SparkTestBase {
     // xx: no target -> rate 0
     assert(plan("xx") === ((30L, 0L, 0L, 0L)))
   }
+
+  test("bootstrapMeanCi: constant column collapses to a point interval") {
+    import spark.implicits._
+    val df = (1L to 200L).map(k => (k, 700L)).toDF("k", "v")
+    val out = Sampling.bootstrapMeanCi(df, "k", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // every resample mean of a constant is the constant
+    assert(out === ((200L, 70000L, 70000L, 70000L, 40L)))
+  }
+
+  test("bootstrapMeanCi: interval brackets the mean and orders correctly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 500L).map(k => (k, 100L + rnd.nextInt(900))).toDF("k", "v")
+    val out = Sampling.bootstrapMeanCi(df, "k", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out._3 <= out._2 && out._2 <= out._4,
+      s"CI [${out._3}, ${out._4}] must bracket mean ${out._2}")
+    assert(out._4 - out._3 > 0, "nonzero spread on random data")
+    assert(out._5 === 40L)
+    // determinism: same inputs, same interval
+    val again = Sampling.bootstrapMeanCi(df.repartition(7), "k", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(again === out, "partitioning must not change the resamples")
+  }
 }
