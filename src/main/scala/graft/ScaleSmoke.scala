@@ -100,7 +100,18 @@ object ScaleSmoke {
     // phrase search rides for its corpus-side positional explode: the
     // broadcast term filter must keep the (query, doc, start) shuffle
     // proportional to query-term postings, not the corpus
-    "q_text_phrase_search")
+    "q_text_phrase_search",
+    // round-9 riders: the k-truss peel (per-round wedge enumeration is
+    // the quadratic risk; round count must track the cascade depth, not
+    // the graph), temporal reachability (per-round cost must track the
+    // frontier-adjacent contact volume; rounds are the foremost-path
+    // hop diameter), per-seed closeness (cost = |seeds| × wave — the
+    // seed bound is the contract), the entity-resolution composition
+    // (blocking window + banded verify + CC end-to-end), and the JS
+    // divergence (pair-expanded vocabulary joins must stay
+    // |slices|-bounded per word)
+    "q_graph_ktruss", "q_events_temporal_reach", "q_graph_closeness",
+    "q_pipeline_entities", "q_text_js_divergence")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 
@@ -146,12 +157,24 @@ object ScaleSmoke {
     }.reduce(_ unionAll _), "documents")
 
     // events: ts column is read as nanos-long (TESTDATA nanos timestamps)
-    // and written back unchanged, so the sf1 table reads the same way
+    // and written back unchanged, so the sf1 table reads the same way.
+    // Each replica also shifts into its OWN time range (1h gap): with
+    // shared hours, replicated users would co-occur ACROSS replicas and
+    // the co-occurrence contact volume would grow quadratically in the
+    // replica count — a data-density artifact, not an engine cost (the
+    // same reason document text is perturbed per replica)
     val events = read("events")
     val eSpan = span(events, "event_id")
     val uSpan = span(events, "user_id")
+    // raw parquet ts is TIMESTAMP_NTZ (Tables.events normalizes, this
+    // reads raw) — NTZ has no direct long cast, route via timestamp
+    val tSec = col("ts").cast("timestamp").cast("long")
+    val tSpanSec = events.agg((max(tSec) - min(tSec)).as("s"))
+      .first().getLong(0) + 3600L
     write((0 until replicas).map(k =>
-        shifted(shifted(events, "event_id", k, eSpan), "user_id", k, uSpan))
+        shifted(shifted(events, "event_id", k, eSpan), "user_id", k, uSpan)
+          .withColumn("ts",
+            col("ts") + expr(s"make_interval(0,0,0,0,0,0,${k * tSpanSec})")))
       .reduce(_ unionAll _), "events")
 
     val emb = read("embeddings")
@@ -170,7 +193,9 @@ object ScaleSmoke {
     // different base (or replica count) must regenerate, not silently
     // compare against a dataset derived from some other base
     val replicas = 10
-    val stamp = s"base=$base replicas=$replicas"
+    // gen=2: per-replica event-time shift (round 9) — a stamp mismatch
+    // forces regeneration so old datasets never silently compare
+    val stamp = s"base=$base replicas=$replicas gen=2"
     val marker = new java.io.File(s"$out/_GENERATED")
     val fresh = !marker.exists() ||
       new String(java.nio.file.Files.readAllBytes(marker.toPath),

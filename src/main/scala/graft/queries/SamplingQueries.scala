@@ -106,6 +106,17 @@ object SamplingQueries {
         mixtureTargets, budgetTokens = 500000L)
     }),
 
+    // Neyman minimum-variance allocation of a 10k inspection budget
+    // across return-flag strata: big AND noisy strata draw more; the
+    // N_h·S_h weight stays integer as floor(sqrt(N·Σx² − (Σx)²))
+    "q_sample_neyman" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Sampling.neymanAllocation(
+        Tables(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") * 100.0).cast("long").as("qty_c")),
+        "flag", "qty_c", budget = 10000L)
+    }),
+
     // sequence packing: whitespace token counts, 512-token budget,
     // 8 deterministic shards (salt 5)
     "q_pack_sequences" -> ((s, dir) => {
@@ -227,6 +238,30 @@ object SamplingQueries {
     Seq("en" -> 500L, "de" -> 200L, "fr" -> 150L, "es" -> 100L, "zh" -> 50L)
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT sufficient statistics, one IEEE sqrt on the same
+    // decimal→double input, floor-div allocation with the size clamp
+    "q_sample_neyman" ->
+      """WITH x AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_quantity * 100.0) AS BIGINT) AS v
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(v AS HUGEINT)) AS sx,
+        |    sum(CAST(v * v AS HUGEINT)) AS sxx
+        |  FROM x GROUP BY 1),
+        |w AS (
+        |  SELECT flag, n_rows,
+        |    CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx
+        |      AS DOUBLE))) AS BIGINT) AS w
+        |  FROM per),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+        |SELECT w.flag, w.n_rows, w.w,
+        |  CAST(CASE WHEN t.tw > 0
+        |    THEN least(w.n_rows, (10000 * w.w) // t.tw)
+        |    ELSE 0 END AS BIGINT) AS alloc
+        |FROM w CROSS JOIN tw t""".stripMargin,
+
     "q_sample_mixture_plan" -> {
       val cases = mixtureTargets
         .map { case (g, s) => s"WHEN lang = '$g' THEN CAST($s AS BIGINT)" }

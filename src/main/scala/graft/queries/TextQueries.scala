@@ -105,6 +105,9 @@ object TextQueries {
   /** ONE Scala value feeds the conformal face and its oracle. */
   private val conformalAlphas: Seq[Long] = Seq(50000L, 100000L, 200000L)
 
+  /** ONE Scala value feeds the stump face and its oracle. */
+  private val stumpThresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L)
+
   def clearCache(): Unit = {
     bpeCache.clear()
     textHeadCache.clear()
@@ -172,6 +175,19 @@ object TextQueries {
     "q_ml_text_sweep" -> ((s, dir) =>
       graft.ml.Evaluation.thresholdSweep(textScored(s, dir), "y", "p_s",
         textSweepThresholds)),
+
+    // exact decision stump over the hashed features: which ONE (dim,
+    // count-cut) separates en/non-en best under the fixed-point purity
+    // score — the interpretable one-split baseline and boosting's weak
+    // learner; absent features are right-side by construction, so the
+    // dense matrix never materializes
+    "q_ml_stump" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ml.Stump.fit(
+        graft.ml.Features.hashedFeaturesSparse(docs, TextFeatDims),
+        docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y")),
+        stumpThresholds)
+    }),
 
     // confident-learning label-noise audit of the text head's corpus:
     // examples whose score clears the OTHER class's mean threshold are
@@ -1567,6 +1583,39 @@ object TextQueries {
          |      // ((p.a + p.b) * (t.n - p.a - p.b) * t.n_pos * (t.n - t.n_pos))
          |    ELSE 0 END AS BIGINT) AS chi2_s
          |FROM perdim p CROSS JOIN tot t""".stripMargin,
+
+    // same left-count grouping, purity arithmetic, and (score DESC,
+    // dim ASC, thr ASC) argmax
+    "q_ml_stump" ->
+      s"""WITH sfeat AS ($textFeatSql),
+         |lab AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n1 FROM lab),
+         |th AS (SELECT CAST(unnest([${stumpThresholds.mkString(", ")}])
+         |  AS BIGINT) AS thr),
+         |lft AS (
+         |  SELECT f.dim, t.thr, CAST(count(*) AS BIGINT) AS nl,
+         |    CAST(sum(l.y) AS BIGINT) AS nl1
+         |  FROM sfeat f JOIN lab l USING (doc_id) CROSS JOIN th t
+         |  WHERE f.c >= t.thr GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT l.dim, l.thr, l.nl, (t.n - l.nl) AS nr,
+         |    (l.nl1 * l.nl1 + (l.nl - l.nl1) * (l.nl - l.nl1)) * 1000000
+         |      // l.nl
+         |    + CASE WHEN t.n - l.nl > 0 THEN
+         |        ((t.n1 - l.nl1) * (t.n1 - l.nl1)
+         |          + ((t.n - l.nl) - (t.n1 - l.nl1))
+         |            * ((t.n - l.nl) - (t.n1 - l.nl1))) * 1000000
+         |        // (t.n - l.nl)
+         |      ELSE 0 END AS score_s
+         |  FROM lft l CROSS JOIN tot t)
+         |SELECT dim, thr, CAST(score_s AS BIGINT) AS score_s,
+         |  nl AS n_left, CAST(nr AS BIGINT) AS n_right
+         |FROM sc ORDER BY score_s DESC, dim ASC, thr ASC LIMIT 1""".stripMargin,
 
     // floor-mean class thresholds via the pmod-subtract ladder, then
     // one grouped pass over the scored chain

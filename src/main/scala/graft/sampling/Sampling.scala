@@ -427,6 +427,51 @@ object Sampling {
       .withColumn("pos", col("pos") + coalesce(col("n_rows"), lit(0L)))
       .drop("n_rows")
 
+  /** Neyman-optimal stratified sample allocation — "given a labeling /
+    * inspection budget, how many rows from each stratum": minimum-
+    * variance allocation puts budget where strata are BIG and NOISY,
+    *   n_h ∝ N_h·S_h,
+    * and the integer form is exact up to one final floor: the weight
+    *   w_h = floor(√(N_h·Σx² − (Σx)²))
+    * IS N_h·S_h up to the floor (population variance cross-multiplied
+    * by N_h² under the root), so no per-stratum mean or stddev double
+    * ever materializes. Allocations floor-divide against the weight
+    * total and clamp to the stratum size (a stratum can't give more
+    * rows than it has — the mixturePlan clamp); the unallocated floor
+    * remainder is reported, never silently redistributed.
+    *
+    * Sufficient statistics accumulate as DECIMAL(38,0) (the
+    * correlationMatrix convention — long sums of squares overflow
+    * first); the one √ is IEEE-exact on both engines for the same
+    * decimal→double input, the corr-face contract.
+    *
+    * Scale shape: ONE partial-aggregated groupBy on the stratum key +
+    * a 1-row weight-total broadcast. Constant-variance strata weight by
+    * pure size; zero-variance strata draw nothing (S_h = 0 — Neyman's
+    * actual optimum: a constant stratum needs one row, which the
+    * caller's minimum, not the allocator, should enforce).
+    *
+    * @return (group, n_rows, w, alloc) — w = floor(N_h·S_h)
+    */
+  def neymanAllocation(df: DataFrame, groupCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val v = col(valueCol).cast("long")
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(v.cast("decimal(38,0)")).as("sx"),
+        sum((v * v).cast("decimal(38,0)")).as("sxx"))
+      .select(col(groupCol), col("n_rows"),
+        floor(sqrt((col("n_rows").cast("decimal(38,0)") * col("sxx") -
+          col("sx") * col("sx")).cast("double"))).cast("long").as("w"))
+    val tot = per.agg(sum(col("w")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_rows"), col("w"),
+        when(col("tw") > 0,
+          least(col("n_rows"), expr(s"($budget * w) div tw")))
+          .otherwise(0L).as("alloc"))
+  }
+
   /** Poisson(1) CDF ×1e5, the bootstrap weight ladder — ONE Scala value
     * feeds the operator's CASE ladder and the oracle's. Buckets past
     * the last threshold weight 7 (cumulative mass 0.999992).

@@ -424,7 +424,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // three 1-row frames; bootstrap-CI attaches its two 1-row rank
       // selections; label-noise its 1-row threshold pair — all the
       // bounded-aggregate attach
-      "q_graph_diameter", "q_profile_bootstrap_ci", "q_ml_label_noise")
+      "q_graph_diameter", "q_profile_bootstrap_ci", "q_ml_label_noise",
+      // the stump attaches its 1-row class totals; Neyman its 1-row
+      // weight total — the same bounded-aggregate shape
+      "q_ml_stump", "q_sample_neyman")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

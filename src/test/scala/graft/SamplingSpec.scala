@@ -303,4 +303,41 @@ class SamplingSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(again === out, "partitioning must not change the resamples")
   }
+
+  test("neymanAllocation: noisy strata draw budget, constant strata none") {
+    import spark.implicits._
+    // stratum a: constant (variance 0); stratum b: spread
+    val df = (Seq.fill(100)(("a", 50L)) ++
+      (1L to 100L).map(i => ("b", i * 10)))
+      .toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", budget = 60L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((100L, 0L, 0L)), "zero variance → zero weight")
+    // b takes the whole budget, clamped at its size (60 < 100)
+    assert(got("b")._1 === 100L)
+    assert(got("b")._3 === 60L)
+    // weight replay: w = floor(sqrt(N·Σx² − (Σx)²))
+    val xs = (1L to 100L).map(_ * 10)
+    val w = math.floor(math.sqrt(
+      (100.0 * xs.map(x => x * x).sum - math.pow(xs.sum.toDouble, 2)))).toLong
+    assert(got("b")._2 === w)
+  }
+
+  test("neymanAllocation: equal-variance strata split by size; clamp bites") {
+    import spark.implicits._
+    // same value multiset, stratum c has 3x the rows of d
+    val base = Seq(1L, 5L, 9L)
+    val df = ((1 to 3).flatMap(r => base.map(v => ("c", v + 0L))) ++
+      base.map(v => ("d", v)))
+      .toDF("g", "v")
+    val got = Sampling.neymanAllocation(df, "g", "v", budget = 8L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // w ∝ sqrt(N²·Var) = N·S: c's weight ≈ 3× d's (same per-row S)
+    assert(got("c")._2 > 2 * got("d")._2 && got("c")._2 < 4 * got("d")._2)
+    // d's fair share is 2 = min(budget·w_d/Σw, 3)
+    assert(got("d")._3 <= 3L)
+    assert(got("c")._3 + got("d")._3 <= 8L, "floors never over-allocate")
+  }
 }
