@@ -295,6 +295,57 @@ object Profiler {
     }.reduce(_.unionAll(_))
   }
 
+  /** Gini concentration coefficient of per-group mass — the one-number
+    * skew summary ("how unequal are the shards/users/domains"): 0 =
+    * perfectly even, →1 = one group holds everything. Exact integer
+    * form over the rank-ordered group masses x₁ ≤ … ≤ x_n,
+    *   gini_s = (2·Σ i·x_i − (n+1)·Σx) · 1e6  div  (n·Σx),
+    * emitted with the counts so the reader can judge significance.
+    *
+    * Scale shape: one partial-aggregated groupBy to the per-group mass
+    * table, then the rank window over GROUPS (the profiler contract:
+    * group cardinality is the bounded dimension — users, shards,
+    * languages; for unbounded keys profile a bucketed rollup first).
+    * Headroom: 2·n·max-rank·x needs n·Σx < ~4.6e18.
+    *
+    * @return one row (n_groups, total, gini_s)
+    */
+  def giniOfGroups(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("x"))
+    sizes.select(col("x"),
+        row_number().over(Window.orderBy(col("x"), col(groupCol)))
+          .cast("long").as("i"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n_groups"), col("total"),
+        expr("""((2 * ix - (n_groups + 1) * total) * 1000000L)
+                div (n_groups * total)""").as("gini_s"))
+  }
+
+  /** Shannon entropy of a categorical column, floor-scaled 1e-6 nats —
+    * the diversity dual of [[giniOfGroups]] (how many effective
+    * categories): H = −Σ p_c ln p_c with every log taking EXACT-INTEGER
+    * ratio arguments (c/N), floored per term before the weighted sum
+    * (the perplexityScore contract), one final pmod-subtract floor
+    * division. exp(H) is the effective category count.
+    *
+    * @return one row (n_categories, n_rows, entropy_s)
+    */
+  def entropyOf(df: DataFrame, colName: String): DataFrame = {
+    val counts = df.where(col(colName).isNotNull)
+      .groupBy(col(colName)).agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum(col("c")).as("n"))
+    counts.crossJoin(broadcast(n))
+      .select(col("c"), col("n"),
+        (col("c") * floor(log(col("c").cast("double") / col("n").cast("double"))
+          * 1e6).cast("long")).as("t"))
+      .agg(count(lit(1)).as("n_categories"), max(col("n")).as("n_rows"),
+        sum(col("t")).as("st"))
+      .select(col("n_categories"), col("n_rows"),
+        (-expr("(st - pmod(st, n_rows)) div n_rows")).as("entropy_s"))
+  }
+
   /** Expected Benford first-digit masses, floor-scaled 1e-6 — ONE Scala
     * value feeds the operator and the oracle's literal list.
     */

@@ -598,6 +598,18 @@ object RelationalQueries {
       graft.core.Profiler.functionalDependencies(
         Tables(s, dir, "orders"), fdCandidates)),
 
+    // Gini concentration of per-user event mass: the one-number skew
+    // summary (0 even → 1 concentrated), exact integers over the
+    // rank-ordered group masses
+    "q_profile_gini" -> ((s, dir) =>
+      graft.core.Profiler.giniOfGroups(Tables.events(s, dir), "user_id")),
+
+    // Shannon entropy of the language column, 1e-6 nats: the diversity
+    // dual (exp(H) = effective language count), per-term floored logs
+    // on exact-integer ratios
+    "q_profile_entropy" -> ((s, dir) =>
+      graft.core.Profiler.entropyOf(Tables(s, dir, "documents"), "lang")),
+
     // Poisson-bootstrap 95% CI for the mean order total: 40
     // deterministic hash-weighted resamples, rank-selected interval —
     // the is-that-move-noise companion to the point profiler
@@ -1199,6 +1211,48 @@ object RelationalQueries {
         |  GROUP BY 1)
         |SELECT flag, n_rows, med2, mad4, trimmed_mean_x100
         |FROM m JOIN mad USING (flag) JOIN tr USING (flag)""".stripMargin,
+
+    // ascending rank over group masses; numerator non-negative by the
+    // Chebyshev sum inequality so // matches div
+    "q_profile_gini" ->
+      """WITH sizes AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |rk AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, user_id)
+        |    AS BIGINT) AS i
+        |  FROM sizes),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(i * x) AS BIGINT) AS ix
+        |  FROM rk)
+        |SELECT n_groups, total,
+        |  CAST(((2 * ix - (n_groups + 1) * total) * 1000000)
+        |    // (n_groups * total) AS BIGINT) AS gini_s
+        |FROM ag""".stripMargin,
+
+    // per-category floored logs on exact c/N ratios, pmod-subtract
+    // final division (the term sum is negative)
+    "q_profile_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |t AS (
+        |  SELECT c.c, n.n,
+        |    c.c * CAST(floor(ln(CAST(c.c AS DOUBLE) / n.n) * 1e6)
+        |      AS BIGINT) AS t
+        |  FROM c CROSS JOIN n),
+        |ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_categories,
+        |    CAST(max(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(t) AS BIGINT) AS st
+        |  FROM t)
+        |SELECT n_categories, n_rows,
+        |  CAST(-((st - ((st % n_rows + n_rows) % n_rows)) // n_rows)
+        |    AS BIGINT) AS entropy_s
+        |FROM ag""".stripMargin,
 
     // the same (rep, ha, hb) literals, Poisson CDF ladder, pmod-subtract
     // floor means, and rank-window interval selection — every constant

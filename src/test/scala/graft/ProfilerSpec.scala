@@ -158,6 +158,43 @@ class ProfilerSpec extends SparkTestBase {
     assert((got._3, got._4, got._5) === ((3L, 1L, false)))
   }
 
+  test("giniOfGroups: even mass 0-ish, concentrated mass near 1") {
+    import spark.implicits._
+    // perfectly even: 4 groups × 5 rows → gini exactly 0
+    val even = (0 until 20).map(i => Tuple1(s"g${i % 4}")).toDF("g")
+    val e = Profiler.giniOfGroups(even, "g")
+      .as[(Long, Long, Long)].collect().head
+    assert(e === ((4L, 20L, 0L)))
+    // one group holds 97 of 100 rows: gini = hand formula
+    val skew = (Seq.fill(97)("big") ++ Seq("a", "b", "c")).map(Tuple1(_))
+      .toDF("g")
+    val s = Profiler.giniOfGroups(skew, "g").as[(Long, Long, Long)]
+      .collect().head
+    // sorted x = (1,1,1,97), Σix = 1+2+3+4·97 = 394, n=4, Σx=100
+    // gini = (788 − 500)·1e6 / 400 = 720000
+    assert(s === ((4L, 100L, 720000L)))
+  }
+
+  test("entropyOf: uniform = ln k, single category = 0, nulls excluded") {
+    import spark.implicits._
+    val uni = (0 until 30).map(i => Tuple1(s"c${i % 3}")).toDF("v")
+    val u = Profiler.entropyOf(uni, "v").as[(Long, Long, Long)]
+      .collect().head
+    // per-category term: 10·floor(ln(1/3)·1e6) = 10·(−1098613)
+    // H_s = −floor(−10986130/30) = 1098613 — exactly floor(ln 3 ·1e6)+1?
+    // replay the operator's own arithmetic:
+    val t = 10L * math.floor(math.log(10.0 / 30.0) * 1e6).toLong * 3
+    val h = -Math.floorDiv(t, 30L)
+    assert(u === ((3L, 30L, h)))
+    val single = (0 until 9).map(_ => Tuple1("x")).toDF("v")
+    assert(Profiler.entropyOf(single, "v").as[(Long, Long, Long)]
+      .collect().head === ((1L, 9L, 0L)))
+    val withNulls = (Seq("a", "a", null, "b")).map(Tuple1(_)).toDF("v")
+    val w = Profiler.entropyOf(withNulls, "v").as[(Long, Long, Long)]
+      .collect().head
+    assert(w._1 === 2L && w._2 === 3L, "null rows excluded from N")
+  }
+
   test("benford: digit extraction, full domain, exact deviations") {
     import spark.implicits._
     // 10 values ≥ 1: leading digits 1×5, 2×3, 9×2; plus excluded 0.5, 0
