@@ -214,6 +214,39 @@ object DedupQueries {
       Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
     }),
 
+    // the incremental-maintenance face of entity resolution: docs ≥ 400
+    // arrive as today's drop. Yesterday's labels come from CC over the
+    // old-old match edges only; today the verifier runs ONLY on
+    // candidate pairs touching a new doc (the winnow_inc pattern — the
+    // quadratic verify work tracks the drop, not the corpus), and
+    // component contraction absorbs them. Old-only ∪ new-touching = ALL
+    // edges, so the result must equal the from-scratch labelling —
+    // it SHARES q_pipeline_entities' oracle verbatim (the cc_inc trade)
+    "q_pipeline_entities_inc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cands = Dedup.sortedNeighborhoodCandidates(docs, window = 10)
+      def edges(c: DataFrame) =
+        Dedup.editDistanceVerify(docs, c, prefixLen = 120)
+          .where(col("sim_s") >= 500000L)
+          .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val oldEdges = edges(
+        cands.where(col("doc_id_a") < 400 && col("doc_id_b") < 400))
+      val newEdges = edges(
+        cands.where(col("doc_id_a") >= 400 || col("doc_id_b") >= 400))
+      val labelsOld = graft.graph.ConnectedComponents.largeStarSmallStar(
+        oldEdges, nodes = Some(Tables(s, dir, "documents")
+          .where(col("doc_id") < 400).select(col("doc_id").as("node"))))
+      val merged = graft.graph.ConnectedComponents.addEdges(labelsOld, newEdges)
+      val ent = docs.select(col("doc_id"))
+        .join(merged.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("entity_id"))
+      val sizes = ent.groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+      ent.join(sizes, "entity_id")
+        .select(col("doc_id"), col("entity_id"), col("n_members"))
+    }),
+
     // entity resolution end-to-end: sorted-neighborhood blocking →
     // banded edit-distance verify → ≥50%-similarity match edges →
     // exact connected components (singletons self-label) → per-entity
@@ -553,45 +586,13 @@ object DedupQueries {
        |  d.doc_id = coalesce(c.group_id, d.doc_id) AS is_canonical
        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q_dedup_exact" -> exactDedupSql,
-
-    // row_number is fine in the ORACLE (DuckDB, small SF); the engine
-    // face uses the range-partitioned zipWithRowId instead
-    "q_dedup_sorted_neighborhood" ->
-      """WITH keyed AS (
-        |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY snk, doc_id) AS BIGINT) AS rank
-        |  FROM keyed),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        |  FROM ranked a JOIN ranked b
-        |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 10),
-        |t AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents),
-        |d AS (
-        |  SELECT c.doc_id_a, c.doc_id_b,
-        |    CASE WHEN levenshtein(ta.p, tb.p) <= 30
-        |      THEN CAST(levenshtein(ta.p, tb.p) AS BIGINT)
-        |      ELSE CAST(-1 AS BIGINT) END AS edit_dist,
-        |    CAST(greatest(length(ta.p), length(tb.p), 1) AS BIGINT) AS max_len
-        |  FROM cand c
-        |  JOIN t ta ON ta.doc_id = c.doc_id_a
-        |  JOIN t tb ON tb.doc_id = c.doc_id_b)
-        |SELECT doc_id_a, doc_id_b, edit_dist, max_len,
-        |  CASE WHEN edit_dist >= 0
-        |    THEN CAST(floor((1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE))
-        |      * 1000000.0) AS BIGINT)
-        |    ELSE CAST(-1 AS BIGINT) END AS sim_s
-        |FROM d""".stripMargin,
-
-    // the sorted-neighborhood verify chain filtered at ≥50% similarity,
-    // then the transitive-closure least-label fixpoint (the q_graph_cc
-    // oracle pattern) with LEFT-join singleton fill
-    "q_pipeline_entities" ->
-      """WITH RECURSIVE keyed AS (
+  /** Shared oracle of the entity-resolution pair: the verify chain at
+    * >=50% similarity into the transitive-closure least-label fixpoint
+    * with LEFT-join singleton fill; the incremental face must land on
+    * the same labelling.
+    */
+  private lazy val entitiesOracleSql: String =
+    """WITH RECURSIVE keyed AS (
         |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
         |  FROM documents),
         |ranked AS (
@@ -633,7 +634,50 @@ object DedupQueries {
         |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
         |  FROM ent GROUP BY 1)
         |SELECT e.doc_id, e.entity_id, s.n_members
-        |FROM ent e JOIN sizes s USING (entity_id)""".stripMargin,
+        |FROM ent e JOIN sizes s USING (entity_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> exactDedupSql,
+
+    // row_number is fine in the ORACLE (DuckDB, small SF); the engine
+    // face uses the range-partitioned zipWithRowId instead
+    "q_dedup_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY snk, doc_id) AS BIGINT) AS rank
+        |  FROM keyed),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 10),
+        |t AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents),
+        |d AS (
+        |  SELECT c.doc_id_a, c.doc_id_b,
+        |    CASE WHEN levenshtein(ta.p, tb.p) <= 30
+        |      THEN CAST(levenshtein(ta.p, tb.p) AS BIGINT)
+        |      ELSE CAST(-1 AS BIGINT) END AS edit_dist,
+        |    CAST(greatest(length(ta.p), length(tb.p), 1) AS BIGINT) AS max_len
+        |  FROM cand c
+        |  JOIN t ta ON ta.doc_id = c.doc_id_a
+        |  JOIN t tb ON tb.doc_id = c.doc_id_b)
+        |SELECT doc_id_a, doc_id_b, edit_dist, max_len,
+        |  CASE WHEN edit_dist >= 0
+        |    THEN CAST(floor((1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS sim_s
+        |FROM d""".stripMargin,
+
+    // the sorted-neighborhood verify chain filtered at ≥50% similarity,
+    // then the transitive-closure least-label fixpoint (the q_graph_cc
+    // oracle pattern) with LEFT-join singleton fill. The incremental
+    // face must land on the same labelling, so both keys share this
+    // oracle (the cc/cc_inc convention)
+    "q_pipeline_entities" -> entitiesOracleSql,
+    "q_pipeline_entities_inc" -> entitiesOracleSql,
+
 
     "q_pipeline_curation" -> {
       val a = TextAnalysis.hashA(11)
