@@ -214,6 +214,36 @@ object DedupQueries {
       Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
     }),
 
+    // survivorship: one golden record per resolved entity — longest-text
+    // representative (tie → lowest doc_id) and modal language (tie →
+    // lexicographically first), the field-merge step every MDM/dedup
+    // pipeline runs after clustering. Deterministic argmaxes as
+    // max/min-struct aggregates — no per-entity sort of the corpus
+    "q_pipeline_golden_record" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val edges = Dedup.editDistanceVerify(docs,
+          Dedup.sortedNeighborhoodCandidates(docs, window = 10),
+          prefixLen = 120)
+        .where(col("sim_s") >= 500000L)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val ent = graft.graph.ConnectedComponents.largeStarSmallStar(
+          edges, nodes = Some(docs.select(col("doc_id").as("node"))))
+        .select(col("node").as("doc_id"), col("component").as("entity_id"))
+      val joined = docs.join(ent, "doc_id")
+      val base = joined.groupBy("entity_id").agg(
+          count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("entity_id"), col("n_members"),
+          (-col("m.nd")).as("rep_doc"), col("m.n_chars").as("max_chars"))
+      val modal = joined.groupBy("entity_id", "lang")
+        .agg(count(lit(1)).as("ln"))
+        .groupBy("entity_id")
+        .agg(min(struct((-col("ln")).as("nn"), col("lang"))).as("lm"))
+        .select(col("entity_id"), col("lm.lang").as("modal_lang"),
+          (-col("lm.nn")).as("modal_lang_n"))
+      base.join(modal, "entity_id")
+    }),
+
     // the incremental-maintenance face of entity resolution: docs ≥ 400
     // arrive as today's drop. Yesterday's labels come from CC over the
     // old-old match edges only; today the verifier runs ONLY on
@@ -591,7 +621,7 @@ object DedupQueries {
     * with LEFT-join singleton fill; the incremental face must land on
     * the same labelling.
     */
-  private lazy val entitiesOracleSql: String =
+  private lazy val entitiesChainSql: String =
     """WITH RECURSIVE keyed AS (
         |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
         |  FROM documents),
@@ -632,9 +662,12 @@ object DedupQueries {
         |  FROM documents LEFT JOIN comp c ON c.node = doc_id),
         |sizes AS (
         |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
-        |  FROM ent GROUP BY 1)
-        |SELECT e.doc_id, e.entity_id, s.n_members
-        |FROM ent e JOIN sizes s USING (entity_id)""".stripMargin
+        |  FROM ent GROUP BY 1)""".stripMargin
+
+  private lazy val entitiesOracleSql: String =
+    s"""$entitiesChainSql
+       |SELECT e.doc_id, e.entity_id, s.n_members
+       |FROM ent e JOIN sizes s USING (entity_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactDedupSql,
@@ -677,6 +710,40 @@ object DedupQueries {
     // oracle (the cc/cc_inc convention)
     "q_pipeline_entities" -> entitiesOracleSql,
     "q_pipeline_entities_inc" -> entitiesOracleSql,
+
+    // the shared entity chain + per-entity survivorship argmaxes
+    // (n_chars DESC, doc_id ASC / count DESC, lang ASC — the
+    // max/min-struct tie-breaks spelled as window ranks)
+    "q_pipeline_golden_record" ->
+      s"""$entitiesChainSql,
+         |j AS (
+         |  SELECT e.entity_id, d.doc_id, d.n_chars, d.lang
+         |  FROM ent e JOIN documents d USING (doc_id)),
+         |base AS (
+         |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(max(n_chars) AS BIGINT) AS max_chars
+         |  FROM j GROUP BY 1),
+         |rep AS (
+         |  SELECT entity_id, doc_id AS rep_doc FROM (
+         |    SELECT entity_id, doc_id,
+         |      row_number() OVER (PARTITION BY entity_id
+         |        ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM j)
+         |  WHERE rn = 1),
+         |lc AS (
+         |  SELECT entity_id, lang, CAST(count(*) AS BIGINT) AS ln
+         |  FROM j GROUP BY 1, 2),
+         |ml AS (
+         |  SELECT entity_id, lang AS modal_lang, ln AS modal_lang_n FROM (
+         |    SELECT entity_id, lang, ln,
+         |      row_number() OVER (PARTITION BY entity_id
+         |        ORDER BY ln DESC, lang ASC) AS rn
+         |    FROM lc)
+         |  WHERE rn = 1)
+         |SELECT b.entity_id, b.n_members, r.rep_doc, b.max_chars,
+         |  m.modal_lang, m.modal_lang_n
+         |FROM base b JOIN rep r USING (entity_id)
+         |JOIN ml m USING (entity_id)""".stripMargin,
 
 
     "q_pipeline_curation" -> {
