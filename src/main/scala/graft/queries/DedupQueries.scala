@@ -214,6 +214,29 @@ object DedupQueries {
       Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
     }),
 
+    // duplicate-aware sampling weights: every member of an entity
+    // cluster carries weight 1/|cluster| (exact ppm), so per-slice
+    // EFFECTIVE mass counts each entity once regardless of how many
+    // near-copies crawled in — the reweighting alternative to hard
+    // dedup (keeps all copies for robustness, un-biases the mixture)
+    "q_pipeline_dedup_weights" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val edges = Dedup.editDistanceVerify(docs,
+          Dedup.sortedNeighborhoodCandidates(docs, window = 10),
+          prefixLen = 120)
+        .where(col("sim_s") >= 500000L)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      val ent = graft.graph.ConnectedComponents.largeStarSmallStar(
+          edges, nodes = Some(docs.select(col("doc_id").as("node"))))
+        .select(col("node").as("doc_id"), col("component").as("entity_id"))
+      val sizes = ent.groupBy("entity_id").agg(count(lit(1)).as("n_members"))
+      docs.join(ent, "doc_id").join(sizes, "entity_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("entity_id")).as("n_entities"),
+          sum(expr("1000000L div n_members")).as("eff_mass_ppm"))
+    }),
+
     // survivorship: one golden record per resolved entity — longest-text
     // representative (tie → lowest doc_id) and modal language (tie →
     // lexicographically first), the field-merge step every MDM/dedup
@@ -710,6 +733,20 @@ object DedupQueries {
     // oracle (the cc/cc_inc convention)
     "q_pipeline_entities" -> entitiesOracleSql,
     "q_pipeline_entities_inc" -> entitiesOracleSql,
+
+    // the shared entity chain + 1/|cluster| ppm weights per slice.
+    // n_entities counts an entity under EVERY lang its members carry
+    // (both engines' count-distinct-per-group semantics)
+    "q_pipeline_dedup_weights" ->
+      s"""$entitiesChainSql,
+         |j AS (
+         |  SELECT d.lang, e.entity_id, s.n_members
+         |  FROM ent e JOIN documents d USING (doc_id)
+         |  JOIN sizes s USING (entity_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities,
+         |  CAST(sum(1000000 // n_members) AS BIGINT) AS eff_mass_ppm
+         |FROM j GROUP BY 1""".stripMargin,
 
     // the shared entity chain + per-entity survivorship argmaxes
     // (n_chars DESC, doc_id ASC / count DESC, lang ASC — the
