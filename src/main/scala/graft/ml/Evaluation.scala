@@ -124,6 +124,27 @@ object Evaluation {
         sum(col(scoreCol)).as("sum_score_s"))
   }
 
+  /** Expected calibration error — the one-number summary of the
+    * [[calibrationBins]] reliability diagram:
+    *   ECE = Σ_b (n_b/N)·|acc_b − conf_b|,
+    * computed WITHOUT any per-bin division: acc_b·n_b = n_pos_b and
+    * conf_b·n_b = sum_score_s/1e6 exactly, so the per-bin term is
+    * |n_pos_b·1e6 − Σscore_s| in integer 1e-6·rows units and the one
+    * floor division by N happens at the end. The number a soft-filter
+    * consumer reads before trusting scores as probabilities (the
+    * per-bin face shows WHERE it's off; this is HOW MUCH overall).
+    *
+    * @return one row (n_bins_nonempty, n_rows, ece_s)
+    */
+  def expectedCalibrationError(scored: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame =
+    calibrationBins(scored, labelCol, scoreCol, bins)
+      .agg(count(lit(1)).as("n_bins_nonempty"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(abs(col("n_pos") * lit(S) - col("sum_score_s"))).as("sa"))
+      .select(col("n_bins_nonempty"), col("n_rows"),
+        expr("sa div n_rows").as("ece_s"))
+
   /** The shared corpus reduction: (score, n, n_pos). */
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * labellings of the same rows (annotator vs annotator, heuristic

@@ -106,6 +106,12 @@ object EventQueries {
     "q_events_retention" -> ((s, dir) =>
       Events.cohortRetention(Tables.events(s, dir))),
 
+    // seasonal-naive backtest: predict each day's per-type total with
+    // the value 7 observed days back; exact integer MAE — the baseline
+    // any forecasting monitor must beat
+    "q_events_backtest_naive" -> ((s, dir) =>
+      Events.seasonalNaiveBacktest(Tables.events(s, dir))),
+
     // CUSUM change-point per event type: the day where the metric's
     // cumulative sum deviates most from the proportional ramp —
     // |C_d·n − T·d| in exact cross-multiplied integers, ties to the
@@ -330,6 +336,23 @@ object EventQueries {
         |  count(*) AS n_events
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // same daily sums, lag-7 window over the observed-day series
+    "q_events_backtest_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, s,
+        |    lag(s, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        |  FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(abs(s - pred)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(abs(s - pred)) // count(*) AS BIGINT) AS mae_cents
+        |FROM p WHERE pred IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // daily cent sums → running cumulative + observed-day rank →
     // cross-multiplied deviation, rank-1 row per type (stat DESC, day ASC)

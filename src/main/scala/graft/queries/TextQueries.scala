@@ -189,6 +189,13 @@ object TextQueries {
         stumpThresholds)
     }),
 
+    // expected calibration error of the text head: the one-number
+    // reliability summary (per-bin |n_pos·1e6 − Σscore| — no per-bin
+    // division, one floor division by N at the end)
+    "q_ml_ece" -> ((s, dir) =>
+      graft.ml.Evaluation.expectedCalibrationError(
+        textScored(s, dir), "y", "p_s")),
+
     // confident-learning label-noise audit of the text head's corpus:
     // examples whose score clears the OTHER class's mean threshold are
     // suspected mislabeled — the off-diagonal counts of CL's confident
@@ -1616,6 +1623,20 @@ object TextQueries {
          |SELECT dim, thr, CAST(score_s AS BIGINT) AS score_s,
          |  nl AS n_left, CAST(nr AS BIGINT) AS n_right
          |FROM sc ORDER BY score_s DESC, dim ASC, thr ASC LIMIT 1""".stripMargin,
+
+    // the calibration-bins expression + the integer per-bin terms
+    "q_ml_ece" ->
+      s"""WITH $textScoredSql,
+         |b AS (
+         |  SELECT least(ps // 100000, 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS np,
+         |    CAST(sum(ps) AS BIGINT) AS ss
+         |  FROM fp GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins_nonempty,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(abs(np * 1000000 - ss)) // sum(n) AS BIGINT) AS ece_s
+         |FROM b""".stripMargin,
 
     // floor-mean class thresholds via the pmod-subtract ladder, then
     // one grouped pass over the scored chain

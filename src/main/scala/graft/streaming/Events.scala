@@ -679,6 +679,39 @@ object Events {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Seasonal-naive backtest — the forecasting baseline every anomaly
+    * monitor must beat before it earns its keep: predict each day's
+    * per-type cent total with the value `lagDays` OBSERVED days back
+    * (one weekly season at the default 7; the lag runs over the
+    * observed-day series — calendar gaps compress, the standard
+    * dense-daily contract) and report the exact integer MAE. A model
+    * whose error isn't under this number is worse than "same as last
+    * week".
+    *
+    * Scale shape: one (type, day)-keyed partial-agged daily sum, a lag
+    * window over the day series per type, one |types|-row aggregate.
+    *
+    * @return (event_type, n_scored, sum_abs_err, mae_cents)
+    */
+  def seasonalNaiveBacktest(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lagDays > 0, s"lagDays must be positive, got $lagDays")
+    val tsl = col("ts").cast("long")
+    val daily = events.select(col("event_type"),
+        ((tsl - pmod(tsl, lit(86400L))) / 86400L).cast("long").as("day"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(sum(col("cents")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.select(col("event_type"), col("s"),
+        lag(col("s"), lagDays).over(w).as("pred"))
+      .where(col("pred").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("s") - col("pred"))).as("sum_abs_err"))
+      .select(col("event_type"), col("n_scored"), col("sum_abs_err"),
+        expr("sum_abs_err div n_scored").as("mae_cents"))
+  }
+
   /** CUSUM change-point detection per event type — "on which day did
     * this metric's level shift": the day whose cumulative-sum deviation
     * from the proportional ramp is largest,

@@ -76,6 +76,21 @@ class EvaluationSpec extends SparkTestBase {
     assert(out.getLong(6) === 0L, "recall is 0, not null (positives exist)")
   }
 
+  test("expectedCalibrationError: perfect calibration 0, hand miscalibration") {
+    import spark.implicits._
+    // bin 9 (scores 900k-1M): 4 rows, scores sum 3.8e6, 4 positives →
+    // perfectly... term = |4e6 − 3.8e6| = 2e5; bin 0: 2 rows score
+    // 50k each, 0 pos → term = |0 − 1e5| = 1e5. ECE = 3e5/6 = 50000
+    val scored = Seq(
+      (1L, 1L, 950000L), (2L, 1L, 950000L), (3L, 1L, 950000L),
+      (4L, 1L, 950000L), (5L, 0L, 50000L), (6L, 0L, 50000L))
+      .toDF("vec_id", "y", "p_s")
+    val got = graft.ml.Evaluation
+      .expectedCalibrationError(scored, "y", "p_s")
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((2L, 6L, 50000L)))
+  }
+
   test("labelNoiseCounts: cross-threshold examples flagged, thresholds exact") {
     import spark.implicits._
     // positives score {800k, 900k} → thr_pos 850000; negatives

@@ -116,6 +116,33 @@ class EventsAnalyticsSpec extends SparkTestBase {
     assert(ref(withOutlier)._2 <= ref(odd)._2 + 2)
   }
 
+  test("seasonalNaiveBacktest: perfect weekly pattern scores MAE 0") {
+    import spark.implicits._
+    // 21 days of a 7-day repeating value pattern: lag-7 predicts exactly
+    val rows = (0 until 21).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 10:00:00"),
+        "m", (d % 7 + 1) * 1.0)
+    }
+    val got = graft.streaming.Events.seasonalNaiveBacktest(
+        rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got === (("m", 14L, 0L, 0L)))
+  }
+
+  test("seasonalNaiveBacktest: constant level shift yields exact MAE") {
+    import spark.implicits._
+    // week 1 value 1.00, weeks 2-3 value 3.00: scored days 8..21;
+    // days 8-14 err |300−100|=200, days 15-21 err 0 → MAE 1400/14=100
+    val rows = (0 until 21).map { d =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 10:00:00"),
+        "m", if (d < 7) 1.0 else 3.0)
+    }
+    val got = graft.streaming.Events.seasonalNaiveBacktest(
+        rows.toDF("ts", "event_type", "value"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got === (("m", 14L, 1400L, 100L)))
+  }
+
   test("changePoints finds a planted level shift at the shift day") {
     import spark.implicits._
     // 10 days at value 1.00, then 10 days at 5.00: the CUSUM deviation
