@@ -15,6 +15,11 @@ object DedupQueries {
 
   private val P = TextAnalysis.HashMod
 
+  /** ONE Scala value feeds the single-link level faces and the oracle's
+    * per-level closures.
+    */
+  private val singleLinkLevels: Seq[Long] = Seq(300000L, 500000L, 950000L)
+
   // ---------- shared DuckDB fragments (must mirror TextAnalysis/Dedup) ----
   private def charHash(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -212,6 +217,35 @@ object DedupQueries {
       val docs = Tables(s, dir, "documents")
       val cands = Dedup.sortedNeighborhoodCandidates(docs, window = 10)
       Dedup.editDistanceVerify(docs, cands, prefixLen = 120)
+    }),
+
+    // single-link dendrogram levels: exact connected components of the
+    // verified match graph at a similarity-threshold ladder — the
+    // hierarchical view of entity resolution (how clusters merge as the
+    // bar drops; single-link clustering at level t IS CC over edges
+    // ≥ t). Per level: cluster count, biggest cluster, non-singletons.
+    // The fixture ladder demonstrates single-link's textbook chaining
+    // pathology: at 0.30 the boilerplate-similarity noise floor chains
+    // 497 of 500 docs into ONE cluster, while 0.50/0.95 resolve the
+    // true near-dup groups — the picture that justifies the 0.50 bar
+    // the flagship entities face uses
+    "q_dedup_single_link_levels" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val verified = Dedup.editDistanceVerify(docs,
+        Dedup.sortedNeighborhoodCandidates(docs, window = 10),
+        prefixLen = 120, maxDist = 90)
+      val nodes = docs.select(col("doc_id").as("node"))
+      singleLinkLevels.map { thr =>
+        val edges = verified.where(col("sim_s") >= thr)
+          .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        graft.graph.ConnectedComponents
+          .largeStarSmallStar(edges, nodes = Some(nodes))
+          .groupBy("component").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_clusters"), max(col("n")).as("max_cluster"),
+            coalesce(sum(when(col("n") > 1, 1L)), lit(0L)).as("n_nontrivial"))
+          .select(lit(thr).as("threshold_s"), col("n_clusters"),
+            col("max_cluster"), col("n_nontrivial"))
+      }.reduce(_ unionAll _)
     }),
 
     // duplicate-aware sampling weights: every member of an entity
@@ -733,6 +767,64 @@ object DedupQueries {
     // oracle (the cc/cc_inc convention)
     "q_pipeline_entities" -> entitiesOracleSql,
     "q_pipeline_entities_inc" -> entitiesOracleSql,
+
+    // one shared verify chain, one least-label closure PER level
+    // (suffixed CTE families), 3-row union — every constant from the
+    // SAME Scala level list
+    "q_dedup_single_link_levels" -> {
+      val levels = singleLinkLevels.zipWithIndex.map { case (thr, i) =>
+        s""",
+           |e$i AS (
+           |  SELECT doc_id_a AS src, doc_id_b AS dst FROM d
+           |  WHERE ed <= 90
+           |    AND floor((1.0 - CAST(ed AS DOUBLE) / CAST(ml AS DOUBLE))
+           |      * 1000000.0) >= $thr),
+           |es$i AS (
+           |  SELECT src, dst FROM e$i
+           |  UNION
+           |  SELECT dst, src FROM e$i),
+           |reach$i(a, b) AS (
+           |  SELECT src, dst FROM es$i
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach$i r JOIN es$i e ON r.b = e.src),
+           |comp$i AS (
+           |  SELECT a AS node, least(a, min(b)) AS component
+           |  FROM reach$i GROUP BY a),
+           |ent$i AS (
+           |  SELECT doc_id, coalesce(c.component, doc_id) AS entity_id
+           |  FROM documents LEFT JOIN comp$i c ON c.node = doc_id),
+           |sz$i AS (SELECT entity_id, count(*) AS n FROM ent$i GROUP BY 1),
+           |lvl$i AS (
+           |  SELECT CAST($thr AS BIGINT) AS threshold_s,
+           |    CAST(count(*) AS BIGINT) AS n_clusters,
+           |    CAST(max(n) AS BIGINT) AS max_cluster,
+           |    CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0) AS BIGINT)
+           |      AS n_nontrivial
+           |  FROM sz$i)""".stripMargin
+      }.mkString
+      val union = singleLinkLevels.indices
+        .map(i => s"SELECT * FROM lvl$i").mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE keyed AS (
+         |  SELECT doc_id, lower(trim(substring(text, 1, 40))) AS snk
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY snk, doc_id) AS BIGINT) AS rank
+         |  FROM keyed),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM ranked a JOIN ranked b
+         |    ON b.rank BETWEEN a.rank + 1 AND a.rank + 10),
+         |t AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents),
+         |d AS (
+         |  SELECT c.doc_id_a, c.doc_id_b,
+         |    levenshtein(ta.p, tb.p) AS ed,
+         |    greatest(length(ta.p), length(tb.p), 1) AS ml
+         |  FROM cand c
+         |  JOIN t ta ON ta.doc_id = c.doc_id_a
+         |  JOIN t tb ON tb.doc_id = c.doc_id_b)$levels
+         |$union""".stripMargin
+    },
 
     // the shared entity chain + 1/|cluster| ppm weights per slice.
     // n_entities counts an entity under EVERY lang its members carry

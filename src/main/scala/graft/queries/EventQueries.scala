@@ -106,6 +106,12 @@ object EventQueries {
     "q_events_retention" -> ((s, dir) =>
       Events.cohortRetention(Tables.events(s, dir))),
 
+    // DAU over trailing-7-day WAU stickiness: exact sliding distincts
+    // via the constant ×7 user-day explode (no per-day rescan, no
+    // sketch) — the daily engagement ratio
+    "q_events_stickiness" -> ((s, dir) =>
+      Events.stickiness(Tables.events(s, dir))),
+
     // seasonal-naive backtest: predict each day's per-type total with
     // the value 7 observed days back; exact integer MAE — the baseline
     // any forecasting monitor must beat
@@ -337,7 +343,30 @@ object EventQueries {
         |FROM e JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
 
-    // same daily sums, lag-7 window over the observed-day series
+    // same ×7 day-support explode, capped at the last active day
+    "q_events_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |md AS (SELECT max(day) AS max_day FROM ud),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT w.day, CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau
+        |  FROM (
+        |    SELECT u.user_id, u.day + o.k AS day
+        |    FROM ud u CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) o)
+        |    AS w, md
+        |  WHERE w.day <= md.max_day
+        |  GROUP BY 1)
+        |SELECT w.day, CAST(coalesce(d.dau, 0) AS BIGINT) AS dau, w.wau,
+        |  CAST((coalesce(d.dau, 0) * 1000000) // w.wau AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM wau w LEFT JOIN dau d USING (day)""".stripMargin,
+
+    // same ×7 day-support explode, capped at the last active day
     "q_events_backtest_naive" ->
       """WITH daily AS (
         |  SELECT event_type,

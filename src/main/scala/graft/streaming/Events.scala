@@ -679,6 +679,44 @@ object Events {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** DAU / trailing-WAU stickiness — the engagement ratio product
+    * analytics watches daily: for each day, distinct active users that
+    * day over distinct users across the trailing 7 days,
+    * stickiness_ppm = dau·1e6 div wau. EXACT sliding distincts without
+    * a sliding window state: each (user, day) activity row supports
+    * the 7 daily windows ending on day..day+6, so one constant ×7
+    * explode + two distinct counts do it — linear in user-days, no
+    * per-day rescan, no approximate sketch (swap in HLL when user-days
+    * stop fitting the shuffle).
+    *
+    * Days with trailing activity but no same-day activity still row
+    * (dau 0); the first 6 days count truncated windows (the standard
+    * dashboard convention — the window clips at series start). Window
+    * days PAST the last active day are not emitted (they would be
+    * pure-trailing ghosts).
+    *
+    * @return (day, dau, wau, stickiness_ppm)
+    */
+  def stickiness(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val tsl = col("ts").cast("long")
+    val ud = events.select(col("user_id"),
+        ((tsl - pmod(tsl, lit(86400L))) / 86400L).cast("long").as("day"))
+      .distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") <= col("max_day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        expr("(coalesce(dau, 0L) * 1000000L) div wau").as("stickiness_ppm"))
+  }
+
   /** Seasonal-naive backtest — the forecasting baseline every anomaly
     * monitor must beat before it earns its keep: predict each day's
     * per-type cent total with the value `lagDays` OBSERVED days back

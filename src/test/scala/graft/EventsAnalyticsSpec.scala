@@ -116,6 +116,29 @@ class EventsAnalyticsSpec extends SparkTestBase {
     assert(ref(withOutlier)._2 <= ref(odd)._2 + 2)
   }
 
+  test("stickiness: exact sliding distincts, truncated head, trailing rows") {
+    import spark.implicits._
+    // user 1 active days 1-10; user 2 active day 3 only
+    val rows = ((1 to 10).map(d => (d.toLong, 1L)) :+ ((3L, 2L))).map {
+      case (d, u) =>
+        (java.sql.Timestamp.valueOf(f"2024-04-${d.toInt}%02d 01:00:00"), u, 1.0)
+    }
+    val got = graft.streaming.Events.stickiness(
+        rows.toDF("ts", "user_id", "value"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val day3 = rows(2)._1.getTime / 1000 / 86400
+    // day 3: dau 2, wau 2 (truncated trailing window) → 1.0
+    assert(got(day3) === ((2L, 2L, 1000000L)))
+    // day 9: dau 1, wau covers days 3..9 → both users → 1/2
+    assert(got(day3 + 6) === ((1L, 2L, 500000L)))
+    // day 10: window 4..10 → user 2 aged out → 1/1
+    assert(got(day3 + 7) === ((1L, 1L, 1000000L)))
+    // no rows past the last active day
+    assert(!got.contains(day3 + 8))
+    assert(got.size === 10)
+  }
+
   test("seasonalNaiveBacktest: perfect weekly pattern scores MAE 0") {
     import spark.implicits._
     // 21 days of a 7-day repeating value pattern: lag-7 predicts exactly
