@@ -426,8 +426,10 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // bounded-aggregate attach
       "q_graph_diameter", "q_profile_bootstrap_ci", "q_ml_label_noise",
       // the stump attaches its 1-row class totals; Neyman its 1-row
-      // weight total; entropy its 1-row N — the same shape
-      "q_ml_stump", "q_sample_neyman", "q_profile_entropy")
+      // weight total; entropy its 1-row N; stickiness its 1-row
+      // max-day cap — the same shape
+      "q_ml_stump", "q_sample_neyman", "q_profile_entropy",
+      "q_events_stickiness")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }
