@@ -111,7 +111,12 @@ object ScaleSmoke {
     // divergence (pair-expanded vocabulary joins must stay
     // |slices|-bounded per word)
     "q_graph_ktruss", "q_events_temporal_reach", "q_graph_closeness",
-    "q_pipeline_entities", "q_text_js_divergence")
+    "q_pipeline_entities", "q_text_js_divergence",
+    // round-10 rider: the shuffle-forced temporal-reach twin — the
+    // size-gated frontier's FALLBACK path (broadcastRowLimit=0, every
+    // round a co-partitioned shuffle-hash join over a full-coverage
+    // wave); its scaling is what the 100 TB hot-wave posture rests on
+    "q_events_temporal_reach_shuffle")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

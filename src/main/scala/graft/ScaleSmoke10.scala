@@ -27,7 +27,13 @@ object ScaleSmoke10 {
 
   val smokeQueries: Seq[String] = Seq(
     "q_domain_cluster", "q_graph_cc", "q_dedup_groups_cc",
-    "q_text_winnow_pairs")
+    "q_text_winnow_pairs",
+    // round-10 rider (VERDICT r9 item 7): the entity-resolution
+    // composition rode sf1 at 2.32× — the highest passing ratio in
+    // SCALE.md — because the sorted-neighborhood verify stage's pair
+    // volume tracks window × corpus; the second decade confirms the
+    // verify quadratic stays bounded by the df/window drop, not corpus²
+    "q_pipeline_entities")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -306,7 +306,10 @@ object Profiler {
     * table, then the rank window over GROUPS (the profiler contract:
     * group cardinality is the bounded dimension — users, shards,
     * languages; for unbounded keys profile a bucketed rollup first).
-    * Headroom: 2·n·max-rank·x needs n·Σx < ~4.6e18.
+    * Headroom: the rank-weighted sum and the ·1e6 numerator accumulate
+    * in DECIMAL(38,0) (long would wrap SILENTLY past n·Σx ≈ 9.2e12
+    * while the DuckDB twin errors — the neymanAllocation convention),
+    * so the only bound is decimal's 38 digits, unreachable here.
     *
     * @return one row (n_groups, total, gini_s)
     */
@@ -317,10 +320,11 @@ object Profiler {
         row_number().over(Window.orderBy(col("x"), col(groupCol)))
           .cast("long").as("i"))
       .agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total"),
-        sum(col("i") * col("x")).as("ix"))
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("ix"))
       .select(col("n_groups"), col("total"),
-        expr("""((2 * ix - (n_groups + 1) * total) * 1000000L)
-                div (n_groups * total)""").as("gini_s"))
+        expr("""cast(((2 * ix - (cast(n_groups as decimal(38,0)) + 1) * total)
+                      * 1000000) div (cast(n_groups as decimal(38,0)) * total)
+                as bigint)""").as("gini_s"))
   }
 
   /** Shannon entropy of a categorical column, floor-scaled 1e-6 nats —

@@ -45,8 +45,12 @@ object Bfs {
     val sym = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
+    // distinct leaves the cache partitioned on (src, dst); one more
+    // src-only repartition makes the cached layout satisfy every
+    // round's join distribution, so only the frontier side reshuffles
     val adj = sym.unionAll(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = seeds.select(col("node").cast("long").as("node"))
       .distinct()
@@ -92,33 +96,36 @@ object Bfs {
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min("cost").as("cost"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    require(adj.where(col("cost") < 0).isEmpty,
-      "shortestPaths requires non-negative costs")
-    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint()
-    var frontier = dist
-    var r = 0
-    while (r < maxRounds && !frontier.isEmpty) {
-      r += 1
-      val relaxed = frontier.join(adj, col("node") === col("src"))
-        .groupBy(col("dst").as("cand"))
-        .agg(min(col("dist") + col("cost")).as("cand_dist"))
-      // improvements only: strictly better than the current label (or
-      // first label) — these are the next frontier
-      val improved = relaxed.join(dist, col("cand") === col("node"), "left")
-        .where(col("dist").isNull || col("cand_dist") < col("dist"))
-        .select(col("cand").as("node"), col("cand_dist").as("dist"))
+    // try/finally: the loud maxRounds require below must not leak the
+    // persisted adjacency (ADVICE r9)
+    try {
+      require(adj.where(col("cost") < 0).isEmpty,
+        "shortestPaths requires non-negative costs")
+      var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L))
         .localCheckpoint()
-      dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
-        .unionAll(improved)
-        .localCheckpoint()
-      frontier = improved
-    }
-    require(frontier.isEmpty,
-      s"shortestPaths still improving after $maxRounds rounds; raise maxRounds")
-    adj.unpersist()
-    dist
+      var frontier = dist
+      var r = 0
+      while (r < maxRounds && !frontier.isEmpty) {
+        r += 1
+        val relaxed = frontier.join(adj, col("node") === col("src"))
+          .groupBy(col("dst").as("cand"))
+          .agg(min(col("dist") + col("cost")).as("cand_dist"))
+        // improvements only: strictly better than the current label (or
+        // first label) — these are the next frontier
+        val improved = relaxed.join(dist, col("cand") === col("node"), "left")
+          .where(col("dist").isNull || col("cand_dist") < col("dist"))
+          .select(col("cand").as("node"), col("cand_dist").as("dist"))
+          .localCheckpoint()
+        dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint()
+        frontier = improved
+      }
+      require(frontier.isEmpty,
+        s"shortestPaths still improving after $maxRounds rounds; raise maxRounds")
+      dist
+    } finally adj.unpersist()
   }
 
   /** Earliest-arrival (foremost-path) reachability over a TEMPORAL
@@ -144,50 +151,75 @@ object Bfs {
     *
     * @param contacts (src, dst, t) long epoch seconds, t ≥ 0
     * @param seeds    single column `node`; arrival 0
+    * @param broadcastRowLimit frontier rows at or below which the round
+    *                 joins by an explicit broadcast (a ~16 B/row hash
+    *                 relation — 4M rows ≈ 64 MB, safely executor-sized);
+    *                 above it the round falls back to the co-partitioned
+    *                 shuffle-hash join against the src-partitioned cache
     * @return (node, arrival_s) — unreached nodes absent
     */
   def earliestArrival(contacts: DataFrame, seeds: DataFrame,
-      maxRounds: Int = 60): DataFrame = {
+      maxRounds: Int = 60, broadcastRowLimit: Long = 4000000L): DataFrame = {
     // the full contact multiset joins every round — keeping only the
     // first (src, dst) contact would be wrong: a later contact may be
     // the only one usable after src's own arrival. NOT deduplicated:
     // the per-round min aggregation absorbs duplicates for free, and a
     // distinct here is a full contact-sized shuffle bought for nothing
-    // (measured 0.06% duplication on the co-occurrence construction)
+    // (measured 0.06% duplication on the co-occurrence construction).
+    // Hash-partitioned on src ONCE (the hopDistance pattern): every
+    // round's join clusters on src, so the cached layout satisfies the
+    // join's distribution and only the frontier side ever reshuffles —
+    // whichever path the size gate picks, the contact multiset itself
+    // never moves again.
     val ct = contacts.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("t").cast("long").as("t"))
       .where(col("src") =!= col("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    require(ct.where(col("t") < 0).isEmpty,
-      "earliestArrival requires non-negative contact times")
-    var arrival = seeds.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("arrival_s", lit(0L))
-      .localCheckpoint()
-    var frontier = arrival
-    var r = 0
-    while (r < maxRounds && !frontier.isEmpty) {
-      r += 1
-      // the frontier is label-bounded and localCheckpoint-ed (known
-      // size) — broadcast it explicitly so no round ever reshuffles
-      // the contact multiset; the min aggregation partial-aggregates
-      // map-side before its |nodes|-bounded shuffle
-      val relaxed = ct.join(broadcast(frontier),
-          col("node") === col("src") && col("t") >= col("arrival_s"))
-        .groupBy(col("dst").as("cand"))
-        .agg(min(col("t")).as("cand_arr"))
-      val improved = relaxed.join(arrival, col("cand") === col("node"), "left")
-        .where(col("arrival_s").isNull || col("cand_arr") < col("arrival_s"))
-        .select(col("cand").as("node"), col("cand_arr").as("arrival_s"))
+    // try/finally: the loud maxRounds require below must not leak the
+    // persisted contact multiset (ADVICE r9)
+    try {
+      require(ct.where(col("t") < 0).isEmpty,
+        "earliestArrival requires non-negative contact times")
+      var arrival = seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("arrival_s", lit(0L))
         .localCheckpoint()
-      arrival = arrival.join(improved.select(col("node")), Seq("node"), "left_anti")
-        .unionAll(improved)
-        .localCheckpoint()
-      frontier = improved
-    }
-    require(frontier.isEmpty,
-      s"earliestArrival still improving after $maxRounds rounds; raise maxRounds")
-    ct.unpersist()
-    arrival
+      var frontier = arrival
+      // counted, not isEmpty: the count is the same one job on the
+      // checkpointed frontier, and the SIZE is what gates the broadcast
+      var frontierRows = frontier.count()
+      var r = 0
+      while (r < maxRounds && frontierRows > 0) {
+        r += 1
+        // SIZE-GATED broadcast (VERDICT r9): a temporal frontier grows
+        // with the REACHABLE set, not the seed set — one hot wave on a
+        // 100 TB contact graph can put 10^7–10^8 nodes in `improved`,
+        // and an unconditional broadcast hint there OOMs the driver.
+        // Small frontiers (the common case, and every local fixture)
+        // keep the broadcast win; big waves take the co-partitioned
+        // shuffle-hash join, where the frontier is still the only
+        // moving side (ct is cached src-partitioned) and the frontier
+        // is still the hash-relation build side.
+        val fr = if (frontierRows <= broadcastRowLimit) broadcast(frontier)
+                 else frontier.hint("shuffle_hash")
+        val relaxed = ct.join(fr,
+            col("node") === col("src") && col("t") >= col("arrival_s"))
+          .groupBy(col("dst").as("cand"))
+          .agg(min(col("t")).as("cand_arr"))
+        val improved = relaxed.join(arrival, col("cand") === col("node"), "left")
+          .where(col("arrival_s").isNull || col("cand_arr") < col("arrival_s"))
+          .select(col("cand").as("node"), col("cand_arr").as("arrival_s"))
+          .localCheckpoint()
+        arrival = arrival.join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint()
+        frontier = improved
+        frontierRows = frontier.count()
+      }
+      require(frontierRows == 0,
+        s"earliestArrival still improving after $maxRounds rounds; raise maxRounds")
+      arrival
+    } finally ct.unpersist()
   }
 
   /** Two-sweep diameter estimate: BFS from a deterministic anchor (the

@@ -79,12 +79,15 @@ object ConnectedComponents {
     * (10,1),(10,5),(11,5),(11,2), where 5 ends up under both 1 and 2)
     * passes it while another contraction round can still merge the two
     * stars; declaring convergence there returns duplicate, wrong
-    * labels. Each round therefore runs one left-semi emptiness test of
-    * parents against children plus one child-multiplicity groupBy — two
-    * (long)-keyed aggregations, both empty exactly at convergence. Like
-    * dedupGroupsConverged, falling out of the loop while still
-    * contracting fails loudly rather than returning a
-    * partially-contracted labelling.
+    * labels. Both halves fuse into ONE (long)-keyed partial-agged
+    * role count — (a) = a node with both roles, (b) = a child row
+    * count > 1 (the edge set is distinct) — so each round costs
+    * exactly two driver-blocking actions (checkpoint + this test),
+    * not three; on log-depth fixpoints the saved round trips are the
+    * dominant local cost and at scale the fused test is one shuffle
+    * where the split tests were two. Like dedupGroupsConverged,
+    * falling out of the loop while still contracting fails loudly
+    * rather than returning a partially-contracted labelling.
     *
     * `nodes` (optional, single column `node`) adds isolated nodes —
     * members of no edge — as their own singleton components, mirroring
@@ -107,17 +110,20 @@ object ConnectedComponents {
         // but with base 3)
         .localCheckpoint()
       val prev = e
-      e = next.persist(StorageLevel.MEMORY_AND_DISK)
+      // the checkpoint already materialized next's partitions — a
+      // persist on top would store them a second time for nothing
+      e = next
       prev.unpersist()
       // star-forest test, both halves load-bearing: a parent that is
       // also a child means a deeper tree remains, and a child with TWO
       // parents means two stars that a further round will merge —
-      // either way, not converged
-      val noSharedNode = e.select(col("dst").as("n")).distinct()
-        .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_semi")
+      // either way, not converged. One fused action (see Scaladoc):
+      // per-node (child rows, parent rows) over the distinct edge set
+      converged = e.select(col("src").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+        .unionAll(e.select(col("dst").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+        .groupBy("n").agg(sum(col("c")).as("nc"), sum(col("p")).as("np"))
+        .where((col("nc") > 0 && col("np") > 0) || col("nc") > 1)
         .isEmpty
-      converged = noSharedNode &&
-        e.groupBy("src").count().where(col("count") > 1).isEmpty
     }
     require(converged,
       s"largeStarSmallStar did not reach a star forest within $maxRounds " +

@@ -42,6 +42,8 @@ object Conformal {
       alphasPpm: Seq[Long]): DataFrame = {
     require(alphasPpm.nonEmpty && alphasPpm.forall(a => a > 0 && a < 1000000L),
       "alphas must be in (0, 1e6) ppm")
+    require(alphasPpm.distinct.size == alphasPpm.size,
+      "alphas must be distinct (alpha_ppm is the output key)")
     val n = cal.agg(count(lit(1)).as("n_cal"))
     val ranked = cal.select(col("q_s"),
       row_number().over(Window.orderBy(col("q_s"), col("vec_id"))).as("rn"))
@@ -57,13 +59,20 @@ object Conformal {
         expr("((n_cal + 1) * (1000000 - alpha_ppm) + 999999) div 1000000"))
       .join(ranked, col("rn") === col("idx"), "left")
       .select(col("alpha_ppm"), col("n_cal"), col("q_s").as("thr_s"))
-    eval.crossJoin(broadcast(thr))
-      .groupBy("alpha_ppm", "n_cal", "thr_s")
+    // the eval aggregate LEFT-joins back onto the threshold table (on
+    // the alpha key alone — thr_s may legitimately be null): an empty
+    // eval slice must still emit every calibrated threshold, with
+    // n_eval = 0 and null coverage, not silently drop them (ADVICE r9)
+    val evalAgg = eval.crossJoin(broadcast(thr.select("alpha_ppm", "thr_s")))
+      .groupBy("alpha_ppm")
       .agg(count(lit(1)).as("n_eval"),
         sum(when(col("thr_s").isNull || col("q_s") <= col("thr_s"), 1L)
           .otherwise(0L)).as("n_covered"))
+    thr.join(evalAgg, Seq("alpha_ppm"), "left")
       .select(col("alpha_ppm"), col("n_cal"), col("thr_s"),
-        col("n_eval"), col("n_covered"),
-        expr("(n_covered * 1000000L) div n_eval").as("coverage_ppm"))
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("""CASE WHEN coalesce(n_eval, 0L) > 0
+                THEN (n_covered * 1000000L) div n_eval END""").as("coverage_ppm"))
   }
 }

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * anywhere, the DuckDB twin reproduces every digit.
   *
   * Fixed-point headroom: the numerator N·(ad−bc)²·scale is bounded by
-  * scale·N⁵/16 (|ad−bc| ≤ N²/4), which exceeds 2⁶³ past N ≈ 6000 docs
-  * at scale=10 — GUARDED with a raise_error naming the remediation
+  * scale·N⁵/16 (|ad−bc| ≤ N²/4), which exceeds 2⁶³ past
+  * N = (2⁶³·16/scale)^(1/5) (≈ 6850 docs at scale=10; the bound is
+  * DERIVED from the caller's scale, not hardcoded to the default's) —
+  * GUARDED with a raise_error naming the remediation
   * (select on a bounded labeled slice, or lower `scale`; χ² selection
   * runs on the LABELED sample, which is small by construction — the
   * corpus-sized input is the apply side, not this fit side). For a
@@ -44,7 +46,12 @@ object FeatureSelection {
     */
   def chi2(features: DataFrame, labels: DataFrame,
       scale: Long = 10L): DataFrame = {
-    val maxDocs = 6000L
+    require(scale > 0, s"scale must be positive, got $scale")
+    // N⁵·scale/16 < 2⁶³ ⇒ N < (2⁶³·16/scale)^(1/5); the −1 absorbs the
+    // double rounding of pow (ADVICE r9: the former hardcoded 6000 was
+    // only valid at scale=10 — a larger scale overflowed unguarded)
+    val maxDocs =
+      math.floor(math.pow(math.pow(2.0, 63) * 16.0 / scale, 0.2)).toLong - 1L
     val lab = labels.select(col("doc_id"), col("y").cast("long").as("y"))
     val present = features.select(col("doc_id"), col("dim")).distinct()
       .join(lab, "doc_id")

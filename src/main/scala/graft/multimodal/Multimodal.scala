@@ -272,6 +272,87 @@ object Multimodal {
     }
   }
 
+  /** Subprocess decoder for inter-frame codecs (H.264, VP9, …) behind
+    * the same [[VideoDecoder]] seam: pipes the payload to an `ffmpeg`
+    * binary on the executor image and reads raw grayscale frames back —
+    * payload in on stdin, `dims`-wide scaled rows out on stdout, no
+    * temp files, stderr discarded (a blocked stderr pipe would deadlock
+    * the child). Absent binary, malformed payload, non-zero exit,
+    * timeout → None → the deterministic stub, exactly the
+    * [[MjpegAviDecoder]] fallback contract. Features are the
+    * per-position floor-average of up to `maxFrames` frames, each frame
+    * scaled by ffmpeg to one `dims`-byte luminance row.
+    *
+    * Deliberately NOT the [[extractFeatures]] default: the oracle faces
+    * replay the stub/MJPEG features engine-independently, and a decoder
+    * whose output depends on which ffmpeg build happens to be installed
+    * would make them machine-dependent. Callers with real video corpora
+    * inject it (or [[AutoVideoDecoder]]) explicitly.
+    *
+    * The binary path is injectable for tests; availability is probed
+    * once per (binary, JVM) — executors cache the probe, so a missing
+    * binary costs one failed exec per executor, not per asset.
+    */
+  class FfmpegDecoder(binary: String = "ffmpeg", maxFrames: Int = 16,
+      timeoutMs: Long = 30000L) extends VideoDecoder {
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Long]] = {
+      if (payload == null || payload.isEmpty ||
+        !FfmpegDecoder.available(binary)) return None
+      try {
+        val pb = new ProcessBuilder(binary, "-v", "error", "-i", "pipe:0",
+          "-f", "rawvideo", "-pix_fmt", "gray", "-vf", s"scale=$dims:1",
+          "-vframes", maxFrames.toString, "pipe:1")
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        // stdin feeds on its own daemon thread: ffmpeg may stop reading
+        // once it has the frames it needs, and a single-threaded
+        // write-then-read would deadlock on a full stdin pipe
+        val writer = new Thread(() => {
+          try { p.getOutputStream.write(payload); p.getOutputStream.close() }
+          catch { case _: java.io.IOException => () }
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val out = p.getInputStream.readAllBytes()
+        val done = p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (!done) { p.destroyForcibly(); return None }
+        writer.join(1000L)
+        val nFrames = out.length / dims
+        if (p.exitValue() != 0 || nFrames == 0) None
+        else Some(Array.tabulate(dims) { i =>
+          (0 until nFrames).map(f => out(f * dims + i) & 0xffL).sum / nFrames
+        })
+      } catch { case _: Exception => None }
+    }
+  }
+
+  object FfmpegDecoder {
+    private val probed =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    /** One `-version` exec per (binary, JVM); false on any failure. */
+    def available(binary: String = "ffmpeg"): Boolean =
+      probed.computeIfAbsent(binary, b => try {
+        val p = new ProcessBuilder(b, "-version")
+          .redirectErrorStream(true).start()
+        p.getOutputStream.close()
+        p.getInputStream.readAllBytes()
+        p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0
+      } catch { case _: Exception => java.lang.Boolean.FALSE })
+  }
+
+  /** Capability-maximal composite: the in-JVM MJPEG-AVI parse first
+    * (cheap, deterministic, no subprocess), then the ffmpeg subprocess
+    * when the binary is present — the "real decode when the image has
+    * ffmpeg, stub otherwise" production wiring, kept OUT of the oracle
+    * faces' default (see [[FfmpegDecoder]]'s determinism note).
+    */
+  object AutoVideoDecoder extends VideoDecoder {
+    private val ffmpeg = new FfmpegDecoder()
+    def decode(payload: Array[Byte], dims: Int): Option[Array[Long]] =
+      MjpegAviDecoder.decode(payload, dims)
+        .orElse(ffmpeg.decode(payload, dims))
+  }
+
   /** Batched per-partition feature extraction — the mapInPandas-shaped
     * stage: one iterator in, one iterator out, constant memory per batch.
     * Dispatches to the real JDK decoder for the asset's modality and

@@ -147,6 +147,31 @@ object EventQueries {
         ev.select(col("user_id").as("node")).where(col("node") < 5))
     }),
 
+    // the SHUFFLE-PATH twin of q_events_temporal_reach (VERDICT r9):
+    // broadcastRowLimit=0 forces every round onto the co-partitioned
+    // shuffle-hash fallback — the 100 TB hot-wave path a size-gated
+    // frontier takes when one round's improvements outgrow the
+    // broadcast budget — against the SAME recursive-CTE oracle. The
+    // wave covers 100% of users on this fixture (every round is a
+    // full-frontier join), and the ScaleSmoke rider rides THIS face,
+    // so the fallback's scaling is measured, not assumed.
+    "q_events_temporal_reach_shuffle" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val occ = ev.select(col("user_id"),
+          col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("t"))
+        .distinct()
+      val contacts = occ.as("a").join(occ.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.t") === col("b.t") &&
+            col("a.user_id") =!= col("b.user_id"))
+        .select(col("a.user_id").as("src"), col("b.user_id").as("dst"),
+          col("a.t").as("t"))
+      graft.graph.Bfs.earliestArrival(contacts,
+        ev.select(col("user_id").as("node")).where(col("node") < 5),
+        broadcastRowLimit = 0L)
+    }),
+
     // last-touch attribution: purchases credited to the latest
     // preceding click by the same user within 1 hour (as-of join
     // composition + horizon filter)
@@ -419,6 +444,28 @@ object EventQueries {
     // through contacts at t ≥ the path's arrival; min per node is the
     // foremost arrival — schedule-independent like hop distance
     "q_events_temporal_reach" ->
+      """WITH RECURSIVE occ AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t
+        |  FROM events),
+        |c AS (
+        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.t
+        |  FROM occ a JOIN occ b
+        |    ON a.event_type = b.event_type AND a.t = b.t
+        |      AND a.user_id <> b.user_id),
+        |seeds AS (
+        |  SELECT DISTINCT user_id AS node FROM events WHERE user_id < 5),
+        |walk(node, t) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT c.dst, c.t FROM walk w
+        |  JOIN c ON c.src = w.node AND c.t >= w.t)
+        |SELECT node, CAST(min(t) AS BIGINT) AS arrival_s
+        |FROM walk GROUP BY 1""".stripMargin,
+
+    // identical fixpoint, different engine path: the shuffle-forced
+    // twin must land on the exact same arrivals
+    "q_events_temporal_reach_shuffle" ->
       """WITH RECURSIVE occ AS (
         |  SELECT DISTINCT user_id, event_type,
         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t

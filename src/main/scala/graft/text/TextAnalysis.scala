@@ -1224,7 +1224,11 @@ object TextAnalysis {
     * floored to 1e-6 BEFORE the weighted sum, so slice scores are
     * integer sums; the two final divisions are floor divisions via the
     * pmod-subtract ladder (the term sums are legitimately slightly
-    * negative for near-identical slices — floors bias down).
+    * negative for near-identical slices — floors bias down). The ratio
+    * arguments c·N accumulate in DECIMAL(38,0) before the double cast:
+    * in long they would wrap SILENTLY once per-slice token totals reach
+    * ~3e9 (c_a·N_b up to N_a·N_b) while DuckDB errors — the
+    * giniOfGroups convention (ADVICE r9).
     *
     * Scale shape: one (slice, word)-keyed partial-agged count, slice
     * totals as a bounded broadcast pair table (|slices|² pairs — slices
@@ -1257,12 +1261,15 @@ object TextAnalysis {
       .join(broadcast(pairs), Seq("ga", "gb"))
     val flog = (num: Column, den: Column) =>
       floor(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     byWord
       .select(col("ga"), col("gb"), col("na"), col("nb"),
-        when(col("ca") > 0, col("ca") * flog(col("ca") * col("nb") * 2,
-          col("ca") * col("nb") + col("cb") * col("na"))).otherwise(0L).as("ta"),
-        when(col("cb") > 0, col("cb") * flog(col("cb") * col("na") * 2,
-          col("ca") * col("nb") + col("cb") * col("na"))).otherwise(0L).as("tb"))
+        when(col("ca") > 0, col("ca") * flog(dec(col("ca")) * col("nb") * 2,
+          dec(col("ca")) * col("nb") + dec(col("cb")) * col("na")))
+          .otherwise(0L).as("ta"),
+        when(col("cb") > 0, col("cb") * flog(dec(col("cb")) * col("na") * 2,
+          dec(col("ca")) * col("nb") + dec(col("cb")) * col("na")))
+          .otherwise(0L).as("tb"))
       .groupBy(col("ga").as("slice_a"), col("gb").as("slice_b"),
         col("na").as("n_a"), col("nb").as("n_b"))
       .agg(sum(col("ta")).as("sta"), sum(col("tb")).as("stb"))

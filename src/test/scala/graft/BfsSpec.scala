@@ -157,6 +157,27 @@ class BfsSpec extends SparkTestBase {
     }
   }
 
+  test("earliestArrival: shuffle fallback (gate=1) matches the broadcast path") {
+    // broadcastRowLimit=1 forces every non-trivial round onto the
+    // co-partitioned shuffle-hash path — the 100 TB wave path must be
+    // value-identical to the broadcast path on a fixture whose waves
+    // grow, shrink, and label-correct
+    val rnd = new scala.util.Random(41)
+    val n = 80
+    val contacts = Seq.fill(6 * n)((rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong, rnd.nextInt(50).toLong))
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    val df = contacts.toDF("src", "dst", "t")
+    val viaBroadcast = Bfs.earliestArrival(df, seeds)
+      .as[(Long, Long)].collect().toMap
+    val viaShuffle = Bfs.earliestArrival(df, seeds, broadcastRowLimit = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaShuffle === viaBroadcast)
+    // and the wave genuinely exceeded the gate: most of the graph is
+    // reachable from 3 seeds on a dense random contact set
+    assert(viaBroadcast.size > n / 2, s"fixture too sparse: ${viaBroadcast.size}")
+  }
+
   test("twoSweepDiameter: exact on a path, anchor component only") {
     // path 3-4-5-6-7: anchor = 3 (min id), farthest 7 (ecc 4), sweep
     // back from 7 → diameter 4 exactly (two-sweep is exact on trees)

@@ -48,6 +48,25 @@ class ConformalSpec extends SparkTestBase {
     assert(nCov === 1L)
   }
 
+  test("empty eval slice keeps every threshold: n_eval 0, coverage NULL") {
+    val cal = (1L to 9L).map(i => (i, i * 10))
+    val got = Conformal.thresholds(cal.toDF("vec_id", "q_s"),
+        Seq.empty[(Long, Long)].toDF("vec_id", "q_s"),
+        Seq(200000L, 500000L))
+      .as[(Long, Long, Option[Long], Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet === Set(200000L, 500000L))
+    assert(got(200000L) === ((9L, Some(80L), 0L, 0L, None)))
+    assert(got(500000L) === ((9L, Some(50L), 0L, 0L, None)))
+  }
+
+  test("duplicate alphas are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Conformal.thresholds(Seq((1L, 10L)).toDF("vec_id", "q_s"),
+        Seq((2L, 10L)).toDF("vec_id", "q_s"), Seq(200000L, 200000L))
+    }
+  }
+
   test("multiple alphas come back in one pass with distinct thresholds") {
     val cal = (1L to 19L).map(i => (i, i))
     val got = run(cal, Seq((100L, 10L)), Seq(100000L, 500000L))

@@ -47,11 +47,27 @@ class FeatureSelectionSpec extends SparkTestBase {
   }
 
   test("labeled sets past the headroom bound fail loudly") {
-    val lab = (0L until 6001L).map(i => (i, i % 2))
+    // the bound is DERIVED from scale: (2^63·16/scale)^(1/5) ≈ 6853 at
+    // the default scale=10 — 6900 docs trip it
+    val lab = (0L until 6900L).map(i => (i, i % 2))
     val feat = Seq((0L, 0L, 1L))
     val e = intercept[Exception] {
       run(feat, lab)
     }
     assert(e.getMessage.contains("fixed-point headroom"))
+  }
+
+  test("headroom bound tracks scale: a big scale trips on a small set") {
+    // at scale=100000 the bound is ~1084 docs — 1200 must trip it, and
+    // the same 1200 docs are FINE at the default scale (the r9 bug:
+    // a hardcoded 6000 let this overflow silently)
+    import graft.ml.FeatureSelection
+    val lab = (0L until 1200L).map(i => (i, i % 2)).toDF("doc_id", "y")
+    val feat = Seq((0L, 0L, 1L)).toDF("doc_id", "dim", "c")
+    val e = intercept[Exception] {
+      FeatureSelection.chi2(feat, lab, scale = 100000L).collect()
+    }
+    assert(e.getMessage.contains("fixed-point headroom"))
+    assert(FeatureSelection.chi2(feat, lab).collect().nonEmpty)
   }
 }

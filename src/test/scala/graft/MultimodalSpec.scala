@@ -324,4 +324,74 @@ class MultimodalSpec extends SparkTestBase {
       assert(got.contains((i.toLong, (300 + i).toLong)),
         s"planted pair at hamming ${i + 1} missed")
   }
+
+  /** A stand-in ffmpeg honoring the two invocations the decoder makes:
+    * `-version` (probe, exit 0) and the decode pipeline (consume stdin,
+    * emit two deterministic 8-byte gray frames on stdout). Exercises
+    * the REAL subprocess plumbing — pipes, writer thread, exit-code and
+    * frame-math handling — without a codec in the container.
+    */
+  private def fakeFfmpeg(): String = {
+    val f = java.io.File.createTempFile("fake_ffmpeg", ".sh")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      ("#!/bin/sh\n" +
+        "if [ \"$1\" = \"-version\" ]; then echo fake; exit 0; fi\n" +
+        "cat > /dev/null\n" +
+        "printf '\\001\\002\\003\\004\\005\\006\\007\\010'\n" +
+        "printf '\\003\\004\\005\\006\\007\\010\\011\\012'\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.setExecutable(true)
+    f.getAbsolutePath
+  }
+
+  test("FfmpegDecoder drives the subprocess seam end-to-end (fake binary)") {
+    val dec = new Multimodal.FfmpegDecoder(binary = fakeFfmpeg())
+    // two frames, floor-averaged per position: (1,3)/2=2 … (8,10)/2=9
+    val got = dec.decode("anything".getBytes, dims = 8)
+    assert(got.map(_.toSeq) === Some(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)))
+  }
+
+  test("FfmpegDecoder: absent binary and empty payload fall back to None") {
+    val missing = new Multimodal.FfmpegDecoder(binary = "/nonexistent/ffmpeg-x")
+    assert(missing.decode("payload".getBytes, dims = 8) === None)
+    assert(!Multimodal.FfmpegDecoder.available("/nonexistent/ffmpeg-x"))
+    val fake = new Multimodal.FfmpegDecoder(binary = fakeFfmpeg())
+    assert(fake.decode(Array.empty[Byte], dims = 8) === None)
+  }
+
+  test("FfmpegDecoder against a real ffmpeg when the image has one") {
+    assume(Multimodal.FfmpegDecoder.available(), "no ffmpeg on this image")
+    val dec = new Multimodal.FfmpegDecoder()
+    // a real ffmpeg must decode the MJPEG-AVI fixture the in-JVM parser
+    // decodes, and both must agree on frame count > 0 semantics
+    val avi = mjpegAviBytes(Seq(jpgBytes(8, 8, 0), jpgBytes(8, 8, 255)))
+    val got = dec.decode(avi, dims = 8)
+    assert(got.isDefined, "real ffmpeg failed to decode the MJPEG fixture")
+    assert(got.get.length === 8)
+  }
+
+  test("an injected FfmpegDecoder rides extractFeatures' video path") {
+    import spark.implicits._
+    val dec = new Multimodal.FfmpegDecoder(binary = fakeFfmpeg())
+    val assets = Seq(
+      (1L, "video", "vid-bytes".getBytes),
+      (2L, "text", "txt-bytes".getBytes))
+      .toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractFeatures(assets, dims = 8,
+        videoDecoder = Some(dec))
+      .collect().map(f => f.asset_id -> ((f.decoded, f.features.toSeq))).toMap
+    assert(out(1L) === ((true, Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))))
+    assert(out(2L)._1 === false, "non-video must never hit the video decoder")
+  }
+
+  test("AutoVideoDecoder prefers the in-JVM MJPEG parse over the subprocess") {
+    // MJPEG-AVI payload: Auto must return the MjpegAviDecoder result
+    // (ffmpeg is absent here, but even present it must not be consulted)
+    val avi = mjpegAviBytes(Seq(jpgBytes(8, 8, 128)))
+    val viaAuto = Multimodal.AutoVideoDecoder.decode(avi, dims = 8)
+    val viaMjpeg = Multimodal.MjpegAviDecoder.decode(avi, dims = 8)
+    assert(viaAuto.map(_.toSeq) === viaMjpeg.map(_.toSeq))
+    assert(viaAuto.isDefined)
+  }
 }

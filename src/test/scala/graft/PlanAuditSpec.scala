@@ -441,6 +441,48 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("graph family: every broadcast() call site is audited bounded (lint)") {
+    // the r9 hazard class: Bfs.earliestArrival broadcast an iteration
+    // FRONTIER unconditionally — a set that grows with the reachable
+    // set, not the seed set, so one hot wave on a 100 TB graph OOMs
+    // the driver. This source lint sweeps graft/graph for broadcast()
+    // call sites and fails on any not in the audited allowlist below,
+    // so that class of bug cannot re-enter silently: a new graph
+    // broadcast must be added HERE with its boundedness argument.
+    val allowed: Map[String, Set[String]] = Map(
+      // size-gated: only taken when frontierRows <= broadcastRowLimit
+      // (the gate's presence is asserted separately below)
+      "Bfs.scala" -> Set("broadcast(frontier)",
+        // 1-row argmax frames assembling the diameter output row
+        "broadcast(far1", "broadcast(far2"),
+      // 1-row node count n attached to the per-seed aggregate
+      "Centrality.scala" -> Set("broadcast(n)"),
+      // 1-row half-step max (the fixed-point rescale guard)
+      "Hits.scala" -> Set("broadcast(mx)"),
+      // 1-row total edge count m
+      "Modularity.scala" -> Set("broadcast(m)"))
+    val graphDir = new java.io.File("src/main/scala/graft/graph")
+    assert(graphDir.isDirectory, s"missing ${graphDir.getPath}")
+    for (f <- graphDir.listFiles().toSeq.filter(_.getName.endsWith(".scala"))) {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      lines.forEach { line =>
+        val code = line.takeWhile(_ != '/') // strip line comments
+        if (code.contains("broadcast(")) {
+          val ok = allowed.getOrElse(f.getName, Set.empty)
+            .exists(code.contains)
+          assert(ok, s"${f.getName}: unaudited broadcast() call site " +
+            s"'${line.trim}' — prove the broadcast side is bounded " +
+            "(1-row aggregate or size-gated) and add it to the allowlist")
+        }
+      }
+    }
+    // and the one frontier broadcast must STAY behind its size gate
+    val bfs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/graph/Bfs.scala")))
+    assert(bfs.contains("frontierRows <= broadcastRowLimit"),
+      "earliestArrival's frontier broadcast lost its size gate")
+  }
+
   test("prefix-filter join: equi-joins only, windows partition per-doc") {
     // the exact similarity join must never degrade to a cartesian (its
     // whole point is joining on rare prefix shingles), and its only

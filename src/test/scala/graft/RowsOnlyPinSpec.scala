@@ -60,6 +60,37 @@ class RowsOnlyPinSpec extends SparkTestBase {
     }
   }
 
+  test("q_sketch_heavy_hitters brackets the exact counts and misses no " +
+      "token above the sketch error bound") {
+    assume(have, s"$dir not present on this machine")
+    // the signature pin above catches DRIFT; this is the KLL-precedent
+    // SEMANTIC band (VERDICT r9 item 6): the frequent-items sketch
+    // contract is (a) lb <= true count <= ub for every reported item
+    // and (b) NO_FALSE_NEGATIVES — every token whose exact count
+    // exceeds the sketch's maximum error is reported. A wrong column,
+    // wrong weighting, or a broken merge lands outside both.
+    val got = SparkEntry.queries("q_sketch_heavy_hitters")(spark, dir)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val exact = graft.queries.Tables(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((tok, (est, lb, ub)) <- got) {
+      val n = exact.getOrElse(tok, 0L)
+      assert(lb <= n && n <= ub,
+        s"'$tok' exact count $n outside sketch bracket [$lb, $ub]")
+      assert(lb <= est && est <= ub, s"'$tok' estimate $est outside its bracket")
+    }
+    val maxErr = got.values.map { case (_, lb, ub) => ub - lb }.max
+    val missed = exact.filter { case (tok, n) =>
+      n > maxErr && !got.contains(tok) }
+    assert(missed.isEmpty,
+      s"NO_FALSE_NEGATIVES violated — unreported tokens above the " +
+        s"error bound $maxErr: ${missed.take(5)}")
+  }
+
   test("q_sketch_quantile_union stays inside the KLL rank-error band " +
       "of the exact quantiles") {
     assume(have, s"$dir not present on this machine")

@@ -52,6 +52,26 @@ class TrussSpec extends SparkTestBase {
     assert(fwd === mixed)
   }
 
+  test("low-id hub: star edges die, the high-id K4 survives intact") {
+    // node 0 is a degree-60 hub whose edges close no triangles — under
+    // the r9 id-canonical wedge enumeration this shape generated
+    // deg²/2 wedges from the hub's lower-id role; degree orientation
+    // gives the hub out-degree ~0 (every neighbour has lower degree,
+    // so edges orient INTO... away from the hub) and the wedge work
+    // collapses. Correctness: the K4 at 100..103 still peels exactly.
+    val star = (1L to 60L).map(i => (0L, i))
+    val k4hi = for { a <- 100L to 103L; b <- 100L to 103L if a < b } yield (a, b)
+    val got = truss(star ++ k4hi, k = 4)
+    star.foreach(e => assert(!got(e), s"hub edge $e closes no triangle"))
+    k4hi.foreach(e => assert(got(e), s"K4 edge $e must survive"))
+    // hub with SOME closure: triangles (0,1,2) and (0,2,3) ride the
+    // star; at k=3 exactly those five closing edges survive
+    val g3 = star ++ Seq((1L, 2L), (2L, 3L))
+    val t3 = truss(g3, k = 3)
+    val survivors = t3.filter(_._2).keySet
+    assert(survivors === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 3L)))
+  }
+
   test("loud cap on a peel deeper than maxRounds") {
     // chain of triangles: peeling eats one link per round
     val chain = (0L until 12L).flatMap(i =>
