@@ -116,7 +116,13 @@ object ScaleSmoke {
     // size-gated frontier's FALLBACK path (broadcastRowLimit=0, every
     // round a co-partitioned shuffle-hash join over a full-coverage
     // wave); its scaling is what the 100 TB hot-wave posture rests on
-    "q_events_temporal_reach_shuffle")
+    "q_events_temporal_reach_shuffle",
+    // round-10 extension riders: SCC (trim + coloring + backward peel —
+    // per-round cost must track frontier-adjacent edges and the peel
+    // depth must track the condensation, not the graph), and basket
+    // pair expansion (the Apriori prune + hot-basket cap must keep
+    // per-basket fan-out bounded as baskets replicate)
+    "q_graph_scc", "q_basket_pairs")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -32,7 +32,8 @@ object SparkEntry {
       MultimodalQueries.queries ++
       EventQueries.queries ++
       SamplingQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++
+      BasketQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -51,5 +52,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       EventQueries.oracles ++
       SamplingQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++
+      BasketQueries.oracles
 }

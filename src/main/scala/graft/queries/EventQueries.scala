@@ -246,8 +246,59 @@ object EventQueries {
           min(col("k_path")).as("min_k"),
           max(col("k_path")).as("max_k"),
           sum(when(col("k_path") === col("k_schema"), 1L).otherwise(0L)).as("n_agree"))
-    })
+    }),
+
+    // autocorrelation of the hourly event-count series at lags 1..6 —
+    // the seasonality probe over the same hourly grid the windowed
+    // faces use. Map-side explode fan-out + one shifted equi-join;
+    // exact sufficient statistics (TimeSeries Scaladoc)
+    "q_events_autocorr" -> ((s, dir) =>
+      graft.analytics.TimeSeries.autocorrelation(
+        hourlyCounts(s, dir), step = 3600L, maxLag = 6)),
+
+    // 30-tap half-per-hour exponential moving sum of the same series —
+    // the denoised trend line, exact in scaled longs (read as /2^30)
+    "q_events_ewma" -> ((s, dir) =>
+      graft.analytics.TimeSeries.exponentialMovingSum(
+        hourlyCounts(s, dir), step = 3600L, taps = 30)),
+
+    // lead–lag cross-correlation between the hourly view and purchase
+    // series at lags −4..4 (positive-lag peaks = views LEAD purchases)
+    "q_events_crosscorr" -> ((s, dir) =>
+      graft.analytics.TimeSeries.crossCorrelation(
+        typeHourly(s, dir, "view"),
+        typeHourly(s, dir, "purchase").withColumnRenamed("x", "y"),
+        step = 3600L, maxLag = 4)),
+
+    // typical-day envelope: per hour-of-day, the exact interpolated
+    // median and p90 of the daily counts at that hour (the seasonal
+    // baseline an anomaly monitor compares against; the group count is
+    // bounded at 24, so the exact sort-based percentile is the right
+    // tool — the lengthQuantiles contract)
+    "q_events_day_profile" -> ((s, dir) =>
+      hourlyCounts(s, dir)
+        .select(pmod(expr("t div 3600"), lit(24)).as("hour_of_day"), col("x"))
+        .groupBy("hour_of_day")
+        .agg(count(lit(1)).as("n_hours"),
+          floor(percentile(col("x"), lit(0.5)) * 100.0).cast("long").as("p50_s"),
+          floor(percentile(col("x"), lit(0.9)) * 100.0).cast("long").as("p90_s"),
+          sum(col("x")).as("total")))
   )
+
+  /** Hourly counts of one event type (the crossCorrelation input). */
+  private def typeHourly(s: SparkSession, dir: String, typ: String): DataFrame =
+    Tables.events(s, dir)
+      .where(col("event_type") === typ)
+      .groupBy(date_trunc("hour", col("ts")).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Hourly event-count series (t epoch seconds on the 3600 grid, x
+    * count) — the shared input of the time-series faces.
+    */
+  private def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
 
   val oracles: Map[String, String] = Map(
     // mirrors Regression.fitLineExact: five integer sums, rational
@@ -687,6 +738,104 @@ object EventQueries {
         |  CAST(floor(epoch(v.r_ts)) AS BIGINT) AS r_ts_s
         |FROM c JOIN v ON v.user_id = c.user_id
         |  AND v.r_ts >= c.ts - INTERVAL 14400 SECOND
-        |  AND v.r_ts <= c.ts""".stripMargin
+        |  AND v.r_ts <= c.ts""".stripMargin,
+
+    // the q_graph_assortativity sufficient-statistic shape per lag:
+    // HUGEINT sums, one fixed double expression — every sum is an
+    // exact integer < 2^53, so the floored ×1e6 result is bit-equal
+    "q_events_autocorr" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS lag),
+        |pr AS (
+        |  SELECT l.lag, a.x AS xa, b.x AS xb
+        |  FROM h a JOIN l ON true
+        |  JOIN h b ON b.t = a.t + l.lag * 3600),
+        |st AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(xa AS HUGEINT)) AS sa, sum(CAST(xb AS HUGEINT)) AS sb,
+        |    sum(CAST(xa * xa AS HUGEINT)) AS paa,
+        |    sum(CAST(xa * xb AS HUGEINT)) AS pab,
+        |    sum(CAST(xb * xb AS HUGEINT)) AS pbb
+        |  FROM pr GROUP BY lag),
+        |p AS (
+        |  SELECT lag, n_rows,
+        |    CAST(n_rows AS DOUBLE) * CAST(pab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov,
+        |    CAST(n_rows AS DOUBLE) * CAST(paa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS vi,
+        |    CAST(n_rows AS DOUBLE) * CAST(pbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vj
+        |  FROM st)
+        |SELECT lag, n_rows,
+        |  CASE WHEN vi > 0.0 AND vj > 0.0
+        |    THEN CAST(floor(cov / sqrt(vi) / sqrt(vj) * 1000000) AS BIGINT)
+        |    ELSE NULL END AS corr_s
+        |FROM p""".stripMargin,
+
+    "q_events_crosscorr" ->
+      """WITH ha AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |hb AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(-4, 5)) AS BIGINT) AS lag),
+        |pr AS (
+        |  SELECT l.lag, a.x AS xa, b.x AS xb
+        |  FROM ha a JOIN l ON true
+        |  JOIN hb b ON b.t = a.t + l.lag * 3600),
+        |st AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(xa AS HUGEINT)) AS sa, sum(CAST(xb AS HUGEINT)) AS sb,
+        |    sum(CAST(xa * xa AS HUGEINT)) AS paa,
+        |    sum(CAST(xa * xb AS HUGEINT)) AS pab,
+        |    sum(CAST(xb * xb AS HUGEINT)) AS pbb
+        |  FROM pr GROUP BY lag),
+        |p AS (
+        |  SELECT lag, n_rows,
+        |    CAST(n_rows AS DOUBLE) * CAST(pab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cov,
+        |    CAST(n_rows AS DOUBLE) * CAST(paa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS vi,
+        |    CAST(n_rows AS DOUBLE) * CAST(pbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vj
+        |  FROM st)
+        |SELECT lag, n_rows,
+        |  CASE WHEN vi > 0.0 AND vj > 0.0
+        |    THEN CAST(floor(cov / sqrt(vi) / sqrt(vj) * 1000000) AS BIGINT)
+        |    ELSE NULL END AS corr_s
+        |FROM p""".stripMargin,
+
+    // quantile_cont shares Spark percentile's (n-1)·p interpolation
+    // (the lengthQuantiles precedent); hour-of-day from the UTC epoch
+    "q_events_day_profile" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1)
+        |SELECT (t // 3600) % 24 AS hour_of_day,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(floor(quantile_cont(x, 0.5) * 100.0) AS BIGINT) AS p50_s,
+        |  CAST(floor(quantile_cont(x, 0.9) * 100.0) AS BIGINT) AS p90_s,
+        |  CAST(sum(x) AS BIGINT) AS total
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "q_events_ewma" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT CAST(unnest(range(0, 30)) AS BIGINT) AS off)
+        |SELECT a.t,
+        |  CAST(sum(b.x * (CAST(1 AS BIGINT) << CAST(29 - o.off AS INTEGER)))
+        |    AS BIGINT) AS ewma_x2
+        |FROM h a JOIN o ON true
+        |JOIN h b ON b.t = a.t - o.off * 3600
+        |GROUP BY a.t""".stripMargin
   )
 }

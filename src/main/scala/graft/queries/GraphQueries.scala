@@ -64,9 +64,15 @@ object GraphQueries {
   }
 
   /** Materialize the shared edge bases off the bench clock. */
-  def prebuild(s: SparkSession, dir: String): Unit =
+  def prebuild(s: SparkSession, dir: String): Unit = {
     Seq(coSupply(s, dir, 40.0), coSupply(s, dir, 49.0), coPurchase(s, dir))
       .foreach(_.write.format("noop").mode("overwrite").save())
+    // yesterday's labelling — the incremental SCC face's input state
+    // (already materialized by stronglyConnected's checkpoint; the memo
+    // call here just builds it off the bench clock)
+    sccLabelsBatch1(s, dir)
+    ()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -288,8 +294,99 @@ object GraphQueries {
         .select(col("s_suppkey").as("node"))
       graft.graph.Centrality.closenessCentrality(
         coSupply(s, dir, 49.0).select(col("src"), col("dst")), seeds)
-    })
+    }),
+
+    // strongly connected components over the DIRECTED co-supply
+    // fixture (hash-oriented, hash-thinned — see directedCoSupply):
+    // trim + forward-coloring + backward-membership peel. Labels are
+    // schedule-independent (mutual reachability), so the closure twin
+    // re-derives them exactly. Shared by the condensation/DAG faces
+    // (memoized like the entity-family verify stage).
+    "q_graph_scc" -> ((s, dir) => sccLabels(s, dir)),
+
+    // condensation DAG: one node per SCC, inter-SCC edges with
+    // witnessing-edge counts — acyclic by construction
+    "q_graph_condensation" -> ((s, dir) =>
+      graft.graph.Scc.condensation(directedCoSupply(s, dir), sccLabels(s, dir))),
+
+    // longest-path depth over the condensation (critical-path /
+    // topological-level primitive); the cyclic-input cap never trips
+    // because condensation is a DAG by the SCC definition
+    "q_graph_dag_longest" -> ((s, dir) =>
+      graft.graph.Scc.dagLongestPath(
+        graft.graph.Scc.condensation(directedCoSupply(s, dir), sccLabels(s, dir))
+          .select(col("src_scc").as("src"), col("dst_scc").as("dst")))),
+
+    // incremental SCC maintenance: the hash-batch split arrives in two
+    // drops; batch 1 labels from scratch, then addEdges contracts the
+    // old SCCs and reruns only on the condensation + batch 2 (the FULL
+    // edge set feeds the contraction — directed reachability is
+    // non-local; see Scc.addEdges). Must equal from-scratch over the
+    // union, so it shares q_graph_scc's closure oracle verbatim (the
+    // cc/cc_inc convention)
+    "q_graph_scc_inc" -> ((s, dir) =>
+      graft.graph.Scc.addEdges(sccLabelsBatch1(s, dir), directedCoSupply(s, dir))),
+
+    // path-count centrality over the condensation DAG: f·g = number of
+    // source→sink dependency paths THROUGH each component — the exact
+    // distributable betweenness analogue (path counting is a semiring;
+    // Brandes' shortest-path betweenness is not)
+    "q_graph_dag_paths" -> ((s, dir) =>
+      graft.graph.Scc.dagPathCentrality(
+        graft.graph.Scc.condensation(directedCoSupply(s, dir), sccLabels(s, dir))
+          .select(col("src_scc").as("src"), col("dst_scc").as("dst")))),
+
+    // reciprocity of the ORDERED-pair-thinned co-supply digraph (the
+    // asymmetric hash keeps some pairs both ways, some one-way — the
+    // directedCoSupply fixture is one-direction-per-pair by
+    // construction, which would pin reciprocity at a degenerate 0)
+    "q_graph_reciprocity" -> ((s, dir) =>
+      graft.graph.Scc.reciprocity(
+        coSupply(s, dir, 49.0).select(col("src"), col("dst"))
+          .where((col("src") * 7 + col("dst") * 3) % 5 < 2)))
   )
+
+  /** Directed graph fixture for the SCC family: the ≥49-qty co-supply
+    * pairs (u < v), kept when (7u+3v) mod 5 = 0 (thinning — the full
+    * graph is one giant SCC, which exercises nothing), oriented u→v
+    * when (u+v) is even, v→u otherwise. Deterministic, hash-derived,
+    * and re-derivable in SQL — at sf0.01 it yields 5 multi-node SCCs
+    * (sizes 13–19) plus 19 singletons; at sf0.1, 4 SCCs of ~170 plus
+    * 149 singletons.
+    */
+  private def directedCoSupply(s: SparkSession, dir: String): DataFrame =
+    stageCache.computeIfAbsent((s, dir, "directed_cosupply"), _ => {
+      val und = coSupply(s, dir, 49.0).where(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      und.where((col("u") * 7 + col("v") * 3) % 5 === 0)
+        .select(
+          when((col("u") + col("v")) % 2 === 0, col("u")).otherwise(col("v")).as("src"),
+          when((col("u") + col("v")) % 2 === 0, col("v")).otherwise(col("u")).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** SCC labelling of [[directedCoSupply]], shared by the three SCC
+    * faces (the output is checkpointed by stronglyConnected itself, so
+    * the memo stores a materialized frame, not a live plan).
+    */
+  private def sccLabels(s: SparkSession, dir: String): DataFrame =
+    stageCache.computeIfAbsent((s, dir, "scc_labels"), _ =>
+      graft.graph.Scc.stronglyConnected(directedCoSupply(s, dir)))
+
+  /** "Yesterday's" SCC labelling — the hash-parity two-thirds batch,
+    * labelled from scratch. This is the incremental face's PREMISE
+    * (daily maintenance starts from an existing labelling), so it is a
+    * memoized shared stage like the edge bases: q_graph_scc_inc then
+    * measures the ABSORB — contraction + the rerun on the contracted
+    * graph — which is the operation the face exists to price. The thick
+    * batch recovers most of the full SCC structure, so contraction
+    * genuinely shrinks the rerun (the cc_inc shape).
+    */
+  private def sccLabelsBatch1(s: SparkSession, dir: String): DataFrame =
+    stageCache.computeIfAbsent((s, dir, "scc_labels_b1"), _ =>
+      graft.graph.Scc.stronglyConnected(
+        directedCoSupply(s, dir)
+          .where(pmod(col("src") * 13 + col("dst"), lit(3)) =!= 0)))
 
   /** Unrolled k-truss peel: aR = surviving canonical edges after R
     * support-recount rounds. Same bounded-unroll-past-convergence
@@ -851,8 +948,120 @@ object GraphQueries {
         |  (1000000 * coalesce(i.intra_edges, 0)) // m.m
         |    - (1000000 * cn.degree_sum * cn.degree_sum) // (4 * m.m * m.m)
         |    AS q_term_s
-        |FROM cn LEFT JOIN intra i USING (component) CROSS JOIN m""".stripMargin
+        |FROM cn LEFT JOIN intra i USING (component) CROSS JOIN m""".stripMargin,
+
+    // SCC family: labels from the mutual-reachability DEFINITION
+    // (forward closure ∩ backward closure) — schedule-independent, so
+    // the O(n·m) closure is a valid oracle on the fixture even though
+    // the engine's trim/color/peel never materializes it
+    "q_graph_scc" -> (sccOraclePrefix +
+      """
+        |SELECT CAST(node AS BIGINT) AS node, CAST(scc AS BIGINT) AS scc
+        |FROM slab""".stripMargin),
+
+    "q_graph_reciprocity" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |e AS (
+        |  SELECT DISTINCT a.sk AS src, b.sk AS dst
+        |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk <> b.sk),
+        |ke AS (
+        |  SELECT src, dst FROM e WHERE (src * 7 + dst * 3) % 5 < 2),
+        |r AS (
+        |  SELECT k.src, k.dst FROM ke k
+        |  JOIN ke m ON m.src = k.dst AND m.dst = k.src)
+        |SELECT ne.n AS n_edges, nr.n AS n_reciprocal,
+        |  (nr.n * 1000000) // ne.n AS recip_ppm
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM ke) ne,
+        |     (SELECT CAST(count(*) AS BIGINT) AS n FROM r) nr""".stripMargin,
+
+    "q_graph_scc_inc" -> (sccOraclePrefix +
+      """
+        |SELECT CAST(node AS BIGINT) AS node, CAST(scc AS BIGINT) AS scc
+        |FROM slab""".stripMargin),
+
+    "q_graph_condensation" -> (sccOraclePrefix +
+      """
+        |SELECT CAST(la.scc AS BIGINT) AS src_scc, CAST(lb.scc AS BIGINT) AS dst_scc,
+        |  CAST(count(*) AS BIGINT) AS n_edges
+        |FROM de JOIN slab la ON de.src = la.node JOIN slab lb ON de.dst = lb.node
+        |WHERE la.scc <> lb.scc GROUP BY 1, 2""".stripMargin),
+
+    // path-count enumeration: each fw/bw row IS one distinct path
+    // (UNION ALL recursion), so count(*) per endpoint = the path count.
+    // cdn is DISTINCT-over-UNION-ALL, not a bare UNION: under WITH
+    // RECURSIVE, DuckDB iterates ANY two-branch UNION CTE as a
+    // recursive union WITHOUT cross-iteration dedup, which here seeded
+    // duplicate sources into the (dedup-free, deliberately) UNION ALL
+    // path recursion and inflated every count. The other UNION CTEs in
+    // this family survive only because a GROUP BY or dedup-UNION
+    // recursion downstream masks the duplicates.
+    "q_graph_dag_paths" -> (sccOraclePrefix +
+      """,
+        |cd AS (
+        |  SELECT DISTINCT la.scc AS src, lb.scc AS dst
+        |  FROM de JOIN slab la ON de.src = la.node JOIN slab lb ON de.dst = lb.node
+        |  WHERE la.scc <> lb.scc),
+        |cdn AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM cd UNION ALL SELECT dst FROM cd)),
+        |srcs AS (SELECT n FROM cdn WHERE n NOT IN (SELECT dst FROM cd)),
+        |snks AS (SELECT n FROM cdn WHERE n NOT IN (SELECT src FROM cd)),
+        |fw(n) AS (
+        |  SELECT n FROM srcs
+        |  UNION ALL
+        |  SELECT cd.dst FROM fw JOIN cd ON cd.src = fw.n),
+        |bw(n) AS (
+        |  SELECT n FROM snks
+        |  UNION ALL
+        |  SELECT cd.src FROM bw JOIN cd ON cd.dst = bw.n),
+        |f AS (SELECT n, CAST(count(*) AS BIGINT) AS f_paths FROM fw GROUP BY n),
+        |g AS (SELECT n, CAST(count(*) AS BIGINT) AS g_paths FROM bw GROUP BY n)
+        |SELECT CAST(f.n AS BIGINT) AS node, f.f_paths, g.g_paths,
+        |  CAST(f.f_paths * g.g_paths AS BIGINT) AS through_paths
+        |FROM f JOIN g ON f.n = g.n""".stripMargin),
+
+    "q_graph_dag_longest" -> (sccOraclePrefix +
+      """,
+        |cd AS (
+        |  SELECT DISTINCT la.scc AS src, lb.scc AS dst
+        |  FROM de JOIN slab la ON de.src = la.node JOIN slab lb ON de.dst = lb.node
+        |  WHERE la.scc <> lb.scc),
+        |cdn AS (SELECT src AS n FROM cd UNION SELECT dst FROM cd),
+        |paths(n, d) AS (
+        |  SELECT n, 0 FROM cdn
+        |  UNION
+        |  SELECT cd.dst, p.d + 1 FROM paths p JOIN cd ON cd.src = p.n)
+        |SELECT CAST(n AS BIGINT) AS node, CAST(max(d) AS BIGINT) AS depth
+        |FROM paths GROUP BY n""".stripMargin)
   )
+
+  /** Shared oracle prelude of the SCC family: the directed fixture
+    * (mirrors [[directedCoSupply]] exactly), its closure, and the
+    * mutual-reachability labelling with component-minimum labels.
+    */
+  private lazy val sccOraclePrefix: String =
+      """WITH RECURSIVE spx AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 49.0),
+        |undx AS (
+        |  SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM spx a JOIN spx b ON a.pk = b.pk AND a.sk < b.sk),
+        |de AS (
+        |  SELECT CASE WHEN (u + v) % 2 = 0 THEN u ELSE v END AS src,
+        |         CASE WHEN (u + v) % 2 = 0 THEN v ELSE u END AS dst
+        |  FROM undx WHERE (u * 7 + v * 3) % 5 = 0),
+        |dreach(a, b) AS (
+        |  SELECT src, dst FROM de
+        |  UNION
+        |  SELECT r.a, de.dst FROM dreach r JOIN de ON r.b = de.src),
+        |dnodes AS (SELECT src AS n FROM de UNION SELECT dst FROM de),
+        |mut AS (
+        |  SELECT r1.a AS v, r1.b AS u
+        |  FROM dreach r1 JOIN dreach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        |slab AS (
+        |  SELECT n.n AS node, least(n.n, coalesce(min(m.u), n.n)) AS scc
+        |  FROM dnodes n LEFT JOIN mut m ON m.v = n.n GROUP BY n.n)""".stripMargin
 
   private lazy val ccClosureSql: String =
       """WITH RECURSIVE cp AS (

@@ -28,6 +28,7 @@ object QueryCaches {
     TextQueries.clearCache()
     DedupQueries.clearCache()
     SimilarityQueries.clearCache()
+    BasketQueries.clearCache()
   }
 
   /** Build + materialize every memoized shared stage (Bench warm-up):
@@ -41,5 +42,6 @@ object QueryCaches {
     TextQueries.prebuild(s, dir)
     DedupQueries.prebuild(s, dir)
     SimilarityQueries.prebuild(s, dir)
+    BasketQueries.prebuild(s, dir)
   }
 }

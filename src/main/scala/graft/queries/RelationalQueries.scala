@@ -239,6 +239,26 @@ object RelationalQueries {
       o.union(c).distinct()
     }),
 
+    // U3/U4: INTERSECT / EXCEPT — the remaining ANSI set operations
+    // (Spark plans both as aggregate + left-semi/anti join, the same
+    // shuffle shape as the union dedup): customers with a finished
+    // order vs customers with any high-value order
+    "q_set_intersect" -> ((s, dir) => {
+      val f = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val hi = Tables(s, dir, "orders").where(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("custkey"))
+      f.intersect(hi)
+    }),
+
+    "q_set_except" -> ((s, dir) => {
+      val f = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val hi = Tables(s, dir, "orders").where(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("custkey"))
+      f.except(hi)
+    }),
+
     // U2: UNION ALL then re-aggregate (reference: ids_and_mappings.py:28-35)
     "q_union_all" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -803,6 +823,16 @@ object RelationalQueries {
       """SELECT o_custkey AS custkey FROM orders
         |UNION
         |SELECT c_custkey AS custkey FROM customer""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0""".stripMargin,
 
     "q_union_all" ->
       """SELECT src, count(*) AS n_rows, count(DISTINCT custkey) AS n_keys FROM (

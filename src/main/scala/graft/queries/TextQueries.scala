@@ -840,6 +840,12 @@ object TextQueries {
     "q_text_perplexity" -> ((s, dir) =>
       TextAnalysis.perplexityScore(Tables(s, dir, "documents"))),
 
+    // the production-smoothing twin: Kneser–Ney (d=3/4) with
+    // continuation counts — exact rational probability over a common
+    // denominator, DECIMAL(38,0) terms (see knBigramScore)
+    "q_text_kn_perplexity" -> ((s, dir) =>
+      TextAnalysis.knBigramScore(Tables(s, dir, "documents"))),
+
     // sliding-window chunking for embedding prep: 64-token windows,
     // stride 32 (map-only sequence+explode+slice)
     "q_text_chunks" -> ((s, dir) =>
@@ -2452,6 +2458,32 @@ object TextQueries {
          |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
+         |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // the KN probability as one exact HUGEINT ratio; ln argument =
+    // identical num/den doubles in both engines (exact ints < 2^53)
+    "q_text_kn_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         |t1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM c12 GROUP BY 1),
+         |n2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2 FROM c12 GROUP BY 1),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c12),
+         |terms AS (
+         |  SELECT bg.doc_id,
+         |    CAST(floor(-ln(
+         |      CAST((CAST(c12.c12 AS HUGEINT) * 4 - 3) * b.b
+         |           + CAST(t1.t1 AS HUGEINT) * n2.n2 * 3 AS DOUBLE) /
+         |      CAST(CAST(c1.c1 AS HUGEINT) * b.b * 4 AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS term_s
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |  JOIN t1 USING (w1) JOIN n2 USING (w2) CROSS JOIN b)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(term_s) AS BIGINT) AS sum_knll_s
          |FROM terms GROUP BY doc_id""".stripMargin,
 
     "q_text_chunks" ->

@@ -929,6 +929,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_nll_s"))
   }
 
+  /** Kneser–Ney-smoothed bigram scoring — the standard n-gram LM
+    * smoothing ([[perplexityScore]]'s add-one is the teaching baseline;
+    * absolute discounting with CONTINUATION counts is what production
+    * n-gram LMs actually use, because P(w2) should reflect how many
+    * contexts w2 follows, not raw frequency — "Francisco" is frequent
+    * but only ever follows "San"). Discount d = 3/4 (the textbook
+    * value, and exactly representable so the arithmetic stays
+    * rational):
+    *   P(w2|w1) = (c(w1,w2) − d)/c(w1·) + d·T(w1)/c(w1·) · N(w2)/B
+    * with T(w1) = distinct continuations of w1, N(w2) = distinct
+    * contexts preceding w2, B = distinct bigram types. Over a common
+    * denominator the probability is the exact integer ratio
+    *   [(4·c12 − 3)·B + 3·T·N] / (4·c1·B)
+    * — observed bigrams have c12 ≥ 1, so the discounted term never
+    * clips and both sides are positive. Each −ln term is floor-scaled
+    * ×1e6 BEFORE summing (the perplexityScore determinism contract);
+    * numerator/denominator accumulate in DECIMAL(38,0) — at 100 TB
+    * both c12·B and c1·B wrap a silent long once counts and the type
+    * inventory pass ~2³¹ each.
+    *
+    * Scale shape identical to [[perplexityScore]]: partial-aggregated
+    * count tables attached by hash joins on (w1,w2), (w1), (w2); only
+    * the 1-row B broadcasts; stopword-context skew rides AQE.
+    *
+    * @return (doc_id, n_bigrams, sum_knll_s)
+    */
+  def knBigramScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val t1 = c12.groupBy("w1").agg(count(lit(1)).as("t1"))
+    val n2 = c12.groupBy("w2").agg(count(lit(1)).as("n2"))
+    val b = c12.agg(count(lit(1)).as("b"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(t1, Seq("w1"))
+      .join(n2, Seq("w2"))
+      .crossJoin(broadcast(b))
+      .select(col("doc_id"),
+        floor(-log(
+          ((col("c12").cast("decimal(38,0)") * 4 - 3) * col("b") +
+            col("t1").cast("decimal(38,0)") * col("n2") * 3).cast("double") /
+          (col("c1").cast("decimal(38,0)") * col("b") * 4).cast("double")) * 1e6)
+          .cast("long").as("term_s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_knll_s"))
+  }
+
   /** Per-language corpus length-distribution stats — the curation
     * dashboard numbers (median/p90/p99 token counts, mean chars) that
     * drive length-filter thresholds. Exact interpolated percentiles

@@ -390,8 +390,9 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // q_profile_histogram designed shape, twice
       "q_profile_drift",
       // cross-perplexity attaches the reference vocab size exactly as
-      // the self-trained perplexity face does
-      "q_text_cross_perplexity",
+      // the self-trained perplexity face does; Kneser-Ney attaches its
+      // 1-row bigram-type count B the same way
+      "q_text_cross_perplexity", "q_text_kn_perplexity",
       // the recall face embeds the brute-force ground truth — it
       // inherits q_sim_brute_topk's designed broadcast scan
       "q_sim_ann_recall", "q_sim_mrr",
@@ -429,7 +430,12 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       // weight total; entropy its 1-row N; stickiness its 1-row
       // max-day cap — the same shape
       "q_ml_stump", "q_sample_neyman", "q_profile_entropy",
-      "q_events_stickiness")
+      "q_events_stickiness",
+      // association rules attach the 1-row basket count N for the
+      // lift denominator — the q_dict_extend bounded-aggregate shape;
+      // the top-k partners face ranks over the same rules and inherits
+      // the attach
+      "q_basket_rules", "q_basket_topk_partners")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, dir).queryExecution.sparkPlan
       val cart = p.collect { case c: CartesianProductExec => c }

@@ -190,6 +190,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out.contains(3L), "single-token docs have no bigrams")
   }
 
+  test("knBigramScore: hand-computed Kneser-Ney terms and the continuation property") {
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c")
+    // c(a,b)=2 c(a,c)=1; c(a,·)=3; T(a)=2; N(b)=N(c)=1; B=2
+    // P(b|a) = [(4·2−3)·2 + 3·2·1] / (4·3·2) = 16/24 = 2/3
+    // P(c|a) = [(4·1−3)·2 + 3·2·1] / 24     =  8/24 = 1/3
+    val tb = math.floor(-math.log(16.0 / 24.0) * 1e6).toLong
+    val tc = math.floor(-math.log(8.0 / 24.0) * 1e6).toLong
+    val out = TextAnalysis.knBigramScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((1L, tb)), 2L -> ((1L, tb)), 3L -> ((1L, tc))))
+    // the "Francisco" property: a frequent-but-single-context token is
+    // PENALIZED relative to a rarer diverse-context token when scored
+    // after a fresh context — here both y-bigrams share counts with the
+    // francisco one except the continuation count N(w2)
+    val d2 = docs(1L -> "san francisco", 2L -> "san francisco",
+      3L -> "san francisco", 4L -> "x y", 5L -> "z y")
+    val out2 = TextAnalysis.knBigramScore(d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // N(francisco)=1 though c=3; N(y)=2: the y docs score BETTER than
+    // frequency alone would predict relative to their count-1 bigrams
+    assert(out2(4L) === out2(5L))
+    assert(out2(1L) < out2(4L), "3× bigram still beats count-1 bigrams")
+  }
+
   test("lengthQuantiles computes exact interpolated percentiles per group") {
     import spark.implicits._
     val d = Seq(
