@@ -119,10 +119,12 @@ object ScaleSmoke {
     "q_events_temporal_reach_shuffle",
     // round-10 extension riders: SCC (trim + coloring + backward peel —
     // per-round cost must track frontier-adjacent edges and the peel
-    // depth must track the condensation, not the graph), and basket
-    // pair expansion (the Apriori prune + hot-basket cap must keep
-    // per-basket fan-out bounded as baskets replicate)
-    "q_graph_scc", "q_basket_pairs")
+    // depth must track the condensation, not the graph), basket pair
+    // expansion (the Apriori prune + hot-basket cap must keep
+    // per-basket fan-out bounded as baskets replicate), and char
+    // entropy (the largest explode volume in the text family — rows =
+    // corpus CHARACTERS, ~5× the token explodes)
+    "q_graph_scc", "q_basket_pairs", "q_text_char_entropy")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 

@@ -270,6 +270,24 @@ object EventQueries {
         typeHourly(s, dir, "purchase").withColumnRenamed("x", "y"),
         step = 3600L, maxLag = 4)),
 
+    // per-type burstiness: index of dispersion (variance/mean) of the
+    // hourly counts — Poisson traffic sits at 1e6, bursty types far
+    // above (the load-profile dual of CUSUM's changepoint). Exact:
+    // n·Σx²−(Σx)² over Σx·(n−1), integer cross-multiplied, floor ppm
+    "q_events_burstiness" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("long").as("t"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .where(col("n_hours") > 1 && col("sx") > 0)
+        .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
+          expr("""cast((cast(n_hours as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)
+                       * 1000000 div (cast(sx as decimal(38,0)) * (n_hours - 1))
+                  as bigint)""").as("dispersion_ppm"))),
+
     // typical-day envelope: per hour-of-day, the exact interpolated
     // median and p90 of the daily counts at that hour (the seasonal
     // baseline an anomaly monitor compares against; the group count is
@@ -810,6 +828,22 @@ object EventQueries {
         |    THEN CAST(floor(cov / sqrt(vi) / sqrt(vj) * 1000000) AS BIGINT)
         |    ELSE NULL END AS corr_s
         |FROM p""".stripMargin,
+
+    "q_events_burstiness" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_hours, sx AS n_events,
+        |  CAST((CAST(n_hours AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |       * 1000000 // (CAST(sx AS HUGEINT) * (n_hours - 1)) AS BIGINT)
+        |    AS dispersion_ppm
+        |FROM ag WHERE n_hours > 1 AND sx > 0""".stripMargin,
 
     // quantile_cont shares Spark percentile's (n-1)·p interpolation
     // (the lengthQuantiles precedent); hour-of-day from the UTC epoch

@@ -369,9 +369,15 @@ object GraphQueries {
     * faces (the output is checkpointed by stronglyConnected itself, so
     * the memo stores a materialized frame, not a live plan).
     */
-  private def sccLabels(s: SparkSession, dir: String): DataFrame =
+  private def sccLabels(s: SparkSession, dir: String): DataFrame = {
+    // resolve the edge-base memo BEFORE entering computeIfAbsent: a
+    // nested computeIfAbsent on the same ConcurrentHashMap throws
+    // "Recursive update" whenever the two keys land in one bin (bit us
+    // on the prebuild path, where this was the first cache touch)
+    val base = directedCoSupply(s, dir)
     stageCache.computeIfAbsent((s, dir, "scc_labels"), _ =>
-      graft.graph.Scc.stronglyConnected(directedCoSupply(s, dir)))
+      graft.graph.Scc.stronglyConnected(base))
+  }
 
   /** "Yesterday's" SCC labelling — the hash-parity two-thirds batch,
     * labelled from scratch. This is the incremental face's PREMISE
@@ -382,11 +388,12 @@ object GraphQueries {
     * batch recovers most of the full SCC structure, so contraction
     * genuinely shrinks the rerun (the cc_inc shape).
     */
-  private def sccLabelsBatch1(s: SparkSession, dir: String): DataFrame =
+  private def sccLabelsBatch1(s: SparkSession, dir: String): DataFrame = {
+    val base = directedCoSupply(s, dir) // see sccLabels: no nested memo
     stageCache.computeIfAbsent((s, dir, "scc_labels_b1"), _ =>
       graft.graph.Scc.stronglyConnected(
-        directedCoSupply(s, dir)
-          .where(pmod(col("src") * 13 + col("dst"), lit(3)) =!= 0)))
+        base.where(pmod(col("src") * 13 + col("dst"), lit(3)) =!= 0)))
+  }
 
   /** Unrolled k-truss peel: aR = surviving canonical edges after R
     * support-recount rounds. Same bounded-unroll-past-convergence

@@ -846,6 +846,17 @@ object TextQueries {
     "q_text_kn_perplexity" -> ((s, dir) =>
       TextAnalysis.knBigramScore(Tables(s, dir, "documents"))),
 
+    // character-level Shannon entropy per doc — the gibberish/binary
+    // tripwire token-level signals cannot see (entropyOf's exact
+    // floored-term contract, grouped per document)
+    "q_text_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables(s, dir, "documents"))),
+
+    // type-token ratio + hapax share per doc — lexical diversity in
+    // exact ppm
+    "q_text_ttr" -> ((s, dir) =>
+      TextAnalysis.typeTokenRatio(Tables(s, dir, "documents"))),
+
     // sliding-window chunking for embedding prep: 64-token windows,
     // stride 32 (map-only sequence+explode+slice)
     "q_text_chunks" -> ((s, dir) =>
@@ -2459,6 +2470,45 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(term_s) AS BIGINT) AS sum_nll_s
          |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // string_split(text, '') = Spark split(text, "") on BMP text (both
+    // emit per-character classes); same floored-term ladder as
+    // q_profile_entropy, grouped per doc
+    "q_text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE ch != '' GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (
+        |  SELECT c.doc_id, n.n,
+        |    c.c * CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS t
+        |  FROM c JOIN n USING (doc_id)),
+        |ag AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_char_classes,
+        |    max(n) AS n_chars, CAST(sum(t) AS BIGINT) AS st
+        |  FROM t GROUP BY 1)
+        |SELECT doc_id, n_char_classes, n_chars,
+        |  -((st - ((st % n_chars + n_chars) % n_chars)) // n_chars) AS entropy_s
+        |FROM ag""".stripMargin,
+
+    "q_text_ttr" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok WHERE tok != '' GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM tf GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  (n_types * 1000000) // n_tokens AS ttr_ppm,
+         |  (n_hapax * 1000000) // n_tokens AS hapax_ppm
+         |FROM ag""".stripMargin,
 
     // the KN probability as one exact HUGEINT ratio; ln argument =
     // identical num/den doubles in both engines (exact ints < 2^53)

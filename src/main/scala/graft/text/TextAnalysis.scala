@@ -986,6 +986,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_s")).as("sum_knll_s"))
   }
 
+  /** Per-document character-level Shannon entropy — the gibberish/
+    * binary-noise tripwire of the quality family (natural language
+    * sits in a narrow entropy band; base64 blobs, minified code and
+    * repeated-char padding fall far outside it, and none of the
+    * token-level signals see INSIDE tokens). Exact per the entropyOf
+    * contract: each character class contributes c·⌊ln(c/n)·10⁶⌋ (the
+    * floor INSIDE the weighted sum keeps every term an integer), one
+    * pmod-subtract floor division at the end.
+    *
+    * Characters are Java string code units (the oracle's string_split
+    * agrees on BMP text; supplementary-plane surrogates would count as
+    * two classes — irrelevant to the quality-signal purpose).
+    *
+    * Scale shape: one map-side character explode (rows = corpus chars,
+    * the tokenizer families' volume), two partial-agged groupBys keyed
+    * by (doc, char) then doc.
+    *
+    * @return (doc_id, n_char_classes, n_chars, entropy_s)
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("n"),
+        (col("c") * floor(log(col("c").cast("double") / col("n").cast("double"))
+          * 1e6).cast("long")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_char_classes"), max(col("n")).as("n_chars"),
+        sum(col("t")).as("st"))
+      .select(col("doc_id"), col("n_char_classes"), col("n_chars"),
+        (-expr("(st - pmod(st, n_chars)) div n_chars")).as("entropy_s"))
+  }
+
+  /** Per-document type-token ratio and hapax share — the lexical-
+    * diversity signals (templated/boilerplate text repeats a tiny
+    * vocabulary; natural prose keeps TTR and its hapax tail up), in
+    * exact floor-scaled ppm.
+    *
+    * @return (doc_id, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)
+    */
+  def typeTokenRatio(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_tokens").as("hapax_ppm"))
+  }
+
   /** Per-language corpus length-distribution stats — the curation
     * dashboard numbers (median/p90/p99 token counts, mean chars) that
     * drive length-filter thresholds. Exact interpolated percentiles

@@ -56,6 +56,29 @@ class BasketSpec extends SparkTestBase {
     assert(capped === Set(("a", "b", 2L)))
   }
 
+  test("matches brute-force pair counts on seeded random baskets") {
+    val rnd = new scala.util.Random(73)
+    for (trial <- 1 to 3) {
+      val lines = Seq.fill(300)(
+        (rnd.nextInt(40).toLong, s"i${rnd.nextInt(12)}"))
+      val ms = 3L
+      // brute force: distinct items per basket, item supports, pairs
+      val baskets = lines.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val supp = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val freqItems = supp.filter(_._2 >= ms).keySet
+      val expected = baskets.values
+        .map(_.intersect(freqItems).toSeq.sorted)
+        .flatMap(is => for (i <- is.indices; j <- (i + 1) until is.size)
+          yield (is(i), is(j)))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= ms)
+        .map { case ((a, b), c) => (a, b, c) }.toSet
+      val got = Basket.frequentPairs(lines.toDF("bk", "item"), "bk", "item", ms)
+        .as[(String, String, Long)].collect().toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("rule confidence and lift are exact floor-scaled ppm") {
     val rules = Basket.associationRules(fixture.toDF("bk", "item"), "bk", "item",
         minSupport = 2)

@@ -214,6 +214,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out2(1L) < out2(4L), "3× bigram still beats count-1 bigrams")
   }
 
+  test("charEntropy: floored-term replay, uniform and degenerate docs") {
+    val d = docs(1L -> "aab", 2L -> "zzzz", 3L -> "abcd")
+    def ref(text: String): Long = {
+      val counts = text.groupBy(identity).values.map(_.length.toLong)
+      val n = text.length.toLong
+      val st = counts.map(c =>
+        c * math.floor(math.log(c.toDouble / n) * 1e6).toLong).sum
+      val pm = ((st % n) + n) % n
+      -((st - pm) / n)
+    }
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((2L, 3L, ref("aab"))))
+    // single repeated char: zero entropy exactly
+    assert(out(2L) === ((1L, 4L, 0L)))
+    // uniform 4 classes: ln 4 (floored)
+    assert(out(3L) === ((4L, 4L, ref("abcd"))))
+    assert(out(3L)._3 > out(1L)._3 && out(1L)._3 > out(2L)._3)
+  }
+
+  test("typeTokenRatio: exact ppm and the hapax tail") {
+    val d = docs(1L -> "a b a c", 2L -> "x x x x")
+    val out = TextAnalysis.typeTokenRatio(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) === ((4L, 3L, 2L, 750000L, 500000L)))
+    assert(out(2L) === ((4L, 1L, 0L, 250000L, 0L)))
+  }
+
   test("lengthQuantiles computes exact interpolated percentiles per group") {
     import spark.implicits._
     val d = Seq(

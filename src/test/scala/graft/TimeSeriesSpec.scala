@@ -65,6 +65,21 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got.head._2 === 2L)
   }
 
+  test("moving sum matches the brute-force filter on seeded gappy series") {
+    val rnd = new scala.util.Random(83)
+    val series = (0L until 150L).filter(_ => rnd.nextBoolean())
+      .map(t => (t, (rnd.nextInt(100) + 1).toLong))
+    val m = series.toMap
+    val taps = 10
+    val expected = series.map { case (t, _) =>
+      t -> (0 until taps).map(j => m.getOrElse(t - j, 0L) * (1L << (taps - 1 - j))).sum
+    }.toMap
+    val got = TimeSeries.exponentialMovingSum(series.toDF("t", "x"), step = 1L,
+        taps = taps)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("moving sum applies halving weights and treats gaps as zero") {
     // taps=3, weights current=4, -1=2, -2=1
     val series = Seq((0L, 1L), (1L, 1L), (3L, 1L))
