@@ -412,8 +412,10 @@ object Scc {
       .agg(coalesce(sum(col("ne")), lit(0L)).as("n_edges"),
         coalesce(sum(col("nr")), lit(0L)).as("n_reciprocal"))
       .select(col("n_edges"), col("n_reciprocal"),
+        // DECIMAL numerator: n_reciprocal·1e6 wraps a silent long past
+        // ~9.2e12 edges (the gini convention)
         when(col("n_edges") > 0,
-          expr("n_reciprocal * 1000000 div n_edges"))
+          expr("cast((cast(n_reciprocal as decimal(38,0)) * 1000000) div n_edges as bigint)"))
           .otherwise(lit(null).cast("long")).as("recip_ppm"))
   }
 
