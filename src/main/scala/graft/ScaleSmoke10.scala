@@ -33,7 +33,12 @@ object ScaleSmoke10 {
     // SCALE.md — because the sorted-neighborhood verify stage's pair
     // volume tracks window × corpus; the second decade confirms the
     // verify quadratic stays bounded by the df/window drop, not corpus²
-    "q_pipeline_entities")
+    "q_pipeline_entities",
+    // late round-10 rider: the SCC peel — sf0.1→sf1 ran FASTER at 10×
+    // (round-latency-bound, rounds saturate with SCC diameter); the
+    // second decade is where per-round volume finally outgrows the
+    // latency floor and the cost model must hold
+    "q_graph_scc")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
