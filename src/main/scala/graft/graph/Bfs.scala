@@ -57,16 +57,21 @@ object Bfs {
       .withColumn("hops", lit(0L))
       .localCheckpoint()
     var frontier = labels
+    var frontierRows = frontier.count()
     var hop = 0L
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0) {
       hop += 1
+      // LAZY checkpoint materialized by the termination count (the Scc
+      // 2-job round fusion): write + count share one job; the label
+      // merge — skipped once the wave dies — is the only other one.
       val next = frontier.join(adj, col("node") === col("src"))
         .select(col("dst").as("node"))
         .distinct()
         .join(labels, Seq("node"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint()
-      labels = labels.unionAll(next).localCheckpoint()
+        .localCheckpoint(false)
+      frontierRows = next.count()
+      if (frontierRows > 0) labels = labels.unionAll(next).localCheckpoint()
       frontier = next
     }
     adj.unpersist()
@@ -105,24 +110,31 @@ object Bfs {
         .withColumn("dist", lit(0L))
         .localCheckpoint()
       var frontier = dist
+      var frontierRows = frontier.count()
       var r = 0
-      while (r < maxRounds && !frontier.isEmpty) {
+      while (r < maxRounds && frontierRows > 0) {
         r += 1
         val relaxed = frontier.join(adj, col("node") === col("src"))
           .groupBy(col("dst").as("cand"))
           .agg(min(col("dist") + col("cost")).as("cand_dist"))
         // improvements only: strictly better than the current label (or
-        // first label) — these are the next frontier
+        // first label) — these are the next frontier. LAZY checkpoint
+        // materialized by the termination count (the Scc 2-job round
+        // fusion): write + count share one job, and the dist merge —
+        // skipped on the terminal round — is the only other one.
         val improved = relaxed.join(dist, col("cand") === col("node"), "left")
           .where(col("dist").isNull || col("cand_dist") < col("dist"))
           .select(col("cand").as("node"), col("cand_dist").as("dist"))
-          .localCheckpoint()
-        dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
-          .unionAll(improved)
-          .localCheckpoint()
+          .localCheckpoint(false)
+        frontierRows = improved.count()
+        if (frontierRows > 0) {
+          dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+            .unionAll(improved)
+            .localCheckpoint()
+        }
         frontier = improved
       }
-      require(frontier.isEmpty,
+      require(frontierRows == 0,
         s"shortestPaths still improving after $maxRounds rounds; raise maxRounds")
       dist
     } finally adj.unpersist()
@@ -206,15 +218,26 @@ object Bfs {
             col("node") === col("src") && col("t") >= col("arrival_s"))
           .groupBy(col("dst").as("cand"))
           .agg(min(col("t")).as("cand_arr"))
+        // LAZY checkpoint whose materializing action IS the gating
+        // count (the Scc.stronglyConnected 2-job round fusion,
+        // Scc.scala coloring loop): the checkpoint write and the
+        // size-gate count share one scheduled job, and the arrival
+        // merge below — skipped entirely on the terminal round — is
+        // the round's only other job. The eager-checkpoint + separate
+        // count shape this replaces cost a third job per round, which
+        // at local round-latency-bound scale was the whole
+        // q_events_temporal_reach regression (VERDICT r10).
         val improved = relaxed.join(arrival, col("cand") === col("node"), "left")
           .where(col("arrival_s").isNull || col("cand_arr") < col("arrival_s"))
           .select(col("cand").as("node"), col("cand_arr").as("arrival_s"))
-          .localCheckpoint()
-        arrival = arrival.join(improved.select(col("node")), Seq("node"), "left_anti")
-          .unionAll(improved)
-          .localCheckpoint()
+          .localCheckpoint(false)
+        frontierRows = improved.count()
+        if (frontierRows > 0) {
+          arrival = arrival.join(improved.select(col("node")), Seq("node"), "left_anti")
+            .unionAll(improved)
+            .localCheckpoint()
+        }
         frontier = improved
-        frontierRows = frontier.count()
       }
       require(frontierRows == 0,
         s"earliestArrival still improving after $maxRounds rounds; raise maxRounds")

@@ -107,11 +107,15 @@ object ConnectedComponents {
         // truncate lineage every round: each round references the
         // previous edge set three times (sym union + min join), so the
         // lazy plan would triple per round (the dedupGroups 2^r hazard,
-        // but with base 3)
-        .localCheckpoint()
+        // but with base 3). LAZY checkpoint (the Scc playbook): the
+        // star-forest test below shuffles, so its map side computes —
+        // and the checkpoint persists — every partition of next inside
+        // the test's own job; the eager variant paid a separate
+        // materialization job per round for the same bytes
+        .localCheckpoint(false)
       val prev = e
-      // the checkpoint already materialized next's partitions — a
-      // persist on top would store them a second time for nothing
+      // the checkpoint materializes next's partitions — a persist on
+      // top would store them a second time for nothing
       e = next
       prev.unpersist()
       // star-forest test, both halves load-bearing: a parent that is

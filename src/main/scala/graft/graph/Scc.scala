@@ -57,19 +57,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Scc {
 
-  /** (node, scc) for every endpoint of `edges` (`src` → `dst`,
-    * self-loops ignored); scc = minimum member id, the CC label
-    * contract. Fails loudly if any propagation loop exceeds
-    * `maxRounds` rather than returning a partial labelling.
+  /** (node, scc) for every endpoint of `edges` (`src` → `dst`);
+    * scc = minimum member id, the CC label contract. Self-loop EDGES
+    * carry no connectivity and are dropped, but their endpoints are
+    * kept: a node appearing only in self-loops is its own singleton
+    * SCC, not absent from the output (ADVICE r10 — the node set is
+    * derived from the RAW edge list, before the self-loop filter).
+    * Fails loudly if any propagation loop exceeds `maxRounds` rather
+    * than returning a partial labelling.
     */
   def stronglyConnected(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
-    var active = edges
+    val raw = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    var active = raw
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var remaining = active.select(col("src").as("node"))
-      .unionAll(active.select(col("dst").as("node")))
+    var remaining = raw.select(col("src").as("node"))
+      .unionAll(raw.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     // typed empty seed so an edge-free input returns an empty (node, scc)
@@ -380,12 +385,21 @@ object Scc {
       val g = wave(sinks, byDst, "dst", "src", "backward")
       // in a DAG every node descends from some source and reaches some
       // sink, so the inner join keeps every node
-      f.select(col("node"), col("cnt").as("f0"))
+      val out = f.select(col("node"), col("cnt").as("f0"))
         .join(g.select(col("node"), col("cnt").as("g0")), Seq("node"))
         .select(col("node"),
           col("f0").cast("long").as("f_paths"),
           col("g0").cast("long").as("g_paths"),
           (col("f0") * col("g0")).cast("long").as("through_paths"))
+      // loud coverage check (ADVICE r10): a cycle component DISCONNECTED
+      // from every source and sink enters neither wave — the maxRounds
+      // trip only sees source-reachable cycles — and the inner join
+      // would silently drop its nodes. Full coverage or fail.
+      require(nodes.join(out.select("node"), Seq("node"), "left_anti").isEmpty,
+        "dagPathCentrality: nodes unreached by both waves — cyclic " +
+          "component disconnected from all sources/sinks (run " +
+          "stronglyConnected/condensation first)")
+      out
     } finally { bySrc.unpersist(); byDst.unpersist() }
   }
 

@@ -54,6 +54,11 @@ object Truss {
     // persisted canonical edge list (ADVICE r9)
     try {
       var alive = canon.localCheckpoint()
+      // survivor count carried across rounds: this round's next.count()
+      // is the next round's alive count, so convergence needs ONE
+      // scheduled job per round (the lazy-checkpoint counted drain —
+      // the Scc playbook), not checkpoint + next.count + alive.count
+      var aliveCount = alive.count()
       var converged = false
       var r = 0
       while (!converged && r < maxRounds) {
@@ -89,9 +94,11 @@ object Truss {
         val next = alive.join(support, Seq("x", "y"), "left")
           .where(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
           .select(col("x"), col("y"))
-          .localCheckpoint()
-        converged = next.count() == alive.count()
+          .localCheckpoint(false)
+        val nextCount = next.count()
+        converged = nextCount == aliveCount
         alive = next
+        aliveCount = nextCount
       }
       require(converged,
         s"k-truss peel still cascading after $maxRounds rounds; raise maxRounds")

@@ -179,6 +179,24 @@ class SccSpec extends SparkTestBase {
     assert(got(edges) === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("a self-loop-only node is its own singleton SCC, not absent " +
+      "(ADVICE r10)") {
+    // 7 appears ONLY in a self-loop; 1↔2 is a genuine cycle
+    val edges = Seq((1L, 2L), (2L, 1L), (7L, 7L), (2L, 2L))
+    assert(got(edges) === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("dagPathCentrality fails loudly on a cycle DISCONNECTED from all " +
+      "sources and sinks (ADVICE r10: the case both waves miss)") {
+    // 1→2 is a clean source→sink path; {5,6} is a 2-cycle island that
+    // neither wave enters — silence here would drop 5 and 6
+    val e = intercept[IllegalArgumentException] {
+      Scc.dagPathCentrality(
+        Seq((1L, 2L), (5L, 6L), (6L, 5L)).toDF("src", "dst"), maxRounds = 8)
+    }
+    assert(e.getMessage.contains("disconnected"))
+  }
+
   test("dagPathCentrality counts source→sink paths through each node") {
     // diamond 1→{2,3}→4 plus tail 4→5: two source→sink paths, both
     // through 1, 4, 5; one through each arm
