@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *     pathological basket with 10⁶ items would emit 5·10¹¹ pairs (the
   *     same hazard class as the k-truss low-id hub). Baskets with more
   *     than `maxBasketItems` distinct frequent items are excluded
-  *     deterministically (an audit face can count them), bounding every
+  *     deterministically — [[cappedBaskets]] is the audit query that
+  *     makes the exclusions visible (no silent caps) — bounding every
   *     basket's fan-out at cap²/2. The cap is a HAVING on a counted
   *     aggregate — no window, no skewed shuffle.
   *   - The pair self-join shuffles on the basket key once; pair rows are
@@ -29,8 +30,9 @@ import org.apache.spark.sql.functions._
   * would wrap a silent long past N ≈ 3·10⁶ baskets.
   *
   * Reference context: the reference has no basket operator; this extends
-  * the reception-edge m2m expansion shape (etl_textreuse/assets/
-  * downstream_textreuses.py) to the co-occurrence statistics family.
+  * the reception-edge m2m expansion shape (reference:
+  * etl_textreuse/assets/reception.py:56-60) to the co-occurrence
+  * statistics family.
   */
 object Basket {
 
@@ -58,6 +60,26 @@ object Basket {
       .select("bk")
     bi.join(freq, "item").join(okBaskets, "bk")
       .select(col("bk"), col("item"), col("item_supp"))
+  }
+
+  /** The baskets [[frequentItems]]' hot-basket cap EXCLUDES, with their
+    * frequent-item sizes — the no-silent-caps audit face of the family
+    * (VERDICT r10): the cap is a deliberate, deterministic drop, and
+    * this is the one query that makes the drop visible (count it, alert
+    * on it, or raise the cap). Same two shuffles as the prune/cap chain
+    * itself; empty when no basket exceeds the cap.
+    */
+  def cappedBaskets(
+      baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketItems: Int): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .where(col("bk").isNotNull && col("item").isNotNull)
+      .distinct()
+    val freq = bi.groupBy(col("item")).agg(count(lit(1)).as("item_supp"))
+      .where(col("item_supp") >= minSupport)
+    bi.join(freq, "item")
+      .groupBy(col("bk")).agg(count(lit(1)).as("frequent_items"))
+      .where(col("frequent_items") > maxBasketItems)
   }
 
   /** Frequent co-occurring item pairs: (item_a < item_b, pair_supp)
@@ -99,10 +121,16 @@ object Basket {
 
   /** [[associationRules]] over a precomputed (ideally persisted)
     * [[frequentItems]] stage — everything (supports, pairs, N) derives
-    * from the one `fi` scan.
+    * from the one `fi` scan. Item supports are RECOUNTED over the
+    * capped basket set (ADVICE r10): the pre-cap `item_supp` carried by
+    * `fi` mixes statistical bases with pair_supp/n_baskets whenever the
+    * hot-basket cap actually excludes baskets, biasing confidence and
+    * lift; here all four terms share the one capped base.
     */
   def associationRules(fi: DataFrame, minSupport: Long): DataFrame = {
-    val supp = fi.select("item", "item_supp").distinct()
+    // fi rows are distinct (bk, item), so count(*) per item IS the
+    // per-item basket support over the capped base
+    val supp = fi.groupBy("item").agg(count(lit(1)).as("item_supp"))
     val pairs = frequentPairs(fi, minSupport)
     val rules = pairs.select(
         col("item_a").as("antecedent"), col("item_b").as("consequent"),

@@ -69,6 +69,20 @@ object BasketQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select("antecedent", "consequent", "conf_ppm", "lift_ppm", "rk")
+    }),
+
+    // no-silent-caps audit (VERDICT r10): the baskets a cap of 5 would
+    // exclude, with their frequent-item counts — the drop the pair/rule
+    // faces' cap makes is a query away, never invisible. (The shared fi
+    // stage caps at 10000, which excludes nothing on this fixture; the
+    // audit runs the tighter cap the operator would alert on.)
+    "q_basket_cap_audit" -> ((s, dir) => {
+      val items = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("bk"),
+          concat(col("p_brand"), lit("/"), col("p_size").cast("string")).as("item"))
+      Basket.cappedBaskets(items, "bk", "item", minSupport, maxBasketItems = 5)
     })
   )
 
@@ -86,6 +100,9 @@ object BasketQueries {
       |fi AS (
       |  SELECT bi.bk, bi.item, freq.item_supp
       |  FROM bi JOIN freq USING (item) JOIN okb USING (bk)),
+      |supp AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS item_supp
+      |  FROM fi GROUP BY item),
       |pairs AS (
       |  SELECT a.item AS item_a, b.item AS item_b,
       |    CAST(count(*) AS BIGINT) AS pair_supp
@@ -118,8 +135,8 @@ object BasketQueries {
          |    // (CAST(sa.item_supp AS HUGEINT) * sc.item_supp)
          |    AS BIGINT) AS lift_ppm
          |FROM rules r
-         |JOIN freq sa ON sa.item = r.antecedent
-         |JOIN freq sc ON sc.item = r.consequent
+         |JOIN supp sa ON sa.item = r.antecedent
+         |JOIN supp sc ON sc.item = r.consequent
          |CROSS JOIN n""".stripMargin,
 
     "q_basket_topk_partners" ->
@@ -137,8 +154,8 @@ object BasketQueries {
          |      // (CAST(sa.item_supp AS HUGEINT) * sc.item_supp)
          |      AS BIGINT) AS lift_ppm
          |  FROM rules r
-         |  JOIN freq sa ON sa.item = r.antecedent
-         |  JOIN freq sc ON sc.item = r.consequent
+         |  JOIN supp sa ON sa.item = r.antecedent
+         |  JOIN supp sc ON sc.item = r.consequent
          |  CROSS JOIN n),
          |rk AS (
          |  SELECT antecedent, consequent, conf_ppm, lift_ppm,
@@ -146,6 +163,17 @@ object BasketQueries {
          |      ORDER BY lift_ppm DESC, conf_ppm DESC, consequent) AS BIGINT) AS rk
          |  FROM scored)
          |SELECT antecedent, consequent, conf_ppm, lift_ppm, rk
-         |FROM rk WHERE rk <= 3""".stripMargin
+         |FROM rk WHERE rk <= 3""".stripMargin,
+
+    "q_basket_cap_audit" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l.l_orderkey AS bk,
+        |    p.p_brand || '/' || CAST(p.p_size AS VARCHAR) AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |freq AS (
+        |  SELECT item FROM bi GROUP BY item HAVING count(*) >= 5)
+        |SELECT bk, CAST(count(*) AS BIGINT) AS frequent_items
+        |FROM bi JOIN freq USING (item)
+        |GROUP BY bk HAVING count(*) > 5""".stripMargin
   )
 }

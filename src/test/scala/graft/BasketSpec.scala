@@ -98,4 +98,34 @@ class BasketSpec extends SparkTestBase {
     assert(rules.keySet === Set(("a", "b"), ("b", "a"), ("a", "c"),
       ("c", "a"), ("b", "c"), ("c", "b")))
   }
+
+  test("rule statistics share ONE base when the cap excludes baskets " +
+      "(ADVICE r10: no mixed pre-cap/post-cap supports)") {
+    // basket 1 {a,b,c} exceeds a cap of 2 and is excluded; the capped
+    // base is then 2:{a,b} 3:{a,b} 4:{a,c} 5:{b,c} 6:{a} (z infrequent)
+    // → supp: a=4 b=3 c=2, N=5, ab=2 — conf(a→b)=2/4, lift=2·5/(4·3)
+    val rules = Basket.associationRules(fixture.toDF("bk", "item"), "bk", "item",
+        minSupport = 2, maxBasketItems = 2)
+      .select("antecedent", "consequent", "pair_supp", "supp_a", "supp_c",
+        "n_baskets", "conf_ppm", "lift_ppm")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val ab = rules(("a", "b"))
+    assert(ab._4 === 4L && ab._5 === 3L && ab._6 === 5L,
+      "supports and N must all come from the CAPPED basket set")
+    assert(ab._7 === 500000L, "conf(a→b) = 2/4 on the capped base")
+    assert(ab._8 === 833333L, "lift = 2·5·1e6/(4·3), floor")
+  }
+
+  test("cappedBaskets surfaces exactly the excluded baskets (no silent caps)") {
+    val withHot = fixture ++ Seq((99L, "a"), (99L, "b"), (99L, "c"))
+    val audit = Basket.cappedBaskets(withHot.toDF("bk", "item"), "bk", "item",
+        minSupport = 2, maxBasketItems = 2)
+      .as[(Long, Long)].collect().toSet
+    // baskets 1 and 99 hold 3 frequent items each; everything else ≤ 2
+    assert(audit === Set((1L, 3L), (99L, 3L)))
+    // and with a generous cap the audit is empty
+    assert(Basket.cappedBaskets(withHot.toDF("bk", "item"), "bk", "item",
+      minSupport = 2, maxBasketItems = 10).isEmpty)
+  }
 }
