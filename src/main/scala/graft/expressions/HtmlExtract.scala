@@ -1,0 +1,197 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native HTML/markup text extraction — the missing FIRST stage of the
+  * curation chain (VERDICT r10): real crawl corpora arrive as HTML, and
+  * every downstream operator (quality scores, shingle dedup, langid)
+  * assumes clean text. One single-pass scanner handles tag stripping,
+  * `<script>`/`<style>` element removal (content included), comment
+  * removal, CDATA unwrapping, a fixed entity set, and whitespace
+  * collapsing — no UDF (the UnicodeNormalize precedent: a Scala UDF
+  * would break whole-stage codegen on the widest scan of the pipeline),
+  * no per-row regex stack (a java.util.regex chain re-walks the string
+  * once per pattern; the scanner is one walk).
+  *
+  * Semantics (shared by [[HtmlExtract]], [[HtmlLinkText]], and the
+  * DuckDB regexp twin in TextQueries — deviations are oracle bugs):
+  *   - `<!--` … `-->` comments are removed (document order: markup
+  *     inside a comment is swallowed by it);
+  *   - `<![CDATA[` … `]]>` unwraps to its raw content;
+  *   - `<script`/`<style` elements (opener = tag name followed by `>`
+  *     or whitespace) are removed INCLUDING content through their
+  *     matching `</script`/`</style` + optional-ws + `>` closer;
+  *     an unterminated opener degrades to a generic tag (content kept),
+  *     exactly like the lazy-regex form it mirrors;
+  *   - every other `<` … `>` span is a tag, replaced by one space; a
+  *     `<` with no later `>` is literal text;
+  *   - entities `&lt; &gt; &quot; &apos; &nbsp;` decode first,
+  *     `&amp;` LAST (so `&amp;lt;` yields the literal text `&lt;`);
+  *   - whitespace runs collapse to one space; result is trimmed.
+  *
+  * Unterminated comments/CDATA also degrade to the generic-tag rule.
+  * All scanning is ASCII-structural, so multi-byte UTF-8 content passes
+  * through untouched.
+  */
+object HtmlText {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def startsIgnoreCase(s: String, i: Int, p: String): Boolean =
+    s.regionMatches(true, i, p, 0, p.length)
+
+  /** index just past the element's `</name[ws]*>` closer, or -1. */
+  private def closerEnd(s: String, from: Int, name: String): Int = {
+    val pat = "</" + name
+    var i = from
+    while (i >= 0 && i < s.length) {
+      i = indexOfIgnoreCase(s, pat, i)
+      if (i < 0) return -1
+      var j = i + pat.length
+      while (j < s.length && isWs(s.charAt(j))) j += 1
+      if (j < s.length && s.charAt(j) == '>') return j + 1
+      i += 1
+    }
+    -1
+  }
+
+  private def indexOfIgnoreCase(s: String, p: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - p.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, p, 0, p.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One scan producing (full visible text, visible text inside <a>
+    * elements), both pre-finishing.
+    */
+  private def scan(s: String): (String, String) = {
+    val n = s.length
+    val all = new java.lang.StringBuilder(n)
+    val link = new java.lang.StringBuilder()
+    var inLink = false
+    var i = 0
+    def emitChar(c: Char): Unit = { all.append(c); if (inLink) link.append(c) }
+    def emitRange(from: Int, to: Int): Unit = {
+      all.append(s, from, to); if (inLink) link.append(s, from, to)
+    }
+    // generic `<...>` tag at i: one space, with <a>/</a> link tracking;
+    // returns the scan position after the tag (or n when no '>' exists,
+    // after emitting the rest literally)
+    def genericTag(i0: Int): Int = {
+      val e = s.indexOf('>', i0)
+      if (e < 0) { emitRange(i0, n); return n }
+      // opener: <a> or <a ...>; closer: </a> or </a   > — tag-name
+      // boundary required, so <abbr>/<article> stay generic
+      val c1 = if (i0 + 1 < e) s.charAt(i0 + 1) else ' '
+      if ((c1 == 'a' || c1 == 'A') && (i0 + 2 == e || isWs(s.charAt(i0 + 2)))) {
+        emitChar(' '); inLink = true
+      } else if (c1 == '/' && i0 + 2 < e &&
+          (s.charAt(i0 + 2) == 'a' || s.charAt(i0 + 2) == 'A') &&
+          (i0 + 3 until e).forall(j => isWs(s.charAt(j)))) {
+        inLink = false; emitChar(' ')
+      } else emitChar(' ')
+      e + 1
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '<') { emitChar(c); i += 1 }
+      else if (s.startsWith("<!--", i)) {
+        val e = s.indexOf("-->", i + 4)
+        if (e >= 0) { emitChar(' '); i = e + 3 } else i = genericTag(i)
+      } else if (s.startsWith("<![CDATA[", i)) {
+        val e = s.indexOf("]]>", i + 9)
+        if (e >= 0) { emitRange(i + 9, e); i = e + 3 } else i = genericTag(i)
+      } else if (startsIgnoreCase(s, i, "<script") &&
+          i + 7 < n && (s.charAt(i + 7) == '>' || isWs(s.charAt(i + 7)))) {
+        val e = closerEnd(s, i + 7, "script")
+        if (e >= 0) { emitChar(' '); i = e } else i = genericTag(i)
+      } else if (startsIgnoreCase(s, i, "<style") &&
+          i + 6 < n && (s.charAt(i + 6) == '>' || isWs(s.charAt(i + 6)))) {
+        val e = closerEnd(s, i + 6, "style")
+        if (e >= 0) { emitChar(' '); i = e } else i = genericTag(i)
+      } else i = genericTag(i)
+    }
+    (all.toString, link.toString)
+  }
+
+  /** Entity decode (fixed set, `&amp;` last) + whitespace collapse + trim. */
+  private def finish(raw: String): String = {
+    val decoded = raw
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&nbsp;", " ")
+      .replace("&amp;", "&")
+    val sb = new java.lang.StringBuilder(decoded.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < decoded.length) {
+      val c = decoded.charAt(i)
+      if (isWs(c)) pendingSpace = sb.length > 0
+      else { if (pendingSpace) { sb.append(' '); pendingSpace = false }; sb.append(c) }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def extract(html: UTF8String): UTF8String =
+    UTF8String.fromString(finish(scan(html.toString)._1))
+
+  def linkText(html: UTF8String): UTF8String =
+    UTF8String.fromString(finish(scan(html.toString)._2))
+}
+
+/** Visible text of an HTML document (see [[HtmlText]] semantics). */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_html_extract requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_extract"
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.extract(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HtmlText.extract($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
+    copy(child = newChild)
+}
+
+object HtmlExtract {
+  def apply(c: Column): Column = Shim.column(HtmlExtract(Shim.expression(c)))
+}
+
+/** Visible text INSIDE `<a>` elements only, same finishing — the
+  * numerator of link density, the classic boilerplate signal (nav bars
+  * and footers are link-dense; article bodies are not). Density stays a
+  * plain SQL expression over the two lengths, so the operator composes
+  * with the fixed-point ppm convention instead of hiding a division.
+  */
+case class HtmlLinkText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_html_link_text requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_link_text"
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.linkText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HtmlText.linkText($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinkText =
+    copy(child = newChild)
+}
+
+object HtmlLinkText {
+  def apply(c: Column): Column = Shim.column(HtmlLinkText(Shim.expression(c)))
+}

@@ -80,6 +80,14 @@ object SqlFunctions {
         UnicodeNormalize(c, litStr("graft_unicode_normalize", "form")(f))
       case _ => arity("graft_unicode_normalize",
         "2 arguments (string, form STRING literal: NFC|NFD|NFKC|NFKD)")
+    },
+    fn("graft_html_extract") {
+      case Seq(c) => HtmlExtract(c)
+      case _ => arity("graft_html_extract", "1 argument (html string)")
+    },
+    fn("graft_html_link_text") {
+      case Seq(c) => HtmlLinkText(c)
+      case _ => arity("graft_html_link_text", "1 argument (html string)")
     })
 
   /** Extension-time injection (GraftExtensions). */

@@ -23,6 +23,75 @@ object TextQueries {
   /** Per-token rolling hashes (TextAnalysis.tokenHashTable's `th`). */
   private val thSql = s"list_transform($toks, tk -> ${charHash("tk")})"
 
+  /** Markup-wrapped document fixture for the HTML-extraction faces —
+    * built identically in Spark (here) and DuckDB ([[htmlFixtureSql]]):
+    * head with style + a script whose body contains <, >, && and a
+    * quoted tag; a comment; entities incl. a double-escaped &amp;lt;;
+    * a CDATA block; one real link per doc and an extra nav-style link
+    * on every third (two link-density regimes).
+    */
+  private def htmlFixture: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, substring}
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id, lit("</title>"),
+      lit("<style type=\"text/css\">body { color: red; }</style>"),
+      lit("<script>if (a < b && c > 0) { x = \"<p>\"; }</script></head>"),
+      lit("<body><!-- header boilerplate --><h1>Doc &amp; "), id, lit("</h1><p>"),
+      substring(col("text"), 1, 200),
+      lit(" &nbsp;more &lt;tagged&gt; text &amp;lt;</p>"),
+      lit("<![CDATA[raw cdata "), id, lit("]]>"),
+      lit("<div><a href=\"/d?id="), id, lit("\">link "), id, lit("</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a class=\"nav\">nav nav nav</a>")).otherwise(lit("")),
+      lit("</div></body></html>"))
+  }
+
+  /** The same fixture as a DuckDB expression over `documents`. */
+  private val htmlFixtureSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+      | || '<style type="text/css">body { color: red; }</style>'
+      | || '<script>if (a < b && c > 0) { x = "<p>"; }</script></head>'
+      | || '<body><!-- header boilerplate --><h1>Doc &amp; '
+      | || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      | || substring(text, 1, 200)
+      | || ' &nbsp;more &lt;tagged&gt; text &amp;lt;</p>'
+      | || '<![CDATA[raw cdata ' || CAST(doc_id AS VARCHAR) || ']]>'
+      | || '<div><a href="/d?id=' || CAST(doc_id AS VARCHAR) || '">link '
+      | || CAST(doc_id AS VARCHAR) || '</a>'
+      | || CASE WHEN doc_id % 3 = 0 THEN '<a class="nav">nav nav nav</a>'
+      |         ELSE '' END
+      | || '</div></body></html>'""".stripMargin.replace("\n", " ")
+
+  /** The HtmlText cleaning chain as DuckDB regexps (same semantics as
+    * the scanner, see HtmlText Scaladoc): CDATA unwrap → comment strip
+    * → script/style element removal → generic tag → one space → fixed
+    * entities (&amp; last) → \s+ collapse → trim.
+    */
+  private def htmlCleanSql(e: String): String =
+    raw"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace($e, '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g'),
+       |            '(?s)<!--.*?-->', ' ', 'g'),
+       |          '(?is)<script(\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
+       |        '(?is)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
+       |      '<[^>]*>', ' ', 'g'),
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+       |    '&nbsp;', ' '), '&amp;', '&'),
+       |  '\s+', ' ', 'g'))""".stripMargin.replace("\n", " ")
+
+  /** Link text: concatenated <a> element contents, then the same
+    * cleaning chain (inner tags → space, entities, ws collapse).
+    */
+  private def htmlLinkSql(e: String): String =
+    htmlCleanSql(
+      s"array_to_string(regexp_extract_all($e, " +
+        """'(?is)<a(\s[^>]*)?>(.*?)</a\s*>', 2), '')""")
+
   /** Memoized 3-round BPE training per (session, dir): the trained
     * tokenizer is one shared artifact read by three query faces. The
     * final state is localCheckpointed by the trainer (no unpersist
@@ -779,6 +848,36 @@ object TextQueries {
           count(when(col("est") === col("exact"), 1)).as("n_exact"),
           sum(col("est") - col("exact")).as("sum_overestimate"),
           max(col("est") - col("exact")).as("max_overestimate"))
+    }),
+
+    // HTML text extraction (native single-pass expression, HtmlText):
+    // the crawl-corpus first stage — script/style removal, comment
+    // strip, CDATA unwrap, tag strip, fixed entity set, ws collapse.
+    // The fixture wraps each document's text in hostile-but-realistic
+    // markup (script with <, >, " inside; entities; CDATA; comments);
+    // the DuckDB twin re-derives the exact transform as a regexp chain
+    "q_text_html_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val html = htmlFixture
+      Tables(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.HtmlExtract(html).as("text_clean"),
+        length(graft.expressions.HtmlExtract(html)).cast("long").as("len_clean"))
+    }),
+
+    // link-density boilerplate signal over the same fixture: visible
+    // chars inside <a> elements vs all visible chars, floor-scaled ppm
+    // (nav/footer boilerplate is link-dense; article bodies are not) —
+    // every third document gets an extra nav-style link so the face has
+    // two distinct density regimes
+    "q_text_html_link_density" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val html = htmlFixture
+      Tables(s, dir, "documents").select(col("doc_id"),
+          length(graft.expressions.HtmlLinkText(html)).cast("long").as("len_link"),
+          length(graft.expressions.HtmlExtract(html)).cast("long").as("len_total"))
+        .select(col("doc_id"), col("len_link"), col("len_total"),
+          expr("CAST((len_link * 1000000) DIV greatest(len_total, 1) AS BIGINT)")
+            .as("link_ppm"))
     }),
 
     // Unicode NFC normalization (native expression). The synthetic
@@ -2048,6 +2147,24 @@ object TextQueries {
     // chr(769)=U+0301 combining acute, chr(64257)=U+FB01 ﬁ ligature
     // (NFC-invariant), chr(778)=U+030A combining ring — the same
     // decorated string the Spark face builds
+    "q_text_html_extract" ->
+      s"""WITH t AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |clean AS (SELECT doc_id, ${htmlCleanSql("html")} AS text_clean FROM t)
+         |SELECT doc_id, text_clean,
+         |  CAST(length(text_clean) AS BIGINT) AS len_clean
+         |FROM clean""".stripMargin,
+
+    "q_text_html_link_density" ->
+      s"""WITH t AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |lens AS (SELECT doc_id,
+         |    CAST(length(${htmlLinkSql("html")}) AS BIGINT) AS len_link,
+         |    CAST(length(${htmlCleanSql("html")}) AS BIGINT) AS len_total
+         |  FROM t)
+         |SELECT doc_id, len_link, len_total,
+         |  CAST((CAST(len_link AS HUGEINT) * 1000000)
+         |    // greatest(len_total, 1) AS BIGINT) AS link_ppm
+         |FROM lens""".stripMargin,
+
     "q_text_normalize" ->
       """WITH t AS (
         |  SELECT doc_id, substring(text, 1, 40) || ' Cafe' || chr(769) || ' ' ||

@@ -33,6 +33,18 @@ class SqlFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("html extraction functions are callable from spark.sql") {
+    SqlFunctions.ensureRegistered(spark)
+    val row = spark.sql(
+      """SELECT graft_html_extract(
+        |    '<p>a &amp; b</p><script>var x=1;</script><a href="/x">l1</a>') AS t,
+        |  graft_html_link_text(
+        |    '<p>a</p><a href="/x">l1</a> mid <a>l2</a>') AS l""".stripMargin)
+      .collect().head
+    assert(row.getString(0) === "a & b l1")
+    assert(row.getString(1) === "l1l2")
+  }
+
   test("array functions from SQL match the similarity module's values") {
     SqlFunctions.ensureRegistered(spark)
     import spark.implicits._
