@@ -38,7 +38,13 @@ object ScaleSmoke10 {
     // (round-latency-bound, rounds saturate with SCC diameter); the
     // second decade is where per-round volume finally outgrows the
     // latency floor and the cost model must hold
-    "q_graph_scc")
+    "q_graph_scc",
+    // round-11 rider (VERDICT r10 item 6): the condensation path-count
+    // centrality — two sum-propagation waves whose round count is DAG
+    // depth (saturates under replication) while per-round volume grows
+    // with the edge set; the decade separates the two regimes the same
+    // way scc's does
+    "q_graph_dag_paths")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -76,9 +82,12 @@ object ScaleSmoke10 {
     def measure(dir: String): Map[String, Double] = {
       graft.queries.QueryCaches.clearAll()
       System.gc()
-      graft.queries.DomainQueries.prebuild(spark, dir)
-      graft.queries.GraphQueries.prebuild(spark, dir)
-      graft.queries.DedupQueries.prebuild(spark, dir)
+      val steps = graft.queries.DomainQueries.prebuildSteps ++
+        graft.queries.GraphQueries.prebuildSteps ++
+        graft.queries.DedupQueries.prebuildSteps
+      val byName = steps.map(st => st.name -> st).toMap
+      graft.core.Dag.topoSort(steps.map(st => st.name -> st.deps))
+        .foreach(n => byName(n).run(spark, dir))
       run(smokeQueries.head, dir) // untimed JVM/codegen warm-up
       smokeQueries.map { q => System.gc(); q -> run(q, dir) }.toMap
     }

@@ -27,7 +27,7 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
 
   def path(name: String): String = s"$baseDir/$name.parquet"
 
-  private def fs(p: String): FileSystem =
+  private[core] def fs(p: String): FileSystem =
     FileSystem.get(new URI(p), spark.sparkContext.hadoopConfiguration)
 
   def exists(name: String): Boolean = {
@@ -124,7 +124,7 @@ final class Catalog(val spark: SparkSession, baseDir: String) {
   // newest complete version on disk.
   // ---------------------------------------------------------------------
 
-  private def versionsDir(name: String): String = s"$baseDir/$name.versions"
+  private[core] def versionsDir(name: String): String = s"$baseDir/$name.versions"
   private def versionPath(name: String, v: Long): String =
     f"${versionsDir(name)}/v$v%05d.parquet"
   private def pointerPath(name: String): String = s"${versionsDir(name)}/_CURRENT"

@@ -40,9 +40,10 @@ object BasketQueries {
     stageCache.clear()
   }
 
-  /** Materialize the shared base off the bench clock. */
-  def prebuild(s: SparkSession, dir: String): Unit =
-    fi(s, dir).write.format("noop").mode("overwrite").save()
+  /** Declared warm-up step (see DomainQueries.prebuildSteps). */
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = Seq(
+    QueryCaches.PrebuildStep("basket.frequent_items", Nil, (s, dir) =>
+      fi(s, dir).write.format("noop").mode("overwrite").save()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

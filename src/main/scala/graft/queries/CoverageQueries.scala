@@ -32,9 +32,10 @@ object CoverageQueries {
     trCache.clear()
   }
 
-  /** Materialize the memoized synthesis (see DomainQueries.prebuild). */
-  def prebuild(s: SparkSession, dir: String): Unit =
-    synthTextreuses(s, dir).write.format("noop").mode("overwrite").save()
+  /** Declared warm-up step (see DomainQueries.prebuildSteps). */
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = Seq(
+    QueryCaches.PrebuildStep("coverage.synth_textreuses", Nil, (s, dir) =>
+      synthTextreuses(s, dir).write.format("noop").mode("overwrite").save()))
 
   private def buildSynthTextreuses(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")

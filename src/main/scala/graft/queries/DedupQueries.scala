@@ -198,14 +198,17 @@ object DedupQueries {
     verifiedCache.clear()
   }
 
-  /** Materialize the shared stages off the bench clock. */
-  def prebuild(s: SparkSession, dir: String): Unit = {
-    dedupPairs(s, dir).write.format("noop").mode("overwrite").save()
-    historyBands(s, dir).write.format("noop").mode("overwrite").save()
-    verifiedMatches(s, dir).write.format("noop").mode("overwrite").save()
-    verifiedMatches(s, dir, maxDist = 90)
-      .write.format("noop").mode("overwrite").save()
-  }
+  /** Declared warm-up steps (see DomainQueries.prebuildSteps). */
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = Seq(
+    QueryCaches.PrebuildStep("dedup.pairs", Nil, (s, dir) =>
+      dedupPairs(s, dir).write.format("noop").mode("overwrite").save()),
+    QueryCaches.PrebuildStep("dedup.history_bands", Nil, (s, dir) =>
+      historyBands(s, dir).write.format("noop").mode("overwrite").save()),
+    QueryCaches.PrebuildStep("dedup.verified_30", Nil, (s, dir) =>
+      verifiedMatches(s, dir).write.format("noop").mode("overwrite").save()),
+    QueryCaches.PrebuildStep("dedup.verified_90", Nil, (s, dir) =>
+      verifiedMatches(s, dir, maxDist = 90)
+        .write.format("noop").mode("overwrite").save()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -170,19 +170,36 @@ object DomainQueries {
     stageCache.clear()
   }
 
-  /** Build and MATERIALIZE every memoized upstream stage (noop write —
-    * runs the full plan and populates the persisted cache). Bench calls
-    * this during warm-up so per-query timings measure the operator
-    * under test, not the one-time shared-chain construction that the
-    * alphabetically first domain query would otherwise absorb.
+  /** Each memoized upstream stage as a DECLARED warm-up step (noop
+    * write — runs the full plan and populates the persisted cache).
+    * Bench runs these during warm-up so per-query timings measure the
+    * operator under test, not the one-time shared-chain construction
+    * that the alphabetically first domain query would otherwise absorb.
+    * The deps mirror the memo call graph; QueryCaches.prebuildAll
+    * topologically orders the union of all modules' steps, so each
+    * stage's noop write pays only its own work.
     */
-  def prebuild(s: SparkSession, dir: String): Unit =
-    Seq(textreuses(s, dir), pieces(s, dir), trsIds(s, dir),
-        defragMappings(s, dir), spMids(s, dir), spEditionIds(s, dir),
-        spEditionAuthors(s, dir), spTem(s, dir), spTwm(s, dir),
-        spEpd(s, dir), spMpd2(s, dir), spBookEarliest(s, dir),
-        spBookDenorm(s, dir))
-      .foreach(_.write.format("noop").mode("overwrite").save())
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = {
+    def step(name: String, deps: String*)(
+        f: (SparkSession, String) => DataFrame) =
+      QueryCaches.PrebuildStep(name, deps,
+        (s, dir) => f(s, dir).write.format("noop").mode("overwrite").save())
+    Seq(
+      step("domain.textreuses")(textreuses),
+      step("domain.trs_ids")(trsIds),
+      step("domain.pieces", "domain.textreuses")(pieces),
+      step("domain.defrag_mappings", "domain.pieces")(defragMappings),
+      step("domain.mids", "domain.trs_ids")(spMids),
+      step("domain.edition_ids", "domain.mids")(spEditionIds),
+      step("domain.edition_authors", "domain.edition_ids")(spEditionAuthors),
+      step("domain.tem", "domain.trs_ids", "domain.mids", "domain.edition_ids")(spTem),
+      step("domain.twm", "domain.trs_ids", "domain.mids", "domain.edition_ids")(spTwm),
+      step("domain.epd", "domain.mids", "domain.edition_ids")(spEpd),
+      step("domain.mpd2", "domain.mids", "domain.edition_ids")(spMpd2),
+      step("domain.book_earliest", "domain.trs_ids", "domain.mids",
+        "domain.pieces")(spBookEarliest),
+      step("domain.book_denorm", "domain.book_earliest", "domain.pieces")(spBookDenorm))
+  }
 
   private def textreuses(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "textreuses") {

@@ -63,16 +63,19 @@ object GraphQueries {
     stageCache.clear()
   }
 
-  /** Materialize the shared edge bases off the bench clock. */
-  def prebuild(s: SparkSession, dir: String): Unit = {
-    Seq(coSupply(s, dir, 40.0), coSupply(s, dir, 49.0), coPurchase(s, dir))
-      .foreach(_.write.format("noop").mode("overwrite").save())
+  /** Declared warm-up steps (see DomainQueries.prebuildSteps). */
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = Seq(
+    QueryCaches.PrebuildStep("graph.co_supply_40", Nil, (s, dir) =>
+      coSupply(s, dir, 40.0).write.format("noop").mode("overwrite").save()),
+    QueryCaches.PrebuildStep("graph.co_supply_49", Nil, (s, dir) =>
+      coSupply(s, dir, 49.0).write.format("noop").mode("overwrite").save()),
+    QueryCaches.PrebuildStep("graph.co_purchase", Nil, (s, dir) =>
+      coPurchase(s, dir).write.format("noop").mode("overwrite").save()),
     // yesterday's labelling — the incremental SCC face's input state
     // (already materialized by stronglyConnected's checkpoint; the memo
     // call here just builds it off the bench clock)
-    sccLabelsBatch1(s, dir)
-    ()
-  }
+    QueryCaches.PrebuildStep("graph.scc_labels_batch1", Seq("graph.co_supply_49"),
+      (s, dir) => { sccLabelsBatch1(s, dir); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -376,14 +376,15 @@ object SimilarityQueries {
 
   def clearCache(): Unit = { headCache.clear(); ncmCache.clear() }
 
-  /** Pay the shared GD fit off the bench clock (weights are
-    * driver-side, so there is nothing to materialize beyond the fit).
+  /** Declared warm-up steps (see DomainQueries.prebuildSteps): the
+    * shared GD fits — weights are driver-side, so there is nothing to
+    * materialize beyond the fit itself.
     */
-  def prebuild(s: SparkSession, dir: String): Unit = {
-    trainedHead(s, dir)
-    ncmProtos(s, dir)
-    ()
-  }
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = Seq(
+    QueryCaches.PrebuildStep("similarity.trained_head", Nil,
+      (s, dir) => { trainedHead(s, dir); () }),
+    QueryCaches.PrebuildStep("similarity.ncm_protos", Nil,
+      (s, dir) => { ncmProtos(s, dir); () }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -186,16 +186,18 @@ object TextQueries {
     winnowHistoryCache.clear()
   }
 
-  /** Materialize the memoized training off the bench clock (Bench
-    * warm-up, like the domain-chain prebuilds).
+  /** Declared warm-up steps (see DomainQueries.prebuildSteps): the
+    * memoized trainings, paid off the bench clock.
     */
-  def prebuild(s: SparkSession, dir: String): Unit = {
-    trainedBpe(s, dir)
-    trainedTextHead(s, dir)
-    noveltyHistory(s, dir).write.format("noop").mode("overwrite").save()
-    winnowHistory(s, dir).write.format("noop").mode("overwrite").save()
-    ()
-  }
+  def prebuildSteps: Seq[QueryCaches.PrebuildStep] = Seq(
+    QueryCaches.PrebuildStep("text.bpe", Nil,
+      (s, dir) => { trainedBpe(s, dir); () }),
+    QueryCaches.PrebuildStep("text.text_head", Nil,
+      (s, dir) => { trainedTextHead(s, dir); () }),
+    QueryCaches.PrebuildStep("text.novelty_history", Nil, (s, dir) =>
+      noveltyHistory(s, dir).write.format("noop").mode("overwrite").save()),
+    QueryCaches.PrebuildStep("text.winnow_history", Nil, (s, dir) =>
+      winnowHistory(s, dir).write.format("noop").mode("overwrite").save()))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
