@@ -53,12 +53,22 @@ object Bench {
     // noop sink re-executes the full plan — nothing is result-cached.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int): Double =
-      (1 to n).map { _ =>
+        n: Int): Double = {
+      def once(): Double = {
         val t0 = System.nanoTime()
         try run(fn) catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      val ts = (1 to n).map(_ => once())
+      // pass DISAGREEMENT marks a stolen stretch (VERDICT r10 item 9:
+      // phantom swings like pagerank_warm +1.3 s driver / −1.1 s quiet
+      // cost attention every round): when the two passes differ >2×,
+      // one arbitration pass runs immediately — a phantom reading now
+      // needs three stolen passes in a row, on every face, not just
+      // the slowest decile
+      if (n >= 2 && ts.max > 2 * ts.min + 0.05) math.min(ts.min, once())
+      else ts.min
+    }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % 8 == 0) System.gc()

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * "which sources does the well-curated half of the corpus rely on"
   * signal. The reference has no rank operator (its only iterative
   * graph op is Chinese Whispers label propagation,
-  * `/root/reference/etl_textreuse/spark/chinese_label_propagation.py`);
+  * `/root/reference/etl_textreuse/assets/chinese_label_propagation.py`);
   * this is an extension in the PageRank family.
   *
   * All arithmetic is INTEGER (scores in `scale`-units, floor

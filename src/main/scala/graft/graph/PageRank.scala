@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * primitive of LLM-era corpus curation (domain-authority weighting for
   * crawl corpora, citation ranking of source documents). The reference
   * has no rank operator beyond label propagation
-  * (`/root/reference/etl_textreuse/spark/chinese_label_propagation.py`);
+  * (`/root/reference/etl_textreuse/assets/chinese_label_propagation.py`);
   * this is the extension counterpart, built on the same
   * iterated-equi-join shape as `graft.cluster.Clustering`.
   *
