@@ -70,24 +70,47 @@ object ScaleSmoke10 {
     ensure(big, 100)
 
     def run(q: String, dir: String): Double = {
+      // progress line BEFORE each query: a smoke that dies mid-run
+      // (disk-full spill, OOM) must name its killer in the log, not
+      // leave a 20-minute silence between prebuild and the stack trace
+      println(s"[scale10] running $q @ $dir")
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale10] done    $q @ $dir ${dt}%.2f s")
+      dt
     }
 
     // one scale in memory at a time (the ScaleSmoke measurement note);
-    // only the memo chains these four queries consume are prebuilt —
-    // pieces (cluster), co-purchase edges (cc), dedup pairs (groups_cc)
+    // only the memo chains the smoke queries actually consume are
+    // prebuilt — the DECLARED upstream closure of: pieces (cluster),
+    // co-purchase edges (cc), co-supply edges (scc/dag_paths), dedup
+    // pairs (groups_cc), verified matches (entities). Prebuilding every
+    // module step was the r11 disk kill: the book reception chain —
+    // consumed by NO smoke query — alone spilled ~65 GB of shuffle at
+    // sf10 (clusters saturate mod 500 while pieces grow 100×, so its
+    // per-cluster expansion joins carry 120M-row sides)
     def measure(dir: String): Map[String, Double] = {
       graft.queries.QueryCaches.clearAll()
       System.gc()
       val steps = graft.queries.DomainQueries.prebuildSteps ++
         graft.queries.GraphQueries.prebuildSteps ++
         graft.queries.DedupQueries.prebuildSteps
+      val graph = steps.map(st => st.name -> st.deps)
+      val needed = Set("domain.pieces", "graph.co_supply_49",
+        "graph.co_purchase", "dedup.pairs", "dedup.verified_30")
+      val keep = graft.core.Dag.upstream(graph, needed) ++ needed
       val byName = steps.map(st => st.name -> st).toMap
-      graft.core.Dag.topoSort(steps.map(st => st.name -> st.deps))
-        .foreach(n => byName(n).run(spark, dir))
+      graft.core.Dag.topoSort(graph).filter(keep).foreach { n =>
+        println(s"[scale10] prebuild $n @ $dir")
+        byName(n).run(spark, dir)
+        // GC after every prebuild step, not just between queries:
+        // ContextCleaner reclaims superseded shuffle files only on a
+        // JVM GC, and the sf10 chain builds over 60M-row inputs
+        // otherwise accumulate dead spill across steps
+        System.gc()
+      }
       run(smokeQueries.head, dir) // untimed JVM/codegen warm-up
       smokeQueries.map { q => System.gc(); q -> run(q, dir) }.toMap
     }
