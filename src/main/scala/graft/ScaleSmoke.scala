@@ -124,7 +124,12 @@ object ScaleSmoke {
     // per-basket fan-out bounded as baskets replicate), and char
     // entropy (the largest explode volume in the text family — rows =
     // corpus CHARACTERS, ~5× the token explodes)
-    "q_graph_scc", "q_basket_pairs", "q_text_char_entropy")
+    "q_graph_scc", "q_basket_pairs", "q_text_char_entropy",
+    // round-11 riders: HTML extraction (the widest map-only scan of the
+    // curation chain — must stay exactly linear, zero shuffle) and the
+    // basket cap audit (two shuffles over raw basket lines — the
+    // no-silent-caps query must not cost more than the stage it audits)
+    "q_text_html_extract", "q_basket_cap_audit")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 
