@@ -26,13 +26,40 @@ import org.apache.spark.sql.DataFrame
   * Dependencies may also name EXTERNAL tables that live in the catalog
   * but are produced outside the dag (the reference's upstream
   * `AssetSpec` sources, raw_textreuses.py:71-73); their version token
-  * falls back to the data directory's modification time, so re-dropping
-  * an input file marks its consumers stale on the next materialize.
+  * is an order-independent hash of the data directory's recursive file
+  * listing (path + length + mtime per file), so re-dropping an input
+  * marks its consumers stale on the next materialize. A directory-status
+  * mtime would NOT do (ADVICE r11): s3a-style object stores report 0
+  * for implicit prefixes, and coarse filesystem ticks let two drops
+  * share a timestamp — both read as "unchanged" and silently skip the
+  * cone. The listing hash changes whenever any file is added, removed,
+  * renamed, or resized; the one theoretical residue (same names, same
+  * lengths, same mtimes, different bytes) needs a same-tick in-place
+  * byte rewrite — producers who re-drop that fast should publish
+  * through the versioned catalog instead, where the pointer version is
+  * the token.
   *
-  * Crash contract: the manifest is written AFTER the pointer commit. A
-  * crash between the two leaves a committed version with a stale or
-  * missing manifest, which reads as "stale" — the worst case is one
-  * redundant rebuild, never a silently-skipped one.
+  * Crash contract: the manifest is written AFTER the pointer commit,
+  * from dependency tokens captured BEFORE the build read its inputs. A
+  * crash between commit and manifest write leaves a committed version
+  * with a stale or missing manifest, which reads as "stale"; an
+  * upstream re-published mid-build leaves the manifest recording the
+  * pre-build token, which differs from current and also reads as
+  * "stale" (capturing after the build would record the NEWER token and
+  * silently skip — ADVICE r11). A torn/garbled manifest parses to a
+  * partial map whose missing or mismatched entries read as "stale".
+  * In every case the worst outcome is one redundant rebuild, never a
+  * silently-skipped one.
+  *
+  * Concurrency contract: the dag is a SINGLE-WRITER control surface,
+  * like the Dagster daemon it mirrors — one driver materializes a given
+  * catalog at a time. Two drivers racing the same asset both pass
+  * `isStale` and double-build; that is safe (each build is an immutable
+  * version directory, the last pointer commit wins, and the next
+  * materialize over the surviving pointer+manifest pair is a no-op) but
+  * wasteful, so it is explicitly converged-not-prevented — see
+  * DagSpec's race-convergence case. Readers are never affected: they
+  * only ever see fully-committed pointers.
   *
   * Scale notes: the registry and manifests are metadata-only (a handful
   * of driver-side file reads per materialize); all data movement is the
@@ -87,9 +114,11 @@ final class AssetDag(val catalog: Catalog) {
     new Path(s"${catalog.versionsDir(name)}/_DEPS")
 
   /** A dependency's current identity token: the pointer-committed
-    * version for dag-published tables, else the data directory's mtime
-    * for external inputs. Missing deps are loud — a silent None would
-    * read as "fresh forever".
+    * version for dag-published tables, else an order-independent hash
+    * of the data directory's recursive file listing for external
+    * inputs (see class doc — a directory mtime is 0 on object-store
+    * implicit prefixes and tick-coarse locally, ADVICE r11). Missing
+    * deps are loud — a silent None would read as "fresh forever".
     */
   private def token(dep: String): Long =
     catalog.currentVersion(dep).getOrElse {
@@ -97,7 +126,27 @@ final class AssetDag(val catalog: Catalog) {
       val f = catalog.fs(p)
       require(f.exists(new Path(p)),
         s"dependency '$dep' is neither a registered asset with a build nor an existing catalog table")
-      f.getFileStatus(new Path(p)).getModificationTime
+      // XOR-combine per-file FNV-1a hashes: order-independent (listing
+      // order is filesystem-dependent), and any added/removed/renamed/
+      // resized/re-timestamped file flips the token. Metadata-only: one
+      // recursive listing, no data reads.
+      var tok = 0L
+      val it = f.listFiles(new Path(p), true)
+      while (it.hasNext) {
+        val st = it.next()
+        var h = 0xcbf29ce484222325L
+        def mix(v: Long): Unit = { var k = v; var i = 0
+          while (i < 8) { h = (h ^ (k & 0xffL)) * 0x100000001b3L; k >>>= 8; i += 1 } }
+        val name = st.getPath.toUri.getPath
+        var ci = 0
+        while (ci < name.length) {
+          h = (h ^ name.charAt(ci).toLong) * 0x100000001b3L; ci += 1
+        }
+        mix(st.getLen)
+        mix(st.getModificationTime)
+        tok ^= h
+      }
+      tok
     }
 
   private def writeManifest(name: String, tokens: Seq[(String, Long)]): Unit = {
@@ -119,10 +168,14 @@ final class AssetDag(val catalog: Catalog) {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+      // a torn line (crash mid-write, partial flush) parses to nothing
+      // and its dep drops out of the map — which reads as "stale",
+      // never as a crash or a skip
       Some(s.split("\n").iterator.filter(_.contains("="))
-        .map { line =>
+        .flatMap { line =>
           val i = line.indexOf('=')
-          line.substring(0, i) -> line.substring(i + 1).trim.toLong
+          scala.util.Try(line.substring(i + 1).trim.toLong).toOption
+            .map(line.substring(0, i) -> _)
         }.toMap)
     }
   }
@@ -152,9 +205,17 @@ final class AssetDag(val catalog: Catalog) {
       throw new IllegalArgumentException(
         s"dependency '$d' of asset '${node.name}' is neither a registered " +
           "asset nor an existing catalog table")
+    // capture dependency tokens BEFORE resolving inputs (ADVICE r11):
+    // recording token(d) after the build races a concurrent upstream
+    // re-publish — the build reads version N but the manifest would
+    // record N+1 and the asset would read as fresh despite being built
+    // from stale inputs. Captured-before, the same race leaves the
+    // manifest at N ≠ current → stale → one redundant rebuild, the
+    // safe side of the crash contract.
+    val toks = node.deps.map(d => d -> token(d))
     val inputs = node.deps.map(d => d -> catalog.get(d)).toMap
     catalog.materializeAtomic(node.name, node.build(inputs))
-    writeManifest(node.name, node.deps.map(d => d -> token(d)))
+    writeManifest(node.name, toks)
   }
 
   /** Bring `targets` (default: every registered asset) up to date:

@@ -140,6 +140,58 @@ class DagSpec extends SparkTestBase {
     assert(dag.materialize() === Seq.empty)
   }
 
+  test("a TORN _DEPS manifest (crash mid-write / partial flush) reads as " +
+      "stale — one redundant rebuild, never a crash or a skip") {
+    val cat = newCatalog()
+    val (dag, builds) = diamond(cat)
+    dag.materialize()
+    val manifest = new Path(s"${cat.path("d").stripSuffix(".parquet")}.versions/_DEPS")
+    val f = org.apache.hadoop.fs.FileSystem.get(manifest.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = f.create(manifest, true)
+    out.write("b=1\nc=".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(dag.materialize() === Seq("d"),
+      "the garbled dep line must drop out of the manifest and read stale")
+    assert(builds("d") === 2)
+    assert(dag.materialize() === Seq.empty)
+  }
+
+  test("two drivers racing the same assets double-build but CONVERGE: " +
+      "last pointer wins, stale-from-older-inputs is detected, and the " +
+      "next materialize on either driver is a no-op (single-writer " +
+      "contract, converged not prevented)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dag-race").toString
+    val catA = new Catalog(spark, dir)
+    val catB = new Catalog(spark, dir)
+    var aX = 0; var aY = 0; var bX = 0; var bY = 0
+    val dagB = new AssetDag(catB)
+    dagB.asset("x") { _ => bX += 1; Seq(10L).toDF("id") }
+    dagB.asset("y", Seq("x")) { in => bY += 1; in("x").selectExpr("id * 2 AS v") }
+    val dagA = new AssetDag(catA)
+    dagA.asset("x") { _ =>
+      aX += 1
+      // driver B runs a FULL check-and-build inside A's build window —
+      // the exact race: both drivers passed isStale for x before either
+      // committed. B commits x@v1 and y (manifest x=1); A then commits
+      // x@v2, making B's y stale-from-older-inputs.
+      dagB.materialize()
+      Seq(20L).toDF("id")
+    }
+    dagA.asset("y", Seq("x")) { in => aY += 1; in("x").selectExpr("id * 2 AS v") }
+    val builtA = dagA.materialize()
+    assert(builtA === Seq("x", "y"))
+    assert(aX === 1 && bX === 1, "both drivers build x — safe but wasteful")
+    assert(aY === 1 && bY === 1,
+      "A must detect y's manifest records x@v1 ≠ current v2 and rebuild")
+    // last pointer commit wins and both drivers read it
+    assert(catA.get("x").collect().map(_.getLong(0)).toSeq === Seq(20L))
+    assert(catB.get("y").collect().map(_.getLong(0)).toSeq === Seq(40L))
+    // converged: no driver sees anything stale
+    assert(dagA.materialize() === Seq.empty && dagB.materialize() === Seq.empty)
+  }
+
   test("an EXTERNAL dependency (catalog table built outside the dag) " +
       "marks its consumers stale when re-dropped") {
     import spark.implicits._
