@@ -31,13 +31,41 @@ import org.apache.spark.unsafe.types.UTF8String
   *     exactly like the lazy-regex form it mirrors;
   *   - every other `<` … `>` span is a tag, replaced by one space; a
   *     `<` with no later `>` is literal text;
-  *   - entities `&lt; &gt; &quot; &apos; &nbsp;` decode first,
-  *     `&amp;` LAST (so `&amp;lt;` yields the literal text `&lt;`);
+  *   - NUMERIC character references decode FIRST, strict grammar only:
+  *     `&#` + 1–7 decimal digits + `;`, or `&#x`/`&#X` + 1–6 hex digits
+  *     + `;`. Valid code points are tab/LF/CR and U+0020..U+10FFFF
+  *     excluding surrogates (the HTML5 C0-control exclusion — which
+  *     also keeps every reserved placeholder unproducible by decode);
+  *     anything else — overflow (`&#x110000;`), zero or other C0
+  *     controls, surrogate, unterminated (`&#12`), over-long digit
+  *     runs — passes through as literal text. A decoded `&` (cp 38) is emitted as a placeholder
+  *     and restored only after the named-entity stage, so `&#38;amp;`
+  *     yields the literal text `&amp;` (single-pass HTML semantics),
+  *     never a double decode;
+  *   - named entities `&lt; &gt; &quot; &apos; &nbsp;` decode next,
+  *     `&amp;` LAST (so `&amp;lt;` yields the literal text `&lt;`,
+  *     and `&amp;#39;` yields the literal text `&#39;`);
   *   - whitespace runs collapse to one space; result is trimmed.
   *
-  * Unterminated comments/CDATA also degrade to the generic-tag rule.
-  * All scanning is ASCII-structural, so multi-byte UTF-8 content passes
-  * through untouched.
+  * Decoding is a staged replace CHAIN (numeric → named → amp), shared
+  * verbatim with the oracle: a decoded non-`&` character is plain text
+  * to later stages, exactly like the regexp chain. Unterminated
+  * comments/CDATA degrade to the generic-tag rule. All scanning is
+  * ASCII-structural, so multi-byte UTF-8 content passes through
+  * untouched. Control characters U+0001/U+0003/U+0004 and U+001D–U+001F
+  * are reserved as stage placeholders by the DuckDB oracle twin
+  * (TextQueries.htmlCleanSql); documents containing them are outside
+  * the oracle contract (the scanner itself only uses U+0001).
+  *
+  * CDATA vs the oracle twin: the scanner is DOCUMENT-ORDER (one pass),
+  * so markup inside CDATA content is inert text; the oracle protects
+  * CDATA content from its later tag/comment/script regexp stages with
+  * placeholder escapes, matching the scanner on every non-interleaved
+  * document. The one remaining divergence (ADVICE r11, documented as
+  * out-of-contract): a comment OPENER that precedes a CDATA opener
+  * whose content contains the comment closer (`<!-- <![CDATA[ -->x]]>`)
+  * — the scanner resolves the comment first (document order), the
+  * oracle the CDATA (stage order). No fixture exercises it.
   */
 object HtmlText {
 
@@ -125,13 +153,64 @@ object HtmlText {
     (all.toString, link.toString)
   }
 
-  /** Entity decode (fixed set, `&amp;` last) + whitespace collapse + trim. */
+  /** Numeric character references, strict grammar (see object doc):
+    * `&#` [1-7 decimal digits] `;` or `&#` x|X [1-6 hex digits] `;`,
+    * code point tab/LF/CR or 0x20..0x10FFFF excluding surrogates —
+    * anything else is literal text. A decoded `&` becomes placeholder
+    * U+0001 (unproducible by decode — C0 refs are invalid) so the
+    * named-entity stage can never double-decode text it produces;
+    * [[finish]] restores it after `&amp;`.
+    */
+  private def decodeNumericRefs(s: String): String = {
+    if (s.indexOf("&#") < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var consumed = false
+      if (c == '&' && i + 2 < n && s.charAt(i + 1) == '#') {
+        var j = i + 2
+        val hex = s.charAt(j) == 'x' || s.charAt(j) == 'X'
+        if (hex) j += 1
+        val d0 = j
+        val maxDigits = if (hex) 6 else 7
+        var cp = 0L
+        while (j < n && j - d0 < maxDigits + 1 && {
+          val d = s.charAt(j)
+          val v =
+            if (d >= '0' && d <= '9') d - '0'
+            else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+            else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+            else -1
+          if (v >= 0) { cp = cp * (if (hex) 16 else 10) + v; true } else false
+        }) j += 1
+        val k = j - d0
+        if (k >= 1 && k <= maxDigits && j < n && s.charAt(j) == ';' &&
+            (cp == 9 || cp == 10 || cp == 13 ||
+              (cp >= 0x20 && cp <= 0x10FFFF)) &&
+            !(cp >= 0xD800 && cp <= 0xDFFF)) {
+          if (cp == 38) sb.append('\u0001')
+          else sb.appendCodePoint(cp.toInt)
+          i = j + 1
+          consumed = true
+        }
+      }
+      if (!consumed) { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Entity decode (numeric first, fixed named set, `&amp;` last,
+    * placeholder restore) + whitespace collapse + trim.
+    */
   private def finish(raw: String): String = {
-    val decoded = raw
+    val decoded = decodeNumericRefs(raw)
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&apos;", "'")
       .replace("&nbsp;", " ")
       .replace("&amp;", "&")
+      .replace('\u0001', '&')
     val sb = new java.lang.StringBuilder(decoded.length)
     var pendingSpace = false
     var i = 0

@@ -27,8 +27,13 @@ object TextQueries {
     * built identically in Spark (here) and DuckDB ([[htmlFixtureSql]]):
     * head with style + a script whose body contains <, >, && and a
     * quoted tag; a comment; entities incl. a double-escaped &amp;lt;;
-    * a CDATA block; one real link per doc and an extra nav-style link
-    * on every third (two link-density regimes).
+    * numeric character references — decimal, hex (both cases), the
+    * amp-chain case &#38;amp;, and the invalid forms that must pass
+    * through literally (overflow, unterminated, surrogate, over-long)
+    * (VERDICT r11 item 4); a CDATA block whose content re-forms markup
+    * (the ADVICE r11 divergence case — the oracle now protects it);
+    * one real link per doc and an extra nav-style link on every third
+    * (two link-density regimes).
     */
   private def htmlFixture: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{concat, substring}
@@ -40,7 +45,9 @@ object TextQueries {
       lit("<body><!-- header boilerplate --><h1>Doc &amp; "), id, lit("</h1><p>"),
       substring(col("text"), 1, 200),
       lit(" &nbsp;more &lt;tagged&gt; text &amp;lt;</p>"),
-      lit("<![CDATA[raw cdata "), id, lit("]]>"),
+      lit("<p>It&#39;s caf&#233; n&#xE9;e &#X2014; &#38;amp; ok;"),
+      lit(" bad: &#x110000; &#12 &#xD800; &#12345678;</p>"),
+      lit("<![CDATA[raw <cdata> & copy "), id, lit("]]>"),
       lit("<div><a href=\"/d?id="), id, lit("\">link "), id, lit("</a>"),
       when(col("doc_id") % 3 === 0,
         lit("<a class=\"nav\">nav nav nav</a>")).otherwise(lit("")),
@@ -56,33 +63,119 @@ object TextQueries {
       | || CAST(doc_id AS VARCHAR) || '</h1><p>'
       | || substring(text, 1, 200)
       | || ' &nbsp;more &lt;tagged&gt; text &amp;lt;</p>'
-      | || '<![CDATA[raw cdata ' || CAST(doc_id AS VARCHAR) || ']]>'
+      | || '<p>It&#39;s caf&#233; n&#xE9;e &#X2014; &#38;amp; ok;'
+      | || ' bad: &#x110000; &#12 &#xD800; &#12345678;</p>'
+      | || '<![CDATA[raw <cdata> & copy ' || CAST(doc_id AS VARCHAR) || ']]>'
       | || '<div><a href="/d?id=' || CAST(doc_id AS VARCHAR) || '">link '
       | || CAST(doc_id AS VARCHAR) || '</a>'
       | || CASE WHEN doc_id % 3 = 0 THEN '<a class="nav">nav nav nav</a>'
       |         ELSE '' END
       | || '</div></body></html>'""".stripMargin.replace("\n", " ")
 
-  /** The HtmlText cleaning chain as DuckDB regexps (same semantics as
-    * the scanner, see HtmlText Scaladoc): CDATA unwrap → comment strip
-    * → script/style element removal → generic tag → one space → fixed
-    * entities (&amp; last) → \s+ collapse → trim.
+  /** Crawl-shaped fixture for the composed HTML-curation pipeline
+    * (VERDICT r11 item 5): unlike [[htmlFixture]], the VISIBLE text
+    * carries no doc_id (ids live in hrefs only), so identical source
+    * texts extract to identical clean text and the downstream
+    * exact-dedup stage operates on honest keys. Boilerplate chrome
+    * (script, comment, nav links on every third doc) plus numeric and
+    * named entities exercise the whole extractor in the composition.
     */
-  private def htmlCleanSql(e: String): String =
-    raw"""trim(regexp_replace(
-       |  replace(replace(replace(replace(replace(replace(
-       |    regexp_replace(
-       |      regexp_replace(
-       |        regexp_replace(
-       |          regexp_replace(
-       |            regexp_replace($e, '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g'),
-       |            '(?s)<!--.*?-->', ' ', 'g'),
-       |          '(?is)<script(\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
-       |        '(?is)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
-       |      '<[^>]*>', ' ', 'g'),
-       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-       |    '&nbsp;', ' '), '&amp;', '&'),
-       |  '\s+', ' ', 'g'))""".stripMargin.replace("\n", " ")
+  private def htmlCrawlFixture: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.concat
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>page</title><script>nav(1 < 2);</script>"),
+      lit("</head><body><!-- chrome -->"),
+      lit("<p>"), col("text"), lit(" It&#39;s &#8212; done.</p>"),
+      lit("<div><a href=\"/d?id="), id, lit("\">more</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a class=\"nav\">nav nav nav nav nav nav</a>")).otherwise(lit("")),
+      lit("</div></body></html>"))
+  }
+
+  /** The same crawl fixture as a DuckDB expression. */
+  private val htmlCrawlFixtureSql: String =
+    """'<html><head><title>page</title><script>nav(1 < 2);</script>'
+      | || '</head><body><!-- chrome -->'
+      | || '<p>' || text || ' It&#39;s &#8212; done.</p>'
+      | || '<div><a href="/d?id=' || CAST(doc_id AS VARCHAR) || '">more</a>'
+      | || CASE WHEN doc_id % 3 = 0
+      |      THEN '<a class="nav">nav nav nav nav nav nav</a>' ELSE '' END
+      | || '</div></body></html>'""".stripMargin.replace("\n", " ")
+
+  /** Numeric character-reference grammar (strict; HtmlText Scaladoc):
+    * decimal 1–7 digits or x/X + 1–6 hex digits, semicolon-terminated.
+    */
+  private val numRefPat = """&#(x[0-9a-fA-F]{1,6}|X[0-9a-fA-F]{1,6}|[0-9]{1,7});"""
+
+  /** Code point of an anchored numeric-ref payload `p` (`&#...;`):
+    * hex digits fold through list_reduce, decimal casts directly —
+    * both exact BIGINT, matching HtmlText.decodeNumericRefs.
+    */
+  private val numCpSql: String =
+    "CASE WHEN regexp_matches(p, '^&#[xX]') THEN " +
+      "list_reduce(list_transform(str_split(lower(trim(p, '&#xX;')), ''), " +
+      "d -> CAST(strpos('0123456789abcdef', d) AS BIGINT) - 1), " +
+      "(a, b) -> a * 16 + b) " +
+      "ELSE CAST(trim(p, '&#;') AS BIGINT) END"
+
+  /** The HtmlText cleaning chain as DuckDB regexps (same semantics as
+    * the scanner, see HtmlText Scaladoc): CDATA unwrap WITH content
+    * protection → comment strip → script/style element removal →
+    * generic tag → one space → CDATA restore → numeric charrefs
+    * (invalid forms literal, decoded `&` via placeholder) → fixed named
+    * entities (&amp; last) → placeholder restore → \s+ collapse → trim.
+    *
+    * CDATA protection (ADVICE r11): content is marker-wrapped by the
+    * unwrap regexp, then `<`/`>` inside each content span are
+    * placeholder-escaped (chr(3)/chr(4)) via a split-transform — a
+    * regexp_replace cannot transform its captured group — so the later
+    * comment/script/tag regexps cannot re-interpret markup that the
+    * document-order scanner treats as inert text (`<![CDATA[<b>]]>`
+    * yields literal `<b>`). The markers never collide: chr(29)/chr(30)
+    * and the placeholders are reserved control characters (see HtmlText
+    * doc). Each numeric ref is likewise marker-isolated and decoded by
+    * a per-piece CASE — any piece fully matching the anchored grammar
+    * IS a wrapped ref (the global replace wrapped every match, and
+    * non-overlapping leftmost matching leaves no full match inside a
+    * gap), so no positional bookkeeping is needed.
+    */
+  private def htmlCleanSql(e: String): String = {
+    val cdataProtected =
+      raw"""array_to_string(list_transform(str_split(regexp_replace($e,
+         |  '(?s)<!\[CDATA\[(.*?)\]\]>', chr(29) || '\1' || chr(30), 'g'),
+         |  chr(29)),
+         |  p -> CASE WHEN strpos(p, chr(30)) > 0
+         |    THEN replace(replace(split_part(p, chr(30), 1), '<', chr(3)),
+         |      '>', chr(4)) || substr(p, strpos(p, chr(30)) + 1)
+         |    ELSE p END), '')""".stripMargin
+    val tagStripped =
+      raw"""regexp_replace(
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace($cdataProtected,
+         |        '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?is)<script(\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
+         |    '(?is)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
+         |  '<[^>]*>', ' ', 'g')""".stripMargin
+    val cdataRestored = s"replace(replace($tagStripped, chr(3), '<'), chr(4), '>')"
+    val numDecoded =
+      s"""array_to_string(list_transform(str_split(regexp_replace($cdataRestored,
+         |  '$numRefPat', chr(31) || '&#' || '\\1' || ';' || chr(31), 'g'),
+         |  chr(31)),
+         |  p -> CASE WHEN NOT regexp_matches(p, '^$numRefPat$$') THEN p
+         |    WHEN NOT (($numCpSql) IN (9, 10, 13)
+         |        OR (($numCpSql) >= 32 AND ($numCpSql) <= 1114111))
+         |      OR (($numCpSql) >= 55296 AND ($numCpSql) <= 57343) THEN p
+         |    WHEN ($numCpSql) = 38 THEN chr(1)
+         |    ELSE chr(CAST(($numCpSql) AS INT)) END), '')""".stripMargin
+    val named =
+      s"""replace(replace(replace(replace(replace(replace(replace($numDecoded,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |  '&nbsp;', ' '), '&amp;', '&'), chr(1), '&')""".stripMargin
+    raw"""trim(regexp_replace($named, '\s+', ' ', 'g'))"""
+      .replace("\n", " ")
+  }
 
   /** Link text: concatenated <a> element contents, then the same
     * cleaning chain (inner tags → space, entities, ws collapse).
@@ -880,6 +973,45 @@ object TextQueries {
         .select(col("doc_id"), col("len_link"), col("len_total"),
           expr("CAST((len_link * 1000000) DIV greatest(len_total, 1) AS BIGINT)")
             .as("link_ppm"))
+    }),
+
+    // end-to-end HTML curation pipeline (VERDICT r11 item 5): raw crawl
+    // markup in, per-(lang, source) training-data accounting out —
+    // extract (ONE native scan for clean text + link signal) →
+    // link-density boilerplate gate → integer quality gates over the
+    // CLEAN text → exact-dedup keep on the normalized clean text →
+    // survivor accounting. Proves the extractor composes as the FIRST
+    // stage of the curation chain; each stage is oracle-checked alone
+    // elsewhere (q_text_html_*, q_text_gopher_rules, q_dedup_exact).
+    // Gate constants: 40000 ppm separates the fixture's nav regime
+    // (min 45685 ppm at sf0.01) from the article regime (median
+    // ~12800); word/stopword floors are the gopher convention.
+    "q_pipeline_html_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val extracted = docs.select(col("doc_id"), col("lang"), col("source"),
+          graft.expressions.HtmlExtract(htmlCrawlFixture).as("text_clean"),
+          length(graft.expressions.HtmlLinkText(htmlCrawlFixture))
+            .cast("long").as("len_link"),
+          length(graft.expressions.HtmlExtract(htmlCrawlFixture))
+            .cast("long").as("len_total"))
+        .withColumn("link_ppm",
+          expr("CAST((len_link * 1000000) DIV greatest(len_total, 1) AS BIGINT)"))
+      val gated = extracted.where(col("link_ppm") <= 40000L)
+      val toksClean = split(trim(col("text_clean")), "\\s+")
+      val quality = gated
+        .withColumn("n_words", size(toksClean).cast("long"))
+        .withColumn("n_stop", size(filter(toksClean,
+          t => t.isin("the", "a", "of", "and", "to", "in"))).cast("long"))
+        .where(col("n_words") >= 25L && col("n_stop") >= 2L)
+      val dd = graft.dedup.Dedup.exact(
+          quality.select(col("doc_id"), col("text_clean").as("text")))
+        .select(col("doc_id"), col("is_kept"))
+      quality.join(dd, Seq("doc_id"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_kept"), 1)).as("n_kept"),
+          sum(when(col("is_kept"), col("len_total"))).as("chars_kept"))
     }),
 
     // Unicode NFC normalization (native expression). The synthetic
@@ -2166,6 +2298,37 @@ object TextQueries {
          |  CAST((CAST(len_link AS HUGEINT) * 1000000)
          |    // greatest(len_total, 1) AS BIGINT) AS link_ppm
          |FROM lens""".stripMargin,
+
+    // the composed curation pipeline: the htmlCleanSql chain embedded
+    // verbatim (the gdIterBlocksSql convention), then the gates and the
+    // exact-dedup window mirroring q_dedup_exact's oracle
+    "q_pipeline_html_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, $htmlCrawlFixtureSql AS html
+         |  FROM documents),
+         |x AS (SELECT doc_id, lang, source,
+         |    ${htmlCleanSql("html")} AS text_clean,
+         |    CAST(length(${htmlLinkSql("html")}) AS BIGINT) AS len_link,
+         |    CAST(length(${htmlCleanSql("html")}) AS BIGINT) AS len_total
+         |  FROM t),
+         |g AS (SELECT * FROM x
+         |  WHERE CAST((CAST(len_link AS HUGEINT) * 1000000)
+         |    // greatest(len_total, 1) AS BIGINT) <= 40000),
+         |q AS (SELECT * FROM g
+         |  WHERE len(regexp_split_to_array(trim(text_clean), '\\s+')) >= 25
+         |    AND len(list_filter(regexp_split_to_array(trim(text_clean), '\\s+'),
+         |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) >= 2),
+         |h AS (SELECT *,
+         |    ${charHash("regexp_replace(lower(trim(text_clean)), '\\s+', ' ', 'g')")} AS canon_hash
+         |  FROM q),
+         |k AS (SELECT *,
+         |    doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
+         |  FROM h)
+         |SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (is_kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(len_total) FILTER (is_kept) AS BIGINT) AS chars_kept
+         |FROM k GROUP BY lang, source""".stripMargin,
 
     "q_text_normalize" ->
       """WITH t AS (

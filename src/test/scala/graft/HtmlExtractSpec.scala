@@ -71,6 +71,43 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(extract("&unknown; stays") === "&unknown; stays")
   }
 
+  test("numeric character references: decimal and hex decode, strict " +
+      "grammar, invalid forms pass through literally (VERDICT r11)") {
+    assert(extract("It&#39;s caf&#233;") === "It's café")
+    assert(extract("a &#x27;q&#X27; b") === "a 'q' b")
+    assert(extract("dash &#8212; &#x2014; here") === "dash — — here")
+    // astral plane: surrogate PAIR in the output, one code point
+    assert(extract("&#x1F600;!") === "😀!")
+    // overflow (6 hex digits, cp > 0x10FFFF), zero, surrogate: literal
+    assert(extract("&#x110000; &#0; &#xD800; &#xDFFF;")
+      === "&#x110000; &#0; &#xD800; &#xDFFF;")
+    // unterminated, empty, over-long digit runs: literal
+    assert(extract("&#12 &#; &#x; &#12345678; &#x1234567;")
+      === "&#12 &#; &#x; &#12345678; &#x1234567;")
+    // mixed digits without the x prefix: not the grammar, literal
+    assert(extract("&#12ab;") === "&#12ab;")
+    // C0 controls are invalid (HTML5 exclusion -- also keeps the oracle
+    // placeholders unproducible by decode); the max code point decodes
+    assert(extract("&#x10FFFF; &#1; &#31; ok")
+      === new String(Character.toChars(0x10FFFF)) + " &#1; &#31; ok")
+  }
+
+  test("numeric refs compose with the named-entity stage exactly like " +
+      "the oracle chain: decoded '&' is placeholder-protected") {
+    // &#38;amp; = literal '&' + 'amp;' — must NOT double-decode to '&'
+    assert(extract("&#38;amp;") === "&amp;")
+    assert(extract("&#x26;lt;") === "&lt;")
+    // &amp;#39; — amp decodes LAST, numeric already ran: literal &#39;
+    assert(extract("&amp;#39;") === "&#39;")
+    // plain decoded & with nothing entity-shaped after it
+    assert(extract("a &#38; b &#x26; c") === "a & b & c")
+    // decoded whitespace joins the collapse
+    assert(extract("a&#32;&#9;&#10;b") === "a b")
+    // numeric refs inside CDATA content decode too (finish processes
+    // the whole visible buffer — same as the oracle's stage order)
+    assert(extract("<![CDATA[x &#39; y]]>") === "x ' y")
+  }
+
   test("stray '<' follows the regex contract: literal without a later " +
       "'>', a tag span with one") {
     assert(extract("1 < 2 and 3 > 2") === "1 2", "'< 2 and 3 >' is a tag span")

@@ -712,6 +712,23 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "drift's bounds/totals must attach by broadcast, not shuffle join")
   }
 
+  test("html curation pipeline: the extracted text never crosses an " +
+      "exchange; no window; dedup keeps its single canon_hash shuffle") {
+    // the wide columns (raw html, text_clean) must die at their scans:
+    // the gates are map-only, the dedup stage shuffles (doc_id,
+    // canon_hash)-shaped rows, and the accounting shuffles (lang,
+    // source) partials — at 100 TB anything text-shaped in an exchange
+    // is the whole bill
+    val p = plan("q_pipeline_html_curation")
+    assert(windows(p).isEmpty, "pipeline grew a window operator")
+    val leaky = shuffles(p).filter(_.output.exists(a =>
+      a.name.contains("text") || a.name.contains("html")))
+    assert(leaky.isEmpty,
+      s"text-shaped column crossed an exchange: ${leaky.mkString("; ")}")
+    assert(shuffles(p).exists(partitionKeys(_) == Seq("canon_hash")),
+      "the exact-dedup stage lost its canon_hash exchange")
+  }
+
   // release the memoized domain-chain stages this suite materialized
   // under the spec-local scan conf, and restore the defaults
   override def afterAll(): Unit = {
