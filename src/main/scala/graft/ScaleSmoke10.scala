@@ -44,7 +44,16 @@ object ScaleSmoke10 {
     // depth (saturates under replication) while per-round volume grows
     // with the edge set; the decade separates the two regimes the same
     // way scc's does
-    "q_graph_dag_paths")
+    "q_graph_dag_paths",
+    // round-12 riders (VERDICT r11 item 9): the temporal-reach pair —
+    // the broadcast-gated face and its forced shuffle-path twin. The
+    // shuffle fallback is the 100 TB hot-wave posture; per-replica
+    // event-time shifts keep contact volume linear in replicas, so the
+    // decade measures the ENGINE's frontier-join scaling (per-round
+    // cost must track frontier-adjacent contacts; the hop count
+    // saturates with the per-replica contact diameter), not a
+    // co-occurrence density artifact
+    "q_events_temporal_reach", "q_events_temporal_reach_shuffle")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
