@@ -34,6 +34,19 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => }
     }
+    // Host-epoch marker: the per-job floor of 50 trivial one-stage jobs.
+    // Round-latency-bound iterative faces (graph fixpoints, temporal
+    // reach) cost ≈ jobs × this floor at sf0.1, and the floor swings
+    // 5×+ between host epochs (measured 15-20 ms/job in the r10-quiet
+    // artifact's era vs 95.6 ms/job at r12) while volume-bound faces
+    // stay flat — recording it makes every artifact's round-latency
+    // tail interpretable without re-running anything.
+    val jobFloorMs = {
+      (1 to 5).foreach(_ => spark.range(1000).count())
+      val t0 = System.nanoTime()
+      (1 to 50).foreach(_ => spark.range(1000).count())
+      (System.nanoTime() - t0) / 1e6 / 50
+    }
     // Spark's ContextCleaner is weak-reference driven: dead broadcasts
     // and shuffle registrations are only released when a JVM GC runs.
     // A 160-query single-JVM sweep accumulates gigabytes of dead
@@ -97,10 +110,11 @@ object Bench {
     // is what gets compared round-over-round — totals fluctuate ±10 s
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val floor = "%.1f".formatLocal(java.util.Locale.ROOT, jobFloorMs)
     val totalLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"job_floor_ms":$floor,"slowest":$slowest,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","job_floor_ms":$floor,"queries":$qs,"sf":"$sfDir"}"""
     // The harness stores a bounded slice of stdout: with 85 queries the
     // single contract line outgrows that window and arrives cut at both
     // ends (unparseable). Bracket the full line with a short totals-only

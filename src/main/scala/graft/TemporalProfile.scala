@@ -38,6 +38,17 @@ object TemporalProfile {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // per-job floor of THIS host epoch: 50 trivial one-stage jobs — the
+    // unit a round-latency-bound fixpoint pays per scheduled job
+    // regardless of plan quality (sf0.1 graph rounds move ~10^4 rows, so
+    // at local scale the floor, not the volume, is the bill)
+    {
+      (1 to 5).foreach(_ => spark.range(1000).count()) // warm
+      val t0 = System.nanoTime()
+      (1 to 50).foreach(_ => spark.range(1000).count())
+      val perJob = (System.nanoTime() - t0) / 1e9 / 50
+      println(f"[temporal-profile] trivial-job floor: ${perJob * 1000}%.1f ms/job (50 one-stage count jobs)")
+    }
     for (q <- names) {
       run(q) // warm-up: codegen, parquet footers, JVM
       System.gc()

@@ -227,6 +227,20 @@ object Bfs {
         // count shape this replaces cost a third job per round, which
         // at local round-latency-bound scale was the whole
         // q_events_temporal_reach regression (VERDICT r10).
+        //
+        // Measured floor (graft.TemporalProfile, r12, closing VERDICT
+        // r11 item 3): the sf0.1 face schedules 54 jobs total — the
+        // fused ≈2.2 jobs/round over ~24 live rounds — and its wall
+        // time is jobs × the HOST's per-job latency (62 ms mean in-job
+        // + gaps on an epoch whose trivial-job floor measured
+        // 95.6 ms/job; the r10-quiet artifact's epoch floors ~5× lower,
+        // which alone explains the 1.5 s ↔ 4 s swing with zero plan
+        // change). The job count is already at the fused minimum;
+        // below it the algorithm stops being a per-hop fixpoint. Scale
+        // verdict: the floor term is local-only — on a cluster the
+        // per-round VOLUME (frontier-adjacent contacts) dwarfs
+        // scheduler latency, and the round count is the temporal hop
+        // diameter, a data property.
         val improved = relaxed.join(arrival, col("cand") === col("node"), "left")
           .where(col("arrival_s").isNull || col("cand_arr") < col("arrival_s"))
           .select(col("cand").as("node"), col("cand_arr").as("arrival_s"))
