@@ -31,31 +31,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *     exactly like the lazy-regex form it mirrors;
   *   - every other `<` … `>` span is a tag, replaced by one space; a
   *     `<` with no later `>` is literal text;
-  *   - NUMERIC character references decode FIRST, strict grammar only:
-  *     `&#` + 1–7 decimal digits + `;`, or `&#x`/`&#X` + 1–6 hex digits
-  *     + `;`. Valid code points are tab/LF/CR and U+0020..U+10FFFF
-  *     excluding surrogates (the HTML5 C0-control exclusion — which
-  *     also keeps every reserved placeholder unproducible by decode);
-  *     anything else — overflow (`&#x110000;`), zero or other C0
-  *     controls, surrogate, unterminated (`&#12`), over-long digit
-  *     runs — passes through as literal text. A decoded `&` (cp 38) is emitted as a placeholder
-  *     and restored only after the named-entity stage, so `&#38;amp;`
-  *     yields the literal text `&amp;` (single-pass HTML semantics),
-  *     never a double decode;
-  *   - named entities `&lt; &gt; &quot; &apos; &nbsp;` decode next,
-  *     `&amp;` LAST (so `&amp;lt;` yields the literal text `&lt;`,
-  *     and `&amp;#39;` yields the literal text `&#39;`);
+  *   - character references decode in ONE leftmost non-rescanning
+  *     pass ([[decodeEntities]] — true HTML semantics: `&amp;lt;`
+  *     yields the literal text `&lt;`, `&#38;amp;` the literal text
+  *     `&amp;`, never a double decode): numeric refs under a strict
+  *     grammar (1–7 decimal / 1–6 hex digits, `;`-terminated; valid
+  *     code points are tab/LF/CR and U+0020..U+10FFFF minus
+  *     surrogates — the HTML5 C0 exclusion; anything else stays
+  *     literal), plus the exact-case [[namedEntities]] table (~40
+  *     common-crawl names; unknown names stay literal);
   *   - whitespace runs collapse to one space; result is trimmed.
   *
-  * Decoding is a staged replace CHAIN (numeric → named → amp), shared
-  * verbatim with the oracle: a decoded non-`&` character is plain text
-  * to later stages, exactly like the regexp chain. Unterminated
-  * comments/CDATA degrade to the generic-tag rule. All scanning is
-  * ASCII-structural, so multi-byte UTF-8 content passes through
-  * untouched. Control characters U+0001/U+0003/U+0004 and U+001D–U+001F
-  * are reserved as stage placeholders by the DuckDB oracle twin
-  * (TextQueries.htmlCleanSql); documents containing them are outside
-  * the oracle contract (the scanner itself only uses U+0001).
+  * The oracle reproduces the non-rescanning pass with one
+  * marker-isolating regexp_replace (replacements are never re-matched)
+  * plus a per-reference CASE generated from the SAME [[namedEntities]]
+  * table. Unterminated comments/CDATA degrade to the generic-tag rule.
+  * All structural scanning is ASCII, so multi-byte UTF-8 content
+  * passes through untouched. Control characters U+0003/U+0004 and
+  * U+001D–U+001F are reserved as stage markers by the DuckDB oracle
+  * twin (TextQueries.htmlCleanSql); documents containing them are
+  * outside the oracle contract (the scanner itself uses none).
   *
   * CDATA vs the oracle twin: the scanner is DOCUMENT-ORDER (one pass),
   * so markup inside CDATA content is inert text; the oracle protects
@@ -153,64 +148,116 @@ object HtmlText {
     (all.toString, link.toString)
   }
 
-  /** Numeric character references, strict grammar (see object doc):
-    * `&#` [1-7 decimal digits] `;` or `&#` x|X [1-6 hex digits] `;`,
-    * code point tab/LF/CR or 0x20..0x10FFFF excluding surrogates —
-    * anything else is literal text. A decoded `&` becomes placeholder
-    * U+0001 (unproducible by decode — C0 refs are invalid) so the
-    * named-entity stage can never double-decode text it produces;
-    * [[finish]] restores it after `&amp;`.
+  /** Named character references decoded by [[decodeEntities]] — exact
+    * case (HTML named refs are case-sensitive), the common-crawl
+    * working set: markup chars, typographic punctuation, currency,
+    * symbols, fractions, and the Latin-1 accents that dominate web
+    * text. `nbsp` normalizes to a PLAIN space (it is whitespace to the
+    * collapse stage); `shy` (discretionary hyphen) drops from visible
+    * text. PUBLIC — the DuckDB oracle twin generates one CASE arm per
+    * entry (TextQueries.htmlCleanSql), so this table is the single
+    * source of truth for both engines.
     */
-  private def decodeNumericRefs(s: String): String = {
-    if (s.indexOf("&#") < 0) return s
+  val namedEntities: Seq[(String, String)] = Seq(
+    "lt" -> "<", "gt" -> ">", "amp" -> "&", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "shy" -> "",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "laquo" -> "«", "raquo" -> "»",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "middot" -> "·", "bull" -> "•",
+    "sect" -> "§", "para" -> "¶", "dagger" -> "†",
+    "euro" -> "€", "pound" -> "£", "cent" -> "¢",
+    "yen" -> "¥", "times" -> "×", "divide" -> "÷",
+    "plusmn" -> "±", "frac12" -> "½", "frac14" -> "¼",
+    "sup2" -> "²", "sup3" -> "³",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedil" -> "ç", "ntilde" -> "ñ",
+    "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü",
+    "szlig" -> "ß")
+
+  private val namedMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](namedEntities.size * 2)
+    namedEntities.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** Character-reference decode, ONE leftmost non-rescanning pass —
+    * true HTML semantics: each `&...;` decodes at most once and its
+    * output is never re-examined, so `&amp;lt;` yields the literal
+    * text `&lt;` and `&#38;amp;` the literal text `&amp;`. Grammar
+    * (shared verbatim with the oracle's marker-isolation regexp):
+    *   - numeric `&#` + 1-7 decimal digits + `;`, or `&#x`/`&#X` +
+    *     1-6 hex digits + `;`; valid code points are tab/LF/CR and
+    *     U+0020..U+10FFFF minus surrogates (HTML5's C0 exclusion) —
+    *     anything else (overflow, zero, surrogate, unterminated,
+    *     over-long runs) stays literal;
+    *   - named `&` + letter + up to 30 more alphanumerics + `;`,
+    *     looked up exact-case in [[namedEntities]]; unknown names stay
+    *     literal text.
+    */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      var consumed = false
-      if (c == '&' && i + 2 < n && s.charAt(i + 1) == '#') {
-        var j = i + 2
-        val hex = s.charAt(j) == 'x' || s.charAt(j) == 'X'
-        if (hex) j += 1
-        val d0 = j
-        val maxDigits = if (hex) 6 else 7
-        var cp = 0L
-        while (j < n && j - d0 < maxDigits + 1 && {
-          val d = s.charAt(j)
-          val v =
-            if (d >= '0' && d <= '9') d - '0'
-            else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
-            else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
-            else -1
-          if (v >= 0) { cp = cp * (if (hex) 16 else 10) + v; true } else false
-        }) j += 1
-        val k = j - d0
-        if (k >= 1 && k <= maxDigits && j < n && s.charAt(j) == ';' &&
-            (cp == 9 || cp == 10 || cp == 13 ||
-              (cp >= 0x20 && cp <= 0x10FFFF)) &&
-            !(cp >= 0xD800 && cp <= 0xDFFF)) {
-          if (cp == 38) sb.append('\u0001')
-          else sb.appendCodePoint(cp.toInt)
-          i = j + 1
-          consumed = true
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        var consumed = false
+        if (i + 2 < n && s.charAt(i + 1) == '#') {
+          var j = i + 2
+          val hex = s.charAt(j) == 'x' || s.charAt(j) == 'X'
+          if (hex) j += 1
+          val d0 = j
+          val maxDigits = if (hex) 6 else 7
+          var cp = 0L
+          while (j < n && j - d0 < maxDigits + 1 && {
+            val d = s.charAt(j)
+            val v =
+              if (d >= '0' && d <= '9') d - '0'
+              else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+              else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+              else -1
+            if (v >= 0) { cp = cp * (if (hex) 16 else 10) + v; true } else false
+          }) j += 1
+          val k = j - d0
+          if (k >= 1 && k <= maxDigits && j < n && s.charAt(j) == ';' &&
+              (cp == 9 || cp == 10 || cp == 13 ||
+                (cp >= 0x20 && cp <= 0x10FFFF)) &&
+              !(cp >= 0xD800 && cp <= 0xDFFF)) {
+            sb.appendCodePoint(cp.toInt)
+            i = j + 1
+            consumed = true
+          }
+        } else if (i + 1 < n && {
+          val c1 = s.charAt(i + 1)
+          (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z')
+        }) {
+          var j = i + 1
+          while (j < n && j - i <= 31 && {
+            val d = s.charAt(j)
+            (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+              (d >= '0' && d <= '9')
+          }) j += 1
+          if (j - i - 1 <= 31 && j < n && s.charAt(j) == ';') {
+            val rep = namedMap.get(s.substring(i + 1, j))
+            if (rep != null) { sb.append(rep); i = j + 1; consumed = true }
+          }
         }
+        if (!consumed) { sb.append('&'); i += 1 }
       }
-      if (!consumed) { sb.append(c); i += 1 }
     }
     sb.toString
   }
 
-  /** Entity decode (numeric first, fixed named set, `&amp;` last,
-    * placeholder restore) + whitespace collapse + trim.
+  /** Entity decode (one pass, [[decodeEntities]]) + whitespace collapse
+    * + trim.
     */
   private def finish(raw: String): String = {
-    val decoded = decodeNumericRefs(raw)
-      .replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
-      .replace("&nbsp;", " ")
-      .replace("&amp;", "&")
-      .replace('\u0001', '&')
+    val decoded = decodeEntities(raw)
     val sb = new java.lang.StringBuilder(decoded.length)
     var pendingSpace = false
     var i = 0

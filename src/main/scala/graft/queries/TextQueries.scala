@@ -30,7 +30,10 @@ object TextQueries {
     * numeric character references — decimal, hex (both cases), the
     * amp-chain case &#38;amp;, and the invalid forms that must pass
     * through literally (overflow, unterminated, surrogate, over-long)
-    * (VERDICT r11 item 4); a CDATA block whose content re-forms markup
+    * (VERDICT r11 item 4); named references from the extended table
+    * (typography, soft hyphen inside a word, accents, fractions) plus
+    * an unknown and a wrong-case name that must stay literal; a CDATA
+    * block whose content re-forms markup
     * (the ADVICE r11 divergence case — the oracle now protects it);
     * one real link per doc and an extra nav-style link on every third
     * (two link-density regimes).
@@ -47,6 +50,8 @@ object TextQueries {
       lit(" &nbsp;more &lt;tagged&gt; text &amp;lt;</p>"),
       lit("<p>It&#39;s caf&#233; n&#xE9;e &#X2014; &#38;amp; ok;"),
       lit(" bad: &#x110000; &#12 &#xD800; &#12345678;</p>"),
+      lit("<p>named: &mdash;&hellip; co&shy;operate caf&eacute; &copy;"),
+      lit(" 10&frac12;&deg; &unknown; &MDASH;</p>"),
       lit("<![CDATA[raw <cdata> & copy "), id, lit("]]>"),
       lit("<div><a href=\"/d?id="), id, lit("\">link "), id, lit("</a>"),
       when(col("doc_id") % 3 === 0,
@@ -65,6 +70,8 @@ object TextQueries {
       | || ' &nbsp;more &lt;tagged&gt; text &amp;lt;</p>'
       | || '<p>It&#39;s caf&#233; n&#xE9;e &#X2014; &#38;amp; ok;'
       | || ' bad: &#x110000; &#12 &#xD800; &#12345678;</p>'
+      | || '<p>named: &mdash;&hellip; co&shy;operate caf&eacute; &copy;'
+      | || ' 10&frac12;&deg; &unknown; &MDASH;</p>'
       | || '<![CDATA[raw <cdata> & copy ' || CAST(doc_id AS VARCHAR) || ']]>'
       | || '<div><a href="/d?id=' || CAST(doc_id AS VARCHAR) || '">link '
       | || CAST(doc_id AS VARCHAR) || '</a>'
@@ -86,7 +93,8 @@ object TextQueries {
     concat(
       lit("<html><head><title>page</title><script>nav(1 < 2);</script>"),
       lit("</head><body><!-- chrome -->"),
-      lit("<p>"), col("text"), lit(" It&#39;s &#8212; done.</p>"),
+      lit("<p>"), col("text"),
+      lit(" It&#39;s &#8212; r&eacute;sum&eacute;&hellip; done.</p>"),
       lit("<div><a href=\"/d?id="), id, lit("\">more</a>"),
       when(col("doc_id") % 3 === 0,
         lit("<a class=\"nav\">nav nav nav nav nav nav</a>")).otherwise(lit("")),
@@ -97,20 +105,23 @@ object TextQueries {
   private val htmlCrawlFixtureSql: String =
     """'<html><head><title>page</title><script>nav(1 < 2);</script>'
       | || '</head><body><!-- chrome -->'
-      | || '<p>' || text || ' It&#39;s &#8212; done.</p>'
+      | || '<p>' || text
+      | || ' It&#39;s &#8212; r&eacute;sum&eacute;&hellip; done.</p>'
       | || '<div><a href="/d?id=' || CAST(doc_id AS VARCHAR) || '">more</a>'
       | || CASE WHEN doc_id % 3 = 0
       |      THEN '<a class="nav">nav nav nav nav nav nav</a>' ELSE '' END
       | || '</div></body></html>'""".stripMargin.replace("\n", " ")
 
-  /** Numeric character-reference grammar (strict; HtmlText Scaladoc):
-    * decimal 1–7 digits or x/X + 1–6 hex digits, semicolon-terminated.
+  /** Character-reference grammar (strict; HtmlText.decodeEntities):
+    * numeric decimal (1–7 digits) / hex (x|X + 1–6 digits), or a named
+    * reference (letter + up to 30 alphanumerics) — `;`-terminated.
     */
-  private val numRefPat = """&#(x[0-9a-fA-F]{1,6}|X[0-9a-fA-F]{1,6}|[0-9]{1,7});"""
+  private val entityPat =
+    """&(#x[0-9a-fA-F]{1,6}|#X[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{0,30});"""
 
   /** Code point of an anchored numeric-ref payload `p` (`&#...;`):
     * hex digits fold through list_reduce, decimal casts directly —
-    * both exact BIGINT, matching HtmlText.decodeNumericRefs.
+    * both exact BIGINT, matching HtmlText.decodeEntities.
     */
   private val numCpSql: String =
     "CASE WHEN regexp_matches(p, '^&#[xX]') THEN " +
@@ -119,12 +130,22 @@ object TextQueries {
       "(a, b) -> a * 16 + b) " +
       "ELSE CAST(trim(p, '&#;') AS BIGINT) END"
 
+  /** Named-reference lookup for an anchored payload `p` (`&name;`) —
+    * one CASE arm per entry of HtmlText.namedEntities (the SINGLE
+    * source of truth both engines decode from); NULL for unknown
+    * names, which the caller coalesces back to the literal text.
+    */
+  private val namedCaseSql: String =
+    graft.expressions.HtmlText.namedEntities.map { case (k, v) =>
+      s"WHEN '$k' THEN '${v.replace("'", "''")}'"
+    }.mkString("CASE trim(p, '&;') ", " ", " END")
+
   /** The HtmlText cleaning chain as DuckDB regexps (same semantics as
     * the scanner, see HtmlText Scaladoc): CDATA unwrap WITH content
     * protection → comment strip → script/style element removal →
-    * generic tag → one space → CDATA restore → numeric charrefs
-    * (invalid forms literal, decoded `&` via placeholder) → fixed named
-    * entities (&amp; last) → placeholder restore → \s+ collapse → trim.
+    * generic tag → one space → CDATA restore → ONE character-reference
+    * stage (numeric + named, invalid/unknown forms literal) → \s+
+    * collapse → trim.
     *
     * CDATA protection (ADVICE r11): content is marker-wrapped by the
     * unwrap regexp, then `<`/`>` inside each content span are
@@ -134,9 +155,18 @@ object TextQueries {
     * document-order scanner treats as inert text (`<![CDATA[<b>]]>`
     * yields literal `<b>`). The markers never collide: chr(29)/chr(30)
     * and the placeholders are reserved control characters (see HtmlText
-    * doc). Each numeric ref is likewise marker-isolated and decoded by
-    * a per-piece CASE — any piece fully matching the anchored grammar
-    * IS a wrapped ref (the global replace wrapped every match, and
+    * doc).
+    *
+    * The reference stage reproduces the scanner's single
+    * NON-RESCANNING pass exactly: one global regexp_replace
+    * marker-isolates every grammar match (replacement text is never
+    * re-matched — the same guarantee as the scanner's
+    * emit-and-advance), and a per-piece CASE decodes numeric refs
+    * (cp validity as in HtmlText) or looks the name up in the
+    * generated [[namedCaseSql]] — so `&amp;lt;` is `&lt;` and
+    * `&#38;amp;` is `&amp;` in BOTH engines with no placeholder
+    * dance. Any piece fully matching the anchored grammar IS a
+    * wrapped reference (the global replace wrapped every match, and
     * non-overlapping leftmost matching leaves no full match inside a
     * gap), so no positional bookkeeping is needed.
     */
@@ -159,21 +189,18 @@ object TextQueries {
          |    '(?is)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
          |  '<[^>]*>', ' ', 'g')""".stripMargin
     val cdataRestored = s"replace(replace($tagStripped, chr(3), '<'), chr(4), '>')"
-    val numDecoded =
+    val entityDecoded =
       s"""array_to_string(list_transform(str_split(regexp_replace($cdataRestored,
-         |  '$numRefPat', chr(31) || '&#' || '\\1' || ';' || chr(31), 'g'),
+         |  '$entityPat', chr(31) || '&' || '\\1' || ';' || chr(31), 'g'),
          |  chr(31)),
-         |  p -> CASE WHEN NOT regexp_matches(p, '^$numRefPat$$') THEN p
-         |    WHEN NOT (($numCpSql) IN (9, 10, 13)
-         |        OR (($numCpSql) >= 32 AND ($numCpSql) <= 1114111))
-         |      OR (($numCpSql) >= 55296 AND ($numCpSql) <= 57343) THEN p
-         |    WHEN ($numCpSql) = 38 THEN chr(1)
-         |    ELSE chr(CAST(($numCpSql) AS INT)) END), '')""".stripMargin
-    val named =
-      s"""replace(replace(replace(replace(replace(replace(replace($numDecoded,
-         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-         |  '&nbsp;', ' '), '&amp;', '&'), chr(1), '&')""".stripMargin
-    raw"""trim(regexp_replace($named, '\s+', ' ', 'g'))"""
+         |  p -> CASE WHEN NOT regexp_matches(p, '^$entityPat$$') THEN p
+         |    WHEN substr(p, 2, 1) = '#' THEN (CASE
+         |      WHEN NOT (($numCpSql) IN (9, 10, 13)
+         |          OR (($numCpSql) >= 32 AND ($numCpSql) <= 1114111))
+         |        OR (($numCpSql) >= 55296 AND ($numCpSql) <= 57343) THEN p
+         |      ELSE chr(CAST(($numCpSql) AS INT)) END)
+         |    ELSE coalesce($namedCaseSql, p) END), '')""".stripMargin
+    raw"""trim(regexp_replace($entityDecoded, '\s+', ' ', 'g'))"""
       .replace("\n", " ")
   }
 

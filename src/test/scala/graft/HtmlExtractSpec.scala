@@ -62,13 +62,33 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(extract("a<![CDATA[x y") === "a<![CDATA[x y")
   }
 
-  test("fixed entity set decodes, &amp; LAST (double escaping yields " +
-      "literal entity text)") {
+  test("named entities decode in ONE non-rescanning pass (double " +
+      "escaping yields literal entity text)") {
     assert(extract("x &lt;tag&gt; &quot;q&quot; &apos;a&apos; y")
       === "x <tag> \"q\" 'a' y")
     assert(extract("a&nbsp;&nbsp;b") === "a b", "nbsp joins the ws collapse")
     assert(extract("&amp;lt; &amp;amp;") === "&lt; &amp;")
     assert(extract("&unknown; stays") === "&unknown; stays")
+  }
+
+  test("the extended named table: typography, symbols, accents; soft " +
+      "hyphen drops; unknown names, wrong case and over-long names " +
+      "stay literal") {
+    assert(extract("a &mdash; b&hellip; &lsquo;q&rsquo; &ldquo;w&rdquo;")
+      === "a — b… ‘q’ “w”")
+    assert(extract("co&shy;operate") === "cooperate",
+      "the discretionary hyphen vanishes from visible text")
+    assert(extract("caf&eacute; &uuml;ber gar&ccedil;on ma&ntilde;ana")
+      === "café über garçon mañana")
+    assert(extract("&copy; 10&frac12;&deg; &euro;5 &pound;3 2&sup2;")
+      === "© 10½° €5 £3 2²")
+    // exact case: HTML named refs are case-sensitive
+    assert(extract("&MDASH; &Mdash; &mdash;") === "&MDASH; &Mdash; —")
+    // name grammar bound: letter + up to 30 alnums; 32+ stays literal
+    val longName = "&" + "a" * 32 + ";"
+    assert(extract(longName) === longName)
+    // digits allowed after the leading letter (frac12), not first
+    assert(extract("&1frac2;") === "&1frac2;")
   }
 
   test("numeric character references: decimal and hex decode, strict " +
@@ -92,12 +112,12 @@ class HtmlExtractSpec extends SparkTestBase {
       === new String(Character.toChars(0x10FFFF)) + " &#1; &#31; ok")
   }
 
-  test("numeric refs compose with the named-entity stage exactly like " +
-      "the oracle chain: decoded '&' is placeholder-protected") {
+  test("decode is single-pass and non-rescanning: a decoded '&' can " +
+      "never seed a second decode (true HTML semantics)") {
     // &#38;amp; = literal '&' + 'amp;' — must NOT double-decode to '&'
     assert(extract("&#38;amp;") === "&amp;")
     assert(extract("&#x26;lt;") === "&lt;")
-    // &amp;#39; — amp decodes LAST, numeric already ran: literal &#39;
+    // &amp;#39; — amp's '&' is not re-examined: literal &#39;
     assert(extract("&amp;#39;") === "&#39;")
     // plain decoded & with nothing entity-shaped after it
     assert(extract("a &#38; b &#x26; c") === "a & b & c")
