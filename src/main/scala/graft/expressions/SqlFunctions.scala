@@ -88,6 +88,10 @@ object SqlFunctions {
     fn("graft_html_link_text") {
       case Seq(c) => HtmlLinkText(c)
       case _ => arity("graft_html_link_text", "1 argument (html string)")
+    },
+    fn("graft_url_normalize") {
+      case Seq(c) => UrlNormalize(c)
+      case _ => arity("graft_url_normalize", "1 argument (url string)")
     })
 
   /** Extension-time injection (GraftExtensions). */

@@ -112,6 +112,66 @@ object TextQueries {
       |      THEN '<a class="nav">nav nav nav nav nav nav</a>' ELSE '' END
       | || '</div></body></html>'""".stripMargin.replace("\n", " ")
 
+  /** Crawl-URL fixture for the canonicalization faces — four shapes
+    * (mixed-case scheme/host + default port + tracking params +
+    * fragment; non-default port kept; an ALREADY-canonical twin of
+    * shape 0 so normalization creates real cross-doc dedup groups; a
+    * no-path + default-https-port shape). Built identically in Spark
+    * and DuckDB ([[urlFixtureSql]]).
+    */
+  private def urlFixture: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.concat
+    val id25 = (col("doc_id") % 25).cast("string")
+    when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://WWW.Example.COM:80/Articles/"), id25,
+          lit("?b=2&utm_source=feed&a=1#sec")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://cdn.Site.org:8443/p/"), id25,
+          lit("?z=9&y=1&utm_campaign=x&fbclid=abc")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("http://www.example.com/Articles/"), id25, lit("?a=1&b=2")))
+      .otherwise(concat(lit("HTTPS://Example.COM:443?q="), id25, lit("&ref=tw")))
+  }
+
+  private val urlFixtureSql: String =
+    """CASE
+      | WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example.COM:80/Articles/'
+      |   || CAST(doc_id % 25 AS VARCHAR) || '?b=2&utm_source=feed&a=1#sec'
+      | WHEN doc_id % 4 = 1 THEN 'https://cdn.Site.org:8443/p/'
+      |   || CAST(doc_id % 25 AS VARCHAR) || '?z=9&y=1&utm_campaign=x&fbclid=abc'
+      | WHEN doc_id % 4 = 2 THEN 'http://www.example.com/Articles/'
+      |   || CAST(doc_id % 25 AS VARCHAR) || '?a=1&b=2'
+      | ELSE 'HTTPS://Example.COM:443?q=' || CAST(doc_id % 25 AS VARCHAR) || '&ref=tw'
+      |END""".stripMargin.replace("\n", " ")
+
+  /** UrlText.normalize as a DuckDB expression over `e` — same rules,
+    * same tracking-param list (generated from UrlText.trackingParams,
+    * the single source of truth). Non-ASCII query params are outside
+    * the oracle contract (Scala sorts UTF-16 code units, DuckDB UTF-8
+    * bytes — identical on ASCII).
+    */
+  private def urlNormSql(e: String): String = {
+    val track = graft.expressions.UrlText.trackingParams
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val scheme = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val rest = s"regexp_replace($e, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    val auth0 = s"lower(regexp_extract($rest, '^([^/?#]*)', 1))"
+    val auth = s"CASE WHEN $scheme = 'http' THEN regexp_replace($auth0, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($auth0, ':443$$', '') " +
+      s"ELSE $auth0 END"
+    val nofrag = s"split_part(regexp_replace($rest, '^[^/?#]*', ''), '#', 1)"
+    val path = s"CASE WHEN split_part($nofrag, '?', 1) = '' THEN '/' " +
+      s"ELSE split_part($nofrag, '?', 1) END"
+    val qs = s"coalesce(array_to_string(list_sort(list_filter(" +
+      s"string_split(substr($nofrag, strpos($nofrag, '?') + 1), '&'), " +
+      s"p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_') " +
+      s"AND split_part(p, '=', 1) NOT IN $track)), '&'), '')"
+    val query = s"CASE WHEN strpos($nofrag, '?') = 0 OR $qs = '' THEN '' " +
+      s"ELSE '?' || $qs END"
+    s"CASE WHEN NOT regexp_matches($e, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $e " +
+      s"ELSE $scheme || '://' || $auth || $path || $query END"
+  }
+
   /** Character-reference grammar (strict; HtmlText.decodeEntities):
     * numeric decimal (1–7 digits) / hex (x|X + 1–6 digits), or a named
     * reference (letter + up to 30 alphanumerics) — `;`-terminated.
@@ -1000,6 +1060,32 @@ object TextQueries {
         .select(col("doc_id"), col("len_link"), col("len_total"),
           expr("CAST((len_link * 1000000) DIV greatest(len_total, 1) AS BIGINT)")
             .as("link_ppm"))
+    }),
+
+    // URL canonicalization (native expression, UrlText): the dedup key
+    // a crawl pipeline computes BEFORE content dedup — case folding,
+    // default-port/fragment/tracking-param stripping, bytewise param
+    // sort. The fixture's shape-0 and shape-2 URLs normalize EQUAL, so
+    // the face proves real rewrites, not identity
+    "q_text_url_normalize" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(col("doc_id"),
+        urlFixture.as("url"),
+        graft.expressions.UrlNormalize(urlFixture).as("url_norm"))
+    }),
+
+    // exact dedup keyed on the CANONICAL url (the Dedup.exact shape —
+    // partial-agg groupBy + exchange-reused join-back, one shuffle):
+    // the same page fetched under tracking-param/case/port variants
+    // collapses to one keep. Cross-shape groups are real here (unlike
+    // content dedup on this corpus): shapes 0 and 2 collide per id25
+    "q_dedup_url" -> ((s, dir) => {
+      val urls = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.expressions.UrlNormalize(urlFixture).as("url_norm"))
+      val groups = urls.groupBy("url_norm")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("group_size"))
+      urls.join(groups, Seq("url_norm"))
+        .select(col("doc_id"), col("url_norm"), col("group_size"),
+          (col("doc_id") === col("keep_id")).as("is_kept"))
     }),
 
     // end-to-end HTML curation pipeline (VERDICT r11 item 5): raw crawl
@@ -2325,6 +2411,18 @@ object TextQueries {
          |  CAST((CAST(len_link AS HUGEINT) * 1000000)
          |    // greatest(len_total, 1) AS BIGINT) AS link_ppm
          |FROM lens""".stripMargin,
+
+    "q_text_url_normalize" ->
+      s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents)
+         |SELECT doc_id, url, ${urlNormSql("url")} AS url_norm FROM t""".stripMargin,
+
+    "q_dedup_url" ->
+      s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |n AS (SELECT doc_id, ${urlNormSql("url")} AS url_norm FROM t)
+         |SELECT doc_id, url_norm,
+         |  CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS group_size,
+         |  doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS is_kept
+         |FROM n""".stripMargin,
 
     // the composed curation pipeline: the htmlCleanSql chain embedded
     // verbatim (the gdIterBlocksSql convention), then the gates and the

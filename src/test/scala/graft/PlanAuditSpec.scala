@@ -729,6 +729,15 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "the exact-dedup stage lost its canon_hash exchange")
   }
 
+  test("url dedup: one url_norm shuffle (partial agg + exchange-reused " +
+      "join-back), no window — the exact-dedup posture on the canonical key") {
+    val p = plan("q_dedup_url")
+    assert(windows(p).isEmpty, "q_dedup_url grew a window operator")
+    val s = shuffles(p)
+    assert(s.size == 1, s"q_dedup_url expected 1 shuffle, got ${s.size}")
+    assert(partitionKeys(s.head) == Seq("url_norm"))
+  }
+
   // release the memoized domain-chain stages this suite materialized
   // under the spec-local scan conf, and restore the defaults
   override def afterAll(): Unit = {
