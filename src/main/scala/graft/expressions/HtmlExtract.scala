@@ -95,10 +95,34 @@ object HtmlText {
     -1
   }
 
-  /** One scan producing (full visible text, visible text inside <a>
-    * elements), both pre-finishing.
+  /** Block-LEVEL tag names (lowercase): their tags emit the block
+    * separator U+001C instead of a space when [[blockText]] scans, so
+    * visible text splits at real layout boundaries — the unit the
+    * main-content heuristic scores. Inline tags (`<b>`, `<a>`,
+    * `<span>`, …) stay spaces: they do not break a text block. PUBLIC —
+    * the DuckDB twin builds its block-tag alternation from this list.
     */
-  private def scan(s: String): (String, String) = {
+  val blockTags: Seq[String] = Seq(
+    "p", "div", "section", "article", "main", "header", "footer", "nav",
+    "aside", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl",
+    "dt", "dd", "table", "thead", "tbody", "tfoot", "tr", "td", "th",
+    "blockquote", "pre", "figure", "figcaption", "form", "fieldset",
+    "hr", "br")
+
+  private val blockTagSet: java.util.HashSet[String] = {
+    val t = new java.util.HashSet[String]()
+    blockTags.foreach(t.add)
+    t
+  }
+
+  /** One scan producing (full visible text, visible text inside <a>
+    * elements), both pre-finishing. With `blockMarks`, block-level
+    * tags (opener, closer, or self-closing — tag name followed by
+    * `>`, whitespace, or `/>` exactly, so `<param>` never reads as
+    * `<p>`) emit U+001C into the text instead of a space; everything
+    * else is identical to the plain scan.
+    */
+  private def scan(s: String, blockMarks: Boolean = false): (String, String) = {
     val n = s.length
     val all = new java.lang.StringBuilder(n)
     val link = new java.lang.StringBuilder()
@@ -108,22 +132,41 @@ object HtmlText {
     def emitRange(from: Int, to: Int): Unit = {
       all.append(s, from, to); if (inLink) link.append(s, from, to)
     }
-    // generic `<...>` tag at i: one space, with <a>/</a> link tracking;
-    // returns the scan position after the tag (or n when no '>' exists,
-    // after emitting the rest literally)
+    // block tag at [i0+1, e): optional '/', then a blockTags name,
+    // then '>' | whitespace | exactly "/>" — the same boundary the
+    // oracle's `</?(name)(\s[^>]*)?/?>` alternation accepts
+    def isBlockTag(i0: Int, e: Int): Boolean = {
+      var k = i0 + 1
+      if (k < e && s.charAt(k) == '/') k += 1
+      val k0 = k
+      while (k < e && {
+        val d = s.charAt(k)
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          (d >= '0' && d <= '9')
+      }) k += 1
+      k > k0 && (k == e || isWs(s.charAt(k)) ||
+        (s.charAt(k) == '/' && k + 1 == e)) &&
+        blockTagSet.contains(
+          s.substring(k0, k).toLowerCase(java.util.Locale.ROOT))
+    }
+    // generic `<...>` tag at i: one space (or the U+001C block marker
+    // under blockMarks), with <a>/</a> link tracking; returns the scan
+    // position after the tag (or n when no '>' exists, after emitting
+    // the rest literally)
     def genericTag(i0: Int): Int = {
       val e = s.indexOf('>', i0)
       if (e < 0) { emitRange(i0, n); return n }
+      val mark = if (blockMarks && isBlockTag(i0, e)) '\u001C' else ' '
       // opener: <a> or <a ...>; closer: </a> or </a   > — tag-name
       // boundary required, so <abbr>/<article> stay generic
       val c1 = if (i0 + 1 < e) s.charAt(i0 + 1) else ' '
       if ((c1 == 'a' || c1 == 'A') && (i0 + 2 == e || isWs(s.charAt(i0 + 2)))) {
-        emitChar(' '); inLink = true
+        emitChar(mark); inLink = true
       } else if (c1 == '/' && i0 + 2 < e &&
           (s.charAt(i0 + 2) == 'a' || s.charAt(i0 + 2) == 'A') &&
           (i0 + 3 until e).forall(j => isWs(s.charAt(j)))) {
-        inLink = false; emitChar(' ')
-      } else emitChar(' ')
+        inLink = false; emitChar(mark)
+      } else emitChar(mark)
       e + 1
     }
     while (i < n) {
@@ -275,6 +318,16 @@ object HtmlText {
 
   def linkText(html: UTF8String): UTF8String =
     UTF8String.fromString(finish(scan(html.toString)._2))
+
+  /** Visible text with U+001C separators at block-level tag
+    * boundaries — same finishing as [[extract]] (the marker is not
+    * whitespace, so it survives the collapse). Callers split on the
+    * marker and trim/drop-empty per block; keeping this a STRING (not
+    * an array) lets both engines split with their built-in functions
+    * and keeps the expression's codegen a plain string call.
+    */
+  def blockText(html: UTF8String): UTF8String =
+    UTF8String.fromString(finish(scan(html.toString, blockMarks = true)._1))
 }
 
 /** Visible text of an HTML document (see [[HtmlText]] semantics). */
@@ -320,4 +373,29 @@ case class HtmlLinkText(child: Expression) extends UnaryExpression {
 
 object HtmlLinkText {
   def apply(c: Column): Column = Shim.column(HtmlLinkText(Shim.expression(c)))
+}
+
+/** Visible text with U+001C block separators (see [[HtmlText.blockText]])
+  * — the input of block-structured content extraction: split on the
+  * separator, score each block (length, link density), keep the dense
+  * ones. The Boilerpipe-family primitive whole-page link density is
+  * too coarse for: a nav-heavy page still HAS a dense article block.
+  */
+case class HtmlBlockText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_html_block_text requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_block_text"
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.blockText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HtmlText.blockText($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlockText =
+    copy(child = newChild)
+}
+
+object HtmlBlockText {
+  def apply(c: Column): Column = Shim.column(HtmlBlockText(Shim.expression(c)))
 }

@@ -230,7 +230,7 @@ object TextQueries {
     * non-overlapping leftmost matching leaves no full match inside a
     * gap), so no positional bookkeeping is needed.
     */
-  private def htmlCleanSql(e: String): String = {
+  private def htmlCleanSql(e: String, blockMarks: Boolean = false): String = {
     val cdataProtected =
       raw"""array_to_string(list_transform(str_split(regexp_replace($e,
          |  '(?s)<!\[CDATA\[(.*?)\]\]>', chr(29) || '\1' || chr(30), 'g'),
@@ -239,15 +239,26 @@ object TextQueries {
          |    THEN replace(replace(split_part(p, chr(30), 1), '<', chr(3)),
          |      '>', chr(4)) || substr(p, strpos(p, chr(30)) + 1)
          |    ELSE p END), '')""".stripMargin
-    val tagStripped =
+    // block stage (HtmlBlockText only): block-level tags — the same
+    // name list the scanner consults (HtmlText.blockTags, single
+    // source of truth) with the same boundary (`>`, whitespace-led
+    // attrs, or exactly `/>`) — become the U+001C separator BEFORE the
+    // generic stage turns everything else into spaces
+    val elementStripped =
       raw"""regexp_replace(
          |  regexp_replace(
-         |    regexp_replace(
-         |      regexp_replace($cdataProtected,
-         |        '(?s)<!--.*?-->', ' ', 'g'),
-         |      '(?is)<script(\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
-         |    '(?is)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
-         |  '<[^>]*>', ' ', 'g')""".stripMargin
+         |    regexp_replace($cdataProtected,
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |    '(?is)<script(\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
+         |  '(?is)<style(\s[^>]*)?>.*?</style\s*>', ' ', 'g')""".stripMargin
+    val blockMarked =
+      if (!blockMarks) elementStripped
+      else {
+        val names = graft.expressions.HtmlText.blockTags.mkString("|")
+        raw"""regexp_replace($elementStripped,
+           |  '(?is)</?($names)(\s[^>]*)?/?>', chr(28), 'g')""".stripMargin
+      }
+    val tagStripped = s"regexp_replace($blockMarked, '<[^>]*>', ' ', 'g')"
     val cdataRestored = s"replace(replace($tagStripped, chr(3), '<'), chr(4), '>')"
     val entityDecoded =
       s"""array_to_string(list_transform(str_split(regexp_replace($cdataRestored,
@@ -1060,6 +1071,29 @@ object TextQueries {
         .select(col("doc_id"), col("len_link"), col("len_total"),
           expr("CAST((len_link * 1000000) DIV greatest(len_total, 1) AS BIGINT)")
             .as("link_ppm"))
+    }),
+
+    // block-structured content extraction: visible text split at
+    // BLOCK-level tag boundaries (HtmlBlockText's U+001C markers;
+    // inline tags don't break blocks), then the main-content
+    // heuristic — longest block wins, ties resolved by the bytewise
+    // struct-max both engines share. The Boilerpipe-family primitive
+    // whole-page link density is too coarse for: a nav-heavy page
+    // still HAS one dense article block, and this face finds it (the
+    // fixture's title/h1/nav/cdata clutter lands in OTHER blocks)
+    "q_text_html_blocks" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val bs = split(graft.expressions.HtmlBlockText(htmlFixture), "\u001C")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(bs).as("b"))
+        .select(col("doc_id"), trim(col("b")).as("block"))
+        .where(col("block") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          max(struct(length(col("block")).cast("long").as("l"),
+            col("block").as("b"))).as("m"))
+        .select(col("doc_id"), col("n_blocks"), col("m.l").as("main_len"),
+          col("m.b").as("main_block"))
     }),
 
     // URL canonicalization (native expression, UrlText): the dedup key
@@ -2411,6 +2445,21 @@ object TextQueries {
          |  CAST((CAST(len_link AS HUGEINT) * 1000000)
          |    // greatest(len_total, 1) AS BIGINT) AS link_ppm
          |FROM lens""".stripMargin,
+
+    "q_text_html_blocks" ->
+      s"""WITH t AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |c AS (SELECT doc_id, ${htmlCleanSql("html", blockMarks = true)} AS bt
+         |  FROM t),
+         |b AS (SELECT doc_id, trim(x) AS block
+         |  FROM c, unnest(string_split(bt, chr(28))) AS u(x)
+         |  WHERE trim(x) <> '')
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(max(struct_pack(l := CAST(length(block) AS BIGINT),
+         |    b := block)).l AS BIGINT) AS main_len,
+         |  max(struct_pack(l := CAST(length(block) AS BIGINT),
+         |    b := block)).b AS main_block
+         |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_text_url_normalize" ->
       s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents)

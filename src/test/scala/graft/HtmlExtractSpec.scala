@@ -150,6 +150,26 @@ class HtmlExtractSpec extends SparkTestBase {
     assert(linkText("<a>x</p>y") === "x y")
   }
 
+  test("block text: block-level tags emit the U+001C separator, inline " +
+      "tags stay spaces, name boundaries are exact") {
+    def blocks(html: String): Seq[String] =
+      Seq(html).toDF("h")
+        .select(graft.expressions.HtmlBlockText(col("h"))).as[String].head()
+        .split('\u001C').map(_.trim).filter(_.nonEmpty).toSeq
+    assert(blocks("<h1>Title</h1><p>first para</p><p>second</p>")
+      === Seq("Title", "first para", "second"))
+    // inline markup does NOT split a block; block closers/openers do
+    assert(blocks("<p>a <b>bold</b> <a href='/x'>link</a> tail</p><div>nav</div>")
+      === Seq("a bold link tail", "nav"))
+    // self-closing + case variants split; <param>/<pre*> name
+    // boundaries are exact (param is not p, pricing is not pre)
+    assert(blocks("one<BR/>two<Hr >three") === Seq("one", "two", "three"))
+    assert(blocks("x<param value=1>y<pricing>z") === Seq("x y z"))
+    // the main-content shape: chrome blocks around one dense block
+    assert(blocks("<div>nav nav</div><p>the article body text</p><div>footer</div>")
+      === Seq("nav nav", "the article body text", "footer"))
+  }
+
   test("null input yields null; empty input yields empty") {
     val out = Seq[Option[String]](None, Some(""))
       .toDF("h").select(HtmlExtract(col("h"))).as[Option[String]].collect()

@@ -43,6 +43,15 @@ class SqlFunctionsSpec extends SparkTestBase {
       .collect().head
     assert(row.getString(0) === "a & b l1")
     assert(row.getString(1) === "l1l2")
+    val blocks = spark.sql(
+      "SELECT graft_html_block_text('<p>a</p><div>b</div>') AS t")
+      .collect().head.getString(0)
+    assert(blocks.split('\u001C').map(_.trim).filter(_.nonEmpty).toSeq
+      === Seq("a", "b"))
+    val url = spark.sql(
+      "SELECT graft_url_normalize('HTTP://A.com:80/x?b=2&utm_source=f&a=1#s') AS u")
+      .collect().head.getString(0)
+    assert(url === "http://a.com/x?a=1&b=2")
   }
 
   test("array functions from SQL match the similarity module's values") {
