@@ -18,6 +18,24 @@ object Bench {
     // map-only queries
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // per-query SCHEDULED-job counter (VERDICT r12 item 2): the artifact
+    // records each query's job count next to its seconds, so the
+    // round-latency-bound iterative tail is floor-correctable
+    // mechanically — bench_guard compares (t − jobs × job_floor_ms)
+    // instead of re-adjudicating host epochs by hand. Counts are read as
+    // deltas around each timed pass with the listener bus DRAINED on
+    // both sides (events post asynchronously; an undrained read leaks
+    // this query's late starts into the next query's delta). The drain
+    // runs OUTSIDE the timed region.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    })
+    def drain(): Unit =
+      try org.apache.spark.graftshim.CoreShim.drainListenerBus(spark.sparkContext)
+      catch { case scala.util.control.NonFatal(_) => Thread.sleep(50) }
     // warm-up, untimed: (1) materialize the memoized shared chains so
     // the alphabetically first domain query measures its operator, not
     // the one-time chain build (SCALE.md bench notes); (2) run one query
@@ -65,12 +83,18 @@ object Bench {
     // classes and the memoized chains are warm) and stays honest: the
     // noop sink re-executes the full plan — nothing is result-cached.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // returns (seconds, scheduled jobs) of the best (fastest) pass —
+    // the job count belongs to the pass whose seconds are recorded
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        n: Int): Double = {
-      def once(): Double = {
+        n: Int): (Double, Int) = {
+      def once(): (Double, Int) = {
+        drain()
+        val j0 = jobCount.get
         val t0 = System.nanoTime()
         try run(fn) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        drain()
+        (dt, jobCount.get - j0)
       }
       val ts = (1 to n).map(_ => once())
       // pass DISAGREEMENT marks a stolen stretch (VERDICT r10 item 9:
@@ -79,8 +103,9 @@ object Bench {
       // one arbitration pass runs immediately — a phantom reading now
       // needs three stolen passes in a row, on every face, not just
       // the slowest decile
-      if (n >= 2 && ts.max > 2 * ts.min + 0.05) math.min(ts.min, once())
-      else ts.min
+      val all = if (n >= 2 && ts.map(_._1).max > 2 * ts.map(_._1).min + 0.05)
+        ts :+ once() else ts
+      all.minBy(_._1)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
@@ -94,27 +119,32 @@ object Bench {
     // round-over-round. One more pass on ~10% of queries (~30 s quiet)
     // makes a double-stolen reading need THREE stolen passes instead.
     val deciles = math.max(1, firstPass.size / 10)
-    val slowNames = firstPass.sortBy(-_._2).take(deciles).map(_._1).toSet
+    val slowNames = firstPass.sortBy(-_._2._1).take(deciles).map(_._1).toSet
     val byName = SparkEntry.queries
     val results = firstPass.map { case (name, best) =>
       if (!slowNames.contains(name)) name -> best
-      else { System.gc(); name -> math.min(best, timed(byName(name), 1)) }
+      else {
+        System.gc()
+        name -> Seq(best, timed(byName(name), 1)).minBy(_._1)
+      }
     }
     // 3-decimal values keep the per-query line as small as possible;
     // ms precision is below this bench's run-to-run noise floor anyway
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val js = results.map { case (k, (_, j)) => "\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // the short line still carries the hotspot list (10 slowest): that
     // is what gets compared round-over-round — totals fluctuate ±10 s
-    val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val slowest = results.sortBy(-_._2._1).take(10)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val floor = "%.1f".formatLocal(java.util.Locale.ROOT, jobFloorMs)
     val totalLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"job_floor_ms":$floor,"slowest":$slowest,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","job_floor_ms":$floor,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","job_floor_ms":$floor,"queries":$qs,"jobs":$js,"sf":"$sfDir"}"""
     // The harness stores a bounded slice of stdout: with 85 queries the
     // single contract line outgrows that window and arrives cut at both
     // ends (unparseable). Bracket the full line with a short totals-only
