@@ -60,7 +60,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * out-of-contract): a comment OPENER that precedes a CDATA opener
   * whose content contains the comment closer (`<!-- <![CDATA[ -->x]]>`)
   * — the scanner resolves the comment first (document order), the
-  * oracle the CDATA (stage order). No fixture exercises it.
+  * oracle the CDATA (stage order). Pinned by HtmlExtractSpec's
+  * stage-order contract test; a fixture lint there guarantees the
+  * pattern cannot silently enter a fixture and flip a hash.
+  *
+  * Attribute-embedded block tags are ALSO out-of-contract (ADVICE
+  * r12): the oracle marks block tags BEFORE its generic tag strip, so
+  * a block-tag string inside another tag's attribute value (e.g.
+  * `<img alt="<p>">`) gets a U+001C in the oracle while the scanner —
+  * which resolves the outer `<img ...>` span first, document order —
+  * emits one space for the whole span. Same document-vs-stage-order
+  * root cause as the CDATA corner, same contract status, same fixture
+  * lint.
   */
 object HtmlText {
 
@@ -153,6 +164,15 @@ object HtmlText {
     // under blockMarks), with <a>/</a> link tracking; returns the scan
     // position after the tag (or n when no '>' exists, after emitting
     // the rest literally)
+    // a block marker goes into BOTH streams unconditionally (a space
+    // only into the link stream when inLink): the two framed strings
+    // then carry the SAME U+001C count, so block i of the link stream
+    // is exactly the in-link visible text of block i -- the per-block
+    // density numerator (VERDICT r12 item 3)
+    def emitMark(mark: Char): Unit = {
+      all.append(mark)
+      if (inLink || mark == '\u001C') link.append(mark)
+    }
     def genericTag(i0: Int): Int = {
       val e = s.indexOf('>', i0)
       if (e < 0) { emitRange(i0, n); return n }
@@ -161,12 +181,12 @@ object HtmlText {
       // boundary required, so <abbr>/<article> stay generic
       val c1 = if (i0 + 1 < e) s.charAt(i0 + 1) else ' '
       if ((c1 == 'a' || c1 == 'A') && (i0 + 2 == e || isWs(s.charAt(i0 + 2)))) {
-        emitChar(mark); inLink = true
+        emitMark(mark); inLink = true
       } else if (c1 == '/' && i0 + 2 < e &&
           (s.charAt(i0 + 2) == 'a' || s.charAt(i0 + 2) == 'A') &&
           (i0 + 3 until e).forall(j => isWs(s.charAt(j)))) {
-        inLink = false; emitChar(mark)
-      } else emitChar(mark)
+        inLink = false; emitMark(mark)
+      } else emitMark(mark)
       e + 1
     }
     while (i < n) {
@@ -328,6 +348,18 @@ object HtmlText {
     */
   def blockText(html: UTF8String): UTF8String =
     UTF8String.fromString(finish(scan(html.toString, blockMarks = true)._1))
+
+  /** Link text with the SAME U+001C framing as [[blockText]]: every
+    * block-level tag emits a marker into the link stream too (not just
+    * those inside `<a>` elements), so both strings split into the same
+    * number of blocks and block i of this string is the in-link visible
+    * text of block i — the numerator of PER-BLOCK link density, the
+    * Boilerpipe-core signal [[blockText]] alone cannot provide (a
+    * whole-page density is too coarse: a nav-heavy page still has one
+    * dense article block, and only a per-block gate finds it).
+    */
+  def blockLinkText(html: UTF8String): UTF8String =
+    UTF8String.fromString(finish(scan(html.toString, blockMarks = true)._2))
 }
 
 /** Visible text of an HTML document (see [[HtmlText]] semantics). */
@@ -398,4 +430,28 @@ case class HtmlBlockText(child: Expression) extends UnaryExpression {
 
 object HtmlBlockText {
   def apply(c: Column): Column = Shim.column(HtmlBlockText(Shim.expression(c)))
+}
+
+/** Link text with [[HtmlText.blockText]]'s U+001C framing (see
+  * [[HtmlText.blockLinkText]]) — zip the two split arrays and each
+  * block carries its own link mass, so blocks gate on their OWN link
+  * density instead of the page's.
+  */
+case class HtmlBlockLinkText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_html_block_link_text requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_block_link_text"
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.blockLinkText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HtmlText.blockLinkText($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlockLinkText =
+    copy(child = newChild)
+}
+
+object HtmlBlockLinkText {
+  def apply(c: Column): Column = Shim.column(HtmlBlockLinkText(Shim.expression(c)))
 }

@@ -93,6 +93,10 @@ object SqlFunctions {
       case Seq(c) => HtmlBlockText(c)
       case _ => arity("graft_html_block_text", "1 argument (html string)")
     },
+    fn("graft_html_block_link_text") {
+      case Seq(c) => HtmlBlockLinkText(c)
+      case _ => arity("graft_html_block_link_text", "1 argument (html string)")
+    },
     fn("graft_url_normalize") {
       case Seq(c) => UrlNormalize(c)
       case _ => arity("graft_url_normalize", "1 argument (url string)")

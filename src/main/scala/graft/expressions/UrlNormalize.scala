@@ -22,8 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     non-default ports are kept;
   *   - the fragment is dropped (never sent to the server);
   *   - an empty path becomes `/`;
-  *   - path case and percent-encoding are preserved AS-IS (paths are
-  *     case-sensitive; re-encoding is a server-semantics gamble);
+  *   - percent-encoding normalizes per RFC 3986 §6.2.2 (one
+  *     left-to-right pass over the whole URL, BEFORE the other
+  *     rewrites): an escape whose octet is an unreserved character
+  *     (ALPHA / DIGIT / `-` `.` `_` `~`) DECODES (`%7E` → `~`); any
+  *     other escape keeps its `%` and uppercases its hex digits
+  *     (`%2f` → `%2F`); a `%` not followed by two hex digits stays
+  *     literal. Decoded output is never re-examined, so
+  *     double-encoding (`%2541`) is NOT re-decoded — `%25` is a
+  *     reserved octet and keeps its escape. These are the two biggest
+  *     dedup-key fragmenters; decoding RESERVED octets stays out (it
+  *     changes URL structure — a server-semantics gamble);
+  *   - path case is preserved AS-IS (paths are case-sensitive);
   *   - query parameters: empty params drop, tracking params drop
   *     (`utm_*` prefix and the [[UrlText.trackingParams]] set), the
   *     remainder SORTS bytewise on the full `k=v` text and rejoins
@@ -55,6 +65,50 @@ object UrlText {
   private def isDefaultPort(scheme: String, port: String): Boolean =
     (scheme == "http" && port == "80") || (scheme == "https" && port == "443")
 
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def isUnreserved(v: Int): Boolean =
+    (v >= '0' && v <= '9') || (v >= 'A' && v <= 'Z') ||
+      (v >= 'a' && v <= 'z') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  private def upperHex(c: Char): Char =
+    if (c >= 'a' && c <= 'f') (c - 32).toChar else c
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization, ONE left-to-right
+    * pass (see class doc). Escapes never overlap (hex digits are never
+    * `%`), so this scan is exactly the oracle twin's split-on-`%`
+    * piece transform — each piece after the first is one `%` plus its
+    * tail, examined independently.
+    */
+  private def pctNormalize(u: String): String = {
+    var i = u.indexOf('%')
+    if (i < 0) return u
+    val n = u.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(u, 0, i)
+    while (i < n) {
+      val c = u.charAt(i)
+      if (c != '%' || i + 2 >= n) { sb.append(c); i += 1 }
+      else {
+        val hi = hexVal(u.charAt(i + 1))
+        val lo = hexVal(u.charAt(i + 2))
+        if (hi < 0 || lo < 0) { sb.append(c); i += 1 }
+        else {
+          val v = (hi << 4) | lo
+          if (isUnreserved(v)) sb.append(v.toChar)
+          else sb.append('%').append(upperHex(u.charAt(i + 1)))
+            .append(upperHex(u.charAt(i + 2)))
+          i += 3
+        }
+      }
+    }
+    sb.toString
+  }
+
   def normalize(url: UTF8String): UTF8String = {
     val u = url.toString
     val sep = u.indexOf("://")
@@ -71,8 +125,13 @@ object UrlText {
       si += 1
     }
     if (!ok) return url
-    val scheme = u.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
-    val rest = u.substring(sep + 3)
+    // percent-normalize the WHOLE string first (scheme chars exclude
+    // '%', so positions up to `sep` are unchanged); later stages then
+    // see canonical octets — a decoded param name can reveal a
+    // tracking param, and the bytewise param sort orders decoded text
+    val un = pctNormalize(u)
+    val scheme = un.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    val rest = un.substring(sep + 3)
     var ai = 0
     while (ai < rest.length && rest.charAt(ai) != '/' &&
       rest.charAt(ai) != '?' && rest.charAt(ai) != '#') ai += 1

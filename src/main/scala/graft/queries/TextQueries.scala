@@ -38,7 +38,7 @@ object TextQueries {
     * one real link per doc and an extra nav-style link on every third
     * (two link-density regimes).
     */
-  private def htmlFixture: org.apache.spark.sql.Column = {
+  private[graft] def htmlFixture: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{concat, substring}
     val id = col("doc_id").cast("string")
     concat(
@@ -87,7 +87,7 @@ object TextQueries {
     * (script, comment, nav links on every third doc) plus numeric and
     * named entities exercise the whole extractor in the composition.
     */
-  private def htmlCrawlFixture: org.apache.spark.sql.Column = {
+  private[graft] def htmlCrawlFixture: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.concat
     val id = col("doc_id").cast("string")
     concat(
@@ -122,33 +122,69 @@ object TextQueries {
   private def urlFixture: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.concat
     val id25 = (col("doc_id") % 25).cast("string")
+    // percent shapes (round 13): shape 0 spells its path with an
+    // encoded unreserved octet (%41 = 'A') that must DECODE for the
+    // shape-0/shape-2 collision to survive; shape 1 carries %7e → '~'
+    // and a lowercase reserved escape %2f that must UPPERCASE, not
+    // decode; shape 3 carries a double-encoding a%2541 that must stay
     when(col("doc_id") % 4 === 0,
-        concat(lit("HTTP://WWW.Example.COM:80/Articles/"), id25,
+        concat(lit("HTTP://WWW.Example.COM:80/%41rticles/"), id25,
           lit("?b=2&utm_source=feed&a=1#sec")))
       .when(col("doc_id") % 4 === 1,
-        concat(lit("https://cdn.Site.org:8443/p/"), id25,
-          lit("?z=9&y=1&utm_campaign=x&fbclid=abc")))
+        concat(lit("https://cdn.Site.org:8443/p/%7e"), id25,
+          lit("?z=9&y=1&utm_campaign=x&fbclid=abc&w=%2f")))
       .when(col("doc_id") % 4 === 2,
         concat(lit("http://www.example.com/Articles/"), id25, lit("?a=1&b=2")))
-      .otherwise(concat(lit("HTTPS://Example.COM:443?q="), id25, lit("&ref=tw")))
+      .otherwise(concat(lit("HTTPS://Example.COM:443?q="), id25,
+        lit("&ref=tw&t=a%2541")))
   }
 
   private val urlFixtureSql: String =
     """CASE
-      | WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example.COM:80/Articles/'
+      | WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Example.COM:80/%41rticles/'
       |   || CAST(doc_id % 25 AS VARCHAR) || '?b=2&utm_source=feed&a=1#sec'
-      | WHEN doc_id % 4 = 1 THEN 'https://cdn.Site.org:8443/p/'
-      |   || CAST(doc_id % 25 AS VARCHAR) || '?z=9&y=1&utm_campaign=x&fbclid=abc'
+      | WHEN doc_id % 4 = 1 THEN 'https://cdn.Site.org:8443/p/%7e'
+      |   || CAST(doc_id % 25 AS VARCHAR) || '?z=9&y=1&utm_campaign=x&fbclid=abc&w=%2f'
       | WHEN doc_id % 4 = 2 THEN 'http://www.example.com/Articles/'
       |   || CAST(doc_id % 25 AS VARCHAR) || '?a=1&b=2'
-      | ELSE 'HTTPS://Example.COM:443?q=' || CAST(doc_id % 25 AS VARCHAR) || '&ref=tw'
+      | ELSE 'HTTPS://Example.COM:443?q=' || CAST(doc_id % 25 AS VARCHAR)
+      |   || '&ref=tw&t=a%2541'
       |END""".stripMargin.replace("\n", " ")
+
+  /** UrlText.pctNormalize as a DuckDB expression over `e` (RFC 3986
+    * §6.2.2, VERDICT r12 item 4): split on `%` — escapes never overlap
+    * (hex digits are never `%`), so each piece after the first is one
+    * `%` plus its tail, examined independently, EXACTLY the scanner's
+    * left-to-right pass (a naive replace-chain would diverge on
+    * pathological runs like `%%341`, where a decode fabricates a new
+    * escape the scanner never re-examines). Unreserved octets decode,
+    * others uppercase their hex; a `%` without two hex digits stays
+    * literal. Applied only to absolute URLs — the non-absolute
+    * passthrough contract covers the whole rewrite.
+    */
+  private def pctNormSql(e: String): String = {
+    val hex = "'0123456789abcdefABCDEF'"
+    val v = "((strpos('0123456789abcdef', lower(p[1])) - 1) * 16 " +
+      "+ (strpos('0123456789abcdef', lower(p[2])) - 1))"
+    val unreserved = s"($v BETWEEN 48 AND 57 OR $v BETWEEN 65 AND 90 " +
+      s"OR $v BETWEEN 97 AND 122 OR $v IN (45, 46, 95, 126))"
+    val piece = s"CASE WHEN length(p) >= 2 AND strpos($hex, p[1]) > 0 " +
+      s"AND strpos($hex, p[2]) > 0 " +
+      s"THEN (CASE WHEN $unreserved THEN chr(CAST($v AS INT)) " +
+      s"ELSE '%' || upper(p[1] || p[2]) END) || substr(p, 3) " +
+      s"ELSE '%' || p END"
+    s"CASE WHEN NOT regexp_matches($e, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $e " +
+      s"ELSE array_to_string(list_concat([string_split($e, '%')[1]], " +
+      s"list_transform(string_split($e, '%')[2:], p -> $piece)), '') END"
+  }
 
   /** UrlText.normalize as a DuckDB expression over `e` — same rules,
     * same tracking-param list (generated from UrlText.trackingParams,
-    * the single source of truth). Non-ASCII query params are outside
-    * the oracle contract (Scala sorts UTF-16 code units, DuckDB UTF-8
-    * bytes — identical on ASCII).
+    * the single source of truth). The caller percent-normalizes with
+    * [[pctNormSql]] in a prior CTE (the Scala side's first pass).
+    * Non-ASCII query params are outside the oracle contract (Scala
+    * sorts UTF-16 code units, DuckDB UTF-8 bytes — identical on
+    * ASCII).
     */
   private def urlNormSql(e: String): String = {
     val track = graft.expressions.UrlText.trackingParams
@@ -230,7 +266,8 @@ object TextQueries {
     * non-overlapping leftmost matching leaves no full match inside a
     * gap), so no positional bookkeeping is needed.
     */
-  private def htmlCleanSql(e: String, blockMarks: Boolean = false): String = {
+  private def htmlCleanSql(e: String, blockMarks: Boolean = false,
+      linkOnly: Boolean = false): String = {
     val cdataProtected =
       raw"""array_to_string(list_transform(str_split(regexp_replace($e,
          |  '(?s)<!\[CDATA\[(.*?)\]\]>', chr(29) || '\1' || chr(30), 'g'),
@@ -258,7 +295,30 @@ object TextQueries {
         raw"""regexp_replace($elementStripped,
            |  '(?is)</?($names)(\s[^>]*)?/?>', chr(28), 'g')""".stripMargin
       }
-    val tagStripped = s"regexp_replace($blockMarked, '<[^>]*>', ' ', 'g')"
+    // link-only stage (HtmlBlockLinkText): keep <a> element contents
+    // (markers included) and reduce everything OUTSIDE links to just
+    // its chr(28) markers — the scanner's link stream receives block
+    // markers unconditionally but visible text only while inLink, so
+    // both framed strings carry the SAME marker count and block i of
+    // this string is block i's link mass. The <a> spans are protected
+    // with chr(5)/chr(6) (reserved like chr(3)/chr(4)); the
+    // markers-only reduction is repeat(chr(28), count) — occurrence
+    // order is trivially preserved for a single repeated character.
+    val linkFramed =
+      if (!linkOnly) blockMarked
+      else {
+        def markersOnly(x: String) =
+          s"repeat(chr(28), length($x) - length(replace($x, chr(28), '')))"
+        val aProtected =
+          raw"""regexp_replace($blockMarked,
+             |  '(?is)<a(\s[^>]*)?>(.*?)</a\s*>', chr(5) || '\2' || chr(6), 'g')""".stripMargin
+        s"array_to_string(list_transform(str_split($aProtected, chr(5)), " +
+          s"p -> CASE WHEN strpos(p, chr(6)) > 0 " +
+          s"THEN split_part(p, chr(6), 1) || " +
+          s"${markersOnly("substr(p, strpos(p, chr(6)) + 1)")} " +
+          s"ELSE ${markersOnly("p")} END), '')"
+      }
+    val tagStripped = s"regexp_replace($linkFramed, '<[^>]*>', ' ', 'g')"
     val cdataRestored = s"replace(replace($tagStripped, chr(3), '<'), chr(4), '>')"
     val entityDecoded =
       s"""array_to_string(list_transform(str_split(regexp_replace($cdataRestored,
@@ -1094,6 +1154,31 @@ object TextQueries {
             col("block").as("b"))).as("m"))
         .select(col("doc_id"), col("n_blocks"), col("m.l").as("main_len"),
           col("m.b").as("main_block"))
+    }),
+
+    // per-block link density (VERDICT r12 item 3 — the Boilerpipe
+    // core): HtmlBlockText and HtmlBlockLinkText share the U+001C
+    // framing (block markers enter the link stream unconditionally),
+    // so zipping the two split arrays gives each block its OWN link
+    // mass and blocks gate on their own density — the whole-page ppm
+    // of q_text_html_link_density cannot tell a nav-wrapped article
+    // from boilerplate; this face keeps the article block (0 ppm) and
+    // drops the all-link div block (1e6 ppm) of the same page
+    "q_text_html_block_density" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val bt = split(graft.expressions.HtmlBlockText(htmlFixture), "\u001C")
+      val lt = split(graft.expressions.HtmlBlockLinkText(htmlFixture), "\u001C")
+      val z = zip_with(bt, lt, (b, l) =>
+        struct(trim(b).as("b"), trim(l).as("l")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(z).as(Seq("block_idx", "z")))
+        .where(col("z.b") =!= "")
+        .select(col("doc_id"), col("block_idx").cast("long").as("block_idx"),
+          length(col("z.b")).cast("long").as("block_len"),
+          length(col("z.l")).cast("long").as("link_len"))
+        .withColumn("link_ppm",
+          expr("CAST((link_len * 1000000) DIV greatest(block_len, 1) AS BIGINT)"))
+        .withColumn("is_content", col("link_ppm") <= 333333L)
     }),
 
     // URL canonicalization (native expression, UrlText): the dedup key
@@ -2461,13 +2546,41 @@ object TextQueries {
          |    b := block)).b AS main_block
          |FROM b GROUP BY doc_id""".stripMargin,
 
+    // the zip is a list comprehension (list_zip yields unnamed structs
+    // DuckDB cannot field-extract); idx is 1-based in the comprehension
+    // and shifted to the face's 0-based posexplode convention
+    "q_text_html_block_density" ->
+      s"""WITH t AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |c AS (SELECT doc_id,
+         |    ${htmlCleanSql("html", blockMarks = true)} AS bt,
+         |    ${htmlCleanSql("html", blockMarks = true, linkOnly = true)} AS lt
+         |  FROM t),
+         |s AS (SELECT doc_id, string_split(bt, chr(28)) AS bs,
+         |    string_split(lt, chr(28)) AS ls FROM c),
+         |z AS (SELECT doc_id, u.x.i - 1 AS block_idx,
+         |    trim(u.x.b) AS b, trim(u.x.l) AS l
+         |  FROM s, unnest([struct_pack(i := i, b := bs[i], l := ls[i])
+         |    for i in range(1, len(bs) + 1)]) AS u(x))
+         |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+         |  CAST(length(b) AS BIGINT) AS block_len,
+         |  CAST(length(l) AS BIGINT) AS link_len,
+         |  CAST((CAST(length(l) AS HUGEINT) * 1000000)
+         |    // greatest(length(b), 1) AS BIGINT) AS link_ppm,
+         |  CAST((CAST(length(l) AS HUGEINT) * 1000000)
+         |    // greatest(length(b), 1) AS BIGINT) <= 333333 AS is_content
+         |FROM z WHERE b <> ''""".stripMargin,
+
+    // the pct CTE is the Scala side's first pass (pctNormSql); the
+    // remaining rewrite then operates on canonical octets
     "q_text_url_normalize" ->
-      s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents)
-         |SELECT doc_id, url, ${urlNormSql("url")} AS url_norm FROM t""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         |p AS (SELECT doc_id, url, ${pctNormSql("url")} AS urlp FROM t)
+         |SELECT doc_id, url, ${urlNormSql("urlp")} AS url_norm FROM p""".stripMargin,
 
     "q_dedup_url" ->
       s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
-         |n AS (SELECT doc_id, ${urlNormSql("url")} AS url_norm FROM t)
+         |p AS (SELECT doc_id, ${pctNormSql("url")} AS urlp FROM t),
+         |n AS (SELECT doc_id, ${urlNormSql("urlp")} AS url_norm FROM p)
          |SELECT doc_id, url_norm,
          |  CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS group_size,
          |  doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS is_kept

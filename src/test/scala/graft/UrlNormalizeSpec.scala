@@ -62,6 +62,31 @@ class UrlNormalizeSpec extends SparkTestBase {
       assert(norm(u) === u)
   }
 
+  test("percent-encoding normalizes per RFC 3986 6.2.2: unreserved " +
+      "octets decode, others uppercase their hex (VERDICT r12 item 4)") {
+    // unreserved decode: %7E/%7e -> ~, %41 -> A, %2E -> ., %5F -> _
+    assert(norm("http://a.com/%7euser/%7Ealso") === "http://a.com/~user/~also")
+    assert(norm("http://a.com/%41%62%30%2d%2e%5f%7e") ===
+      "http://a.com/Ab0-._~")
+    // reserved octets keep their escape, mixed-case hex uppercases
+    assert(norm("http://a.com/a%2fb%3Fc%2Bd") === "http://a.com/a%2Fb%3Fc%2Bd")
+    // double-encoding is NOT re-decoded: %25 is reserved, '41' is text
+    assert(norm("http://a.com/x%2541") === "http://a.com/x%2541")
+    // a '%' without two hex digits stays literal (no error, no eat)
+    assert(norm("http://a.com/100%25%2x%a%") === "http://a.com/100%25%2x%a%")
+    // non-rescanning: in %%341 the second '%' owns the escape (%34->4)
+    // and the fabricated-looking '%41' is plain text afterwards
+    assert(norm("http://a.com/%%341") === "http://a.com/%41")
+    // decode applies across components: query octets decode and the
+    // DECODED text is what sorts bytewise / matches tracking rules
+    assert(norm("http://a.com/p?b=%7e&a=1") === "http://a.com/p?a=1&b=~")
+    assert(norm("http://a.com/p?%75tm_source=x&a=1") === "http://a.com/p?a=1",
+      "a percent-hidden utm_ param is revealed by the decode pass")
+    // non-absolute inputs skip percent normalization too (whole-rewrite
+    // passthrough contract)
+    assert(norm("rel/%7e%2f") === "rel/%7e%2f")
+  }
+
   test("IPv6 literals: a bracketed host keeps its colons; a real port " +
       "after the bracket still strips") {
     assert(norm("http://[fe80::80]/x") === "http://[fe80::80]/x")
