@@ -208,6 +208,51 @@ class DagSpec extends SparkTestBase {
     assert(cat.get("cons").count() === 2L)
   }
 
+  test("a same-tick same-length in-place rewrite of an external input: " +
+      "invisible to the listing token (the documented residue), caught " +
+      "by the content-digest token (VERDICT r12 item 5)") {
+    import spark.implicits._
+    val cat = newCatalog()
+    // a RAW external table (no catalog version — the listing/digest
+    // token path) with a Spark-invisible sidecar file we can rewrite
+    // in place without disturbing the parquet footprint
+    Seq(1L).toDF("id").write.parquet(cat.path("ext"))
+    val sidecar = new Path(s"${cat.path("ext")}/_sidecar")
+    val fs = org.apache.hadoop.fs.FileSystem.get(sidecar.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def drop(bytes: String, pinMtime: Long = -1L): Unit = {
+      val out = fs.create(sidecar, true)
+      out.write(bytes.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (pinMtime >= 0) fs.setTimes(sidecar, pinMtime, -1)
+    }
+    drop("AAAA")
+    val mtime0 = fs.getFileStatus(sidecar).getModificationTime
+
+    // 1. the default listing token: the rewrite is the DECLARED residue
+    val plain = new AssetDag(cat)
+    plain.asset("cons", Seq("ext")) { in => in("ext").selectExpr("id * 10 AS v") }
+    assert(plain.materialize() === Seq("cons"))
+    assert(plain.materialize() === Seq.empty)
+    drop("BBBB", pinMtime = mtime0) // same length, same tick, new bytes
+    assert(plain.materialize() === Seq.empty,
+      "the listing token cannot see a same-tick same-length rewrite — " +
+        "this is the documented residue, not a silent regression")
+
+    // 2. the content-digest token closes it
+    val digest = new AssetDag(cat).externalContentDigest("ext")
+    digest.asset("cons", Seq("ext")) { in => in("ext").selectExpr("id * 10 AS v") }
+    // first materialize rebuilds once (the manifest holds listing-form
+    // tokens); the second proves the digest token is deterministic
+    digest.materialize()
+    assert(digest.materialize() === Seq.empty,
+      "byte windows must hash deterministically")
+    drop("CCCC", pinMtime = mtime0)
+    assert(digest.materialize() === Seq("cons"),
+      "the digest token must flip on an in-place byte rewrite")
+    assert(digest.materialize() === Seq.empty)
+  }
+
   test("a missing dependency that is neither registered nor in the catalog " +
       "fails loudly at materialize") {
     val cat = newCatalog()
