@@ -129,7 +129,13 @@ object ScaleSmoke {
     // curation chain — must stay exactly linear, zero shuffle) and the
     // basket cap audit (two shuffles over raw basket lines — the
     // no-silent-caps query must not cost more than the stage it audits)
-    "q_text_html_extract", "q_basket_cap_audit")
+    "q_text_html_extract", "q_basket_cap_audit",
+    // round-13 riders: block-structured extraction + per-block density
+    // (two framed scans + explode — must stay scan-bound), the composed
+    // curation pipeline, and URL canonicalization with its one-shuffle
+    // dedup face
+    "q_text_html_block_density", "q_pipeline_html_curation",
+    "q_text_url_normalize", "q_dedup_url")
 
   private def rot(s: String, j: Int): String = s.drop(j % s.length) + s.take(j % s.length)
 
@@ -299,8 +305,13 @@ object ScaleSmoke {
         "clustered_defrag_pieces")
       val upstreamKept = cat.currentVersion("textreuse_ids").contains(1L) &&
         cat.currentVersion("textreuses").contains(1L)
-      val ok = built.size == 11 && rebuilt.toSet == cone && upstreamKept &&
-        tRefresh <= tBuild
+      // gate STRUCTURAL properties only (cone exactness, upstream
+      // versions); the refresh-vs-build wall clock is informational —
+      // the 8-asset cone holds the chain's heavy tail at sf0.1, so a
+      // zero-slack tRefresh <= tBuild comparison fails honest runs on a
+      // contended host (ADVICE r12). The property that matters at scale
+      // is exactness: assets outside the cone are never touched.
+      val ok = built.size == 11 && rebuilt.toSet == cone && upstreamKept
       if (!ok) failed = true
       println(s"[scale] asset_dag build=${fmt(tBuild)}s (11 assets)  " +
         s"refresh(orig_pieces)=${fmt(tRefresh)}s (${rebuilt.size}-asset cone)  " +

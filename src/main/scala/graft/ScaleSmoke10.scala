@@ -53,7 +53,15 @@ object ScaleSmoke10 {
     // cost must track frontier-adjacent contacts; the hop count
     // saturates with the per-replica contact diameter), not a
     // co-occurrence density artifact
-    "q_events_temporal_reach", "q_events_temporal_reach_shuffle")
+    "q_events_temporal_reach", "q_events_temporal_reach_shuffle",
+    // round-13 riders (VERDICT r12 item 8): the HTML/URL family rode
+    // only the first decade — one rider each at sf1→sf10 confirms the
+    // single-pass scanner stays scan-bound and the URL dedup stays
+    // one-shuffle at 100× the base corpus. html_extract is the widest
+    // map-only scan; block_density adds the second framed scan + the
+    // explode; dedup_url is the groupBy+join-back shape over the
+    // canonical key
+    "q_text_html_extract", "q_text_html_block_density", "q_dedup_url")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -729,6 +729,15 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
       "the exact-dedup stage lost its canon_hash exchange")
   }
 
+  test("per-block density stays MAP-ONLY: two framed scans + zip + " +
+      "posexplode, no shuffle, no window (the scanner family's widest " +
+      "composition must not grow an exchange)") {
+    val p = plan("q_text_html_block_density")
+    assert(shuffles(p).isEmpty,
+      s"q_text_html_block_density grew a shuffle: $p")
+    assert(windows(p).isEmpty, "q_text_html_block_density grew a window")
+  }
+
   test("url dedup: one url_norm shuffle (partial agg + exchange-reused " +
       "join-back), no window — the exact-dedup posture on the canonical key") {
     val p = plan("q_dedup_url")
