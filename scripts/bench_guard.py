@@ -104,6 +104,19 @@ def main():
             med, mode = med_raw, "raw (all base queries at floor)"
     else:
         med, mode = med_raw, "raw (job counts absent on one side)"
+    # job-count drift is a PLAN signal, independent of timing: a query
+    # whose scheduled-job count grew means new shuffles/actions/rounds
+    # (AQE variance is ±1-2 jobs; growth beyond that is a regression
+    # candidate). Warn, don't gate — some faces legitimately vary with
+    # data-dependent round counts.
+    if cj and bj:
+        drift = sorted(((k, bj[k], cj[k]) for k in common
+                        if k in cj and k in bj
+                        and cj[k] > bj[k] + max(2, 0.2 * bj[k])),
+                       key=lambda t: t[2] - t[1], reverse=True)
+        for k, b, c in drift[:10]:
+            print(f"[bench-guard] WARNING job-count drift {k}: {b} -> {c} "
+                  f"scheduled jobs (plan regression candidate)")
     ok = med <= 1.15
     floor_s = f" job_floor={floor} ms" if floor is not None else ""
     print(f"[bench-guard] candidate {cand['value']:.1f} s / {len(cq)} q "
