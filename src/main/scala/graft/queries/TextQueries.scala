@@ -1181,6 +1181,31 @@ object TextQueries {
         .withColumn("is_content", col("link_ppm") <= 333333L)
     }),
 
+    // main-content EXTRACTION (the block-density gate composed to its
+    // product): per-block density filtering + in-order reassembly of
+    // the surviving blocks — the trafilatura-style content string a
+    // curation pipeline feeds downstream, where q_text_html_block_density
+    // only reports the per-block signal. ENTIRELY map-only: the
+    // zip/filter/transform/join run as higher-order functions over the
+    // two framed scans, no explode + regroup shuffle (order inside the
+    // arrays IS document order, so no sort is needed either) — the
+    // shape that matters at 100 TB, plan-gated
+    "q_text_html_content" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, split}
+      Tables(s, dir, "documents").select(col("doc_id"),
+          split(graft.expressions.HtmlBlockText(htmlFixture), "\u001C").as("bs"),
+          split(graft.expressions.HtmlBlockLinkText(htmlFixture), "\u001C").as("ls"))
+        .selectExpr("doc_id",
+          "filter(zip_with(bs, ls, (b, l) -> struct(trim(b) AS b, trim(l) AS l)), s -> s.b != '') AS zs")
+        .selectExpr("doc_id",
+          "CAST(size(zs) AS BIGINT) AS n_blocks",
+          "transform(filter(zs, s -> CAST((length(s.l) * 1000000) DIV greatest(length(s.b), 1) AS BIGINT) <= 333333), s -> s.b) AS kept")
+        .selectExpr("doc_id", "n_blocks",
+          "CAST(size(kept) AS BIGINT) AS n_kept",
+          "array_join(kept, ' ') AS content",
+          "CAST(length(array_join(kept, ' ')) AS BIGINT) AS content_len")
+    }),
+
     // URL canonicalization (native expression, UrlText): the dedup key
     // a crawl pipeline computes BEFORE content dedup — case folding,
     // default-port/fragment/tracking-param stripping, bytewise param
@@ -2572,6 +2597,31 @@ object TextQueries {
 
     // the pct CTE is the Scala side's first pass (pctNormSql); the
     // remaining rewrite then operates on canonical octets
+    // list comprehensions preserve element order, so the kept-block
+    // reassembly is document order in both engines with no sort
+    "q_text_html_content" ->
+      s"""WITH t AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |c AS (SELECT doc_id,
+         |    ${htmlCleanSql("html", blockMarks = true)} AS bt,
+         |    ${htmlCleanSql("html", blockMarks = true, linkOnly = true)} AS lt
+         |  FROM t),
+         |s AS (SELECT doc_id, string_split(bt, chr(28)) AS bs,
+         |    string_split(lt, chr(28)) AS ls FROM c),
+         |z AS (SELECT doc_id,
+         |    [struct_pack(b := trim(bs[i]), l := trim(ls[i]))
+         |      for i in range(1, len(bs) + 1) if trim(bs[i]) <> ''] AS zs
+         |  FROM s),
+         |k AS (SELECT doc_id, len(zs) AS n_blocks,
+         |    [x.b for x in zs if
+         |      CAST((CAST(length(x.l) AS HUGEINT) * 1000000)
+         |        // greatest(length(x.b), 1) AS BIGINT) <= 333333] AS kept
+         |  FROM z)
+         |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  array_to_string(kept, ' ') AS content,
+         |  CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS content_len
+         |FROM k""".stripMargin,
+
     "q_text_url_normalize" ->
       s"""WITH t AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
          |p AS (SELECT doc_id, url, ${pctNormSql("url")} AS urlp FROM t)

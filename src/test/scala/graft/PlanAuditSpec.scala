@@ -736,6 +736,13 @@ class PlanAuditSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     assert(shuffles(p).isEmpty,
       s"q_text_html_block_density grew a shuffle: $p")
     assert(windows(p).isEmpty, "q_text_html_block_density grew a window")
+    // the content face reassembles kept blocks per doc with HOFs over
+    // the framed arrays — the per-doc aggregate must NOT become an
+    // explode + groupBy(doc_id) regroup (that is a full-corpus shuffle
+    // at 100 TB for a value the row already holds)
+    val c = plan("q_text_html_content")
+    assert(shuffles(c).isEmpty, s"q_text_html_content grew a shuffle: $c")
+    assert(windows(c).isEmpty, "q_text_html_content grew a window")
   }
 
   test("url dedup: one url_norm shuffle (partial agg + exchange-reused " +
