@@ -1243,6 +1243,41 @@ object TextQueries {
     // Gate constants: 40000 ppm separates the fixture's nav regime
     // (min 45685 ppm at sf0.01) from the article regime (median
     // ~12800); word/stopword floors are the gopher convention.
+    // BLOCK-level curation pipeline (the per-block dual of
+    // q_pipeline_html_curation): instead of gating whole PAGES on page
+    // ppm — which throws away a nav-heavy page's real article — extract
+    // each page's density-gated CONTENT (map-only HOFs over the two
+    // framed scans, the q_text_html_content shape), then run the word/
+    // stopword quality gates and the exact-dedup keep on the EXTRACTED
+    // content. Every doc keeps its article block here (chrome blocks
+    // are all-link and drop), so the pipeline dedups honest article
+    // text that page-level gating would have contaminated with nav
+    "q_pipeline_block_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      val content = docs.select(col("doc_id"), col("lang"), col("source"),
+          split(graft.expressions.HtmlBlockText(htmlCrawlFixture), "\u001C").as("bs"),
+          split(graft.expressions.HtmlBlockLinkText(htmlCrawlFixture), "\u001C").as("ls"))
+        .selectExpr("doc_id", "lang", "source",
+          "array_join(transform(filter(zip_with(bs, ls, (b, l) -> struct(trim(b) AS b, trim(l) AS l)), " +
+            "s -> s.b != '' AND CAST((length(s.l) * 1000000) DIV greatest(length(s.b), 1) AS BIGINT) <= 333333), " +
+            "s -> s.b), ' ') AS content")
+      val toksC = split(trim(col("content")), "\\s+")
+      val quality = content
+        .withColumn("n_words", size(toksC).cast("long"))
+        .withColumn("n_stop", size(filter(toksC,
+          t => t.isin("the", "a", "of", "and", "to", "in"))).cast("long"))
+        .where(col("n_words") >= 25L && col("n_stop") >= 2L)
+      val dd = graft.dedup.Dedup.exact(
+          quality.select(col("doc_id"), col("content").as("text")))
+        .select(col("doc_id"), col("is_kept"))
+      quality.join(dd, Seq("doc_id"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_kept"), 1)).as("n_kept"),
+          sum(when(col("is_kept"), length(col("content")))).as("chars_kept"))
+    }),
+
     "q_pipeline_html_curation" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables(s, dir, "documents")
@@ -2635,6 +2670,43 @@ object TextQueries {
          |  CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS group_size,
          |  doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS is_kept
          |FROM n""".stripMargin,
+
+    // the block-level pipeline: the framed-scan chains + the nested
+    // order-preserving comprehension (zs built inline, density-filtered)
+    // reassemble per-doc content, then the same gates and dedup window
+    "q_pipeline_block_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, $htmlCrawlFixtureSql AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, source,
+         |    ${htmlCleanSql("html", blockMarks = true)} AS bt,
+         |    ${htmlCleanSql("html", blockMarks = true, linkOnly = true)} AS lt
+         |  FROM t),
+         |s AS (SELECT doc_id, lang, source, string_split(bt, chr(28)) AS bs,
+         |    string_split(lt, chr(28)) AS ls FROM c),
+         |x AS (SELECT doc_id, lang, source,
+         |    array_to_string([z.b for z in
+         |      [struct_pack(b := trim(bs[i]), l := trim(ls[i]))
+         |        for i in range(1, len(bs) + 1) if trim(bs[i]) <> '']
+         |      if CAST((CAST(length(z.l) AS HUGEINT) * 1000000)
+         |        // greatest(length(z.b), 1) AS BIGINT) <= 333333], ' ')
+         |      AS content
+         |  FROM s),
+         |q AS (SELECT * FROM x
+         |  WHERE len(regexp_split_to_array(trim(content), '\\s+')) >= 25
+         |    AND len(list_filter(regexp_split_to_array(trim(content), '\\s+'),
+         |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) >= 2),
+         |h AS (SELECT *,
+         |    ${charHash("regexp_replace(lower(trim(content)), '\\s+', ' ', 'g')")} AS canon_hash
+         |  FROM q),
+         |k AS (SELECT *,
+         |    doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_kept
+         |  FROM h)
+         |SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (is_kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(length(content)) FILTER (is_kept) AS BIGINT) AS chars_kept
+         |FROM k GROUP BY lang, source""".stripMargin,
 
     // the composed curation pipeline: the htmlCleanSql chain embedded
     // verbatim (the gdIterBlocksSql convention), then the gates and the
