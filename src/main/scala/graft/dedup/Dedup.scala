@@ -509,9 +509,10 @@ object Dedup {
     * write + a second count scan (same pattern as Clustering.propagate).
     * Lineage/stat truncation is the pluggable
     * [[graft.cluster.Clustering.Checkpointer]]; the default is the
-    * durable parquet round-trip because a convergence loop is unbounded
-    * and `localCheckpoint` compounds origin-plan statistics across
-    * iterations (see Clustering.localCheckpointer's caution).
+    * HYBRID scheme (r13): local truncation for the first 8 rounds,
+    * the durable parquet round-trip after — where `localCheckpoint`'s
+    * origin-plan statistics compounding would start to matter (see
+    * Clustering.localCheckpointer's caution).
     *
     * Scale shape per round is identical to [[dedupGroups]]: one
     * edges-join + partial-aggregated groupBy(doc_id).min shuffling
@@ -525,8 +526,13 @@ object Dedup {
     // a caller-supplied checkpointer owns its own lifecycle
     val tmpDir = if (checkpointer.isEmpty)
       Some(java.nio.file.Files.createTempDirectory("graft-dedup-conv")) else None
+    // r13: HYBRID default (the KCore.peelConverged rationale) — local
+    // truncation while the round count is small, the durable parquet
+    // round-trip from round 9 where localCheckpoint's origin-plan stats
+    // compounding would start to matter. Checkpointing never changes
+    // the labels (deterministic min-label rounds).
     val checkpoint = checkpointer.getOrElse(
-      graft.cluster.Clustering.parquetCheckpointer(tmpDir.get.toString))
+      graft.cluster.Clustering.hybridCheckpointer(tmpDir.get.toString))
     val edges = pairs.select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("nbr"))
       .unionAll(pairs.select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

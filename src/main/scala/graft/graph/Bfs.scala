@@ -59,20 +59,46 @@ object Bfs {
     var frontier = labels
     var frontierRows = frontier.count()
     var hop = 0L
+    // STRIDE-2 rounds (r13): BFS levels are schedule-independent — the
+    // hop label of a node is its shortest-path length however the wave
+    // is scheduled — so expanding TWO levels inside one scheduled round
+    // (level hop+1, then level hop+2 excluding both the labels and the
+    // first expansion) assigns exactly the same hop to every node and
+    // halves the driver round count. The per-level exchanges are
+    // unchanged (that is the algorithm); what halves is the per-round
+    // fixed cost — gating count, merge, driver round-trip. The odd tail
+    // under the maxHops cap falls back to a single-level round so the
+    // capped output set is IDENTICAL to the one-level loop (the oracle
+    // caps at the same hop count).
     while (hop < maxHops && frontierRows > 0) {
-      hop += 1
-      // LAZY checkpoint materialized by the termination count (the Scc
-      // 2-job round fusion): write + count share one job; the label
-      // merge — skipped once the wave dies — is the only other one.
-      val next = frontier.join(adj, col("node") === col("src"))
-        .select(col("dst").as("node"))
-        .distinct()
-        .join(labels, Seq("node"), "left_anti")
-        .withColumn("hops", lit(hop))
-        .localCheckpoint(false)
-      frontierRows = next.count()
-      if (frontierRows > 0) labels = labels.unionAll(next).localCheckpoint()
-      frontier = next
+      def level(f: DataFrame, seen: Seq[DataFrame], h: Long): DataFrame = {
+        val nbrs = f.join(adj, col("node") === col("src"))
+          .select(col("dst").as("node"))
+          .distinct()
+        seen.foldLeft(nbrs)((d, s) => d.join(s, Seq("node"), "left_anti"))
+          .withColumn("hops", lit(h))
+          .localCheckpoint(false)
+      }
+      if (hop + 2 <= maxHops) {
+        val h1 = level(frontier, Seq(labels), hop + 1)
+        val h2 = level(h1, Seq(labels, h1), hop + 2)
+        // one gating count: h2's plan reads h1, so the count
+        // materializes both lazy checkpoints
+        frontierRows = h2.count()
+        // merge BOTH levels (h1 may be non-empty when h2 is empty); the
+        // merge is LAZY — the next round's count (or the caller's
+        // action) materializes it from cached leaves only
+        labels = labels.unionAll(h1).unionAll(h2).localCheckpoint(false)
+        frontier = h2
+        hop += 2
+      } else {
+        val next = level(frontier, Seq(labels), hop + 1)
+        frontierRows = next.count()
+        if (frontierRows > 0)
+          labels = labels.unionAll(next).localCheckpoint(false)
+        frontier = next
+        hop += 1
+      }
     }
     adj.unpersist()
     labels
@@ -114,9 +140,22 @@ object Bfs {
       var r = 0
       while (r < maxRounds && frontierRows > 0) {
         r += 1
-        val relaxed = frontier.join(adj, col("node") === col("src"))
+        // STRIDE-2 relaxation (r13, the Scc coloring trick): min-
+        // relaxation is monotone, every relayed candidate is a valid
+        // path cost (never below the true distance), and improvements
+        // still re-relay from their settled value next round — so
+        // pushing the wave TWO hops per scheduled round converges to
+        // the same schedule-independent fixpoint in half the rounds.
+        val hop1 = frontier.join(adj, col("node") === col("src"))
           .groupBy(col("dst").as("cand"))
           .agg(min(col("dist") + col("cost")).as("cand_dist"))
+        val hop2 = hop1.join(adj, col("cand") === col("src"))
+          .groupBy(col("dst").as("c2"))
+          .agg(min(col("cand_dist") + col("cost")).as("d2"))
+          .select(col("c2").as("cand"), col("d2").as("cand_dist"))
+        val relaxed = hop1.unionAll(hop2)
+          .groupBy(col("cand"))
+          .agg(min(col("cand_dist")).as("cand_dist"))
         // improvements only: strictly better than the current label (or
         // first label) — these are the next frontier. LAZY checkpoint
         // materialized by the termination count (the Scc 2-job round
@@ -127,10 +166,12 @@ object Bfs {
           .select(col("cand").as("node"), col("cand_dist").as("dist"))
           .localCheckpoint(false)
         frontierRows = improved.count()
+        // lazy merge (r13, the hopDistance note): the next round's
+        // gating count materializes it — one fewer job per round
         if (frontierRows > 0) {
           dist = dist.join(improved.select(col("node")), Seq("node"), "left_anti")
             .unionAll(improved)
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         frontier = improved
       }
@@ -246,10 +287,12 @@ object Bfs {
           .select(col("cand").as("node"), col("cand_arr").as("arrival_s"))
           .localCheckpoint(false)
         frontierRows = improved.count()
+        // lazy merge (r13, the hopDistance note): the next round's
+        // gating count materializes it — one fewer job per round
         if (frontierRows > 0) {
           arrival = arrival.join(improved.select(col("node")), Seq("node"), "left_anti")
             .unionAll(improved)
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         frontier = improved
       }

@@ -80,17 +80,42 @@ object Centrality {
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
       .localCheckpoint()
     var frontier = labels
+    // counted lazy drain + lazy merge (r13, the Bfs.hopDistance round
+    // shape): the wave checkpoint writes inside its own gating count,
+    // and the label merge — an exchange-free read of two cached sides —
+    // materializes inside the NEXT round's count. One scheduled job per
+    // round where the eager shape paid three (checkpoint, merge,
+    // isEmpty probe).
+    // STRIDE-2 rounds (r13, the Bfs.hopDistance shape): two BFS levels
+    // per scheduled round — hop labels are schedule-independent, the
+    // odd tail under the cap falls back to one level, so the capped
+    // output is identical to the one-level loop
+    var frontierRows = 1L
     var hop = 0L
-    while (hop < maxHops && !frontier.isEmpty) {
-      hop += 1
-      val next = frontier.join(adj, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("node"))
-        .distinct()
-        .join(labels, Seq("seed", "node"), "left_anti")
-        .withColumn("hops", lit(hop))
-        .localCheckpoint()
-      labels = labels.unionAll(next).localCheckpoint()
-      frontier = next
+    while (hop < maxHops && frontierRows > 0) {
+      def level(f: DataFrame, seen: Seq[DataFrame], h: Long): DataFrame = {
+        val nbrs = f.join(adj, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"))
+          .distinct()
+        seen.foldLeft(nbrs)((d, s) => d.join(s, Seq("seed", "node"), "left_anti"))
+          .withColumn("hops", lit(h))
+          .localCheckpoint(false)
+      }
+      if (hop + 2 <= maxHops) {
+        val h1 = level(frontier, Seq(labels), hop + 1)
+        val h2 = level(h1, Seq(labels, h1), hop + 2)
+        frontierRows = h2.count()
+        labels = labels.unionAll(h1).unionAll(h2).localCheckpoint(false)
+        frontier = h2
+        hop += 2
+      } else {
+        val next = level(frontier, Seq(labels), hop + 1)
+        frontierRows = next.count()
+        if (frontierRows > 0)
+          labels = labels.unionAll(next).localCheckpoint(false)
+        frontier = next
+        hop += 1
+      }
     }
     adj.unpersist()
     labels

@@ -223,9 +223,14 @@ object PageRank {
     * The max-delta observation piggybacks on each round's checkpoint
     * action (Observation API — one job per round, no second scan).
     * Checkpointing is the pluggable Clustering.Checkpointer; the
-    * default is the durable parquet round-trip because a convergence
-    * loop is unbounded and localCheckpoint compounds origin-plan
-    * statistics across iterations.
+    * default is the HYBRID scheme (r13, the KCore.peelConverged
+    * rationale): local truncation for the first 8 rounds — the damping
+    * contraction usually converges within them, and a parquet
+    * write+read per round is the dominant cost of the whole loop — then
+    * the durable parquet round-trip exactly where localCheckpoint's
+    * origin-plan statistics compounding would start to matter.
+    * Checkpointing never changes the ranks (integer arithmetic, no
+    * randomness), so both schemes produce identical output.
     */
   def runConverged(edges: DataFrame, tolS: Long = 1000L, dampingPct: Int = 85,
       scale: Long = 1000000L, maxIters: Int = 100,
@@ -236,7 +241,7 @@ object PageRank {
     val tmpDir = if (checkpointer.isEmpty)
       Some(java.nio.file.Files.createTempDirectory("graft-pagerank-conv")) else None
     val checkpoint = checkpointer.getOrElse(
-      graft.cluster.Clustering.parquetCheckpointer(tmpDir.get.toString))
+      graft.cluster.Clustering.hybridCheckpointer(tmpDir.get.toString))
 
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))

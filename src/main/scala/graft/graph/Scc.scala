@@ -72,17 +72,26 @@ object Scc {
     var active = raw
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var remaining = raw.select(col("src").as("node"))
       .unionAll(raw.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // r13 round economy: the remaining-set size is TRACKED arithmetically
+    // (every batch that leaves it is counted anyway), so the loop guards
+    // cost no isEmpty probe jobs; labelled batches are DEFERRED to one
+    // final union instead of an eager checkpointed merge per batch; and
+    // every in-loop merge/update takes a LAZY checkpoint that the next
+    // pass's gating count materializes (the coloring-loop fusion,
+    // applied everywhere).
+    var remainingCount = remaining.count()
+    val batches = scala.collection.mutable.ListBuffer[DataFrame]()
     // typed empty seed so an edge-free input returns an empty (node, scc)
     // frame instead of null
-    var labels: DataFrame = remaining
+    val emptyLabels: DataFrame = remaining
       .select(col("node"), col("node").as("scc")).limit(0)
     var outer = 0
-    while (!remaining.isEmpty) {
+    while (remainingCount > 0) {
       outer += 1
       require(outer <= maxRounds,
         s"stronglyConnected did not drain within $maxRounds peel rounds; raise maxRounds")
@@ -98,29 +107,46 @@ object Scc {
       // the remaining graph's trim depth — same loud cap.
       var trimming = true
       var trimPass = 0
-      while (trimming && !remaining.isEmpty) {
+      while (trimming && remainingCount > 0) {
         trimPass += 1
         require(trimPass <= maxRounds,
           s"stronglyConnected trim still eroding after $maxRounds passes; raise maxRounds")
-        val hasOut = active.select(col("src").as("node")).distinct()
-        val hasIn = active.select(col("dst").as("node")).distinct()
-        val core = hasOut.join(hasIn, Seq("node")).localCheckpoint()
-        // 2-job pass: the trimmed set's lazy checkpoint materializes
-        // inside the emptiness count (the coloring-loop fusion)
+        // STRIDE-2 erosion (r13): the trim step is a deterministic
+        // downward closure (drop nodes lacking an in- or out-edge in the
+        // induced subgraph), so applying it TWICE inside one scheduled
+        // pass reaches the same fixpoint in half the driver rounds; the
+        // union of trimmed batches — all labelled (node, node) — is
+        // identical however the erosion is batched.
+        def erode(act: DataFrame): DataFrame = {
+          val hasOut = act.select(col("src").as("node")).distinct()
+          val hasIn = act.select(col("dst").as("node")).distinct()
+          hasOut.join(hasIn, Seq("node"))
+        }
+        val core1 = erode(active)
+        val act1 = active
+          .join(core1.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(core1.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        val core = erode(act1).localCheckpoint(false)
+        // 1-job pass: the trimmed count materializes core AND trimmed
+        // (core rides inside trimmed's plan); the labelled batch joins
+        // the deferred union, the remaining size updates by arithmetic,
+        // and the active-set shrink is lazy until the next pass reads it
         val trimmed = remaining.join(core, Seq("node"), "left_anti")
           .select(col("node"), col("node").as("scc"))
           .localCheckpoint(false)
-        if (trimmed.count() == 0) trimming = false
+        val nTrimmed = trimmed.count()
+        if (nTrimmed == 0) trimming = false
         else {
-          labels = labels.unionAll(trimmed).localCheckpoint()
+          batches += trimmed
           remaining = core
+          remainingCount -= nTrimmed
           active = active
             .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
             .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
       }
-      if (!remaining.isEmpty) {
+      if (remainingCount > 0) {
         // the fully-trimmed edge set, cached once per outer round in
         // BOTH join layouts (coloring joins on src, the backward sweep
         // on dst) so every inner round moves only its frontier — the
@@ -150,7 +176,7 @@ object Scc {
           // truncated lineage), and the colors rebuild keeps its eager
           // checkpoint (it feeds two branches next round).
           var colors = remaining.select(col("node"), col("node").as("color"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           var frontier = colors
           var frontierRows = 1L
           var r = 0
@@ -177,10 +203,12 @@ object Scc {
               .select(col("cnode").as("node"), col("cand_color").as("color"))
               .localCheckpoint(false)
             frontierRows = improved.count()
+            // lazy merge — materialized by the next round's gating
+            // count (improved reads colors), one fewer job per round
             if (frontierRows > 0) {
               colors = colors.join(improved.select("node"), Seq("node"), "left_anti")
                 .unionAll(improved)
-                .localCheckpoint()
+                .localCheckpoint(false)
             }
             frontier = improved
           }
@@ -188,7 +216,7 @@ object Scc {
           // ---- backward membership sweep within each color class
           var members = colors.where(col("node") === col("color"))
             .select(col("node"), col("color"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           // one backward hop that KEEPS the class gate: a membership
           // path must stay inside its color class, so unlike the
           // coloring stride the gate re-applies at every hop
@@ -214,30 +242,40 @@ object Scc {
               .join(members, Seq("node"), "left_anti")
               .localCheckpoint(false)
             mfrontRows = fresh.count()
+            // lazy merge — the next round's anti-join count reads it
             if (mfrontRows > 0)
-              members = members.unionAll(fresh).localCheckpoint()
+              members = members.unionAll(fresh).localCheckpoint(false)
             mfront = fresh
           }
 
-          // relabel each peeled class to its minimum member id
+          // relabel each peeled class to its minimum member id; the
+          // peel count is the round's ONE dedicated job — it
+          // materializes the batch, keeps the remaining-size arithmetic
+          // exact, and the remaining/active shrinks stay lazy until the
+          // next outer round's trim count reads them
           val mins = members.groupBy(col("color"))
             .agg(min(col("node")).as("scc"))
           val peeled = members.join(mins, Seq("color"))
             .select(col("node"), col("scc"))
-            .localCheckpoint()
-          labels = labels.unionAll(peeled).localCheckpoint()
+            .localCheckpoint(false)
+          val nPeeled = peeled.count()
+          batches += peeled
+          remainingCount -= nPeeled
           remaining = remaining
             .join(peeled.select("node"), Seq("node"), "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(false)
           active = active
             .join(peeled.select(col("node").as("src")), Seq("src"), "left_anti")
             .join(peeled.select(col("node").as("dst")), Seq("dst"), "left_anti")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(false)
         } finally { bySrc.unpersist(); byDst.unpersist() }
       }
     }
-    labels
+    // one deferred union of every labelled batch (each one a cached
+    // checkpoint) — identical rows to the old eager per-batch merge
+    if (batches.isEmpty) emptyLabels
+    else batches.reduce(_ unionAll _)
   }
 
   /** Incrementally absorb edges into an existing SCC labelling — the
@@ -340,49 +378,79 @@ object Scc {
         .localCheckpoint()
 
       // one sum-propagation wave: seeds carry count 1; each round joins
-      // the frontier to its outgoing edges and sums arrivals per target
-      def wave(seeds: DataFrame, adj: DataFrame, from: String, to: String,
+      // the frontier to its outgoing edges and sums arrivals per target.
+      // r13 round economy, three changes that leave every count exact:
+      //  - STRIDE-2: round r's frontier carries the exact count of
+      //    length-L paths, so relaying it one MORE hop inside the same
+      //    scheduled round yields the exact length-(L+1) counts — two
+      //    per-length deliveries per round, half the rounds. Both hops
+      //    are per-length-exact, so summing them later is unchanged.
+      //  - DEFERRED accumulation: no per-round acc rebuild (which paid
+      //    an exchange + a checkpoint job per round) — every per-length
+      //    frontier is retained (each one a cached checkpoint) and ONE
+      //    final groupBy sums them; addition is associative, the total
+      //    per node is identical.
+      //  - the gating count materializes both hops' lazy checkpoints in
+      //    one job (hop1 rides inside hop2's plan).
+      def wave(seed: DataFrame, adj: DataFrame, from: String, to: String,
           what: String): DataFrame = {
-        var acc = seeds.select(col("node"),
-            lit(1).cast("decimal(38,0)").as("cnt"))
-          .localCheckpoint()
-        var frontier = acc
+        val perLength = scala.collection.mutable.ListBuffer[DataFrame](seed)
+        var frontier = seed
         var frontierRows = 1L
         var r = 0
+        def hop(f: DataFrame): DataFrame = f
+          .join(adj, col("node") === col(from))
+          .groupBy(col(to).as("nnode"))
+          .agg(sum(col("cnt")).as("ncnt"))
+          .select(col("nnode").as("node"), col("ncnt").as("cnt"))
         while (frontierRows > 0) {
           r += 1
-          require(r <= maxRounds,
+          require(2 * r <= maxRounds + 1,
             s"dagPathCentrality $what wave still flowing after $maxRounds " +
-              "rounds — cyclic input or raise maxRounds")
-          // the Scc 2-job round fusion: lazy checkpoint + counted drain
-          val next = frontier.join(adj, col("node") === col(from))
-            .groupBy(col(to).as("nnode"))
-            .agg(sum(col("cnt")).as("ncnt"))
-            .select(col("nnode").as("node"), col("ncnt").as("cnt"))
-            .localCheckpoint(false)
-          frontierRows = next.count()
-          if (frontierRows > 0) {
-            acc = acc.unionAll(next)
-              .groupBy("node").agg(sum(col("cnt")).as("cnt"))
-              .localCheckpoint()
-          }
-          frontier = next
+              "hops — cyclic input or raise maxRounds")
+          val h1 = hop(frontier).localCheckpoint(false)
+          val h2 = hop(h1).localCheckpoint(false)
+          // one gating count: h2's plan reads h1, so the count
+          // materializes both checkpoints. h2 empty with h1 non-empty
+          // just means length L+1 only reached sinks — h1 is already
+          // retained; the loop may stop either way.
+          frontierRows = h2.count()
+          perLength += h1
+          if (frontierRows > 0) perLength += h2
+          frontier = h2
         }
-        acc
+        perLength.reduce(_ unionAll _)
+          .groupBy("node").agg(sum(col("cnt")).as("cnt"))
       }
 
-      val sources = nodes.join(e.select(col("dst").as("node")).distinct(),
-        Seq("node"), "left_anti")
-      val sinks = nodes.join(e.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti")
+      // seed sets are checkpointed ONCE and reused by both the guard
+      // and the waves (the eager pre-r13 shape computed each anti-join
+      // twice: once for the isEmpty probe, once inside the wave)
+      def seedOf(anti: String): DataFrame = nodes
+        .join(e.select(col(anti).as("node")).distinct(), Seq("node"), "left_anti")
+        .select(col("node"), lit(1).cast("decimal(38,0)").as("cnt"))
+        .localCheckpoint(false)
+      val sources = seedOf("dst")
+      val sinks = seedOf("src")
+      val (nSources, nSinks) = (sources.count(), sinks.count())
       // a non-empty DAG has ≥1 source and ≥1 sink; a sourceless input
       // (pure cycle) would otherwise return EMPTY silently — the
       // maxRounds trip only catches cycles reachable from a source
-      require(nodes.isEmpty || (!sources.isEmpty && !sinks.isEmpty),
+      // order matters: the happy path short-circuits on the counts and
+      // never pays the isEmpty probe job
+      require((nSources > 0 && nSinks > 0) || nodes.isEmpty,
         "dagPathCentrality: no source/sink node — cyclic input " +
           "(run stronglyConnected/condensation first)")
-      val f = wave(sources, bySrc, "src", "dst", "forward")
-      val g = wave(sinks, byDst, "dst", "src", "backward")
+      // the two waves share no state — run them as concurrent job
+      // groups (guide §2.6: independent DAGs back-fill each other's
+      // round-latency stalls; same argument on a real cluster)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fF = Future(wave(sources, bySrc, "src", "dst", "forward"))
+      val fG = Future(wave(sinks, byDst, "dst", "src", "backward"))
+      val f = Await.result(fF, Duration.Inf)
+      val g = Await.result(fG, Duration.Inf)
       // in a DAG every node descends from some source and reaches some
       // sink, so the inner join keeps every node
       val out = f.select(col("node"), col("cnt").as("f0"))
@@ -459,22 +527,40 @@ object Scc {
         .withColumn("depth", lit(0L))
         .localCheckpoint()
       var frontier = depth
+      var frontierRows = 1L
       var r = 0
-      while (!frontier.isEmpty) {
+      while (frontierRows > 0) {
         r += 1
         require(r <= maxRounds,
           s"dagLongestPath still relaxing after $maxRounds rounds — " +
             "cyclic input or raise maxRounds (run stronglyConnected/condensation first)")
-        val cand = frontier.join(e, col("node") === col("src"))
+        // STRIDE-2 relaxation (r13, the coloring-loop trick): max-
+        // relaxation is monotone and idempotent, so pushing the wave TWO
+        // hops per scheduled round is always safe, halves the round
+        // count, and converges to the same schedule-independent fixpoint
+        // the recursive-CTE oracle derives. Round fusion: the improved
+        // frontier takes a LAZY checkpoint whose first action is the
+        // gating count, and the depth merge — exchange-free over two
+        // cached sides — materializes inside the NEXT round's count.
+        val hop1 = frontier.join(e, col("node") === col("src"))
           .groupBy(col("dst").as("cnode"))
           .agg(max(col("depth") + 1L).as("cand_depth"))
+        val hop2 = hop1.join(e, col("cnode") === col("src"))
+          .groupBy(col("dst").as("c2"))
+          .agg(max(col("cand_depth") + 1L).as("d2"))
+          .select(col("c2").as("cnode"), col("d2").as("cand_depth"))
+        val cand = hop1.unionAll(hop2)
+          .groupBy(col("cnode"))
+          .agg(max(col("cand_depth")).as("cand_depth"))
         val improved = cand.join(depth, col("cnode") === col("node"))
           .where(col("cand_depth") > col("depth"))
           .select(col("cnode").as("node"), col("cand_depth").as("depth"))
-          .localCheckpoint()
-        depth = depth.join(improved.select("node"), Seq("node"), "left_anti")
-          .unionAll(improved)
-          .localCheckpoint()
+          .localCheckpoint(false)
+        frontierRows = improved.count()
+        if (frontierRows > 0)
+          depth = depth.join(improved.select("node"), Seq("node"), "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(false)
         frontier = improved
       }
       depth
