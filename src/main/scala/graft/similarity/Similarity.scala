@@ -560,18 +560,21 @@ object Similarity {
     * dims²·127⁴·scale < 2⁶³ — dims ≤ 512 at the default scale; wider
     * vectors lower `scale` (the fixed-point family note).
     */
-  def kCenters(vectors: DataFrame, k: Int,
-      scale: Long = 1000000L): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(scale > 0, s"scale must be positive, got $scale")
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val q = quantizeInt8(vectors)
+  /** The nonzero-norm int8 code table every k-centers pass scans. */
+  private def kCenterCodes(vectors: DataFrame): DataFrame =
+    quantizeInt8(vectors)
       .select(col("vec_id"), col("q"),
         graft.expressions.IntDot(col("q"), col("q")).as("n2"))
       .where(col("n2") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The farthest-first traversal over an ALREADY-PERSISTED code table —
+    * shared by [[kCenters]] and [[kCentersCover]] (r13: the cover face
+    * previously re-ran kCenters end to end, paying a second quantize
+    * pass and re-collecting the center codes it already had in hand).
+    * Returns (sel_round, vec_id, max_sim) picks WITH their codes.
+    */
+  private def kCenterTraversal(q: DataFrame, k: Int, scale: Long)
+      : (Vector[(Long, Long, Option[Long])], Vector[(Seq[Int], Long)]) = {
     val firstRow = q.orderBy(col("vec_id"))
       .select(col("vec_id"), col("n2"), col("q")).head(1)
     require(firstRow.nonEmpty, "no nonzero-norm vectors to select from")
@@ -599,6 +602,18 @@ object Similarity {
         codes :+= ((row.getSeq[Int](2), row.getLong(1)))
       }
     }
+    (selected, codes)
+  }
+
+  def kCenters(vectors: DataFrame, k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val q = kCenterCodes(vectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (selected, _) = kCenterTraversal(q, k, scale)
     q.unpersist()
     selected.map { case (r, id, s) => (r, id, s) }
       .toDF("sel_round", "vec_id", "max_sim_s")
@@ -620,19 +635,16 @@ object Similarity {
     */
   def kCentersCover(vectors: DataFrame, k: Int,
       scale: Long = 1000000L): DataFrame = {
-    val sel = kCenters(vectors, k, scale)
-      .select(col("sel_round"), col("vec_id")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val q = quantizeInt8(vectors)
-      .select(col("vec_id"), col("q"),
-        graft.expressions.IntDot(col("q"), col("q")).as("n2"))
-      .where(col("n2") > 0)
-    val centerCodes = q
-      .where(col("vec_id").isin(sel.map(_._2.asInstanceOf[Any]): _*))
-      .select(col("vec_id"), col("q"), col("n2")).collect()
-      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
-    val simCols = sel.map { case (round, id) =>
-      val (code, cn2) = centerCodes(id)
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    // r13: ONE persisted code table serves the traversal AND the
+    // assignment pass, and the traversal already returns every center's
+    // code — the previous shape re-ran kCenters (second quantize pass)
+    // and then re-collected the codes it had just discarded.
+    val q = kCenterCodes(vectors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (selected, codes) = kCenterTraversal(q, k, scale)
+    val simCols = selected.zip(codes).map { case ((round, _, _), (code, cn2)) =>
       val d = graft.expressions.IntDot(col("q"), typedLit(code))
       round -> graft.ml.Training.floorDivP(d * abs(d) * scale,
         col("n2") * lit(cn2))
@@ -643,9 +655,14 @@ object Similarity {
     val center = simCols.reverse.foldLeft(lit(0L)) { case (acc, (round, s)) =>
       when(s === best, lit(round)).otherwise(acc)
     }
-    q.select(center.as("center_round"), best.as("sim_s"))
+    // materialize the ≤k-row report off the per-call cache, then release
+    // it — the traversal's head() jobs already warmed every partition
+    val out = q.select(center.as("center_round"), best.as("sim_s"))
       .groupBy(col("center_round"))
       .agg(count(lit(1)).as("n_assigned"), min(col("sim_s")).as("min_sim_s"))
+      .localCheckpoint()
+    q.unpersist()
+    out
   }
 
   /** Brute-force top-k over int8-QUANTIZED vectors — the compressed

@@ -199,15 +199,18 @@ object TextAnalysis {
     * fingerprint (order-sensitive, whitespace-insensitive).
     */
   def fingerprints(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val tokenHashes = transform(toks, t => rollingHashInline(t))
+    // r13: native TokenHashes/TokenCount replace the split + HOF hash
+    // chain (identical values — the parity spec); the token string
+    // array is never materialized
+    val tokenHashes = graft.expressions.TokenHashes(col("text"))
+    val nToks = tokenCount(col("text"))
     val posWeighted = aggregate(
-      zip_with(tokenHashes, sequence(lit(1), size(toks)), (h, i) => (h * i) % HashMod),
+      zip_with(tokenHashes, sequence(lit(1), nToks.cast("int")), (h, i) => (h * i) % HashMod),
       lit(0L), (acc, x) => (acc + x) % HashMod)
     docs.select(
       col("doc_id"),
       rollingHash(col("text")).as("char_fingerprint"),
-      when(size(toks) > 0, posWeighted).otherwise(lit(0L)).as("token_fingerprint"))
+      when(nToks > 0, posWeighted).otherwise(lit(0L)).as("token_fingerprint"))
   }
 
   private def rollingHashInline(s: Column): Column =
@@ -591,7 +594,13 @@ object TextAnalysis {
   def tokenHashTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         tokens(col("text")).as("toks"),
-        transform(tokens(col("text")), t => rollingHashInline(t)).as("th"))
+        // r13: th via the native one-pass TokenHashes expression —
+        // value-identical to transform(tokens(text), rollingHash) (the
+        // parity spec) without the regex split, the intermediate token
+        // STRING array, or the per-element interpreted lambda dispatch.
+        // `toks` stays for any string consumer; column pruning drops it
+        // below the exchange when (as everywhere today) only th is read.
+        graft.expressions.TokenHashes(col("text")).as("th"))
       .repartition(col("doc_id"))
 
   /** Repetition-based quality signals per document (the Gopher-family
@@ -660,9 +669,9 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(1, 2, 3), scale: Long = 1000000L): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
     require(scale > 0, s"scale must be positive, got $scale")
-    val tht = docs.select(col(groupCol).as("g"), tokens(col("text")).as("toks"))
+    val tht = docs.select(col(groupCol).as("g"), col("text"))
       .repartition(col("g"))
-      .select(col("g"), transform(col("toks"), t => rollingHashInline(t)).as("th"))
+      .select(col("g"), graft.expressions.TokenHashes(col("text")).as("th"))
     val grams = ns.map { n =>
       tht.select(col("g"), lit(n).as("n"),
         explode(shingleHashes(col("th"), n)).as("h"))

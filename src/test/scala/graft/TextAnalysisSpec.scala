@@ -156,6 +156,29 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("native TokenHashes == transform(split(trim, \\s+), rollingHash) on edge cases") {
+    // the r13 one-pass expression must replay EVERY split artifact the
+    // HOF pipeline has: space-only trim, leading/trailing empty fields
+    // (hash 0), the empty-string [""] artifact, non-BMP code points
+    val edge = Seq("", " ", "   \t\n ", "a", " a ", "a  b", "a\tb\nc\rd\fe",
+      "\ta", "a\t", " \ta\t ", "a b", "xy",
+      "emoji 💩  pair\t😀", "多字 节  文本")
+    val rnd = new scala.util.Random(13)
+    val alphabet = "ab \t\n九💩"
+    val random = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val d = docs((edge ++ random).zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+    val out = d.select(col("doc_id"),
+        graft.expressions.TokenHashes(col("text")).as("native"),
+        transform(TextAnalysis.tokens(col("text")),
+          t => TextAnalysis.rollingHash(t)).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
+    }
+  }
+
   test("chunkDocuments windows cover every token, clipped tail, short docs = 1 chunk") {
     val d = docs(
       1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens, w=4 s=2
